@@ -1,0 +1,179 @@
+"""Deduplication operators for training-data pipelines (north-star
+extension; SURVEY.md §7.2 M6).
+
+Four tiers, all shuffle-conscious:
+
+- exact:   hash-groupBy on a content digest — only (digest, id) is
+           shuffled, never the document bodies.
+- minhash: shingle → k min-hashes → banded LSH → bucket self-join.
+           Candidate generation never compares all pairs; the join key
+           is (band_index, band_hash) so co-bucketed docs meet in one
+           shuffle. This is the scale path for near-dedup at 100 TB.
+- simhash: 64-bit sign-aggregated token-hash fingerprint; hamming-close
+           fingerprints = near-duplicates.
+- exact n-gram Jaccard: inverted-index join on shingles (shared-shingle
+           counting), exact similarity — the verification tier used to
+           validate the approximate tiers (and the DuckDB oracle).
+
+Everything is built-in Column expressions (higher-order functions,
+xxhash64) — zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _shingles_expr(text_col: str, n: int) -> str:
+    """Distinct word n-gram shingles as a SQL expression.  Documents
+    with fewer than n words produce an empty array (guard needed:
+    sequence(1, 0) would count DOWN in Spark)."""
+    words = f"filter(split({text_col}, ' '), w -> w <> '')"
+    return (
+        f"case when size({words}) >= {n} then "
+        f"array_distinct(transform(sequence(1, size({words}) - {n - 1}), "
+        f"i -> array_join(slice({words}, i, {n}), ' '))) "
+        f"else array() end"
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content digest: per sha256(text) group keep the
+    smallest id.  Returns (content_hash, keep_id, dup_count).  Only the
+    32-byte digest + id cross the shuffle."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def shingle_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingles array) — distinct word n-grams per document."""
+    return df.select(F.col(id_col), F.expr(_shingles_expr(text_col, n)).alias("shingles"))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, num_perm: int = 32
+) -> DataFrame:
+    """MinHash signature per doc: permutation i is simulated by seeding
+    xxhash64 with a per-permutation prefix; signature[i] = min over
+    shingles.  One projection, no shuffle."""
+    sig = F.array(
+        *[
+            F.expr(
+                f"array_min(transform({_shingles_expr(text_col, n)}, s -> xxhash64(concat('p{p}:', s))))"
+            )
+            for p in range(num_perm)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` bands of
+    ``num_perm/bands`` rows, hash each band, self-join on
+    (band, band_hash).  Docs agreeing on any band become a candidate
+    pair (id_a < id_b, distinct).  The only shuffle is the bucket join
+    on the band hash — never an all-pairs comparison."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_perm)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.expr(f"slice(signature, {b * rows + 1}, {rows})")).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via inverted-index join: explode
+    distinct shingles, join docs sharing a shingle, count shared
+    shingles per pair, Jaccard = shared / (|A| + |B| - shared).
+
+    ``max_df`` optionally drops shingles occurring in more than that
+    many docs (stop-shingles) — the standard skew guard at scale (a
+    ubiquitous shingle would otherwise produce a quadratic bucket).
+    Leave None for oracle-exact semantics.
+    """
+    sh = shingle_docs(df, text_col, id_col, n).select(
+        F.col(id_col), F.size("shingles").alias("n_shingles"), F.explode("shingles").alias("shingle")
+    )
+    if max_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df).select("shingle")
+        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jaccard = F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared")).cast("double")
+    return pairs.select("id_a", "id_b", jaccard.alias("jaccard")).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: per token hash, each bit contributes +1/-1 to a
+    64-lane counter; fingerprint bit i = sign of lane i.  One aggregate
+    fold per document (JVM higher-order functions), no shuffle."""
+    words = f"filter(split({text_col}, ' '), w -> w <> '')"
+    lanes = (
+        f"aggregate(transform({words}, w -> xxhash64(w)), "
+        f"array_repeat(cast(0 as bigint), 64), "
+        f"(acc, h) -> zip_with(acc, sequence(0, 63), "
+        f"(a, i) -> a + case when (shiftright(h, cast(i as int)) & 1) = 1 then 1 else -1 end))"
+    )
+    fp = (
+        f"aggregate(zip_with({lanes}, sequence(0, 63), (lane, i) -> "
+        f"case when lane > 0 then shiftleft(cast(1 as bigint), cast(i as int)) else cast(0 as bigint) end), "
+        f"cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    return df.select(F.col(id_col), F.expr(fp).alias("simhash"))
+
+
+def hamming_distance(col_a: str, col_b: str):
+    """Popcount of XOR — built-in bit_count over the fingerprint XOR."""
+    return F.bit_count(F.expr(f"{col_a} ^ {col_b}"))

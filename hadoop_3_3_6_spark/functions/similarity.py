@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (north-star extension;
+SURVEY.md §7.2 M6).
+
+- ``cosine_topk_bruteforce``: exact top-k neighbors per probe via a
+  join + window rank — the correctness baseline.  O(probes × corpus);
+  bound the probe set, or use the LSH path at scale.
+- ``cosine_pairs_above``: exact all-pairs above a cosine threshold
+  (embedding near-dup detection).
+- ``lsh_bucketed_topk``: random-hyperplane LSH — deterministic plane
+  vectors, sign-bit bucket key, candidates meet in a bucket join.  The
+  100 TB path: shuffles only (bucket_key, id, embedding), never the
+  cross product.
+
+Dot products run JVM-side via zip_with/aggregate folds in double
+precision (sequential fold ⇒ bit-reproducible, oracle-matchable).
+Scores are rank-stabilized by rounding to 1e-6 before ordering, with
+id as tiebreaker, so Spark and the SQL oracle agree on the top-k set.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", F.expr(f"sqrt({_dot(vec_col, vec_col)})"))
+
+
+def _scored_pairs(
+    emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    a = with_norm(probes, vec_col).alias("a")
+    b = with_norm(emb, vec_col).alias("b")
+    dot = _dot(f"a.{vec_col}", f"b.{vec_col}")
+    score = F.expr(f"{dot} / (a._norm * b._norm)")
+    return (
+        a.join(b, on=F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("probe_id"),
+            F.col(f"b.{id_col}").alias("neighbor_id"),
+            score.alias("score"),
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5, probe_ids: list[int] | None = None
+) -> DataFrame:
+    """Exact cosine top-k per probe.  Rank over (round(score,6) desc,
+    neighbor_id asc) — deterministic across engines."""
+    probes = emb.filter(F.col(id_col).isin(probe_ids)) if probe_ids is not None else emb
+    scored = _scored_pairs(emb, probes, id_col, vec_col)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.round(F.col("score"), 6).desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def cosine_pairs_above(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.9
+) -> DataFrame:
+    """Embedding near-duplicate pairs: exact cosine over id_a < id_b."""
+    a = with_norm(emb, vec_col).alias("a")
+    b = with_norm(emb, vec_col).alias("b")
+    score = F.expr(f"{_dot(f'a.{vec_col}', f'b.{vec_col}')} / (a._norm * b._norm)")
+    return (
+        a.join(b, on=F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(score, 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def _plane_vectors(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, j) is
+    derived from sha256, mapped to [-1, 1).  No RNG state, so every
+    run/engine generates identical planes."""
+    planes = []
+    for p in range(num_planes):
+        vec = []
+        for j in range(dim):
+            h = hashlib.sha256(f"plane:{p}:{j}".encode()).digest()
+            (u,) = struct.unpack(">Q", h[:8])
+            vec.append((u / 2**63) - 1.0)
+        planes.append(vec)
+    return planes
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    probe_ids: list[int] | None = None,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signature (num_planes sign
+    bits) as bucket key; probes only compare against same-bucket
+    candidates.  Recall < 1 by construction; verified against the
+    brute-force baseline in tests."""
+    planes = _plane_vectors(num_planes, dim)
+    bits = []
+    for p, vec in enumerate(planes):
+        arr = "array(" + ",".join(f"cast({v:.9f} as double)" for v in vec) + ")"
+        bits.append(f"case when {_dot(vec_col, arr)} > 0 then '1' else '0' end")
+    sig = F.expr("concat(" + ",".join(bits) + ")")
+    tagged = emb.withColumn("_bucket", sig)
+    probes = tagged.filter(F.col(id_col).isin(probe_ids)) if probe_ids is not None else tagged
+    a = with_norm(probes, vec_col).alias("a")
+    b = with_norm(tagged, vec_col).alias("b")
+    score = F.expr(f"{_dot(f'a.{vec_col}', f'b.{vec_col}')} / (a._norm * b._norm)")
+    scored = (
+        a.join(b, on=[F.col("a._bucket") == F.col("b._bucket"), F.col(f"a.{id_col}") != F.col(f"b.{id_col}")])
+        .select(
+            F.col(f"a.{id_col}").alias("probe_id"),
+            F.col(f"b.{id_col}").alias("neighbor_id"),
+            F.round(score, 6).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

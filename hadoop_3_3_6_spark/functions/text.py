@@ -1,0 +1,93 @@
+"""Text-analysis functions for large-scale training-data pipelines
+(north-star extension; SURVEY.md §7.2 M6).
+
+The reference's scalar surface is user Java inside ``map()``
+(e.g. tokenization MRX/WordCount.java:36-50); here every function is a
+pure-Column expression built from ``pyspark.sql.functions`` so it stays
+inside whole-stage codegen — no Python in the hot path.  All outputs
+are deterministic integer/exact-ratio arithmetic so a SQL oracle can
+reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny English stopword list used by the n-gram-free language-ID
+# heuristic and the quality score.  Deliberately small and fixed so the
+# DuckDB oracle can inline the same list.
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+# BPE-ish tokenizer: words, single digits, or single non-space symbols —
+# a regex approximation of byte-pair-encoding pre-tokenization.
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def _words(text_col: str) -> Column:
+    """Whitespace tokens with empties removed (StringTokenizer semantics)."""
+    return F.expr(f"filter(split({text_col}, ' '), w -> w <> '')")
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counts: whitespace tokens and BPE-ish regex
+    tokens.  Both are JVM-side (split / regexp_extract_all)."""
+    return df.select(
+        F.col(id_col),
+        F.size(_words(text_col)).alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{BPE_ISH_PATTERN}', 0)")).alias("bpe_tokens"),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.05
+) -> DataFrame:
+    """Stopword-ratio language ID: fraction of tokens that are English
+    stopwords; >= threshold → 'en' else 'unk'.  (The reference has no
+    NLP surface; this is the training-pipeline heuristic analogue.)"""
+    stop_arr = "array(" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+    words = _words(text_col)
+    hits = F.expr(f"size(filter(filter(split({text_col}, ' '), w -> w <> ''), w -> array_contains({stop_arr}, w)))")
+    total = F.size(words)
+    ratio = F.when(total > 0, hits.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        ratio.alias("stopword_ratio"),
+        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unk")).alias("pred_lang"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document quality signals: char/word counts, mean word length,
+    alpha-char ratio — the classic pre-training filter features.  All
+    integer counts + one exact division each, so oracle-reproducible."""
+    words = _words(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_words = F.size(words)
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.when(n_words > 0, (n_chars - n_words + 1).cast("double") / n_words.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("mean_word_len"),
+        F.when(n_chars > 0, alpha_chars.cast("double") / n_chars.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("alpha_ratio"),
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rolling-hash document fingerprint: polynomial fold over the word
+    stream, ``acc = (acc*31 + len(w)*131 + ascii(w[0])) % 1e9+7``.
+    Exact 64-bit-safe integer arithmetic (max intermediate < 2^63), so
+    identical in any engine; computed with F.aggregate — one JVM-side
+    fold, no shuffle, no UDF."""
+    expr = (
+        f"aggregate(filter(split({text_col}, ' '), w -> w <> ''), cast(0 as bigint), "
+        f"(acc, w) -> pmod(acc * 31 + length(w) * 131 + ascii(substring(w, 1, 1)), {FINGERPRINT_MOD}))"
+    )
+    return df.select(F.col(id_col), F.expr(expr).alias("fingerprint"))

@@ -1,0 +1,115 @@
+"""Map-side record transforms (SURVEY.md §2.3).
+
+Reference parity targets (all paths relative to /root/reference/,
+``MRC/`` = hadoop-mapreduce-project/hadoop-mapreduce-client/
+hadoop-mapreduce-client-core/src/main/java/org/apache/hadoop/):
+
+- InverseMapper        MRC/mapreduce/lib/map/InverseMapper.java:30
+- RegexMapper          MRC/mapreduce/lib/map/RegexMapper.java:36
+- TokenCounterMapper   MRC/mapreduce/lib/map/TokenCounterMapper.java:35
+- FieldSelectionMapper MRC/mapreduce/lib/fieldsel/FieldSelectionMapper.java:61
+  (spec grammar: MRC/mapreduce/lib/fieldsel/FieldSelectionHelper.java:27-56)
+
+Everything here is a narrow projection — Catalyst collapses these into
+the enclosing stage (whole-stage codegen), so chaining them costs no
+extra pass over the data (the reference needed ChainMapper for that,
+MRC/mapreduce/lib/chain/ChainMapper.java:84; in Spark it is free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def inverse_map(df: DataFrame, key: str = "key", value: str = "value") -> DataFrame:
+    """(k, v) -> (v, k).  Reference: InverseMapper.java:30."""
+    return df.select(F.col(value).alias(key), F.col(key).alias(value))
+
+
+def regex_map(df: DataFrame, text_col: str, pattern: str, out_col: str = "match") -> DataFrame:
+    """Emit one row per regex match in ``text_col`` (the Grep mapper).
+
+    Reference: RegexMapper.java:36 emits (match, 1) per match of group 0;
+    here the count lives downstream in a groupBy, so we emit matches only.
+    Runs entirely JVM-side (regexp_extract_all + explode) — no Python UDF.
+    """
+    return df.select(
+        F.explode(F.expr(f"regexp_extract_all({text_col}, '{pattern}', 0)")).alias(out_col)
+    )
+
+
+def token_counter(df: DataFrame, text_col: str, out_col: str = "word", sep: str = r"\s+") -> DataFrame:
+    """Tokenize on whitespace, one row per token, empties dropped.
+
+    Reference: TokenCounterMapper.java:35 (StringTokenizer semantics:
+    no empty tokens).
+    """
+    words = F.explode(F.split(F.col(text_col), sep)).alias(out_col)
+    return df.select(words).filter(F.col(out_col) != "")
+
+
+# --- Field-selection DSL -------------------------------------------------
+# Spec grammar (FieldSelectionHelper.java:27-56): a comma-separated list
+# of single field indices and ranges over separator-split fields, e.g.
+# "4,3,0,1-3,7-" where "a-b" is the closed range [a,b] and "a-" means
+# "field a through the last field".  Indices are 0-based.
+
+
+def parse_field_spec(spec: str) -> list[tuple[int, int | None]]:
+    """Parse a field-selection spec into (start, end_inclusive|None) pairs.
+
+    ``None`` end means open range ("through last field").  A single
+    index i becomes (i, i).
+    """
+    out: list[tuple[int, int | None]] = []
+    for piece in spec.split(","):
+        piece = piece.strip()
+        if not piece:
+            continue
+        if "-" in piece:
+            lo_s, hi_s = piece.split("-", 1)
+            lo = int(lo_s)
+            out.append((lo, int(hi_s) if hi_s else None))
+        else:
+            i = int(piece)
+            out.append((i, i))
+    return out
+
+
+def field_selection(
+    df: DataFrame,
+    text_col: str,
+    spec: str,
+    sep: str = "\t",
+    out_col: str = "selected",
+    out_sep: str = "\t",
+) -> DataFrame:
+    """unix-cut projection over separator-joined fields.
+
+    Compiles the spec to a pure ``select`` over ``split()`` slices —
+    the reference's FieldSelectionMapper.java:61 re-joined selected
+    fields with the separator, reproduced here with concat_ws.
+    """
+    fields = F.split(F.col(text_col), _regex_escape(sep))
+    parts: list[Column] = []
+    for lo, hi in parse_field_spec(spec):
+        if hi is None:
+            # open range: slice from lo to end
+            parts.append(F.expr(
+                f"array_join(slice(split({text_col}, '{_regex_escape(sep)}'), {lo + 1}, "
+                f"size(split({text_col}, '{_regex_escape(sep)}'))), '{out_sep}')"
+            ))
+        elif hi == lo:
+            parts.append(F.element_at(fields, lo + 1))
+        else:
+            parts.append(F.expr(
+                f"array_join(slice(split({text_col}, '{_regex_escape(sep)}'), {lo + 1}, {hi - lo + 1}), '{out_sep}')"
+            ))
+    return df.select(F.concat_ws(out_sep, *parts).alias(out_col))
+
+
+def _regex_escape(sep: str) -> str:
+    """split() takes a regex; escape literal separators."""
+    specials = set(".^$*+?()[]{}|\\")
+    return "".join("\\\\" + c if c in specials else c for c in sep)

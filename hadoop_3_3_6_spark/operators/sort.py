@@ -1,0 +1,123 @@
+"""Sorts, limits, top-k, secondary sort, key-field sort DSL
+(SURVEY.md §2.6, §2.12).
+
+Reference parity targets (paths under /root/reference/):
+
+- total-order sort via sampling + TotalOrderPartitioner
+  MRC/mapreduce/lib/partition/TotalOrderPartitioner.java:50,
+  InputSampler.java:97-312 — Spark's ``orderBy`` IS this algorithm
+  (RangePartitioning with reservoir sampling), so ``global_sort`` is a
+  thin wrapper.
+- secondary sort (values ordered within key group)
+  MRX/SecondarySort.java:51-231 + grouping comparator Job.java:1026.
+- Grep's top-k (single-reducer desc sort) MRX/Grep.java:82-92 —
+  ``top_k`` uses orderBy+limit which Spark executes as TakeOrdered
+  (per-partition heap + merge, no global shuffle).
+- KeyFieldBasedComparator sort DSL (``-k pos1[,pos2][n][r]``)
+  MRC/mapreduce/lib/partition/KeyFieldBasedComparator.java:38-53,
+  parser KeyFieldHelper.java:296.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def global_sort(df: DataFrame, cols: list[str], ascending: bool = True) -> DataFrame:
+    """Total-order sort: range-partitioned with sampled split points —
+    built-in equivalent of TotalOrderPartitioner + InputSampler."""
+    order = [F.col(c).asc() if ascending else F.col(c).desc() for c in cols]
+    return df.orderBy(*order)
+
+
+def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """orderBy + limit → TakeOrdered physical op: each partition keeps a
+    k-heap, driver merges k*partitions rows — no total sort at scale."""
+    return df.orderBy(*order).limit(k)
+
+
+def secondary_sort(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    reduce_fn,
+    schema,
+) -> DataFrame:
+    """Grouped iteration with values sorted within the group.
+
+    Reference: SecondarySort.java:51-231 — composite key sorted on
+    (group, order), partitioned/grouped on group only, so the reducer
+    sees values in order.  Here: ``applyInPandas`` receives the whole
+    group; we sort it before handing to ``reduce_fn(pdf) -> pdf``.
+
+    Scale note: a group must fit in one task's memory (the reference
+    had the same constraint via BackupStore, MRC/mapred/BackupStore.java).
+    For giant groups prefer ``repartition(group).sortWithinPartitions``
+    + ``mapInPandas`` streaming over the partition.
+    """
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        return reduce_fn(pdf.sort_values(order_cols, kind="mergesort"))
+
+    return df.groupBy(*group_cols).applyInPandas(apply, schema=schema)
+
+
+def secondary_sort_streaming(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    map_fn,
+    schema,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Giant-group-safe variant: hash-repartition on the group key,
+    sort within partitions on (group, order), then stream batches
+    through ``mapInPandas``.  ``map_fn(iter_of_pdf) -> iter_of_pdf``
+    sees each partition's rows in full (group, order) order — exactly
+    the reference reducer's input contract without materializing a
+    group in memory."""
+    parts = df.repartition(num_partitions, *group_cols) if num_partitions else df.repartition(*group_cols)
+    ordered = parts.sortWithinPartitions(*group_cols, *order_cols)
+    return ordered.mapInPandas(map_fn, schema=schema)
+
+
+# --- KeyFieldBasedComparator DSL ----------------------------------------
+
+_KEYSPEC_RE = re.compile(r"^-k\s*(\d+)(?:\.(\d+))?(?:,(\d+)(?:\.(\d+))?)?\s*([nr]*)$")
+
+
+def parse_key_field_spec(spec: str) -> list[tuple[int, bool, bool]]:
+    """Parse unix-sort-style specs like ``-k2,2nr -k1,1``.
+
+    Returns [(field_index_0based, numeric, reverse), ...].  Char offsets
+    (``f.c``) are accepted by the grammar (KeyFieldBasedComparator.java:38-50)
+    but only whole-field comparisons are compiled — the examples and
+    streaming jobs use whole fields.
+    """
+    out: list[tuple[int, bool, bool]] = []
+    for piece in spec.split():
+        m = _KEYSPEC_RE.match(piece)
+        if not m:
+            raise ValueError(f"bad key-field spec {piece!r}")
+        field = int(m.group(1)) - 1  # unix sort is 1-based
+        flags = m.group(5) or ""
+        out.append((field, "n" in flags, "r" in flags))
+    return out
+
+
+def key_field_sort(df: DataFrame, text_col: str, spec: str, sep: str = "\t") -> DataFrame:
+    """Sort separator-joined text records by a key-field spec."""
+    fields = F.split(F.col(text_col), re.escape(sep).replace("\\", "\\\\") if sep in ".^$*+?()[]{}|\\" else sep)
+    order: list[Column] = []
+    for idx, numeric, reverse in parse_key_field_spec(spec):
+        c = F.element_at(fields, idx + 1)
+        if numeric:
+            c = c.cast("double")
+        order.append(c.desc() if reverse else c.asc())
+    return df.orderBy(*order)

@@ -1,0 +1,1031 @@
+"""The query corpus: every implemented operator wired as a
+``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible)
+a DuckDB oracle — the driver contract (SURVEY.md §2.13, §5).
+
+Numeric-determinism rules used throughout (so the order-insensitive
+value hash matches the oracle bit-for-bit):
+
+- money/qty aggregates go through DECIMAL casts (exact, order-
+  independent arithmetic) and are cast to DOUBLE only at the end;
+- averages are exact-decimal sums divided by exact counts;
+- float similarity scores are rounded to 1e-6 and ranked with an id
+  tiebreaker;
+- every computed column is aliased identically in Spark and SQL.
+
+Reference queries reproduced (ExampleDriver registrations,
+/root/reference/hadoop-mapreduce-project/hadoop-mapreduce-examples/src/
+main/java/org/apache/hadoop/examples/ExampleDriver.java:39-73):
+wordcount, wordmean, wordmedian, wordstandarddeviation,
+aggregatewordcount, aggregatewordhist, grep, sort, secondarysort,
+join, multifilewc, dbcount, teragen/terasort/teravalidate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_3_3_6_spark.session import load_table
+from hadoop_3_3_6_spark.operators.aggregate import aggregate_job, uniq_value_count, value_histogram
+from hadoop_3_3_6_spark.operators.joins import composite_join, override_join, tagged_join
+from hadoop_3_3_6_spark.operators.mapops import field_selection, regex_map, token_counter
+from hadoop_3_3_6_spark.operators.sort import secondary_sort, top_k
+from hadoop_3_3_6_spark.functions.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from hadoop_3_3_6_spark.functions.similarity import (
+    cosine_pairs_above,
+    cosine_topk_bruteforce,
+    lsh_bucketed_topk,
+)
+from hadoop_3_3_6_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_counts,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec(col: str, p: int = 15, s: int = 2) -> str:
+    return f"cast({col} as decimal({p},{s}))"
+
+
+# === M1: wordcount family (reference examples) ===========================
+
+_WORDS_SQL = "SELECT w AS word FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''"
+
+
+@_register(
+    "wordcount",
+    f"SELECT word, count(*) AS cnt FROM ({_WORDS_SQL}) GROUP BY word",
+)
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordCount (MRX/WordCount.java:34): tokenize → count per word.
+    Partial aggregation (map-side combine) is Catalyst-automatic."""
+    docs = load_table(spark, "documents", sf_dir)
+    return token_counter(docs, "text", out_col="word", sep=" ").groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@_register(
+    "multifilewc",
+    f"SELECT word, count(*) AS cnt FROM (SELECT w AS word FROM (SELECT unnest(string_split(text, ' ')) AS w "
+    f"FROM documents WHERE source IN ('src0','src1')) WHERE w <> '') GROUP BY word",
+)
+def q_multifilewc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiFileWordCount (MRX/MultiFileWordCount.java:54): wordcount
+    over a multi-source combined scan — per-source frames unioned then
+    counted (CombineFileInputFormat packing is Spark-native)."""
+    docs = load_table(spark, "documents", sf_dir)
+    srcs = [docs.filter(F.col("source") == s) for s in ("src0", "src1")]
+    combined = srcs[0].unionByName(srcs[1])
+    return token_counter(combined, "text", out_col="word", sep=" ").groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@_register(
+    "grep",
+    "SELECT m AS match, count(*) AS cnt FROM (SELECT unnest(regexp_extract_all(text, 'qu[a-z]+')) AS m "
+    "FROM documents) GROUP BY m",
+)
+def q_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grep (MRX/Grep.java:40): regex match extraction → count per
+    match (the desc sort is presentation-only; hash is order-free)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return regex_map(docs, "text", "qu[a-z]+", out_col="match").groupBy("match").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@_register(
+    "wordmean",
+    f"SELECT cast(sum(length(word)) as double) / count(*) AS mean_len FROM ({_WORDS_SQL})",
+)
+def q_wordmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordMean (MRX/WordMean.java:42-153): exact integer sum / count."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = token_counter(docs, "text", out_col="word", sep=" ")
+    return words.agg(
+        (F.sum(F.length("word")).cast("double") / F.count(F.lit(1))).alias("mean_len")
+    )
+
+
+@_register(
+    "wordmedian",
+    f"SELECT cast(quantile_cont(length(word), 0.5) as double) AS median_len FROM ({_WORDS_SQL})",
+)
+def q_wordmedian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordMedian (MRX/WordMedian.java:44-153): the reference walks a
+    sorted length-count CDF; exact interpolated percentile here."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = token_counter(docs, "text", out_col="word", sep=" ")
+    return words.agg(F.expr("cast(percentile(length(word), 0.5) as double)").alias("median_len"))
+
+
+@_register(
+    "wordstandarddeviation",
+    f"SELECT round(stddev_pop(length(word)), 6) AS stddev_len FROM ({_WORDS_SQL})",
+)
+def q_wordstddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordStandardDeviation (MRX/WordStandardDeviation.java): population
+    stddev of word length (sum/sum-of-squares partials in the
+    reference; rounded to 1e-6 for cross-engine agreement)."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = token_counter(docs, "text", out_col="word", sep=" ")
+    return words.agg(F.round(F.stddev_pop(F.length("word")), 6).alias("stddev_len"))
+
+
+@_register(
+    "sort",
+    "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem",
+)
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort (MRX/Sort.java:57): total-order sort via range partitioning
+    (TotalOrderPartitioner analogue is built-in).  The oracle hash is
+    order-insensitive — sortedness itself is asserted by the terasort
+    self-validation and tests/test_sort.py."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select("l_orderkey", "l_linenumber", "l_shipdate").orderBy("l_orderkey", "l_linenumber")
+
+
+@_register(
+    "topk_orders",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grep-style top-k (MRX/Grep.java:82-92 single-reducer desc sort)
+    → TakeOrdered: per-partition heaps, no global sort."""
+    orders = load_table(spark, "orders", sf_dir)
+    return top_k(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        10,
+    )
+
+
+@_register("distinct_segments", "SELECT DISTINCT c_mktsegment FROM customer")
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (reference: identity-reduce on key / UniqValueCount)."""
+    return load_table(spark, "customer", sf_dir).select("c_mktsegment").distinct()
+
+
+# === TPC-H-ish analytical queries (engine headline) ======================
+
+
+@_register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           cast(sum({_dec('l_quantity')}) as double) AS sum_qty,
+           cast(sum({_dec('l_extendedprice')}) as double) AS sum_base_price,
+           cast(sum({_dec('l_extendedprice')} * (cast(1.00 as decimal(3,2)) - {_dec('l_discount', 4)})) as double) AS sum_disc_price,
+           cast(sum({_dec('l_extendedprice')} * (cast(1.00 as decimal(3,2)) - {_dec('l_discount', 4)}) * (cast(1.00 as decimal(3,2)) + {_dec('l_tax', 4)})) as double) AS sum_charge,
+           cast(sum({_dec('l_quantity')}) as double) / count(*) AS avg_qty,
+           cast(sum({_dec('l_extendedprice')}) as double) / count(*) AS avg_price,
+           cast(sum({_dec('l_discount', 4)}) as double) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape over the lineitem fixture: scan → filter
+    (pushed to parquet) → 8-way aggregate with map-side partials.
+    Exact decimal arithmetic; doubles only at the boundary."""
+    li = load_table(spark, "lineitem", sf_dir).filter("l_shipdate <= timestamp'1998-09-02 00:00:00'")
+    dec_qty = F.expr(_dec("l_quantity"))
+    dec_price = F.expr(_dec("l_extendedprice"))
+    dec_disc = F.expr(_dec("l_discount", 4))
+    dec_tax = F.expr(_dec("l_tax", 4))
+    one = F.expr("cast(1.00 as decimal(3,2))")
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec_qty).cast("double").alias("sum_qty"),
+        F.sum(dec_price).cast("double").alias("sum_base_price"),
+        F.sum(dec_price * (one - dec_disc)).cast("double").alias("sum_disc_price"),
+        F.sum(dec_price * (one - dec_disc) * (one + dec_tax)).cast("double").alias("sum_charge"),
+        (F.sum(dec_qty).cast("double") / cnt).alias("avg_qty"),
+        (F.sum(dec_price).cast("double") / cnt).alias("avg_price"),
+        (F.sum(dec_disc).cast("double") / cnt).alias("avg_disc"),
+        cnt.alias("count_order"),
+    )
+
+
+@_register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           cast(sum({_dec('l_extendedprice')} * (cast(1.00 as decimal(3,2)) - {_dec('l_discount', 4)})) as double) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
+    customer is small → Catalyst broadcasts it; lineitem⋈orders is the
+    only real shuffle.  Top-k = TakeOrdered, not a global sort."""
+    cust = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, "orders", sf_dir).filter("o_orderdate < timestamp'1998-01-01 00:00:00'")
+    li = load_table(spark, "lineitem", sf_dir).filter("l_shipdate > timestamp'1996-01-01 00:00:00'")
+    one = F.expr("cast(1.00 as decimal(3,2))")
+    revenue = F.sum(F.expr(_dec("l_extendedprice")) * (one - F.expr(_dec("l_discount", 4)))).cast("double")
+    joined = (
+        F.broadcast(cust)
+        .join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(revenue.alias("revenue"))
+    return top_k(
+        agg.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
+        [F.col("revenue").desc(), F.col("l_orderkey").asc()],
+        10,
+    )
+
+
+@_register(
+    "q5_local_volume",
+    f"""
+    SELECT n_name,
+           cast(sum({_dec('l_extendedprice')} * (cast(1.00 as decimal(3,2)) - {_dec('l_discount', 4)})) as double) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join; all dims broadcast, facts
+    shuffle once on the join keys."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    one = F.expr("cast(1.00 as decimal(3,2))")
+    revenue = F.sum(F.expr(_dec("l_extendedprice")) * (one - F.expr(_dec("l_discount", 4)))).cast("double")
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(revenue.alias("revenue"))
+
+
+@_register(
+    "q6_revenue_forecast",
+    f"""
+    SELECT cast(sum({_dec('l_extendedprice')} * {_dec('l_discount', 4)}) as double) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg — every predicate reaches
+    the parquet reader (PushedFilters), zero shuffles (single global
+    agg with partials)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    filtered = li.filter(
+        "l_shipdate >= timestamp'1996-01-01 00:00:00' AND l_shipdate < timestamp'1997-01-01 00:00:00' "
+        "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+    )
+    return filtered.agg(
+        F.sum(F.expr(_dec("l_extendedprice")) * F.expr(_dec("l_discount", 4))).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# === M3: joins ===========================================================
+
+
+@_register(
+    "join_inner",
+    f"""
+    SELECT o_orderkey, o_orderstatus, count(*) AS n_items,
+           cast(sum({_dec('l_extendedprice')}) as double) AS order_value
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_orderstatus
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner composite join (InnerJoinRecordReader.java:34): emit only
+    keys present in both sources."""
+    orders = load_table(spark, "orders", sf_dir).withColumnRenamed("o_orderkey", "k")
+    li = load_table(spark, "lineitem", sf_dir).withColumnRenamed("l_orderkey", "k")
+    joined = composite_join([orders, li], on="k", how="inner")
+    return joined.groupBy(F.col("k").alias("o_orderkey"), F.col("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.expr(_dec("l_extendedprice"))).cast("double").alias("order_value"),
+    )
+
+
+@_register(
+    "join_outer",
+    """
+    SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+           (c.c_custkey IS NOT NULL) AS has_customer,
+           (o.o_custkey IS NOT NULL) AS has_orders,
+           coalesce(o.n_orders, 0) AS n_orders
+    FROM (SELECT DISTINCT c_custkey FROM customer) c
+    FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+    ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer composite join (OuterJoinRecordReader.java:34): emit keys
+    present in any source with null slots for the absent ones."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey").distinct()
+    orders = (
+        load_table(spark, "orders", sf_dir).groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    return joined.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().alias("has_customer"),
+        F.col("o_custkey").isNotNull().alias("has_orders"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+@_register(
+    "join_override",
+    """
+    SELECT coalesce(d.s_suppkey, b.s_suppkey) AS s_suppkey,
+           coalesce(d.s_acctbal, b.s_acctbal) AS s_acctbal
+    FROM supplier b
+    FULL OUTER JOIN (SELECT s_suppkey, s_acctbal + 1000.0 AS s_acctbal FROM supplier WHERE s_suppkey % 3 = 0) d
+    ON b.s_suppkey = d.s_suppkey
+    """,
+)
+def q_join_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Override join (OverrideRecordReader.java:42-56): rightmost source
+    with the key wins — base snapshot overridden by a delta."""
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_acctbal")
+    delta = supp.filter(F.col("s_suppkey") % 3 == 0).select(
+        "s_suppkey", (F.col("s_acctbal") + 1000.0).alias("s_acctbal")
+    )
+    return override_join([supp, delta], on="s_suppkey")
+
+
+@_register(
+    "semi_join_customers",
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (idiomatic surface per SURVEY.md §2.4 note)."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select(F.col("o_custkey").alias("c_custkey"))
+    return composite_join([cust.select("c_custkey", "c_name"), orders], on="c_custkey", how="left_semi")
+
+
+@_register(
+    "anti_join_customers",
+    "SELECT c_custkey, c_name FROM customer WHERE c_custkey NOT IN "
+    "(SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders since 1998."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter("o_orderdate >= timestamp'1998-01-01 00:00:00'")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return composite_join([cust.select("c_custkey", "c_name"), orders], on="c_custkey", how="left_anti")
+
+
+@_register(
+    "tagged_join_3way",
+    """
+    SELECT c.c_custkey, c.c_name AS cust_name, n.n_name AS nat_name, r.r_name AS reg_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_tagged_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduce-side tagged join (hadoop-datajoin DataJoinReducerBase
+    joinAndCollect :174-214): source tag prefixes on non-key columns,
+    N-way product per key.  customer⋈nation and ⋈region chain on
+    different keys, so this is two tagged joins (both dims broadcast)."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", F.col("c_nationkey").alias("k")
+    )
+    nation = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("k"), "n_name", "n_regionkey"
+    )
+    # tagged join #1 on nationkey: non-key cols become cust_*/nat_*
+    step1 = tagged_join({"cust": cust, "nat": nation}, on="k", how="inner").select(
+        F.col("cust_c_custkey").alias("c_custkey"),
+        F.col("cust_c_name").alias("cust_name"),
+        F.col("nat_n_name").alias("nat_name"),
+        F.col("nat_n_regionkey").alias("k2"),
+    )
+    region = load_table(spark, "region", sf_dir).select(F.col("r_regionkey").alias("k2"), "r_name")
+    # tagged join #2 on regionkey
+    step2 = tagged_join({"acc": step1, "reg": region}, on="k2", how="inner")
+    return step2.select(
+        F.col("acc_c_custkey").alias("c_custkey"),
+        F.col("acc_cust_name").alias("cust_name"),
+        F.col("acc_nat_name").alias("nat_name"),
+        F.col("reg_r_name").alias("reg_name"),
+    )
+
+
+@_register(
+    "intersect_nations",
+    "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@_register(
+    "except_orderkeys",
+    "SELECT o_orderkey AS orderkey FROM orders EXCEPT SELECT l_orderkey FROM lineitem",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: orders that have no lineitems."""
+    orders = load_table(spark, "orders", sf_dir).select(F.col("o_orderkey").alias("orderkey"))
+    li = load_table(spark, "lineitem", sf_dir).select(F.col("l_orderkey").alias("orderkey"))
+    return orders.exceptAll(li).distinct()
+
+
+@_register(
+    "union_heterogeneous",
+    """
+    SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS src FROM customer
+    UNION ALL
+    SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS src FROM supplier
+    """,
+)
+def q_union_heterogeneous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultipleInputs (MRC/mapreduce/lib/input/MultipleInputs.java:40):
+    per-source projection to a common schema, then union."""
+    from hadoop_3_3_6_spark.operators.setops import heterogeneous_union
+
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    return heterogeneous_union(
+        [
+            (cust, [F.col("c_name").alias("name"), F.col("c_acctbal").alias("acctbal"), F.lit("customer").alias("src")]),
+            (supp, [F.col("s_name").alias("name"), F.col("s_acctbal").alias("acctbal"), F.lit("supplier").alias("src")]),
+        ]
+    )
+
+
+@_register(
+    "dbcount",
+    f"""
+    SELECT event_type, count(*) AS pageviews,
+           cast(sum({_dec('value')}) as double) AS value_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def q_dbcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBCountPageView (MRX/DBCountPageView.java:78): pageview counts
+    per key from an access log (events fixture), JDBC-in/out in the
+    reference — the aggregation core here (JDBC I/O covered by
+    spark.read/write.jdbc, exercised separately)."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("pageviews"),
+        F.sum(F.expr(_dec("value"))).cast("double").alias("value_sum"),
+    )
+
+
+# === M2: DSL layer =======================================================
+
+
+@_register(
+    "fieldsel",
+    """
+    SELECT concat_ws(chr(9), l_suppkey::VARCHAR, l_orderkey::VARCHAR,
+                     l_linenumber::VARCHAR, l_returnflag, l_linestatus) AS selected
+    FROM lineitem
+    """,
+)
+def q_fieldsel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FieldSelection DSL (FieldSelectionHelper.java:27-56): spec
+    "2,0,3-5" over tab-joined lineitem fields — compiles to a pure
+    select.  Integer/flag fields only so the string rendering is
+    engine-independent."""
+    li = load_table(spark, "lineitem", sf_dir)
+    lines = li.select(
+        F.concat_ws(
+            "\t",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_partkey").cast("string"),
+            F.col("l_suppkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+        ).alias("line")
+    )
+    return field_selection(lines, "line", "2,0,3-5", sep="\t")
+
+
+@_register(
+    "aggregate_framework",
+    """
+    SELECT l_returnflag,
+           sum(cast(l_quantity as bigint))::BIGINT AS qty_sum,
+           max(cast(l_partkey as bigint)) AS max_part,
+           min(cast(l_partkey as bigint)) AS min_part,
+           max(l_shipmode_str) AS max_status, count(l_linenumber) AS n
+    FROM (SELECT *, l_linestatus AS l_shipmode_str FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def q_aggregate_framework(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-descriptor DSL (ValueAggregatorJob.java:85,
+    descriptors ValueAggregatorBaseDescriptor.java:39-53): dict-driven
+    groupBy.agg over built-in partial aggregates."""
+    li = load_table(spark, "lineitem", sf_dir).withColumn("l_shipmode_str", F.col("l_linestatus"))
+    return aggregate_job(
+        li,
+        ["l_returnflag"],
+        {
+            "qty_sum": ("LongValueSum", "l_quantity"),
+            "max_part": ("LongValueMax", "l_partkey"),
+            "min_part": ("LongValueMin", "l_partkey"),
+            "max_status": ("StringValueMax", "l_shipmode_str"),
+            "n": ("ValueCount", "l_linenumber"),
+        },
+    )
+
+
+@_register(
+    "uniq_value_count",
+    """
+    SELECT l_partkey, least(count(DISTINCT l_suppkey), 3) AS uniq_count
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def q_uniq_value_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniqValueCount with cap (UniqValueCount.java:88-121)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return uniq_value_count(li, ["l_partkey"], "l_suppkey", max_num=3)
+
+
+@_register(
+    "value_histogram",
+    """
+    SELECT l_returnflag,
+           count(*) AS distinct_values,
+           min(c) AS min_count,
+           cast(quantile_cont(c, 0.5) as double) AS median_count,
+           max(c) AS max_count,
+           cast(sum(c) as double) / count(*) AS avg_count,
+           round(coalesce(stddev_pop(c), 0.0), 6) AS stddev_count
+    FROM (SELECT l_returnflag, l_linestatus, count(*) AS c FROM lineitem GROUP BY l_returnflag, l_linestatus)
+    GROUP BY l_returnflag
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValueHistogram report (ValueHistogram.java:83-135) as typed
+    columns: stats over per-value counts within each key."""
+    li = load_table(spark, "lineitem", sf_dir)
+    hist = value_histogram(li, ["l_returnflag"], "l_linestatus")
+    return hist.select(
+        "l_returnflag",
+        "distinct_values",
+        "min_count",
+        "median_count",
+        "max_count",
+        (F.col("avg_count")).alias("avg_count"),
+        F.round("stddev_count", 6).alias("stddev_count"),
+    )
+
+
+# === M4: ordering specials ==============================================
+
+
+@_register(
+    "secondarysort",
+    """
+    SELECT l_orderkey,
+           string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS line_numbers,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_secondarysort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SecondarySort (MRX/SecondarySort.java:51-231): values ordered
+    within the key group, consumed by arbitrary reduce logic
+    (applyInPandas with in-group sort)."""
+    import pandas as pd
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_linenumber")
+
+    def fmt(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": [pdf["l_orderkey"].iloc[0]],
+                "line_numbers": [",".join(str(x) for x in pdf["l_linenumber"])],
+                "n_lines": [len(pdf)],
+            }
+        )
+
+    return secondary_sort(
+        li,
+        group_cols=["l_orderkey"],
+        order_cols=["l_linenumber"],
+        reduce_fn=fmt,
+        schema="l_orderkey bigint, line_numbers string, n_lines bigint",
+    )
+
+
+@_register("terasort_validate")  # self-validating; no SQL oracle (rows-only check)
+def q_terasort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TeraGen → TeraSort → TeraValidate (MRX/terasort/): generate
+    deterministic 100-byte records, total-order sort, validate global
+    order + checksum preservation (TeraValidate.java:63-126)."""
+    from hadoop_3_3_6_spark.sources.terasort import terachecksum, teragen, terasort, teravalidate
+
+    gen = teragen(spark, 20000, partitions=8)
+    in_sum = terachecksum(gen)
+    sorted_df = terasort(gen)
+    result = teravalidate(sorted_df, in_sum)
+    return spark.createDataFrame([result])
+
+
+# === M5: window functions ===============================================
+
+
+@_register(
+    "window_topn_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window (extension per SURVEY.md §2.8): top-3 orders per
+    customer — the hand-rolled secondary-sort idiom made declarative."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@_register(
+    "window_lag_events",
+    """
+    SELECT event_id, user_id,
+           floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_seconds
+    FROM events
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window: seconds since the user's previous event."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    secs = F.floor(F.col("ts").cast("double")).cast("long")
+    return ev.select("event_id", "user_id", (secs - F.lag(secs).over(w)).alias("gap_seconds"))
+
+
+@_register(
+    "window_running_sum",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           cast(sum({_dec('o_totalprice')}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_spend,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate window: cumulative customer spend in order
+    date order (exact decimal running sum)."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.expr(_dec("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double").alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@_register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts,
+             (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands): batch equivalent of session
+    windows — new session after a 30-minute silence."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.floor(F.col("ts").cast("double")).cast("long")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when((secs - F.lag(secs).over(w)) > 1800, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# === M5: structured streaming ===========================================
+
+
+@_register(
+    "streaming_tumbling_counts",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           cast(sum({_dec('value')}) as double) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows over the events stream (replayed
+    with availableNow so the batch oracle can check the final state)."""
+    from hadoop_3_3_6_spark.streaming.windows import streaming_tumbling_counts
+
+    return streaming_tumbling_counts(spark, sf_dir)
+
+
+@_register(
+    "streaming_dedup",
+    "SELECT event_type, count(DISTINCT event_id) AS n_events FROM events GROUP BY event_type",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dropDuplicates on event_id."""
+    from hadoop_3_3_6_spark.streaming.windows import streaming_dedup_events
+
+    return streaming_dedup_events(spark, sf_dir)
+
+
+@_register("streaming_session_window")  # session merge semantics: rows-only oracle
+def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window() stateful streaming aggregation (30-min gap)."""
+    from hadoop_3_3_6_spark.streaming.windows import streaming_session_counts
+
+    return streaming_session_counts(spark, sf_dir)
+
+
+# === M6: LLM-pipeline operators =========================================
+
+
+@_register(
+    "dedup_exact",
+    "SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count "
+    "FROM documents GROUP BY sha256(text)",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest; only (digest, id) shuffles."""
+    docs = load_table(spark, "documents", sf_dir)
+    return exact_dedup(docs, "text", "doc_id")
+
+
+_SHINGLE_SQL = """
+  SELECT doc_id, len(shingles)::INT AS n_shingles, unnest(shingles) AS shingle FROM (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))) AS shingles
+    FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words FROM documents)
+    WHERE len(words) >= 3)
+"""
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_shingles AS na, b.n_shingles AS nb, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, cast(shared as double) / (na + nb - shared) AS jaccard
+    FROM pairs WHERE cast(shared as double) / (na + nb - shared) >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index join."""
+    docs = load_table(spark, "documents", sf_dir)
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+
+
+@_register("dedup_minhash")  # approximate: validated against exact jaccard in tests
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banded candidate pairs (scale path for near-dedup)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_candidate_pairs(docs, "text", "doc_id", n=3, num_perm=32, bands=8)
+
+
+@_register("dedup_simhash")  # xxhash64 not reproducible in DuckDB: rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints per document."""
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash(docs, "text", "doc_id")
+
+
+@_register(
+    "similarity_topk",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS score
+      FROM v a JOIN v b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < 25),
+    ranked AS (
+      SELECT probe_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT probe_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for probes vec_id < 25 —
+    the exactness baseline for ANN (scale path: lsh_topk)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    probe_ids = [r[0] for r in emb.filter(F.col("vec_id") < 25).select("vec_id").collect()]
+    return cosine_topk_bruteforce(emb, "vec_id", "embedding", k=5, probe_ids=probe_ids)
+
+
+@_register(
+    "embedding_neardup",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS score
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.45
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (score >= 0.95)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_pairs_above(emb, "vec_id", "embedding", threshold=0.45)
+
+
+@_register("similarity_lsh_topk")  # approximate: recall vs brute force in tests
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketed top-k (the 100 TB ANN path)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    probe_ids = [r[0] for r in emb.filter(F.col("vec_id") < 25).select("vec_id").collect()]
+    return lsh_bucketed_topk(emb, "vec_id", "embedding", k=5, num_planes=8, dim=64, probe_ids=probe_ids)
+
+
+@_register(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), w -> w <> ''))::INT AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]'))::INT AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc whitespace + BPE-ish token counts (JVM-side regex)."""
+    return token_counts(load_table(spark, "documents", sf_dir), "text", "doc_id")
+
+
+@_register(
+    "text_langid",
+    """
+    SELECT doc_id,
+           CASE WHEN total > 0 THEN cast(hits as double) / total ELSE 0.0 END AS stopword_ratio,
+           CASE WHEN (CASE WHEN total > 0 THEN cast(hits as double) / total ELSE 0.0 END) >= 0.05
+                THEN 'en' ELSE 'unk' END AS pred_lang
+    FROM (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS total,
+             len(list_filter(string_split(text, ' '),
+                 w -> w <> '' AND list_contains(['the','a','of','and','to','in','is','on','for','with'], w))) AS hits
+      FROM documents)
+    """,
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID heuristic."""
+    return language_id(load_table(spark, "documents", sf_dir), "text", "doc_id", threshold=0.05)
+
+
+@_register(
+    "text_quality",
+    """
+    SELECT doc_id, n_chars, n_words,
+           CASE WHEN n_words > 0 THEN cast(n_chars - n_words + 1 as double) / n_words ELSE 0.0 END AS mean_word_len,
+           CASE WHEN n_chars > 0 THEN cast(alpha_chars as double) / n_chars ELSE 0.0 END AS alpha_ratio
+    FROM (
+      SELECT doc_id, length(text)::INT AS n_chars,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))::INT AS n_words,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::INT AS alpha_chars
+      FROM documents)
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality signals per document."""
+    return quality_score(load_table(spark, "documents", sf_dir), "text", "doc_id")
+
+
+@_register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+                              w -> (length(w) * 131 + ord(w[1]))::BIGINT)),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (polynomial fold)."""
+    return doc_fingerprint(load_table(spark, "documents", sf_dir), "text", "doc_id")
+
+
+@_register(
+    "multimodal_meta",
+    "SELECT doc_id, octet_length(text::BLOB)::INT AS n_bytes, sha256(text) AS digest FROM documents",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary plumbing: document bodies treated as binary blobs,
+    metadata extracted via an Arrow-batched mapInPandas pass — the same
+    schema/partitioning/batch shape a real image/audio decoder would
+    use (decode itself stubbed per environment constraints; see
+    functions in multimodal.py)."""
+    from hadoop_3_3_6_spark.functions.multimodal import binary_metadata
+
+    docs = load_table(spark, "documents", sf_dir)
+    blobs = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return binary_metadata(blobs, "payload", "doc_id")

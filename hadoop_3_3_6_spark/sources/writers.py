@@ -1,0 +1,33 @@
+"""Sink-side operators (SURVEY.md §2.2).
+
+- TextOutputFormat (key<TAB>value lines)
+  MRC/mapreduce/lib/output/TextOutputFormat.java:44
+- MultipleOutputs / MultipleTextOutputFormat (route records to files
+  by a key) MRC/mapreduce/lib/output/MultipleOutputs.java:187-474 →
+  ``partitionBy`` on the routing column: one directory per route,
+  written in a single pass (the reference also wrote all routes in one
+  task pass).
+- FileOutputCommitter atomicity is built-in — Spark drives the same
+  commit protocol (MRC/mapreduce/lib/output/FileOutputCommitter.java:51).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_key_value_text(df: DataFrame, path: str, key: str = "key", value: str = "value", sep: str = "\t") -> None:
+    """TextOutputFormat: ``key<SEP>value`` lines, one file per partition
+    (the reference's part-r-NNNNN)."""
+    df.select(F.concat_ws(sep, F.col(key).cast("string"), F.col(value).cast("string")).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def multiple_outputs(df: DataFrame, path: str, route_col: str, fmt: str = "parquet") -> None:
+    """MultipleOutputs: per-record routing to named outputs — a
+    partitioned write; each distinct route value becomes
+    ``{path}/{route_col}={v}/``.  Single pass, no per-route job."""
+    writer = df.write.mode("overwrite").partitionBy(route_col)
+    getattr(writer, fmt)(path)

@@ -1,0 +1,87 @@
+"""Structured Streaming extension over the events table (SURVEY.md §2.9).
+
+The reference is batch-only (hadoop-kafka under /root/reference/
+hadoop-tools/ is a metrics *sink*, not a data source) — this module is
+the north-star streaming capability: event-time windows, session
+windows, watermark-based late-data handling, and stateful dedup.
+
+Each query reads the events parquet with ``readStream`` (availableNow
+semantics via a one-shot trigger into a memory sink) so the DuckDB
+batch oracle can check the final result.  On a real deployment the
+same plans run against Kafka/files with a real trigger — only the
+source/sink bindings change.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource needs a directory/glob source path, not a bare
+    # file — glob on the file name keeps basePath a directory.
+    stream = spark.readStream.schema(schema).parquet(os.path.join(sf_dir, "events.*"))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) scanned as long (see session.load_table)
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_stream_to_batch(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a streaming plan to exhaustion (availableNow) into a memory
+    sink and return the final table as a batch DataFrame."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows with a 10-minute watermark:
+    count + value sum per (window, event_type)."""
+    stream = _event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+    )
+    out = run_stream_to_batch(agg, output_mode="complete")
+    return out.select(F.col("w.start").alias("window_start"), "event_type", "n_events", "value_sum")
+
+
+def streaming_session_counts(spark: SparkSession, sf_dir: str, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: sessions close after ``gap`` of
+    event-time silence.  Returns (user_id, session_start, n_events)."""
+    stream = _event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_stream_to_batch(agg, output_mode="complete")
+    return out.select("user_id", F.col("w.start").alias("session_start"), "n_events")
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on event_id within the watermark
+    (dropDuplicates — the reference's nearest concept is identity
+    reduce on key); returns per-type distinct counts."""
+    stream = _event_stream(spark, sf_dir)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return run_stream_to_batch(agg, output_mode="complete")
