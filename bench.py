@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a count()/collect() action after
+a shared-session warmup (JVM + parquet footer caches), mirroring how
+the reference benchmarked full jobs (MRBench latency / TeraSort
+throughput; BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: one per engine capability pillar
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_volume",
+    "q6_revenue_forecast",
+    "wordcount",
+    "grep",
+    "join_inner",
+    "join_outer",
+    "secondarysort",
+    "window_topn_per_customer",
+    "window_running_sum",
+    "sessionize_events",
+    "sort",
+    "terasort_validate",
+    "dedup_exact",
+    "dedup_minhash",
+    "similarity_topk",
+    "text_token_counts",
+    "text_fingerprint",
+    "streaming_tumbling_counts",
+]
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from hadoop_3_3_6_spark.plans.queries import QUERIES
+    from hadoop_3_3_6_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch every table once (footer/schema caches, JIT)
+    from hadoop_3_3_6_spark.session import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, t, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -59,16 +59,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: permutation i is simulated by seeding
     xxhash64 with a per-permutation prefix; signature[i] = min over
-    shingles.  One projection, no shuffle."""
-    sig = F.array(
-        *[
-            F.expr(
-                f"array_min(transform({_shingles_expr(text_col, n)}, s -> xxhash64(concat('p{p}:', s))))"
-            )
-            for p in range(num_perm)
-        ]
+    shingles.
+
+    Plan shape: explode shingles once, then num_perm partial-min
+    aggregates regrouped by id.  A single projection would tokenize
+    the document num_perm times (CollapseProject inlines the shingle
+    expression into every lane); the explode+partial-agg form hashes
+    each shingle once per lane and ships only one (id, num_perm mins)
+    row per partition into the shuffle — the scale-correct layout."""
+    exploded = df.select(
+        F.col(id_col), F.explode(F.expr(_shingles_expr(text_col, n))).alias("shingle")
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    mins = [
+        F.min(F.xxhash64(F.concat(F.lit(f"p{p}:"), F.col("shingle")))).alias(f"_m{p}")
+        for p in range(num_perm)
+    ]
+    agged = exploded.groupBy(id_col).agg(*mins)
+    return agged.select(
+        F.col(id_col), F.array(*[F.col(f"_m{p}") for p in range(num_perm)]).alias("signature")
+    )
 
 
 def minhash_candidate_pairs(

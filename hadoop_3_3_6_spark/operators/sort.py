@@ -68,6 +68,49 @@ def secondary_sort(
     return df.groupBy(*group_cols).applyInPandas(apply, schema=schema)
 
 
+def grouped_sorted_apply(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    apply_fn,
+    schema,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Streamed secondary sort: repartition on the group key, sort
+    within partitions on (group, order), then apply ``apply_fn(pdf)``
+    to Arrow batches of COMPLETE groups — rows of a group are
+    contiguous after the sort, and a carry buffer stitches groups that
+    straddle batch boundaries.  Per-doc cost is one vectorized pandas
+    pass per batch, not one Python call per group (the applyInPandas
+    form in ``secondary_sort`` pays ~0.3 ms/group — prohibitive at
+    millions of tiny groups; this form is the 100 TB path)."""
+    import pandas as pd
+
+    def run(batches) -> "Iterator[pd.DataFrame]":
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if pdf.empty:
+                carry = None
+                continue
+            # hold back the trailing group: it may continue next batch
+            last = tuple(pdf[c].iloc[-1] for c in group_cols)
+            tail_mask = pd.Series(True, index=pdf.index)
+            for c, v in zip(group_cols, last):
+                tail_mask &= pdf[c] == v
+            carry = pdf[tail_mask]
+            head = pdf[~tail_mask]
+            if not head.empty:
+                yield apply_fn(head)
+        if carry is not None and not carry.empty:
+            yield apply_fn(carry)
+
+    parts = df.repartition(num_partitions, *group_cols) if num_partitions else df.repartition(*group_cols)
+    ordered = parts.sortWithinPartitions(*group_cols, *order_cols)
+    return ordered.mapInPandas(run, schema=schema)
+
+
 def secondary_sort_streaming(
     df: DataFrame,
     group_cols: list[str],

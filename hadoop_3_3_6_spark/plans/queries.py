@@ -653,26 +653,28 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_secondarysort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SecondarySort (MRX/SecondarySort.java:51-231): values ordered
-    within the key group, consumed by arbitrary reduce logic
-    (applyInPandas with in-group sort)."""
+    within the key group, consumed by arbitrary reduce logic.  Uses the
+    streamed form (repartition + sortWithinPartitions + mapInPandas
+    with group-boundary carry) — one vectorized pass per Arrow batch
+    instead of one Python call per group."""
     import pandas as pd
+
+    from hadoop_3_3_6_spark.operators.sort import grouped_sorted_apply
 
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_linenumber")
 
     def fmt(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "l_orderkey": [pdf["l_orderkey"].iloc[0]],
-                "line_numbers": [",".join(str(x) for x in pdf["l_linenumber"])],
-                "n_lines": [len(pdf)],
-            }
-        )
+        # rows arrive sorted by (l_orderkey, l_linenumber)
+        g = pdf.assign(s=pdf["l_linenumber"].astype(str)).groupby("l_orderkey", sort=False)
+        out = g.agg(line_numbers=("s", ",".join), n_lines=("s", "size")).reset_index()
+        out["n_lines"] = out["n_lines"].astype("int64")
+        return out
 
-    return secondary_sort(
+    return grouped_sorted_apply(
         li,
         group_cols=["l_orderkey"],
         order_cols=["l_linenumber"],
-        reduce_fn=fmt,
+        apply_fn=fmt,
         schema="l_orderkey bigint, line_numbers string, n_lines bigint",
     )
 
