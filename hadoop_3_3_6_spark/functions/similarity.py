@@ -109,32 +109,66 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    num_planes: int = 8,
+    num_tables: int = 8,
+    bits_per_table: int = 4,
     dim: int = 64,
     probe_ids: list[int] | None = None,
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane signature (num_planes sign
-    bits) as bucket key; probes only compare against same-bucket
-    candidates.  Recall < 1 by construction; verified against the
-    brute-force baseline in tests."""
-    planes = _plane_vectors(num_planes, dim)
-    bits = []
-    for p, vec in enumerate(planes):
-        arr = "array(" + ",".join(f"cast({v:.9f} as double)" for v in vec) + ")"
-        bits.append(f"case when {_dot(vec_col, arr)} > 0 then '1' else '0' end")
-    sig = F.expr("concat(" + ",".join(bits) + ")")
-    tagged = emb.withColumn("_bucket", sig)
-    probes = tagged.filter(F.col(id_col).isin(probe_ids)) if probe_ids is not None else tagged
-    a = with_norm(probes, vec_col).alias("a")
-    b = with_norm(tagged, vec_col).alias("b")
+    """Approximate top-k: multi-table random-hyperplane LSH.
+
+    L = num_tables independent signatures of k' = bits_per_table sign
+    bits each; a probe meets a candidate if they share a bucket in ANY
+    table (per-table collision prob for angle θ is (1-θ/π)^k'; union
+    over L tables gives high recall for close vectors while each table
+    stays selective).  Candidate pairs are deduped before scoring, so
+    the shuffle carries (table, bucket) keyed rows and each surviving
+    pair is scored once.  Recall < 1 by construction — verified
+    against the brute-force baseline in tests."""
+    planes = _plane_vectors(num_tables * bits_per_table, dim)
+
+    def sig_expr(table: int) -> str:
+        bits = []
+        for b in range(bits_per_table):
+            vec = planes[table * bits_per_table + b]
+            arr = "array(" + ",".join(f"cast({v:.9f} as double)" for v in vec) + ")"
+            bits.append(f"case when {_dot(vec_col, arr)} > 0 then '1' else '0' end")
+        return "concat(" + ",".join(bits) + ")"
+
+    buckets = emb.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("table"), F.expr(sig_expr(t)).alias("bucket"))
+                    for t in range(num_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(id_col, "tb.table", "tb.bucket")
+    probe_buckets = (
+        buckets.filter(F.col(id_col).isin(probe_ids)) if probe_ids is not None else buckets
+    )
+    pairs = (
+        probe_buckets.alias("pa")
+        .join(
+            buckets.alias("pb"),
+            on=[
+                F.col("pa.table") == F.col("pb.table"),
+                F.col("pa.bucket") == F.col("pb.bucket"),
+                F.col(f"pa.{id_col}") != F.col(f"pb.{id_col}"),
+            ],
+        )
+        .select(F.col(f"pa.{id_col}").alias("probe_id"), F.col(f"pb.{id_col}").alias("neighbor_id"))
+        .distinct()
+    )
+    normed = with_norm(emb, vec_col)
+    a = normed.alias("a")
+    b = normed.alias("b")
     score = F.expr(f"{_dot(f'a.{vec_col}', f'b.{vec_col}')} / (a._norm * b._norm)")
     scored = (
-        a.join(b, on=[F.col("a._bucket") == F.col("b._bucket"), F.col(f"a.{id_col}") != F.col(f"b.{id_col}")])
-        .select(
-            F.col(f"a.{id_col}").alias("probe_id"),
-            F.col(f"b.{id_col}").alias("neighbor_id"),
-            F.round(score, 6).alias("score"),
-        )
+        pairs.join(a, pairs.probe_id == F.col(f"a.{id_col}"))
+        .join(b, pairs.neighbor_id == F.col(f"b.{id_col}"))
+        .select("probe_id", "neighbor_id", F.round(score, 6).alias("score"))
     )
     from pyspark.sql.window import Window
 

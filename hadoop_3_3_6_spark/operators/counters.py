@@ -1,0 +1,52 @@
+"""Job counters (SURVEY.md §2.5 "Counters").
+
+Reference: global named counters aggregated across tasks —
+MRC/mapreduce/TaskCounter.java:28-43 (MAP_INPUT_RECORDS, …),
+MRC/mapreduce/Counters.java:41 (user counters).  Spark-first carrier:
+the ``observe``/``Observation`` API — metrics ride the query itself
+(no second pass, no driver-side accumulation race).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+try:  # Observation API (Spark >= 3.3)
+    from pyspark.sql import Observation
+except ImportError:  # pragma: no cover
+    Observation = None
+
+
+def with_counters(df: DataFrame, counters: dict[str, Column] | None = None):
+    """Attach counters to a query; returns (df, observation).
+
+    After an action on ``df``, ``observation.get`` yields the counter
+    map.  Default counters mirror TaskCounter: record count plus null
+    counts per column would be user-specified.
+
+    Example::
+
+        df, obs = with_counters(li, {"records": F.count(F.lit(1)),
+                                     "bad_qty": F.count_if(F.col("l_quantity") < 0)})
+        df.write...   # any action
+        obs.get  # {'records': ..., 'bad_qty': ...}
+    """
+    if counters is None:
+        counters = {"records": F.count(F.lit(1))}
+    obs = Observation()
+    named = [c.alias(name) for name, c in counters.items()]
+    return df.observe(obs, *named), obs
+
+
+def skip_bad_records(df: DataFrame, predicate: Column, counter_name: str = "skipped_records"):
+    """SkipBadRecords mode (MRC/mapred/SkipBadRecords.java:55): drop
+    rows failing ``predicate`` while counting them — tolerant scan with
+    an audit trail instead of a job failure.  Returns (clean_df, obs)."""
+    obs = Observation()
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("input_records"),
+        F.count_if(~predicate).alias(counter_name),
+    )
+    return observed.filter(predicate), obs

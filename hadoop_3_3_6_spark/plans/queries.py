@@ -944,7 +944,7 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketed top-k (the 100 TB ANN path)."""
     emb = load_table(spark, "embeddings", sf_dir)
     probe_ids = [r[0] for r in emb.filter(F.col("vec_id") < 25).select("vec_id").collect()]
-    return lsh_bucketed_topk(emb, "vec_id", "embedding", k=5, num_planes=8, dim=64, probe_ids=probe_ids)
+    return lsh_bucketed_topk(emb, "vec_id", "embedding", k=5, num_tables=8, bits_per_table=4, dim=64, probe_ids=probe_ids)
 
 
 @_register(
@@ -1031,3 +1031,214 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     blobs = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
     return binary_metadata(blobs, "payload", "doc_id")
+
+
+# === M2 (cont.): aggregate-framework example queries =====================
+
+
+@_register(
+    "aggregatewordcount",
+    f"SELECT word, count(*) AS cnt FROM ({_WORDS_SQL}) GROUP BY word",
+)
+def q_aggregatewordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateWordCount (MRX/AggregateWordCount.java:42-47): wordcount
+    expressed through the descriptor-driven aggregate framework
+    ("LongValueSum:word\\t1" records -> sum per key)."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = token_counter(docs, "text", out_col="word", sep=" ").withColumn("one", F.lit(1))
+    out = aggregate_job(words, ["word"], {"cnt": ("LongValueSum", "one")})
+    return out.select("word", F.col("cnt").alias("cnt"))
+
+
+@_register(
+    "aggregatewordhist",
+    """
+    SELECT count(*) AS distinct_values,
+           min(c) AS min_count,
+           cast(quantile_cont(c, 0.5) as double) AS median_count,
+           max(c) AS max_count,
+           cast(sum(c) as double) / count(*) AS avg_count,
+           round(coalesce(stddev_pop(c), 0.0), 6) AS stddev_count
+    FROM (SELECT word, count(*) AS c
+          FROM (SELECT w AS word FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> '')
+          GROUP BY word)
+    """,
+)
+def q_aggregatewordhist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateWordHistogram (MRX/AggregateWordHistogram.java:40-57):
+    a single ValueHistogram over all words — the report's stats over
+    per-word occurrence counts (ValueHistogram.java:83-135)."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = token_counter(docs, "text", out_col="word", sep=" ").withColumn("g", F.lit("WORD_HISTOGRAM"))
+    hist = value_histogram(words, ["g"], "word")
+    return hist.select(
+        "distinct_values",
+        "min_count",
+        "median_count",
+        "max_count",
+        "avg_count",
+        F.round("stddev_count", 6).alias("stddev_count"),
+    )
+
+
+# === extensions: multi-dimensional aggregation ==========================
+
+
+@_register(
+    "rollup_orders",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           cast(sum({_dec('o_totalprice')}) as double) AS total_value
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-set aggregation (absent in the reference —
+    SURVEY.md §2.5 extension; free in Catalyst)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr(_dec("o_totalprice"))).cast("double").alias("total_value"),
+    )
+
+
+@_register(
+    "cube_lineitem",
+    f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           cast(sum({_dec('l_quantity')}) as double) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-set aggregation (extension)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(_dec("l_quantity"))).cast("double").alias("qty"),
+    )
+
+
+# === M5 (cont.): more window shapes =====================================
+
+
+@_register(
+    "window_rank_suite",
+    """
+    SELECT o_custkey, o_orderkey,
+           dense_rank() OVER w AS drank,
+           ntile(4) OVER w AS quartile,
+           lead(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank / ntile / lead over one window spec (§2.8 extension
+    suite)."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@_register(
+    "window_range_frame",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           cast(sum({_dec('o_totalprice')}) OVER (
+               PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) as double) AS spend_90d
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame window: rolling 90-day customer spend (event-time
+    range frames — the windowing form MR users could not express)."""
+    orders = load_table(spark, "orders", sf_dir)
+    # o_orderdate is TIMESTAMP_NTZ: cast via (UTC) timestamp to epoch
+    # seconds for the range frame (session tz pinned to UTC).
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-7776000, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.expr(_dec("o_totalprice"))).over(w).cast("double").alias("spend_90d"),
+    )
+
+
+# === M5 (cont.): sliding streaming windows ==============================
+
+
+@_register(
+    "streaming_sliding_counts",
+    """
+    SELECT ws AS window_start, event_type, count(*) AS n_events
+    FROM (SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                         time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
+                 event_type
+          FROM events)
+    GROUP BY ws, event_type
+    """,
+)
+def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h size, 30 min slide): every event
+    lands in two overlapping windows."""
+    from hadoop_3_3_6_spark.streaming.windows import _event_stream, run_stream_to_batch
+
+    stream = _event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_stream_to_batch(agg, output_mode="complete")
+    return out.select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+
+
+# === M7: streaming-compat pipe, generators, approx =======================
+
+
+@_register(
+    "pipe_wordcount",
+    f"SELECT upper(word) AS word, count(*) AS cnt FROM ({_WORDS_SQL}) GROUP BY upper(word)",
+)
+def q_pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hadoop-streaming pipe (PipeMapper.java:38): words streamed
+    through an external `tr a-z A-Z` process (rdd.pipe), then counted
+    — the stdin/stdout executable contract end-to-end."""
+    from hadoop_3_3_6_spark.operators.pipeops import pipe_map
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = token_counter(docs, "text", out_col="word", sep=" ")
+    upper = pipe_map(words, "tr a-z A-Z", out_col="word")
+    return upper.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@_register("randomtextwriter")  # deterministic generator: self-checked in tests
+def q_randomtextwriter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomTextWriter (MRX/RandomTextWriter.java:77): synthetic text
+    rows from a seeded hash — reproducible on any cluster layout."""
+    from hadoop_3_3_6_spark.sources.tools import random_text
+
+    return random_text(spark, 1000, words_per_row=20, seed=42)
+
+
+@_register("approx_distinct_suppliers")  # sketch-based: tolerance-checked in tests
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++): the scale path for UniqValueCount
+    at unbounded cardinality (SURVEY.md §2.5) — sketches merge
+    associatively, so the shuffle carries one sketch per partition."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
+        F.countDistinct("l_suppkey").alias("exact_suppliers"),
+    )

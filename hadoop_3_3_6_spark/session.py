@@ -57,6 +57,9 @@ def get_spark(app_name: str = "hadoop-3-3-6-spark", shuffle_partitions: int | No
         # Match Hadoop's permissive numeric semantics (no ANSI errors
         # on overflow/cast; MR user code wrapped silently).
         .config("spark.sql.ansi.enabled", "false")
+        # Deterministic epoch arithmetic across engines (DuckDB treats
+        # naive timestamps as UTC; so must we).
+        .config("spark.sql.session.timeZone", "UTC")
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,115 @@
+"""Operator-level tests mirroring the reference's unit-test tier
+(SURVEY.md §5.1: per-operator tests under .../mapreduce/lib/)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_3_3_6_spark.operators.mapops import inverse_map, parse_field_spec
+from hadoop_3_3_6_spark.operators.sort import key_field_sort, parse_key_field_spec
+from hadoop_3_3_6_spark.operators.counters import skip_bad_records, with_counters
+from hadoop_3_3_6_spark.operators.pipeops import chain, pipe_map
+from hadoop_3_3_6_spark.sources.readers import (
+    read_key_value_text,
+    read_text_lines,
+    sample_filter_percent,
+    sample_filter_regex,
+)
+from hadoop_3_3_6_spark.sources.writers import multiple_outputs, write_key_value_text
+
+
+def test_parse_field_spec():
+    # grammar per FieldSelectionHelper.java:27-56
+    assert parse_field_spec("4,3,0,1-3,7-") == [(4, 4), (3, 3), (0, 0), (1, 3), (7, None)]
+    assert parse_field_spec("2") == [(2, 2)]
+    with pytest.raises(ValueError):
+        parse_field_spec("x")
+
+
+def test_parse_key_field_spec():
+    assert parse_key_field_spec("-k2,2nr -k1,1") == [(1, True, True), (0, False, False)]
+    with pytest.raises(ValueError):
+        parse_key_field_spec("oops")
+
+
+def test_inverse_map(spark):
+    df = spark.createDataFrame([("a", "1")], "key string, value string")
+    out = inverse_map(df).collect()[0]
+    assert (out["key"], out["value"]) == ("1", "a")
+
+
+def test_key_field_sort(spark):
+    rows = [("b\t2",), ("a\t10",), ("c\t1",)]
+    df = spark.createDataFrame(rows, "line string")
+    # numeric reverse on field 2: 10, 2, 1
+    out = [r["line"] for r in key_field_sort(df, "line", "-k2,2nr").collect()]
+    assert out == ["a\t10", "b\t2", "c\t1"]
+    # lexicographic on field 2 would give 1, 10, 2
+    out2 = [r["line"] for r in key_field_sort(df, "line", "-k2,2").collect()]
+    assert out2 == ["c\t1", "a\t10", "b\t2"]
+
+
+def test_text_and_kv_readers(spark, tmp_path):
+    p = tmp_path / "in.txt"
+    p.write_text("k1\tv1\nk2\tv2 with tabs\tv2b\nno-separator\n")
+    lines = read_text_lines(spark, str(p))
+    assert lines.count() == 3
+    kv = {r["key"]: r["value"] for r in read_key_value_text(spark, str(p)).collect()}
+    # split on FIRST tab only (KeyValueTextInputFormat semantics)
+    assert kv == {"k1": "v1", "k2": "v2 with tabs\tv2b", "no-separator": ""}
+
+
+def test_sample_filters(spark):
+    df = spark.range(1000).select(F.col("id").cast("string").alias("key"))
+    kept = sample_filter_percent(df, "key", 10).count()
+    assert 50 < kept < 200  # ~10% deterministic hash sample
+    # determinism
+    assert kept == sample_filter_percent(df, "key", 10).count()
+    assert sample_filter_regex(df, "key", "^1.$").count() == 10
+
+
+def test_kv_text_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "key string, value int")
+    out = str(tmp_path / "out")
+    write_key_value_text(df, out)
+    back = {r["key"]: r["value"] for r in read_key_value_text(spark, out).collect()}
+    assert back == {"a": "1", "b": "2"}
+
+
+def test_multiple_outputs(spark, tmp_path):
+    df = spark.createDataFrame([("x", "r1"), ("y", "r1"), ("z", "r2")], "v string, route string")
+    out = str(tmp_path / "routed")
+    multiple_outputs(df, out, "route")
+    assert sorted(d for d in os.listdir(out) if d.startswith("route=")) == ["route=r1", "route=r2"]
+    back = spark.read.parquet(out)
+    assert back.filter("route = 'r1'").count() == 2
+
+
+def test_counters_observe(spark):
+    df = spark.range(100).withColumn("v", F.col("id") % 10)
+    counted, obs = with_counters(df, {"records": F.count(F.lit(1)), "zeros": F.count_if(F.col("v") == 0)})
+    counted.write.format("noop").mode("overwrite").save()
+    assert obs.get == {"records": 100, "zeros": 10}
+
+
+def test_skip_bad_records(spark):
+    df = spark.range(100).withColumn("qty", F.when(F.col("id") % 7 == 0, -1).otherwise(F.col("id")))
+    clean, obs = skip_bad_records(df, F.col("qty") >= 0)
+    assert clean.count() == 85
+    got = obs.get
+    assert got["input_records"] == 100 and got["skipped_records"] == 15
+
+
+def test_pipe_map_and_chain(spark):
+    df = spark.createDataFrame([("hello",), ("world",)], "w string")
+    out = sorted(r["line"] for r in pipe_map(df, "tr a-z A-Z").collect())
+    assert out == ["HELLO", "WORLD"]
+    chained = chain(
+        df,
+        lambda d: d.withColumn("w2", F.upper("w")),
+        lambda d: d.filter(F.col("w2") == "HELLO"),
+    )
+    assert chained.count() == 1

@@ -1,0 +1,117 @@
+"""Tests for data-movement tools (DistCp / archives analogues,
+SURVEY.md §2.11) and the multimodal / approximate pipelines."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_3_3_6_spark.sources.tools import (
+    archive_files,
+    dist_copy,
+    random_kv,
+    random_text,
+    unarchive_files,
+)
+
+
+@pytest.fixture()
+def src_files(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(5):
+        (src / f"f{i}.bin").write_bytes(bytes([i]) * (100 + i))
+    return src
+
+
+def test_dist_copy(spark, src_files, tmp_path):
+    dst = tmp_path / "dst"
+    n = dist_copy(spark, str(src_files / "*.bin"), str(dst))
+    assert n == 5
+    for i in range(5):
+        assert (dst / f"f{i}.bin").read_bytes() == bytes([i]) * (100 + i)
+    # -update: nothing to copy the second time (sizes match)
+    assert dist_copy(spark, str(src_files / "*.bin"), str(dst), update=True) == 0
+    # change one source file -> exactly one recopied
+    (src_files / "f0.bin").write_bytes(b"changed!")
+    assert dist_copy(spark, str(src_files / "*.bin"), str(dst), update=True) == 1
+    assert (dst / "f0.bin").read_bytes() == b"changed!"
+
+
+def test_archive_roundtrip(spark, src_files, tmp_path):
+    arch = str(tmp_path / "arch.parquet")
+    archive_files(spark, str(src_files / "*.bin"), arch)
+    out = tmp_path / "restored"
+    assert unarchive_files(spark, arch, str(out)) == 5
+    assert (out / "f3.bin").read_bytes() == bytes([3]) * 103
+    # indexed single-file lookup (the .har random-access role)
+    out2 = tmp_path / "one"
+    assert unarchive_files(spark, arch, str(out2), path_filter="f1\\.bin$") == 1
+    assert os.listdir(out2) == ["f1.bin"]
+
+
+def test_random_generators_deterministic(spark):
+    a = random_kv(spark, 100, seed=7).collect()
+    b = random_kv(spark, 100, seed=7).collect()
+    assert a == b
+    assert all(len(r["key"]) == 10 and len(r["value"]) == 90 for r in a)
+    t = random_text(spark, 50, words_per_row=5, seed=1)
+    rows = t.collect()
+    assert len(rows) == 50 and all(len(r["text"].split(" ")) == 5 for r in rows)
+
+
+def test_multimodal_decode_stub(spark):
+    from hadoop_3_3_6_spark.functions.multimodal import decode_features, decode_stub
+
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"xx", fake=False)
+    df = spark.createDataFrame([(1, b"abc"), (2, b"def")], "doc_id long, payload binary")
+    feats = decode_features(df, fake=True).collect()
+    assert len(feats) == 2
+    assert all(len(r["feature"]) == 8 for r in feats)
+
+
+def test_approx_distinct_tolerance(spark, sf_dir):
+    from hadoop_3_3_6_spark.plans.queries import QUERIES
+
+    rows = QUERIES["approx_distinct_suppliers"](spark, sf_dir).collect()
+    for r in rows:
+        rel_err = abs(r["approx_suppliers"] - r["exact_suppliers"]) / r["exact_suppliers"]
+        assert rel_err < 0.1, f"{r['l_returnflag']}: {rel_err:.3f}"
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """The LSH ANN path must find a decent fraction of the true top-5
+    (it is approximate by construction; recall floor keeps it honest)."""
+    from hadoop_3_3_6_spark.plans.queries import QUERIES
+
+    exact = QUERIES["similarity_topk"](spark, sf_dir).toPandas()
+    approx = QUERIES["similarity_lsh_topk"](spark, sf_dir).toPandas()
+    truth = set(zip(exact.probe_id, exact.neighbor_id))
+    got = set(zip(approx.probe_id, approx.neighbor_id))
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.2, f"LSH recall {recall:.2f}"
+
+
+def test_simhash_near_duplicates_close(spark):
+    """Property: near-identical documents get hamming-close simhashes,
+    unrelated documents don't."""
+    from hadoop_3_3_6_spark.functions.dedup import hamming_distance, simhash
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+            (3, "completely unrelated text about spark shuffle partitions and codegen stages"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs, "text", "doc_id").collect()}
+    df = spark.createDataFrame(
+        [(fp[1], fp[2]), (fp[1], fp[3])], "a long, b long"
+    ).select(hamming_distance("a", "b").alias("d"))
+    near, far = [r["d"] for r in df.collect()]
+    assert near < far
+    assert near <= 16
