@@ -1242,3 +1242,118 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_suppkey").alias("approx_suppliers"),
         F.countDistinct("l_suppkey").alias("exact_suppliers"),
     )
+
+
+# === TPC-H-ish (cont.): subquery / conditional-agg shapes ================
+
+
+@_register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelates to a left-semi join — the
+    semi-join form the reference could only hand-roll as a tagged join
+    + presence filter."""
+    orders = load_table(spark, "orders", sf_dir).filter(
+        "o_orderdate >= timestamp'1996-01-01 00:00:00' AND o_orderdate < timestamp'1997-01-01 00:00:00'"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    slow = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days")),
+        "left_semi",
+    )
+    return slow.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@_register(
+    "q14_promo_revenue",
+    f"""
+    SELECT cast(sum(CASE WHEN p_type = 'PROMO'
+                    THEN {_dec('l_extendedprice')} * (cast(1.00 as decimal(3,2)) - {_dec('l_discount', 4)})
+                    ELSE cast(0.00 as decimal(20,4)) END) as double) AS promo_revenue,
+           cast(sum({_dec('l_extendedprice')} * (cast(1.00 as decimal(3,2)) - {_dec('l_discount', 4)})) as double) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact⋈dim join
+    (part broadcasts)."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        "l_shipdate >= timestamp'1996-01-01 00:00:00' AND l_shipdate < timestamp'1996-04-01 00:00:00'"
+    )
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    one = F.expr("cast(1.00 as decimal(3,2))")
+    disc_price = F.expr(_dec("l_extendedprice")) * (one - F.expr(_dec("l_discount", 4)))
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", disc_price).otherwise(F.expr("cast(0.00 as decimal(20,4))"))
+        )
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(disc_price).cast("double").alias("total_revenue"),
+    )
+
+
+@_register(
+    "q17_small_quantity",
+    f"""
+    SELECT cast(sum({_dec('l_extendedprice')}) as double) AS total_price, count(*) AS n_small
+    FROM lineitem JOIN (SELECT l_partkey AS pk, cast(sum({_dec('l_quantity')}) as double) / count(*) AS avg_qty
+                        FROM lineitem GROUP BY l_partkey) a
+      ON l_partkey = a.pk
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into an aggregate + self-join."""
+    li = load_table(spark, "lineitem", sf_dir)
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(F.expr(_dec("l_quantity"))).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    joined = li.join(avg_qty, F.col("l_partkey") == F.col("pk")).filter(
+        F.col("l_quantity") < 0.5 * F.col("avg_qty")
+    )
+    return joined.agg(
+        F.sum(F.expr(_dec("l_extendedprice"))).cast("double").alias("total_price"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+@_register(
+    "q18_large_orders",
+    f"""
+    SELECT o_orderkey, o_custkey, cast(sum({_dec('l_quantity')}) as double) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_custkey
+    HAVING sum({_dec('l_quantity')}) > 180
+    ORDER BY total_qty DESC, o_orderkey LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: join → agg → HAVING → top-k."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    agg = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(F.expr(_dec("l_quantity"))).alias("_tq"))
+        .filter(F.col("_tq") > 180)
+        .select("o_orderkey", "o_custkey", F.col("_tq").cast("double").alias("total_qty"))
+    )
+    return top_k(agg, [F.col("total_qty").desc(), F.col("o_orderkey").asc()], 100)

@@ -66,6 +66,8 @@ def get_spark(app_name: str = "hadoop-3-3-6-spark", shuffle_partitions: int | No
         # Keep partition files reasonably sized at scan time.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # warehouse for bucketed (MapFile-analogue) tables; static conf
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -1,0 +1,91 @@
+"""Container file formats (SURVEY.md §1.3, §2.1-2.2).
+
+Reference parity targets (paths under /root/reference/):
+
+- SequenceFile — the reference's canonical binary KV container
+  (hadoop-common-project/hadoop-common/src/main/java/org/apache/hadoop/
+  io/SequenceFile.java:212; Writer :847, Reader :1754).  PySpark reads
+  and writes real SequenceFiles through the same Hadoop classes
+  (``sc.sequenceFile`` / ``saveAsSequenceFile``) — these wrappers
+  bridge DataFrame <-> SequenceFile.  For new data the engine's
+  canonical container is Parquet (columnar, splittable, indexed).
+- MapFile (sorted + indexed, io/MapFile.java:62) — ``bucketed_table``:
+  bucketBy + sortBy persisted tables; bucketed joins elide shuffle
+  AND sort, reproducing MapFile's pre-sorted co-partitioned lookup
+  property (and CompositeInputFormat's map-side-join precondition,
+  §2.4).
+- FixedLengthInputFormat (…/lib/input/FixedLengthInputFormat.java:47):
+  fixed-size binary records sliced JVM-side from binaryFile content.
+- StreamXmlRecordReader (hadoop-tools/hadoop-streaming/.../
+  StreamXmlRecordReader.java:46): records delimited by begin/end tags.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_sequence_file(spark: SparkSession, path: str) -> DataFrame:
+    """Read a Hadoop SequenceFile into a (key, value) DataFrame via the
+    same SequenceFile.Reader the reference uses (through sc.sequenceFile
+    with WritableConverters)."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return rdd.toDF(["key", "value"])
+
+
+def write_sequence_file(df: DataFrame, path: str) -> None:
+    """Write the first two columns as a SequenceFile (Writable-encoded,
+    splittable, sync-marked — SequenceFile.Writer semantics)."""
+    k, v = df.columns[:2]
+    df.select(k, v).rdd.map(tuple).saveAsSequenceFile(path)
+
+
+def bucketed_table(
+    df: DataFrame, name: str, bucket_cols: list[str], num_buckets: int = 8, sort_cols: list[str] | None = None
+) -> DataFrame:
+    """MapFile analogue: persist sorted+bucketed so later equi-joins on
+    the bucket key need neither exchange nor sort (the shuffle-free
+    map-side join the reference got from pre-sorted co-partitioned
+    dirs, CompositeInputFormat.java:55)."""
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # a stale location (e.g. from an interrupted run) blocks re-create
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/{name.lower()}", ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.saveAsTable(name)
+    return spark.table(name)
+
+
+def read_fixed_length(spark: SparkSession, path: str, record_len: int) -> DataFrame:
+    """Fixed-size binary records: slice each file's content into
+    ``record_len``-byte rows (FixedLengthInputFormat semantics: no
+    delimiters, trailing partial record dropped).  Slicing runs
+    JVM-side (sequence + substring over the binary column)."""
+    files = spark.read.format("binaryFile").load(path)
+    n_rec = F.floor(F.length("content") / record_len).cast("int")
+    return files.select(
+        F.col("path"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, floor(length(content) / {record_len}) - 1), "
+                f"i -> substring(content, cast(i * {record_len} + 1 as int), {record_len}))"
+            )
+        ).alias("record_idx", "record"),
+    ).filter(n_rec > 0)
+
+
+def read_xml_records(spark: SparkSession, path: str, tag: str) -> DataFrame:
+    """StreamXmlRecordReader: one row per <tag>...</tag> span (spans may
+    cross line boundaries → whole-file read, then a JVM-side non-greedy
+    regex extraction).  For huge single XML files prefer splitting
+    upstream; for many files this parallelizes per file."""
+    files = spark.read.text(path, wholetext=True)
+    pattern = f"(?s)<{tag}[^>]*>.*?</{tag}>"
+    return files.select(
+        F.explode(F.expr(f"regexp_extract_all(value, '{pattern}', 0)")).alias("record")
+    )
