@@ -80,6 +80,26 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """TF-IDF term scores: tf = in-doc occurrences, idf = ln(N/df).
+    Three hash aggregates (term-in-doc counts, doc frequency, doc
+    count), one broadcastable join — no MLlib, no UDFs, fully
+    SQL-oracle-reproducible.  Returns (id, term, tf, score)."""
+    words = df.select(F.col(id_col), F.explode(_words(text_col)).alias("term"))
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col)).collect()[0][0]
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+        )
+    )
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Rolling-hash document fingerprint: polynomial fold over the word
     stream, ``acc = (acc*31 + len(w)*131 + ascii(w[0])) % 1e9+7``.

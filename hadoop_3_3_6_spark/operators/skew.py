@@ -1,0 +1,63 @@
+"""Skew mitigation (SURVEY.md §7.4 "100 TB posture").
+
+The reference's answer to hot keys was "write a custom Partitioner"
+(MRC/mapreduce/Partitioner.java:45); at 100 TB a single hot key still
+lands on one reducer.  Two standard remedies, both pure DataFrame:
+
+- ``salted_aggregate``: two-stage aggregation — partial agg on
+  (key, salt) spreads a hot key over N tasks, then the tiny partial
+  results re-aggregate.  Works for any algebraic aggregate
+  (sum/count/min/max — the decomposable ones, same combiner algebra
+  as MRC/mapred/MapTask.java:1639).
+- ``salted_join``: replicate the small side N ways, salt the big
+  side's key — a hot join key fans out over N tasks.
+
+AQE's skew-join splitting (spark.sql.adaptive.skewJoin, on in
+session.get_spark) handles sort-merge cases at runtime; these helpers
+cover aggregations and broadcast-averse shapes AQE can't re-plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_MERGEABLE = {"sum", "min", "max", "count"}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    num_salts: int = 16,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation.
+
+    ``aggs`` maps output name -> (fn, column) with fn in
+    sum/min/max/count.  Stage 1 groups by (key, random salt) — the hot
+    key's rows spread across ``num_salts`` partial groups; stage 2
+    merges partials (count merges by sum).
+    """
+    salted = df.withColumn("_salt", (F.rand(seed=42) * num_salts).cast("int"))
+    partial_exprs: list[Column] = []
+    final_exprs: list[Column] = []
+    for name, (fn, col) in aggs.items():
+        if fn not in _MERGEABLE:
+            raise ValueError(f"{fn!r} is not decomposable; salted_aggregate supports {sorted(_MERGEABLE)}")
+        partial_exprs.append(getattr(F, fn)(col).alias(f"_p_{name}"))
+        merge_fn = "sum" if fn == "count" else fn
+        final_exprs.append(getattr(F, merge_fn)(f"_p_{name}").alias(name))
+    partial = salted.groupBy(*key_cols, "_salt").agg(*partial_exprs)
+    return partial.groupBy(*key_cols).agg(*final_exprs)
+
+
+def salted_join(
+    big: DataFrame, small: DataFrame, on: str, num_salts: int = 16, how: str = "inner"
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side, replicate the small side
+    across all salt values, join on (key, salt).  Row multiplicity is
+    preserved (each big row matches exactly its salt's replica)."""
+    big_s = big.withColumn("_salt", (F.rand(seed=42) * num_salts).cast("int"))
+    small_s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))))
+    out = big_s.join(small_s, on=[on, "_salt"], how=how)
+    return out.drop("_salt")

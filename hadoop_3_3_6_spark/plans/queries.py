@@ -1357,3 +1357,70 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", F.col("_tq").cast("double").alias("total_qty"))
     )
     return top_k(agg, [F.col("total_qty").desc(), F.col("o_orderkey").asc()], 100)
+
+
+# === M6 (cont.): TF-IDF; M7: pi example ==================================
+
+
+@_register(
+    "text_tfidf_topk",
+    """
+    WITH words AS (SELECT doc_id, w AS term FROM
+                     (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, round(tf * ln(cast(n_docs as double) / df), 6) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tf, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      FROM scored)
+    SELECT doc_id, term, tf, score, rnk FROM ranked WHERE rnk <= 3 AND doc_id < 50
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (docs 0-49): the TF-IDF /
+    CountVectorizer surface of the training-data pipeline, on built-in
+    aggregates + a broadcast join."""
+    from hadoop_3_3_6_spark.functions.text import tf_idf
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = tf_idf(docs, "text", "doc_id").withColumn("score", F.round("score", 6))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.filter(F.col("doc_id") < 50)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "score", "rnk")
+    )
+
+
+@_register(
+    "pi_estimate",
+    """
+    SELECT round(4.0 * sum(CASE WHEN x*x + y*y < 1.0 THEN 1 ELSE 0 END) / count(*), 6) AS pi_est,
+           count(*) AS n_samples
+    FROM (SELECT (i * 0.7548776662466927) % 1.0 AS x,
+                 (i * 0.5698402909980532) % 1.0 AS y
+          FROM range(0, 100000) t(i))
+    """,
+)
+def q_pi_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuasiMonteCarlo pi (MRX/QuasiMonteCarlo.java, the 'pi' example):
+    low-discrepancy R2 sequence instead of Halton — deterministic,
+    identical in any engine, no RNG state.  Map over a synthetic range
+    + one global aggregate, the reference's exact job shape."""
+    pts = spark.range(100000).select(
+        (F.col("id") * 0.7548776662466927 % 1.0).alias("x"),
+        (F.col("id") * 0.5698402909980532 % 1.0).alias("y"),
+    )
+    return pts.agg(
+        F.round(
+            4.0 * F.sum(F.when(F.col("x") * F.col("x") + F.col("y") * F.col("y") < 1.0, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("pi_est"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )

@@ -1,0 +1,108 @@
+"""JDBC (Derby) end-to-end, skew helpers, foreachBatch sink,
+compression codec coverage."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_3_3_6_spark.operators.skew import salted_aggregate, salted_join
+from hadoop_3_3_6_spark.sources.db import jdbc_read, jdbc_read_partitioned, jdbc_write
+
+
+@pytest.fixture(scope="module")
+def derby_url(tmp_path_factory):
+    db = tmp_path_factory.mktemp("derby") / "testdb"
+    return f"jdbc:derby:{db};create=true"
+
+
+def test_dbcount_pageview_roundtrip(spark, sf_dir, derby_url):
+    """DBCountPageView (MRX/DBCountPageView.java:78) full JDBC flow:
+    aggregate the access log, write counts to the DB (DBOutputFormat),
+    read them back (DBInputFormat), verify against the direct result —
+    the example's own embedded-SQL verify() pattern (:255-258)."""
+    from hadoop_3_3_6_spark.session import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("pageviews"))
+    jdbc_write(counts, derby_url, "pageview_counts")
+    back = jdbc_read(spark, derby_url, "pageview_counts")
+    assert {(r["event_type"], r["pageviews"]) for r in back.collect()} == {
+        (r["event_type"], r["pageviews"]) for r in counts.collect()
+    }
+
+
+def test_jdbc_partitioned_read(spark, derby_url):
+    """DataDrivenDBInputFormat: value-range split scan."""
+    src = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    jdbc_write(src, derby_url, "ranged")
+    back = jdbc_read_partitioned(spark, derby_url, "ranged", "k", 0, 1000, 4)
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 1000
+    assert back.agg(F.sum("k")).collect()[0][0] == 499500
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    from hadoop_3_3_6_spark.session import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    plain = {
+        (r["l_returnflag"],): (r["s"], r["c"], r["mx"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("s"), F.count(F.lit(1)).alias("c"), F.max("l_partkey").alias("mx"))
+        .collect()
+    }
+    li2 = li.withColumn("lq", F.col("l_quantity").cast("long"))
+    salted = {
+        (r["l_returnflag"],): (r["s"], r["c"], r["mx"])
+        for r in salted_aggregate(
+            li2, ["l_returnflag"], {"s": ("sum", "lq"), "c": ("count", "lq"), "mx": ("max", "l_partkey")}
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.range(10000).select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(5)], "k long, name string")
+    plain = big.join(small, "k").agg(F.count(F.lit(1)), F.sum("v")).collect()[0]
+    salted = salted_join(big, small, "k").agg(F.count(F.lit(1)), F.sum("v")).collect()[0]
+    assert tuple(plain) == tuple(salted)
+
+
+def test_foreach_batch_sink(spark, sf_dir, tmp_path):
+    """Streaming foreachBatch sink (SURVEY.md §2.9): per-microbatch
+    custom writes — here appending parquet partitions."""
+    from hadoop_3_3_6_spark.streaming.windows import _event_stream
+
+    out = str(tmp_path / "fb_out")
+
+    def write_batch(batch_df, batch_id):
+        batch_df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).write.mode("append").parquet(out)
+
+    stream = _event_stream(spark, sf_dir)
+    q = stream.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    total = back.agg(F.sum("n")).collect()[0][0]
+    assert total == 10000  # all events accounted for across microbatches
+
+
+@pytest.mark.parametrize("codec", ["gzip", "bzip2", "lz4", "snappy"])
+def test_text_compression_roundtrip(spark, tmp_path, codec):
+    """Codec surface (HC/io/compress/: Gzip/BZip2/Lz4/Snappy/Zstd):
+    transparent (de)compression on text sinks/scans."""
+    df = spark.range(100).select(F.concat(F.lit("line"), F.col("id")).alias("value"))
+    path = str(tmp_path / f"txt_{codec}")
+    df.write.option("compression", codec).text(path)
+    assert spark.read.text(path).count() == 100
+
+
+@pytest.mark.parametrize("codec", ["snappy", "gzip", "zstd"])
+def test_parquet_compression_roundtrip(spark, tmp_path, codec):
+    df = spark.range(100).select("id", (F.col("id") * 2).alias("v"))
+    path = str(tmp_path / f"pq_{codec}")
+    df.write.option("compression", codec).parquet(path)
+    assert spark.read.parquet(path).agg(F.sum("v")).collect()[0][0] == 9900
