@@ -1424,3 +1424,39 @@ def q_pi_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pi_est"),
         F.count(F.lit(1)).alias("n_samples"),
     )
+
+
+# === M5/M2.10 (cont.): UDAF tier and custom stateful streaming ===========
+
+
+@_register(
+    "udaf_weighted_price",
+    f"""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_udaf_weighted_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas GROUPED_AGG UDAF (Arrow-vectorized per-group math — the
+    user-defined-aggregator plugin tier, §2.10).  Rounded to 1e-4:
+    the UDAF computes in float64 whose summation order differs from
+    SQL's, so this query's bar is near-exactness, not bit-equality
+    (per-group values are few thousand floats)."""
+    from hadoop_3_3_6_spark.functions.udfs import discounted_revenue_udaf
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = discounted_revenue_udaf(li, ["l_returnflag"])
+    return out.select("l_returnflag", F.round("wavg_price", 4).alias("wavg_price"))
+
+
+@_register(
+    "streaming_stateful_counts",
+    "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+)
+def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running per-user counter (custom
+    streaming state beyond built-in windows)."""
+    from hadoop_3_3_6_spark.streaming.windows import streaming_stateful_user_counts
+
+    return streaming_stateful_user_counts(spark, sf_dir)

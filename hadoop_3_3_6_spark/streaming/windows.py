@@ -77,6 +77,36 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str, gap: str = "30 mi
     return out.select("user_id", F.col("w.start").alias("session_start"), "n_events")
 
 
+def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a running
+    per-user event counter carried in explicit state across
+    micro-batches (the reference has no streaming state at all —
+    SURVEY.md §2.9; this is the arbitrary-state tier beyond built-in
+    window aggregates)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        running = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            running += len(pdf)
+        state.update((running,))
+        import pandas as pd
+
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [running]})
+
+    stream = _event_stream(spark, sf_dir)
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_stream_to_batch(counted, output_mode="update")
+    # update mode emits one row per (user, batch); keep the final count
+    return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on event_id within the watermark
     (dropDuplicates — the reference's nearest concept is identity

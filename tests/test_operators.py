@@ -113,3 +113,42 @@ def test_pipe_map_and_chain(spark):
         lambda d: d.filter(F.col("w2") == "HELLO"),
     )
     assert chained.count() == 1
+
+
+def test_partitioned_sink_prunes_on_read(spark, tmp_path):
+    """MultipleOutputs routing property at scale: reading one route
+    back only scans that route's directory (PartitionFilters on the
+    scan, not a post-filter over all routes)."""
+    df = spark.range(1000).select(
+        F.col("id").alias("v"), (F.col("id") % 4).cast("string").alias("route")
+    )
+    out = str(tmp_path / "routed")
+    multiple_outputs(df, out, "route")
+    back = spark.read.parquet(out).filter(F.col("route") == "2")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(route" in plan, plan
+    assert back.count() == 250
+
+
+def test_nline_repartition(spark, tmp_path):
+    """NLineInputFormat (…/lib/input/NLineInputFormat.java:63): control
+    parallelism per N input lines — Spark-side repartition."""
+    p = tmp_path / "lines.txt"
+    p.write_text("".join(f"l{i}\n" for i in range(100)))
+    df = read_text_lines(spark, str(p)).repartition(10)
+    assert df.rdd.getNumPartitions() == 10
+    assert df.count() == 100
+
+
+def test_key_field_partitioner(spark):
+    """KeyFieldBasedPartitioner (…/lib/partition/KeyFieldBasedPartitioner.java:51):
+    partition on a subset of key fields — rows with the same field land
+    in the same partition."""
+    rows = [(f"{i % 5}\tpayload{i}",) for i in range(100)]
+    df = spark.createDataFrame(rows, "line string")
+    parts = df.repartition(5, F.split(F.col("line"), "\t")[0])
+    per_part = parts.withColumn("pid", F.spark_partition_id()).select(
+        F.split(F.col("line"), "\t")[0].alias("k"), "pid"
+    )
+    # each key maps to exactly one partition id
+    assert per_part.groupBy("k").agg(F.countDistinct("pid").alias("n")).filter("n > 1").count() == 0
