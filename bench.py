@@ -39,6 +39,13 @@ HEADLINE = [
     "text_token_counts",
     "text_fingerprint",
     "streaming_tumbling_counts",
+    "q14_promo_revenue",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "rollup_orders",
+    "text_tfidf_topk",
+    "similarity_lsh_topk",
+    "udaf_weighted_price",
 ]
 
 

@@ -1460,3 +1460,69 @@ def q_streaming_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_3_3_6_spark.streaming.windows import streaming_stateful_user_counts
 
     return streaming_stateful_user_counts(spark, sf_dir)
+
+
+# === M1 (cont.): semi-structured (JSON) scalar surface ===================
+
+
+@_register(
+    "json_extract_events",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           count(*) AS n,
+           sum(CAST(json_extract(props, '$.k') AS INTEGER))::BIGINT AS k_sum
+    FROM events GROUP BY 1
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (get_json_object — the engine's
+    semi-structured surface; reference users hand-parsed JSON in Java
+    map()).  Runs JVM-side, groups on a derived key."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(k.alias("k")).groupBy((F.col("k") % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("bigint").alias("k_sum"),
+    )
+
+
+# === M7 (cont.): BBP digits (the 'bbp' compute example) ==================
+
+
+@_register("bbp_pi_digits")  # compute-only demo; digits asserted in tests
+def q_bbp_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BBP (MRX/pi/DistBbp.java / BaileyBorweinPlouffe.java): compute
+    hexadecimal digits of pi at arbitrary positions independently —
+    the reference's embarrassingly-parallel compute demo.  Each task
+    evaluates the BBP series for one digit position (pure-Python per
+    row via mapInPandas; compute-bound, not a data operator)."""
+    import pandas as pd
+
+    def bbp_digit(n: int) -> int:
+        # fractional part of 16^n * sum_k 1/16^k (4/(8k+1)-2/(8k+4)-1/(8k+5)-1/(8k+6))
+        def s(j: int) -> float:
+            total = 0.0
+            for k in range(n + 1):
+                total = (total + pow(16, n - k, 8 * k + j) / (8 * k + j)) % 1.0
+            t, k = 0.0, n + 1
+            while True:
+                term = 16.0 ** (n - k) / (8 * k + j)
+                if term < 1e-17:
+                    break
+                t += term
+                k += 1
+            return total + t
+        x = (4 * s(1) - 2 * s(4) - s(5) - s(6)) % 1.0
+        return int(x * 16)
+
+    def compute(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"position": pdf["id"], "hex_digit": [bbp_digit(int(n)) for n in pdf["id"]]}
+            )
+
+    return (
+        spark.range(0, 12)
+        .repartition(12)
+        .mapInPandas(compute, schema="position bigint, hex_digit int")
+    )

@@ -115,3 +115,14 @@ def test_simhash_near_duplicates_close(spark):
     near, far = [r["d"] for r in df.collect()]
     assert near < far
     assert near <= 16
+
+
+def test_bbp_digits_correct(spark, sf_dir):
+    """pi in hex is 3.243F6A8885A308D3... — positions 1.. give the
+    fractional digits."""
+    from hadoop_3_3_6_spark.plans.queries import QUERIES
+
+    rows = {r["position"]: r["hex_digit"] for r in QUERIES["bbp_pi_digits"](spark, sf_dir).collect()}
+    # position n = n-th fractional hex digit: pi = 3.243F6A8885A308D3…
+    expected = [0x2, 0x4, 0x3, 0xF, 0x6, 0xA, 0x8, 0x8, 0x8, 0x5, 0xA, 0x3]
+    assert [rows[i] for i in range(12)] == expected
