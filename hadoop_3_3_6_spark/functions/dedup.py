@@ -61,17 +61,45 @@ def minhash_signatures(
     xxhash64 with a per-permutation prefix; signature[i] = min over
     shingles.
 
-    Plan shape: explode shingles once, then num_perm partial-min
-    aggregates regrouped by id.  A single projection would tokenize
-    the document num_perm times (CollapseProject inlines the shingle
-    expression into every lane); the explode+partial-agg form hashes
-    each shingle once per lane and ships only one (id, num_perm mins)
-    row per partition into the shuffle — the scale-correct layout."""
-    exploded = df.select(
-        F.col(id_col), F.explode(F.expr(_shingles_expr(text_col, n))).alias("shingle")
+    Plan shape: explode shingles once, hash each shingle ONCE
+    (xxhash64), then simulate the permutations with affine maps
+    h_p = a_p*h + b_p over the 64-bit ring (universal hashing — one
+    multiply-add per lane instead of a string concat + rehash), and
+    take num_perm partial mins regrouped by id.  A single projection
+    would tokenize the document num_perm times (CollapseProject
+    inlines the shingle expression into every lane); this layout
+    tokenizes once and ships one (id, num_perm mins) row per partition
+    into the shuffle — the scale-correct form."""
+    import hashlib
+    import struct
+
+    def _coef(tag: str, p: int) -> int:
+        h = hashlib.sha256(f"{tag}:{p}".encode()).digest()
+        (u,) = struct.unpack(">q", h[:8])
+        return u | 1 if tag == "a" else u  # odd multiplier -> bijection mod 2^64
+
+    # shingle identity = arithmetic combination of the n word hashes —
+    # never materializes n-gram strings (hash each word once, then one
+    # multiply-add chain per shingle; distinct over int64s).  The
+    # explode(array(...)) wrapper is a generator boundary: without it
+    # CollapseProject would inline the word-hash transform into every
+    # downstream reference (higher-order functions are interpreted, so
+    # no codegen subexpression elimination saves us).
+    words = f"filter(split({text_col}, ' '), w -> w <> '')"
+    whashes = f"transform({words}, w -> xxhash64(w))"
+    combine = " + ".join(f"element_at(hs, cast(i + {j} as int)) * {_coef('g', j)}" for j in range(n))
+    shingle_hashes = (
+        f"case when size(hs) >= {n} then "
+        f"array_distinct(transform(sequence(1, size(hs) - {n - 1}), i -> ({combine}))) "
+        f"else array(cast(null as bigint)) end"
+    )
+    exploded = (
+        df.select(F.col(id_col), F.explode(F.array(F.expr(whashes))).alias("hs"))
+        .select(F.col(id_col), F.explode(F.expr(shingle_hashes)).alias("h"))
+        .filter(F.col("h").isNotNull())
     )
     mins = [
-        F.min(F.xxhash64(F.concat(F.lit(f"p{p}:"), F.col("shingle")))).alias(f"_m{p}")
+        F.min(F.lit(_coef("a", p)) * F.col("h") + F.lit(_coef("b", p))).alias(f"_m{p}")
         for p in range(num_perm)
     ]
     agged = exploded.groupBy(id_col).agg(*mins)

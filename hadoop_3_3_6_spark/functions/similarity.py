@@ -22,6 +22,9 @@ from __future__ import annotations
 import hashlib
 import struct
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -126,25 +129,22 @@ def lsh_bucketed_topk(
     against the brute-force baseline in tests."""
     planes = _plane_vectors(num_tables * bits_per_table, dim)
 
-    def sig_expr(table: int) -> str:
-        bits = []
-        for b in range(bits_per_table):
-            vec = planes[table * bits_per_table + b]
-            arr = "array(" + ",".join(f"cast({v:.9f} as double)" for v in vec) + ")"
-            bits.append(f"case when {_dot(vec_col, arr)} > 0 then '1' else '0' end")
-        return "concat(" + ",".join(bits) + ")"
+    from pyspark.sql.functions import pandas_udf
+
+    plane_mat = np.array(planes).T  # dim × (tables*bits)
+    powers = np.array([1 << b for b in range(bits_per_table)])
+
+    @pandas_udf("array<int>")
+    def table_buckets(vecs: pd.Series) -> pd.Series:
+        # one matmul per Arrow batch: (rows × dim) @ (dim × tables*bits)
+        m = np.vstack(vecs.to_numpy())
+        bits = (m @ plane_mat) > 0  # rows × (tables*bits)
+        per_table = bits.reshape(len(m), num_tables, bits_per_table) @ powers
+        return pd.Series(list(per_table.astype(np.int32)))
 
     buckets = emb.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("table"), F.expr(sig_expr(t)).alias("bucket"))
-                    for t in range(num_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select(id_col, "tb.table", "tb.bucket")
+        F.col(id_col), F.posexplode(table_buckets(F.col(vec_col))).alias("table", "bucket")
+    )
     probe_buckets = (
         buckets.filter(F.col(id_col).isin(probe_ids)) if probe_ids is not None else buckets
     )
