@@ -73,6 +73,26 @@ def get_spark(app_name: str = "hadoop-3-3-6-spark", shuffle_partitions: int | No
     return builder.getOrCreate()
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Apply the semantically-required runtime confs to ANY session.
+
+    The driver contract runs queries in a session this engine did not
+    build; without these, events.parquet (TIMESTAMP NANOS) fails to
+    scan, epoch arithmetic follows the host timezone, and ANSI mode
+    would error where Hadoop semantics are permissive.  All four are
+    runtime-settable (verified against a bare session)."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover — never block a query on a conf
+            pass
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Scan one fixture table. Parquet scans get predicate pushdown,
     column pruning and split planning from the file source for free
@@ -83,6 +103,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     as bigint nanos and is converted here to a microsecond timestamp
     (same truncation DuckDB applies reading ns into its us timestamps).
     """
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

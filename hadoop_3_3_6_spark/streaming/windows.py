@@ -22,6 +22,9 @@ from pyspark.sql import functions as F
 
 
 def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_3_3_6_spark.session import ensure_session_confs
+
+    ensure_session_confs(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     # FileStreamSource needs a directory/glob source path, not a bare
