@@ -72,6 +72,24 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # MRBench analogue (BASELINE.md): avg latency of a minimal job —
+    # the scheduler round-trip floor, averaged over 5 runs.
+    lat0 = time.perf_counter()
+    runs = 5
+    for _ in range(runs):
+        spark.range(1).count()
+    timings["mrbench_identity_latency"] = round((time.perf_counter() - lat0) / runs, 3)
+
+    # TeraSort-analogue throughput: generate + total-order sort + write
+    # 2M 100-byte records (~200 MB), the reference's headline benchmark
+    # (BASELINE.md TeraSuite).
+    from hadoop_3_3_6_spark.sources.terasort import teragen, terasort
+
+    t0 = time.perf_counter()
+    terasort(teragen(spark, 2_000_000, partitions=32)).write.mode("overwrite").format("noop").save()
+    timings["terasort_2m_records"] = round(time.perf_counter() - t0, 3)
+    print(f"# terasort_2m_records: {timings['terasort_2m_records']:.3f}s", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
     print(

@@ -23,12 +23,16 @@ from pyspark.sql import functions as F
 
 
 def teragen(spark: SparkSession, num_rows: int, partitions: int | None = None) -> DataFrame:
-    """Deterministic 100-byte records: key = 10 hex chars of
-    sha2(row_id), value = 90 hex chars of sha2(row_id, 512)."""
+    """Deterministic 100-byte records: 10-hex-char key + 90-hex-char
+    value derived from xxhash64 of the row id (uniform like TeraGen's
+    PRNG records, reproducible on any cluster layout, ~2× cheaper than
+    a cryptographic hash — the generator must not dominate the sort
+    being benchmarked)."""
     rng = spark.range(0, num_rows, numPartitions=partitions) if partitions else spark.range(num_rows)
+    hexes = [F.lpad(F.hex(F.xxhash64(F.col("id"), F.lit(i))), 16, "0") for i in range(7)]
     return rng.select(
-        F.substring(F.sha2(F.col("id").cast("string"), 256), 1, 10).alias("key"),
-        F.substring(F.sha2(F.concat(F.lit("v"), F.col("id").cast("string")), 512), 1, 90).alias("value"),
+        F.substring(hexes[0], 1, 10).alias("key"),
+        F.substring(F.concat(*hexes[1:]), 1, 90).alias("value"),
     )
 
 

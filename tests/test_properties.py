@@ -1,0 +1,73 @@
+"""Property-based tests (hypothesis) for the DSL parsers and pure
+helpers — randomized inputs against simple Python reference models
+(the upgrade over the reference's example-only test strategy,
+SURVEY.md §5.5: 'no property-based framework')."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hadoop_3_3_6_spark.operators.mapops import parse_field_spec
+from hadoop_3_3_6_spark.operators.sort import parse_key_field_spec
+from hadoop_3_3_6_spark.plans.jobcontrol import ControlledJob, JobControl, JobState
+
+
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=8))
+def test_field_spec_singles_roundtrip(indices):
+    spec = ",".join(str(i) for i in indices)
+    assert parse_field_spec(spec) == [(i, i) for i in indices]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).map(lambda t: (min(t), max(t))),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_field_spec_ranges_roundtrip(ranges):
+    spec = ",".join(f"{lo}-{hi}" for lo, hi in ranges)
+    assert parse_field_spec(spec) == list(ranges)
+
+
+@given(st.integers(0, 40))
+def test_field_spec_open_range(lo):
+    assert parse_field_spec(f"{lo}-") == [(lo, None)]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 20), st.booleans(), st.booleans()),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_key_field_spec_roundtrip(fields):
+    spec = " ".join(
+        f"-k{f},{f}{'n' if n else ''}{'r' if r else ''}" for f, n, r in fields
+    )
+    assert parse_key_field_spec(spec) == [(f - 1, n, r) for f, n, r in fields]
+
+
+@settings(max_examples=25)
+@given(st.integers(2, 12), st.data())
+def test_jobcontrol_topological_order(n, data):
+    """For a random DAG (edges only from lower to higher index), every
+    job runs after its dependencies."""
+    deps = {
+        i: data.draw(st.lists(st.integers(0, i - 1), max_size=3, unique=True)) if i else []
+        for i in range(n)
+    }
+    order: list[int] = []
+    jc = JobControl()
+    for i in range(n):
+        jc.add_job(
+            ControlledJob(f"j{i}", (lambda i=i: (lambda d: order.append(i)))(), deps=[f"j{d}" for d in deps[i]])
+        )
+    jobs = jc.run()
+    assert all(j.state == JobState.SUCCESS for j in jobs.values())
+    pos = {i: order.index(i) for i in range(n)}
+    for i, ds in deps.items():
+        for d in ds:
+            assert pos[d] < pos[i]
