@@ -66,10 +66,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # min of 2: damp scheduler/GC noise
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     # MRBench analogue (BASELINE.md): avg latency of a minimal job —

@@ -88,3 +88,26 @@ def test_jobcontrol_cycle_detection():
     jc.add_job(ControlledJob("b", lambda d: 1, deps=["a"]))
     with pytest.raises(ValueError, match="cycle"):
         jc.run()
+
+
+def test_parquet_bloom_filter_write(spark, tmp_path):
+    """BloomMapFile analogue (HC/io/BloomMapFile.java:54): parquet with
+    a bloom filter on the key column — point lookups skip row groups
+    without the key."""
+    p = str(tmp_path / "bloomed")
+    df = spark.range(100000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    (
+        df.write.option("parquet.bloom.filter.enabled#k", "true")
+        .option("parquet.bloom.filter.expected.ndv#k", "100000")
+        .parquet(p)
+    )
+    back = spark.read.parquet(p).filter(F.col("k") == 12345)
+    assert back.collect()[0]["v"] == 24690
+    # the bloom filter really materialized: same data without bloom is smaller
+    import glob
+    import os as _os
+
+    p2 = str(tmp_path / "plain")
+    df.write.parquet(p2)
+    size = lambda d: sum(_os.path.getsize(f) for f in glob.glob(f"{d}/*.parquet"))
+    assert size(p) > size(p2)

@@ -1,0 +1,74 @@
+"""Physical-plan assertions: the 100 TB properties are enforced, not
+aspirational.  Each test pins a plan invariant that must survive
+refactors (pushdown reaching the scan, dims broadcast, partial
+aggregation before the shuffle, take-ordered instead of global sort)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_3_3_6_spark.plans.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_reach_parquet_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_revenue_forecast")
+    assert "PushedFilters: [IsNotNull" in plan
+    # shipdate range must be pushed, not post-filtered only
+    assert "GreaterThanOrEqual(l_shipda" in plan  # PushedFilters list is truncated in toString
+    # no shuffle at all: partial+final agg over a single scan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_q6_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q6_revenue_forecast")
+    # only the 4 needed columns may be read from a 11-column table
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert set(cols) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_local_volume")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region at minimum
+    # exactly one fact-fact shuffle join pipeline: no cartesian anywhere
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    # map-side combine: partial_ aggregate on the scan side of the
+    # exchange (plans print top-down, so the partial comes AFTER the
+    # Exchange in the string — it is the exchange's child)
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange hashpartitioning")
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort would be the scale bug TakeOrdered avoids
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_sort_uses_range_partitioning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sort")
+    # total-order sort = sampled range partitioning (TotalOrderPartitioner analogue)
+    assert "Exchange rangepartitioning" in plan
+
+
+def test_minhash_partial_mins_before_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_minhash")
+    assert "partial_min" in plan
+    assert plan.index("partial_min") > plan.index("Exchange hashpartitioning")
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
