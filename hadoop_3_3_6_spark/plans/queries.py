@@ -1526,3 +1526,118 @@ def q_bbp_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(12)
         .mapInPandas(compute, schema="position bigint, hex_digit int")
     )
+
+
+# === TPC-H-ish (cont.): Q10 / Q19 / Q22 shapes ===========================
+
+
+@_register(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           cast(sum({_dec('l_extendedprice')} * (cast(1.00 as decimal(3,2)) - {_dec('l_discount', 4)})) as double) AS revenue,
+           n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most — fact⋈fact⋈dim with a
+    selective flag filter, grouped on customer, top-20."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        "o_orderdate >= timestamp'1996-01-01 00:00:00' AND o_orderdate < timestamp'1996-07-01 00:00:00'"
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, "nation", sf_dir)
+    one = F.expr("cast(1.00 as decimal(3,2))")
+    revenue = F.sum(F.expr(_dec("l_extendedprice")) * (one - F.expr(_dec("l_discount", 4)))).cast("double")
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(revenue.alias("revenue"))
+    return top_k(
+        agg.select("c_custkey", "c_name", "revenue", "n_name"),
+        [F.col("revenue").desc(), F.col("c_custkey").asc()],
+        20,
+    )
+
+
+@_register(
+    "q19_disjunctive",
+    f"""
+    SELECT cast(sum({_dec('l_extendedprice')} * (cast(1.00 as decimal(3,2)) - {_dec('l_discount', 4)})) as double) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-clause predicate across the
+    join — Catalyst pushes the common parts and evaluates the OR after
+    the (broadcast) join."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    one = F.expr("cast(1.00 as decimal(3,2))")
+    joined = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return joined.filter(cond).agg(
+        F.sum(F.expr(_dec("l_extendedprice")) * (one - F.expr(_dec("l_discount", 4))))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_register(
+    "q22_global_sales_opportunity",
+    f"""
+    WITH avg_bal AS (
+      SELECT cast(sum({_dec('c_acctbal')}) as double) / count(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0),
+    candidates AS (
+      SELECT c_custkey, c_nationkey % 5 AS cntry, c_acctbal
+      FROM customer CROSS JOIN avg_bal
+      WHERE c_acctbal > ab
+        AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-07-01 00:00:00'))
+    SELECT cntry, count(*) AS numcust, cast(sum({_dec('c_acctbal')}) as double) AS totacctbal
+    FROM candidates GROUP BY cntry
+    """,
+)
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average) + anti join +
+    re-aggregation.  The scalar subquery broadcasts as a 1-row frame."""
+    cust = load_table(spark, "customer", sf_dir)
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(F.expr(_dec("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias("ab"))
+    )
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter("o_orderdate >= timestamp'2000-07-01 00:00:00'")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    candidates = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, on="c_custkey", how="left_anti")
+        .select((F.col("c_nationkey") % 5).alias("cntry"), "c_acctbal")
+    )
+    return candidates.groupBy("cntry").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.expr(_dec("c_acctbal"))).cast("double").alias("totacctbal"),
+    )
