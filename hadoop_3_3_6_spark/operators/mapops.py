@@ -91,22 +91,41 @@ def field_selection(
     the reference's FieldSelectionMapper.java:61 re-joined selected
     fields with the separator, reproduced here with concat_ws.
     """
-    fields = F.split(F.col(text_col), _regex_escape(sep))
-    parts: list[Column] = []
+    return df.select(F.expr(_spec_sql(text_col, spec, sep, out_sep)).alias(out_col))
+
+
+def field_selection_kv(
+    df: DataFrame,
+    text_col: str,
+    spec: str,
+    sep: str = "\t",
+    out_sep: str = "\t",
+) -> DataFrame:
+    """The full FieldSelectionMapper contract: ``keySpec:valueSpec``
+    (FieldSelectionHelper.java:27-56 — e.g. ``6,5,1-3:0-``) producing
+    (key, value) columns, each a separator-joined projection."""
+    if ":" not in spec:
+        raise ValueError(f"key:value spec expected, got {spec!r}")
+    key_spec, value_spec = spec.split(":", 1)
+    return df.select(
+        F.expr(_spec_sql(text_col, key_spec, sep, out_sep)).alias("key"),
+        F.expr(_spec_sql(text_col, value_spec, sep, out_sep)).alias("value"),
+    )
+
+
+def _spec_sql(text_col: str, spec: str, sep: str, out_sep: str) -> str:
+    esc = _regex_escape(sep)
+    parts = []
     for lo, hi in parse_field_spec(spec):
         if hi is None:
-            # open range: slice from lo to end
-            parts.append(F.expr(
-                f"array_join(slice(split({text_col}, '{_regex_escape(sep)}'), {lo + 1}, "
-                f"size(split({text_col}, '{_regex_escape(sep)}'))), '{out_sep}')"
-            ))
+            parts.append(
+                f"array_join(slice(split({text_col}, '{esc}'), {lo + 1}, size(split({text_col}, '{esc}'))), '{out_sep}')"
+            )
         elif hi == lo:
-            parts.append(F.element_at(fields, lo + 1))
+            parts.append(f"element_at(split({text_col}, '{esc}'), {lo + 1})")
         else:
-            parts.append(F.expr(
-                f"array_join(slice(split({text_col}, '{_regex_escape(sep)}'), {lo + 1}, {hi - lo + 1}), '{out_sep}')"
-            ))
-    return df.select(F.concat_ws(out_sep, *parts).alias(out_col))
+            parts.append(f"array_join(slice(split({text_col}, '{esc}'), {lo + 1}, {hi - lo + 1}), '{out_sep}')")
+    return "concat_ws('{0}', {1})".format(out_sep, ", ".join(parts))
 
 
 def _regex_escape(sep: str) -> str:

@@ -136,30 +136,52 @@ _KEYSPEC_RE = re.compile(r"^-k\s*(\d+)(?:\.(\d+))?(?:,(\d+)(?:\.(\d+))?)?\s*([nr
 
 
 def parse_key_field_spec(spec: str) -> list[tuple[int, bool, bool]]:
-    """Parse unix-sort-style specs like ``-k2,2nr -k1,1``.
+    """Parse unix-sort-style specs like ``-k2,2nr -k1,1`` to
+    [(field_index_0based, numeric, reverse), ...] — the whole-field
+    form.  Use ``parse_key_field_spec_full`` for char offsets."""
+    return [(f, n, r) for f, _cs, _ce, n, r in parse_key_field_spec_full(spec)]
 
-    Returns [(field_index_0based, numeric, reverse), ...].  Char offsets
-    (``f.c``) are accepted by the grammar (KeyFieldBasedComparator.java:38-50)
-    but only whole-field comparisons are compiled — the examples and
-    streaming jobs use whole fields.
-    """
-    out: list[tuple[int, bool, bool]] = []
+
+def parse_key_field_spec_full(spec: str) -> list[tuple[int, int | None, int | None, bool, bool]]:
+    """Full KeyFieldBasedComparator grammar ``-k pos1[.char1][,pos2[.char2]][nr]``
+    (KeyFieldBasedComparator.java:38-50, parser KeyFieldHelper.java:296).
+
+    Returns [(field_0based, char_start_0based|None, char_end_1based|None,
+    numeric, reverse)].  Only single-field keys are compiled (pos2 must
+    equal pos1 when given — the form every in-tree example and
+    streaming job uses); char offsets slice within that field."""
+    out: list[tuple[int, int | None, int | None, bool, bool]] = []
     for piece in spec.split():
         m = _KEYSPEC_RE.match(piece)
         if not m:
             raise ValueError(f"bad key-field spec {piece!r}")
-        field = int(m.group(1)) - 1  # unix sort is 1-based
+        f1, c1, f2, c2 = m.group(1), m.group(2), m.group(3), m.group(4)
+        if f2 is not None and f2 != f1:
+            raise ValueError(f"multi-field key ranges not supported: {piece!r}")
         flags = m.group(5) or ""
-        out.append((field, "n" in flags, "r" in flags))
+        out.append(
+            (
+                int(f1) - 1,  # unix sort is 1-based
+                int(c1) - 1 if c1 else None,
+                int(c2) if c2 else None,
+                "n" in flags,
+                "r" in flags,
+            )
+        )
     return out
 
 
 def key_field_sort(df: DataFrame, text_col: str, spec: str, sep: str = "\t") -> DataFrame:
-    """Sort separator-joined text records by a key-field spec."""
+    """Sort separator-joined text records by a key-field spec
+    (optionally with ``f.c`` char offsets within the field)."""
     fields = F.split(F.col(text_col), re.escape(sep).replace("\\", "\\\\") if sep in ".^$*+?()[]{}|\\" else sep)
     order: list[Column] = []
-    for idx, numeric, reverse in parse_key_field_spec(spec):
+    for idx, char_start, char_end, numeric, reverse in parse_key_field_spec_full(spec):
         c = F.element_at(fields, idx + 1)
+        if char_start is not None or char_end is not None:
+            start = (char_start or 0) + 1  # substring is 1-based
+            length = (char_end - (char_start or 0)) if char_end is not None else 1_000_000
+            c = F.substring(c, start, length)
         if numeric:
             c = c.cast("double")
         order.append(c.desc() if reverse else c.asc())

@@ -152,3 +152,23 @@ def test_key_field_partitioner(spark):
     )
     # each key maps to exactly one partition id
     assert per_part.groupBy("k").agg(F.countDistinct("pid").alias("n")).filter("n > 1").count() == 0
+
+
+def test_field_selection_kv(spark):
+    """keySpec:valueSpec form (FieldSelectionHelper.java:27-56)."""
+    from hadoop_3_3_6_spark.operators.mapops import field_selection_kv
+
+    df = spark.createDataFrame([("a\tb\tc\td",)], "line string")
+    out = field_selection_kv(df, "line", "2:0,3-").collect()[0]
+    assert out["key"] == "c"
+    assert out["value"] == "a\td"
+    with pytest.raises(ValueError):
+        field_selection_kv(df, "line", "2,0")
+
+
+def test_key_field_sort_char_offsets(spark):
+    """-k1.2,1.3 sorts on characters 2-3 of field 1."""
+    rows = [("xBAy\t1",), ("xABy\t2",), ("xCAy\t3",)]
+    df = spark.createDataFrame(rows, "line string")
+    out = [r["line"] for r in key_field_sort(df, "line", "-k1.2,1.4").collect()]
+    assert out == ["xABy\t2", "xBAy\t1", "xCAy\t3"]

@@ -72,3 +72,38 @@ def test_minhash_partial_mins_before_shuffle(spark, sf_dir):
 def test_semi_join_stays_semi(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q4_order_priority")
     assert "LeftSemi" in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The 100 TB hot-key story: with AQE on (session default), a
+    skewed sort-merge join partition is split at runtime —
+    SortMergeJoin(skew=true) in the final adaptive plan."""
+    from pyspark.sql import functions as F
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+        big = spark.range(200_000).select(
+            (F.when(F.col("id") % 100 < 95, 0).otherwise(F.col("id") % 1000)).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        other = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+        j = big.join(other, "k")
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
