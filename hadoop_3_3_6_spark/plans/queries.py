@@ -1641,3 +1641,101 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.sum(F.expr(_dec("c_acctbal"))).cast("double").alias("totacctbal"),
     )
+
+
+# === scalar-function surface (dates, strings, arrays) ====================
+
+
+@_register(
+    "date_functions",
+    f"""
+    SELECT extract(year FROM o_orderdate)::INT AS yr,
+           extract(quarter FROM o_orderdate)::INT AS qtr,
+           count(*) AS n_orders,
+           min(date_trunc('month', o_orderdate)) AS first_month,
+           cast(sum({_dec('o_totalprice')}) as double) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface: extract, truncation, grouping by
+    derived calendar fields (reference users hand-rolled these in Java
+    map(); SURVEY.md §2.3 scalar note)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy(
+        F.year("o_orderdate").alias("yr"), F.quarter("o_orderdate").alias("qtr")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("first_month"),
+        F.sum(F.expr(_dec("o_totalprice"))).cast("double").alias("total"),
+    )
+
+
+@_register(
+    "string_functions",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           substr(c_name, 1, 4) AS prefix,
+           length(c_name)::INT AS name_len,
+           lpad(c_custkey::VARCHAR, 8, '0') AS padded,
+           replace(c_mktsegment, 'A', '_') AS repl,
+           concat_ws('|', c_name, c_mktsegment) AS joined
+    FROM customer
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: case, slice, pad, replace, concat."""
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 4).alias("prefix"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.regexp_replace("c_mktsegment", "A", "_").alias("repl"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+    )
+
+
+@_register(
+    "array_functions",
+    """
+    SELECT vec_id,
+           len(embedding)::INT AS dim,
+           round(list_min(embedding)::DOUBLE, 6) AS comp_min,
+           round(list_max(embedding)::DOUBLE, 6) AS comp_max,
+           round(list_sum(embedding::DOUBLE[]), 6) AS comp_sum
+    FROM embeddings
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar surface over the embedding column: size, min/max
+    component, sum (sequential fold — deterministic, oracle-exact)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("comp_min"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("comp_max"),
+        F.round(
+            F.expr("aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double))"), 6
+        ).alias("comp_sum"),
+    )
+
+
+@_register(
+    "streaming_static_join",
+    f"""
+    SELECT c_mktsegment, count(*) AS n_events,
+           cast(sum({_dec('value', 18)}) as double) AS value_sum
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈static dim enrichment (broadcast per micro-batch) with a
+    segment rollup."""
+    from hadoop_3_3_6_spark.streaming.windows import streaming_static_join
+
+    return streaming_static_join(spark, sf_dir)

@@ -118,3 +118,21 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     return run_stream_to_batch(agg, output_mode="complete")
+
+
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joined to the
+    static customer dim (broadcast per micro-batch), aggregated by
+    customer segment — the canonical streaming-ETL enrich + rollup."""
+    from hadoop_3_3_6_spark.session import load_table
+
+    stream = _event_stream(spark, sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(cust), on="user_id", how="inner")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )
+    return run_stream_to_batch(agg, output_mode="complete")
