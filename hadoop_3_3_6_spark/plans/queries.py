@@ -1934,3 +1934,58 @@ def q16_part_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# === the end-to-end training-data pipeline ==============================
+
+
+@_register(
+    "pipeline_clean_corpus",
+    """
+    WITH quality AS (
+      SELECT doc_id, text, length(text)::INT AS n_chars,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))::INT AS n_words,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::INT AS alpha_chars,
+             len(list_filter(string_split(text, ' '),
+                 w -> w <> '' AND list_contains(['the','a','of','and','to','in','is','on','for','with'], w))) AS hits
+      FROM documents),
+    filtered AS (
+      SELECT doc_id, text, n_words,
+             CASE WHEN n_words > 0 THEN cast(hits as double) / n_words ELSE 0.0 END AS stop_ratio
+      FROM quality
+      WHERE n_words >= 20 AND cast(alpha_chars as double) / n_chars > 0.5),
+    en_docs AS (SELECT * FROM filtered WHERE stop_ratio >= 0.05),
+    deduped AS (
+      SELECT min(doc_id) AS doc_id, any_value(n_words) AS n_words
+      FROM en_docs GROUP BY sha256(text))
+    SELECT count(*) AS kept_docs, sum(n_words)::BIGINT AS total_tokens
+    FROM deduped
+    """,
+)
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: quality filter (length +
+    alpha ratio) → language filter (stopword-ratio heuristic) → exact
+    dedup (keep lowest doc_id per content digest) → corpus stats.
+    One Catalyst plan end-to-end; every stage is an operator from this
+    engine (quality_score / language_id / exact_dedup building blocks),
+    fused without materialization between stages."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.expr("filter(split(text, ' '), w -> w <> '')")
+    n_words = F.size(words)
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    stop_arr = "array(" + ",".join(f"'{w}'" for w in ["the","a","of","and","to","in","is","on","for","with"]) + ")"
+    hits = F.expr(f"size(filter(filter(split(text, ' '), w -> w <> ''), w -> array_contains({stop_arr}, w)))")
+    staged = (
+        docs.select("doc_id", "text", n_words.alias("n_words"), n_chars.alias("n_chars"), alpha.alias("alpha"), hits.alias("hits"))
+        .filter((F.col("n_words") >= 20) & (F.col("alpha").cast("double") / F.col("n_chars") > 0.5))
+        .withColumn("stop_ratio", F.when(F.col("n_words") > 0, F.col("hits").cast("double") / F.col("n_words")).otherwise(F.lit(0.0)))
+        .filter(F.col("stop_ratio") >= 0.05)
+    )
+    deduped = staged.groupBy(F.sha2("text", 256)).agg(
+        F.min("doc_id").alias("doc_id"), F.first("n_words").alias("n_words")
+    )
+    return deduped.agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_words").cast("bigint").alias("total_tokens"),
+    )
