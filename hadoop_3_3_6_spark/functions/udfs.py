@@ -37,11 +37,19 @@ def weighted_avg(value: pd.Series, weight: pd.Series) -> float:
     reference's UserDefinedValueAggregatorDescriptor role,
     MRC/mapreduce/lib/aggregate/UserDefinedValueAggregatorDescriptor.java).
 
+    Rows arrive in shuffle order, which varies run to run — float sums
+    are order-sensitive, so both sums sort their terms first to make
+    the result bit-deterministic (the UDAF analogue of the engine's
+    exact-decimal rule).
+
     Note: GROUPED_AGG materializes each group's columns — for
     algebraic aggregates prefer built-ins (decomposable, partial-agg);
     this tier is for genuinely non-algebraic per-group math."""
-    w = weight.sum()
-    return float((value * weight).sum() / w) if w else 0.0
+    import numpy as np
+
+    w = np.sort(weight.to_numpy()).sum()
+    wv = np.sort((value * weight).to_numpy()).sum()
+    return float(wv / w) if w else 0.0
 
 
 def discounted_revenue_udaf(df: DataFrame, key_cols: list[str]) -> DataFrame:

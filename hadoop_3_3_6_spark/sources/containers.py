@@ -34,11 +34,21 @@ def read_sequence_file(spark: SparkSession, path: str) -> DataFrame:
     return rdd.toDF(["key", "value"])
 
 
-def write_sequence_file(df: DataFrame, path: str) -> None:
+def write_sequence_file(df: DataFrame, path: str, codec: str | None = None) -> None:
     """Write the first two columns as a SequenceFile (Writable-encoded,
-    splittable, sync-marked — SequenceFile.Writer semantics)."""
+    splittable, sync-marked — SequenceFile.Writer semantics).
+
+    ``codec``: short name like "gzip"/"bzip2" — the compression surface
+    of SequenceFile.Writer (compression NONE/RECORD/BLOCK,
+    SequenceFile.java:240)."""
+    codecs = {
+        "gzip": "org.apache.hadoop.io.compress.GzipCodec",
+        "bzip2": "org.apache.hadoop.io.compress.BZip2Codec",
+        "deflate": "org.apache.hadoop.io.compress.DefaultCodec",
+    }
+    cls = codecs.get(codec, codec) if codec else None
     k, v = df.columns[:2]
-    df.select(k, v).rdd.map(tuple).saveAsSequenceFile(path)
+    df.select(k, v).rdd.map(tuple).saveAsSequenceFile(path, compressionCodecClass=cls)
 
 
 def bucketed_table(

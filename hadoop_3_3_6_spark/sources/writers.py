@@ -25,6 +25,23 @@ def write_key_value_text(df: DataFrame, path: str, key: str = "key", value: str 
     ).text(path)
 
 
+def named_outputs(df: DataFrame, outputs: dict[str, tuple], base_path: str, fmt: str = "parquet") -> None:
+    """MultipleOutputs named-output API (addNamedOutput :321 +
+    write(name, k, v) :474): each named output is a (filter_condition,
+    projection_columns) pair written to ``{base_path}/{name}``.  The
+    input is cached once so N outputs cost one upstream computation —
+    mirroring the reference's single task pass over the data."""
+    df = df.cache()
+    try:
+        for name, (condition, columns) in outputs.items():
+            out = df.filter(condition)
+            if columns:
+                out = out.select(*columns)
+            getattr(out.write.mode("overwrite"), fmt)(f"{base_path}/{name}")
+    finally:
+        df.unpersist()
+
+
 def multiple_outputs(df: DataFrame, path: str, route_col: str, fmt: str = "parquet") -> None:
     """MultipleOutputs: per-record routing to named outputs — a
     partitioned write; each distinct route value becomes

@@ -111,3 +111,49 @@ def test_parquet_bloom_filter_write(spark, tmp_path):
     df.write.parquet(p2)
     size = lambda d: sum(_os.path.getsize(f) for f in glob.glob(f"{d}/*.parquet"))
     assert size(p) > size(p2)
+
+
+def test_sequence_file_compressed(spark, tmp_path):
+    """SequenceFile.Writer compression surface (SequenceFile.java:240)."""
+    from hadoop_3_3_6_spark.sources.containers import read_sequence_file, write_sequence_file
+
+    df = spark.createDataFrame([(f"k{i}", "v" * 50) for i in range(100)], "key string, value string")
+    p = str(tmp_path / "seqgz")
+    write_sequence_file(df, p, codec="gzip")
+    back = read_sequence_file(spark, p)
+    assert back.count() == 100
+    assert {r["key"] for r in back.collect()} == {f"k{i}" for i in range(100)}
+
+
+def test_named_outputs(spark, tmp_path):
+    """MultipleOutputs named-output API: N filtered outputs from one
+    cached pass (MultipleOutputs.java:321,474)."""
+    from pyspark.sql import functions as FF
+
+    from hadoop_3_3_6_spark.sources.writers import named_outputs
+
+    df = spark.range(100).select("id", (FF.col("id") % 2 == 0).alias("even"))
+    base = str(tmp_path / "named")
+    named_outputs(
+        df,
+        {
+            "evens": (FF.col("even"), ["id"]),
+            "odds": (~FF.col("even"), ["id"]),
+        },
+        base,
+    )
+    assert spark.read.parquet(f"{base}/evens").count() == 50
+    assert spark.read.parquet(f"{base}/odds").count() == 50
+
+
+def test_multi_path_scan(spark, tmp_path):
+    """FileInputFormat multi-dir scan union (addInputPath over many
+    dirs): spark.read accepts N paths in one scan."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(10).write.parquet(a)
+    spark.range(10, 30).write.parquet(b)
+    from pyspark.sql import functions as FF
+
+    df = spark.read.parquet(a, b)
+    assert df.count() == 30
+    assert df.agg(FF.max("id")).collect()[0][0] == 29
