@@ -1989,3 +1989,96 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("kept_docs"),
         F.sum("n_words").cast("bigint").alias("total_tokens"),
     )
+
+
+# === TPC-H-ish (cont.): Q9 / Q11 / Q13 shapes ============================
+
+
+@_register(
+    "q9_product_profit",
+    f"""
+    SELECT n_name AS nation, extract(year FROM o_orderdate)::INT AS yr,
+           cast(sum({_REV}) as double) AS profit
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN orders ON o_orderkey = l_orderkey
+                  JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_type = 'PROMO'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per nation-year for one product line —
+    4-dim star join with a part filter."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO").select("p_partkey")
+    supp = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    one = F.expr("cast(1.00 as decimal(3,2))")
+    profit = F.sum(F.expr(_dec("l_extendedprice")) * (one - F.expr(_dec("l_discount", 4)))).cast("double")
+    joined = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr")
+    ).agg(profit.alias("profit"))
+
+
+@_register(
+    "q11_important_stock",
+    f"""
+    WITH pv AS (
+      SELECT l_partkey, cast(sum({_dec('l_quantity')}) as double) AS part_qty
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey < 5
+      GROUP BY l_partkey),
+    total AS (SELECT sum(part_qty) AS tq FROM pv)
+    SELECT l_partkey, part_qty
+    FROM pv CROSS JOIN total
+    WHERE part_qty > 0.0006 * tq
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups exceeding a fraction of the global sum
+    (scalar-subquery threshold, broadcast as a 1-row frame)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir).filter(F.col("s_nationkey") < 5).select("s_suppkey")
+    pv = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.expr(_dec("l_quantity"))).cast("double").alias("part_qty"))
+    )
+    total = pv.agg(F.sum("part_qty").alias("tq"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("part_qty") > 0.0006 * F.col("tq"))
+        .select("l_partkey", "part_qty")
+    )
+
+
+@_register(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+          FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+               AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer-order-count histogram — left outer
+    join (zero-order customers preserved) + double aggregation."""
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey")
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
