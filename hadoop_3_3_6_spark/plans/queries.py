@@ -2082,3 +2082,86 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# === SQL-string surface (§3.3: declarative entry point) ==================
+
+
+def _register_views(spark: SparkSession, sf_dir: str, tables: list[str]) -> None:
+    for t in tables:
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+
+
+@_register(
+    "sql_interface_q3",
+    f"""
+    SELECT l_orderkey,
+           cast(sum({_REV}) as double) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string entry point (SURVEY.md §3.3: the reference's
+    mini-DSLs are subsumed by full SQL → Catalyst): register the
+    fixture tables as views and run ANSI SQL directly.  Same plan as
+    the DataFrame q3 — one parser frontend, one optimizer."""
+    _register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               cast(sum(cast(l_extendedprice as decimal(15,2))
+                    * (cast(1.00 as decimal(3,2)) - cast(l_discount as decimal(4,2)))) as double) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < timestamp'1998-01-01 00:00:00'
+          AND l_shipdate > timestamp'1996-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """
+    )
+
+
+@_register(
+    "sql_interface_window",
+    """
+    SELECT user_id, event_type, n,
+           row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rnk
+    FROM (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type)
+    QUALIFY rnk = 1
+    """,
+)
+def q_sql_interface_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface with window + QUALIFY-equivalent: each user's most
+    frequent event type (Spark lacks QUALIFY; subquery filter is the
+    same plan)."""
+    _register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT user_id, event_type, n,
+                 row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rnk
+          FROM (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type))
+        WHERE rnk = 1
+        """
+    )
+
+
+@_register("approx_quantiles_lineitem")  # sketch-based: tolerance-checked in tests
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch): the scale path for
+    WordMedian-class queries at 100 TB — sketches merge across
+    partitions, no global sort.  Exactness bound checked in tests."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)").alias("approx_q"),
+        F.expr("cast(percentile(l_extendedprice, 0.5) as double)").alias("exact_median"),
+    )

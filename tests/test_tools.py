@@ -151,3 +151,14 @@ def test_ngram_jaccard_max_df_guard(spark, sf_dir):
     from hadoop_3_3_6_spark.functions.dedup import ngram_jaccard_pairs
 
     assert ngram_jaccard_pairs(docs, threshold=0.2, max_df=3).count() >= 0
+
+
+def test_approx_quantiles_tolerance(spark, sf_dir):
+    """approx_percentile must land within 2% relative error of the
+    exact median at sketch accuracy 1000."""
+    from hadoop_3_3_6_spark.plans.queries import QUERIES
+
+    for r in QUERIES["approx_quantiles_lineitem"](spark, sf_dir).collect():
+        approx_median = r["approx_q"][1]
+        rel = abs(approx_median - r["exact_median"]) / r["exact_median"]
+        assert rel < 0.02, f"{r['l_returnflag']}: rel err {rel:.4f}"
