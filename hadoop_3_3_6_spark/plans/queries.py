@@ -2165,3 +2165,204 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)").alias("approx_q"),
         F.expr("cast(percentile(l_extendedprice, 0.5) as double)").alias("exact_median"),
     )
+
+
+@_register(
+    "streaming_stream_stream_join",
+    """
+    SELECT c.user_id, count(*) AS n_pairs
+    FROM (SELECT user_id, ts AS click_ts, event_id AS click_id FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id AS p_user_id, ts AS purchase_ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.p_user_id
+     AND p.purchase_ts > c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    """,
+)
+def q_streaming_ss_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-stream interval join (click→purchase attribution within
+    30 min), replayed with availableNow; exact batch oracle."""
+    from hadoop_3_3_6_spark.streaming.windows import streaming_stream_stream_join
+
+    return streaming_stream_stream_join(spark, sf_dir)
+
+
+# === TPC-H-ish (cont.): Q2 / Q20 / Q21 shapes — completes the 22 =========
+# The fixture schema has no partsupp table, so Q2/Q20 use the
+# lineitem-derived (partkey, suppkey) relation as the supply catalog:
+# supplycost := min extended price a supplier ever charged for the part,
+# availqty   := total quantity the supplier ever shipped of the part.
+# Shapes (correlated scalar-min subquery; nested semi-join with a
+# correlated-aggregate threshold) match TPC-H Q2/Q20 exactly.
+
+
+@_register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supplycost
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY l_partkey, l_suppkey)
+    SELECT p_partkey, p_name, s_name, s_acctbal, supplycost
+    FROM part JOIN cost ON p_partkey = l_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_size < 15
+      AND supplycost = (SELECT min(c2.supplycost) FROM cost c2
+                        WHERE c2.l_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, p_partkey, s_name
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part within a region — a
+    correlated scalar-min subquery, decorrelated into a per-part min
+    aggregate joined back on (partkey, cost).  Region/nation dims are
+    broadcast; the min() measure is exact (no float arithmetic), so the
+    equality join is deterministic.  Top-100 with full tiebreakers."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey", "l_extendedprice")
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_regionkey")
+    region = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    eu_supp = (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    cost = (
+        li.join(F.broadcast(eu_supp.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supplycost"))
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_size") < 15).select("p_partkey", "p_name")
+    best = cost.join(
+        min_cost,
+        (F.col("l_partkey") == F.col("mc_partkey")) & (F.col("supplycost") == F.col("min_cost")),
+    )
+    return (
+        best.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@_register(
+    "q20_excess_share_suppliers",
+    f"""
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey, sum({_dec('l_quantity')}) AS sq
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%widget%')
+        AND l_shipdate >= TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey, l_partkey),
+    pt AS (SELECT l_partkey AS pk, sum(sq) AS pq FROM sp GROUP BY 1)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+            SELECT l_suppkey FROM sp JOIN pt ON l_partkey = pk
+            WHERE cast(sq as double) > 0.2 * cast(pq as double))
+      AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 1)
+    """,
+)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding an outsized share of a
+    filtered part line — nested IN-subqueries (part filter -> grouped
+    supply relation -> correlated share threshold -> supplier semi-join).
+    Share threshold compares exact decimal sums; both IN clauses become
+    left-semi hash joins, the nation one broadcast."""
+    li = load_table(spark, "lineitem", sf_dir)
+    widget_parts = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    sp = (
+        li.filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .join(F.broadcast(widget_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.expr(_dec("l_quantity"))).alias("sq"))
+    )
+    pt = sp.groupBy(F.col("l_partkey").alias("pk")).agg(F.sum("sq").alias("pq"))
+    heavy = (
+        sp.join(pt, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("sq").cast("double") > 0.2 * F.col("pq").cast("double"))
+        .select("l_suppkey")
+    )
+    nations = load_table(spark, "nation", sf_dir).filter(F.col("n_regionkey") <= 1).select("n_nationkey")
+    supp = load_table(spark, "supplier", sf_dir)
+    return (
+        supp.join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@_register(
+    "q21_waiting_suppliers",
+    """
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F')
+    SELECT s_name, count(*)::BIGINT AS numwait
+    FROM lo l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name IN ('NATION_1', 'NATION_3'))
+      AND EXISTS (SELECT 1 FROM lo l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone were late on multi-supplier
+    finalized orders — EXISTS -> left-semi self-join, NOT EXISTS ->
+    left-anti self-join over the order's line set.  The fixture lacks
+    commit/receipt dates, so "late" := shipped >60 days after the order
+    date; the flag is computed once and reused by all three references
+    (one scan, one join to orders, then two shuffle-local self-joins
+    keyed on l_orderkey)."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lo = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days")).alias("late"),
+    )
+    l1 = lo.filter(F.col("late"))
+    other = lo.select(F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp"))
+    other_late = lo.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    sole_late = l1.join(
+        other,
+        (F.col("l_orderkey") == F.col("o_key")) & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_semi",
+    ).join(
+        other_late,
+        (F.col("l_orderkey") == F.col("o_key")) & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_anti",
+    )
+    nations = (
+        load_table(spark, "nation", sf_dir)
+        .filter(F.col("n_name").isin("NATION_1", "NATION_3"))
+        .select("n_nationkey")
+    )
+    supp = load_table(spark, "supplier", sf_dir).join(
+        F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+    )
+    return (
+        sole_late.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

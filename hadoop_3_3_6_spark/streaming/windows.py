@@ -136,3 +136,36 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
     )
     return run_stream_to_batch(agg, output_mode="complete")
+
+
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: click events joined to purchase
+    events of the same user within the following 30 minutes — both
+    sides watermarked so the state store can evict (the join form that
+    needs true dual-stream state, impossible in the reference's batch
+    model).  Returns per-user conversion pair counts."""
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        on=F.expr(
+            """
+            user_id = p_user_id AND
+            purchase_ts > click_ts AND
+            purchase_ts <= click_ts + interval 30 minutes
+            """
+        ),
+        how="inner",
+    ).select("user_id", "click_id", "purchase_id")
+    out = run_stream_to_batch(joined, output_mode="append")
+    return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
