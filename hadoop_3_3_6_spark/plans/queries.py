@@ -836,9 +836,31 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_dedup_events(spark, sf_dir)
 
 
-@_register("streaming_session_window")  # session merge semantics: rows-only oracle
+@_register(
+    "streaming_session_window",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
 def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """session_window() stateful streaming aggregation (30-min gap)."""
+    """session_window() stateful streaming aggregation (30-min gap).
+    Oracle: gaps-and-islands — a session breaks exactly where the gap
+    to the previous event reaches the 30-minute inactivity bound,
+    which is session_window's merge rule (windows [t, t+g) merge iff
+    they overlap)."""
     from hadoop_3_3_6_spark.streaming.windows import streaming_session_counts
 
     return streaming_session_counts(spark, sf_dir)
@@ -2219,9 +2241,12 @@ def q_streaming_ss_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: cheapest supplier per part within a region — a
     correlated scalar-min subquery, decorrelated into a per-part min
-    aggregate joined back on (partkey, cost).  Region/nation dims are
+    window over the grouped supply relation (NOT a self-join back onto
+    the aggregate: Spark re-executes a reused DataFrame subtree, so the
+    join form scans lineitem twice — the window form scans it once and
+    reuses the groupBy's hash partitioning).  Region/nation dims are
     broadcast; the min() measure is exact (no float arithmetic), so the
-    equality join is deterministic.  Top-100 with full tiebreakers."""
+    equality filter is deterministic.  Top-100 with full tiebreakers."""
     li = load_table(spark, "lineitem", sf_dir).select("l_partkey", "l_suppkey", "l_extendedprice")
     supp = load_table(spark, "supplier", sf_dir)
     nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_regionkey")
@@ -2236,14 +2261,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("l_extendedprice").alias("supplycost"))
     )
-    min_cost = cost.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
-        F.min("supplycost").alias("min_cost")
+    part_w = Window.partitionBy("l_partkey")
+    best = cost.withColumn("min_cost", F.min("supplycost").over(part_w)).filter(
+        F.col("supplycost") == F.col("min_cost")
     )
     part = load_table(spark, "part", sf_dir).filter(F.col("p_size") < 15).select("p_partkey", "p_name")
-    best = cost.join(
-        min_cost,
-        (F.col("l_partkey") == F.col("mc_partkey")) & (F.col("supplycost") == F.col("min_cost")),
-    )
     return (
         best.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -2275,8 +2297,10 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers holding an outsized share of a
     filtered part line — nested IN-subqueries (part filter -> grouped
     supply relation -> correlated share threshold -> supplier semi-join).
-    Share threshold compares exact decimal sums; both IN clauses become
-    left-semi hash joins, the nation one broadcast."""
+    The per-part total is a window sum over the grouped supply relation
+    (one lineitem scan; a join back to a per-part aggregate would scan
+    it twice).  Share threshold compares exact decimal sums; both IN
+    clauses become left-semi hash joins, the nation one broadcast."""
     li = load_table(spark, "lineitem", sf_dir)
     widget_parts = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%widget%")).select("p_partkey")
     sp = (
@@ -2285,9 +2309,8 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.expr(_dec("l_quantity"))).alias("sq"))
     )
-    pt = sp.groupBy(F.col("l_partkey").alias("pk")).agg(F.sum("sq").alias("pq"))
     heavy = (
-        sp.join(pt, F.col("l_partkey") == F.col("pk"))
+        sp.withColumn("pq", F.sum("sq").over(Window.partitionBy("l_partkey")))
         .filter(F.col("sq").cast("double") > 0.2 * F.col("pq").cast("double"))
         .select("l_suppkey")
     )
@@ -2322,12 +2345,15 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who alone were late on multi-supplier
-    finalized orders — EXISTS -> left-semi self-join, NOT EXISTS ->
-    left-anti self-join over the order's line set.  The fixture lacks
-    commit/receipt dates, so "late" := shipped >60 days after the order
-    date; the flag is computed once and reused by all three references
-    (one scan, one join to orders, then two shuffle-local self-joins
-    keyed on l_orderkey)."""
+    finalized orders.  The EXISTS / NOT EXISTS pair decorrelates to
+    per-order supplier counts, computed here as window aggregates over
+    one partitionBy(l_orderkey) shuffle: "another supplier exists" :=
+    distinct suppliers in the order > 1; "no other supplier was late"
+    := (this line is late and) distinct late suppliers == 1.  Self-semi/
+    anti joins would re-execute the lineitem⋈orders subtree three
+    times; the window form scans each table once.  The fixture lacks
+    commit/receipt dates, so "late" := shipped >60 days after the
+    order date."""
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey", "l_shipdate")
     orders = (
         load_table(spark, "orders", sf_dir)
@@ -2339,19 +2365,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days")).alias("late"),
     )
-    l1 = lo.filter(F.col("late"))
-    other = lo.select(F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp"))
-    other_late = lo.filter(F.col("late")).select(
-        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
-    )
-    sole_late = l1.join(
-        other,
-        (F.col("l_orderkey") == F.col("o_key")) & (F.col("l_suppkey") != F.col("o_supp")),
-        "left_semi",
-    ).join(
-        other_late,
-        (F.col("l_orderkey") == F.col("o_key")) & (F.col("l_suppkey") != F.col("o_supp")),
-        "left_anti",
+    order_w = Window.partitionBy("l_orderkey")
+    sole_late = (
+        lo.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(order_w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(order_w)),
+        )
+        .filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
     nations = (
         load_table(spark, "nation", sf_dir)
