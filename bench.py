@@ -94,6 +94,25 @@ def main() -> None:
     timings["terasort_2m_records"] = round(time.perf_counter() - t0, 3)
     print(f"# terasort_2m_records: {timings['terasort_2m_records']:.3f}s", file=sys.stderr)
 
+    # TestDFSIO analogue (BASELINE.md third suite): sequential write
+    # then full read-back of the fact table through the storage layer
+    # (snappy parquet), the reference's -write/-read variants.
+    import shutil
+    import tempfile
+
+    dfsio_dir = tempfile.mkdtemp(prefix="dfsio_")
+    try:
+        li = load_table(spark, "lineitem", SF_DIR)
+        t0 = time.perf_counter()
+        li.write.mode("overwrite").parquet(dfsio_dir + "/out")
+        timings["dfsio_write"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        spark.read.parquet(dfsio_dir + "/out").write.format("noop").mode("overwrite").save()
+        timings["dfsio_read"] = round(time.perf_counter() - t0, 3)
+        print(f"# dfsio write/read: {timings['dfsio_write']:.3f}s / {timings['dfsio_read']:.3f}s", file=sys.stderr)
+    finally:
+        shutil.rmtree(dfsio_dir, ignore_errors=True)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
     print(

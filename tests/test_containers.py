@@ -157,3 +157,30 @@ def test_multi_path_scan(spark, tmp_path):
     df = spark.read.parquet(a, b)
     assert df.count() == 30
     assert df.agg(FF.max("id")).collect()[0][0] == 29
+
+
+def test_columnar_and_text_format_roundtrips(spark, tmp_path):
+    """Spark-native format surface beyond the reference's container
+    formats: CSV (TextInputFormat's delimited successor), JSON lines,
+    and ORC round-trip with schema and values intact, compression on."""
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta,comma", None), (3, None, -0.25)],
+        "id long, name string, score double",
+    )
+    expect = {(1, "alpha", 1.5), (2, "beta,comma", None), (3, None, -0.25)}
+
+    csv_path = str(tmp_path / "csv")
+    df.write.option("header", True).option("compression", "gzip").csv(csv_path)
+    back = spark.read.option("header", True).schema(df.schema).csv(csv_path)
+    assert {tuple(r) for r in back.collect()} == expect
+
+    json_path = str(tmp_path / "json")
+    df.write.option("compression", "gzip").json(json_path)
+    back = spark.read.schema(df.schema).json(json_path)
+    assert {tuple(r) for r in back.collect()} == expect
+
+    orc_path = str(tmp_path / "orc")
+    df.write.option("compression", "zlib").orc(orc_path)
+    back = spark.read.orc(orc_path)
+    assert back.schema == df.schema
+    assert {tuple(r) for r in back.collect()} == expect
