@@ -84,7 +84,18 @@ def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     """TF-IDF term scores: tf = in-doc occurrences, idf = ln(N/df).
     Three hash aggregates (term-in-doc counts, doc frequency, doc
     count), one broadcastable join — no MLlib, no UDFs, fully
-    SQL-oracle-reproducible.  Returns (id, term, tf, score)."""
+    SQL-oracle-reproducible.  Returns (id, term, tf, score).
+
+    Scale note: the dfreq branch re-executes the tokenize+tf subtree
+    (Spark re-runs reused DataFrame subtrees).  A window-by-term count
+    would be single-scan but skew-unsafe — stopword terms appear in
+    nearly every document and a window has no partial aggregation, so
+    one partition would receive |docs| rows.  At 100 TB the right play
+    is the reference's own chained-job idiom: materialize tf (persist
+    or intermediate parquet) and run both consumers off it; at bench
+    scale the re-tokenize is cheaper than the spill, so this stays a
+    pure plan.  The doc-count N is a separate column-pruned scan of
+    the id column only (footer-counted parquet: near-free)."""
     words = df.select(F.col(id_col), F.explode(_words(text_col)).alias("term"))
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -1343,12 +1343,16 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar subquery (per-part average)
-    decorrelated into an aggregate + self-join."""
+    decorrelated into a per-part window average — one lineitem scan and
+    one hash(l_partkey) shuffle, where the aggregate + self-join form
+    scans and shuffles lineitem twice."""
     li = load_table(spark, "lineitem", sf_dir)
-    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (F.sum(F.expr(_dec("l_quantity"))).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    part_w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.expr(_dec("l_quantity"))).over(part_w).cast("double")
+        / F.count(F.lit(1)).over(part_w)
     )
-    joined = li.join(avg_qty, F.col("l_partkey") == F.col("pk")).filter(
+    joined = li.withColumn("avg_qty", avg_qty).filter(
         F.col("l_quantity") < 0.5 * F.col("avg_qty")
     )
     return joined.agg(
@@ -1912,8 +1916,11 @@ def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the revenue view + max-equality selection
-    (the reference idiom: two chained jobs; here one plan with a
-    broadcast scalar max)."""
+    (the reference idiom: two chained jobs; here one plan).  The scalar
+    max is a global window over the per-supplier aggregate — that
+    relation is supplier-cardinality (dim-sized), so the one-partition
+    window is far cheaper than the scalar-subquery form's second
+    lineitem scan + shuffle."""
     li = load_table(spark, "lineitem", sf_dir).filter(
         "l_shipdate >= timestamp'1997-01-01 00:00:00' AND l_shipdate < timestamp'1997-04-01 00:00:00'"
     )
@@ -1923,12 +1930,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_rev")
     )
-    mx = srev.agg(F.max("total_rev").alias("mx"))
+    top = srev.withColumn("mx", F.max("total_rev").over(Window.partitionBy())).filter(
+        F.col("total_rev") == F.col("mx")
+    )
     supp = load_table(spark, "supplier", sf_dir)
     return (
-        supp.join(srev, supp.s_suppkey == srev.l_suppkey)
-        .crossJoin(F.broadcast(mx))
-        .filter(F.col("total_rev") == F.col("mx"))
+        supp.join(top, supp.s_suppkey == top.l_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
 
@@ -2065,8 +2072,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: groups exceeding a fraction of the global sum
-    (scalar-subquery threshold, broadcast as a 1-row frame)."""
+    """TPC-H Q11 shape: groups exceeding a fraction of the global sum.
+    The global total is a window sum over the per-part aggregate — a
+    part-cardinality relation, so the one-partition window avoids the
+    scalar-subquery form's second lineitem scan + shuffle."""
     li = load_table(spark, "lineitem", sf_dir)
     supp = load_table(spark, "supplier", sf_dir).filter(F.col("s_nationkey") < 5).select("s_suppkey")
     pv = (
@@ -2074,9 +2083,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(F.expr(_dec("l_quantity"))).cast("double").alias("part_qty"))
     )
-    total = pv.agg(F.sum("part_qty").alias("tq"))
     return (
-        pv.crossJoin(F.broadcast(total))
+        pv.withColumn("tq", F.sum("part_qty").over(Window.partitionBy()))
         .filter(F.col("part_qty") > 0.0006 * F.col("tq"))
         .select("l_partkey", "part_qty")
     )
