@@ -83,3 +83,60 @@ def tagged_join(dfs: dict[str, DataFrame], on: str | list[str], how: str = "inne
         ]
         tagged.append(df.select(*renames))
     return composite_join(tagged, on=keys, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """As-of join: each left row picks the latest right row of the same
+    key with ``right_time <= left_time`` (left rows without a match keep
+    nulls).  Spark has no native ASOF JOIN; the naive form — range join
+    then rank — expands to |left|x|right| pairs per key before the
+    filter.  This implementation is the linear, one-shuffle form: union
+    both sides tagged, sort within key by (time, side), and carry the
+    last-seen right values forward with ``last(ignorenulls)`` over an
+    unbounded-preceding frame.  Each row is touched once; the only
+    shuffle is hash(key); a hot key degrades to one sorted partition
+    (salt upstream if a single key exceeds a partition).
+
+    Ties are deterministic: right rows sort before left rows at equal
+    time (<= semantics), and ``tiebreak_col`` ascending picks the
+    largest value as the carried row among equal-time right rows.
+    """
+    from pyspark.sql.window import Window
+
+    tb = tiebreak_col or value_cols[0]
+    key, t = "_asof_key", "_asof_t"
+    r = right.select(
+        F.col(right_on).alias(key),
+        F.col(right_time).alias(t),
+        F.lit(1).alias("_is_right"),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).cast(f.dataType).alias(f"_l_{f.name}") for f in left.schema.fields],
+    )
+    l = left.select(
+        F.col(left_on).alias(key),
+        F.col(left_time).alias(t),
+        F.lit(0).alias("_is_right"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        *[F.col(f.name).alias(f"_l_{f.name}") for f in left.schema.fields],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(t).asc(), F.col("_is_right").desc(), F.col(tb).asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = r.unionByName(l).select(
+        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}") for c in value_cols]
+    )
+    return carried.filter(F.col("_is_right") == 0).select(
+        *[F.col(f"_l_{f.name}").alias(f.name) for f in left.schema.fields],
+        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols],
+    )

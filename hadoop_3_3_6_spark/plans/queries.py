@@ -2395,3 +2395,42 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@_register(
+    "asof_join_events_orders",
+    """
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             o.o_orderkey AS asof_o_orderkey, o.o_orderdate AS asof_o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC NULLS LAST,
+                                         o.o_orderkey DESC NULLS LAST) AS rn
+      FROM events e LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    SELECT event_id, user_id, ts, asof_o_orderkey, asof_o_orderdate
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join extension (absent in the reference and in Spark SQL):
+    each event matched to the user's latest order at event time — the
+    training-data pattern of stamping interactions with the prevailing
+    state.  Linear union+window form (operators/joins.asof_join): one
+    hash(user) shuffle, no |events|x|orders| range-join blowup; ties
+    broken deterministically (latest o_orderdate, then max o_orderkey)
+    to stay oracle-exact."""
+    from hadoop_3_3_6_spark.operators.joins import asof_join
+
+    events = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderdate", "o_orderkey")
+    return asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey", "o_orderdate"],
+        tiebreak_col="o_orderkey",
+    )

@@ -107,3 +107,33 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q2_min_cost_supplier",
+        "q11_important_stock",
+        "q15_top_supplier",
+        "q17_small_quantity",
+        "q20_excess_share_suppliers",
+        "q21_waiting_suppliers",
+    ],
+)
+def test_decorrelated_queries_scan_fact_once(spark, sf_dir, name):
+    """Spark re-executes reused DataFrame subtrees, so join-back-to-
+    own-aggregate decorrelations scan the fact table per reference;
+    these queries are written in single-scan window form and must stay
+    that way."""
+    plan = plan_of(spark, sf_dir, name)
+    assert plan.count("lineitem.parquet") == 1, f"{name} re-scans lineitem"
+
+
+def test_asof_join_is_linear(spark, sf_dir):
+    """The as-of join must stay the union+window linear form — a range
+    join + rank would materialize |events|x|orders| pairs per user
+    before filtering."""
+    plan = plan_of(spark, sf_dir, "asof_join_events_orders")
+    for node in ["SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"]:
+        assert node not in plan, f"asof join plan contains {node}"
+    assert "Window" in plan
