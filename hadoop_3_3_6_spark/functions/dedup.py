@@ -24,6 +24,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Modulus for the portable (cross-engine reproducible) hash ring.
+#: Arithmetic stays under 2^60 so neither Spark (wrapping) nor DuckDB
+#: (overflow-checked) BIGINT semantics are exercised — both compute the
+#: identical value, which is what makes the minhash/simhash queries
+#: exactly oracle-checkable instead of rows-only.
+PORTABLE_MOD = 1_000_000_007
+
+
+def portable_hash_expr(x: str) -> str:
+    """60-bit hash of a string expression, identical in Spark and
+    DuckDB: first 15 hex digits of md5, parsed as an integer.  Spark:
+    ``conv(substr(md5(x),1,15),16,10)``; DuckDB:
+    ``('0x'||substr(md5(x),1,15))::BIGINT``.  ~2× the cost of xxhash64
+    (md5 + string slice) — the default fast path stays xxhash64; flip
+    to portable only where cross-engine reproducibility is worth it
+    (the oracle-checked queries use it; a 100 TB run would not)."""
+    return f"cast(conv(substr(md5({x}),1,15),16,10) as bigint)"
+
+
+def _token_hash(x: str, portable: bool) -> str:
+    return portable_hash_expr(x) if portable else f"xxhash64({x})"
+
 
 def _shingles_expr(text_col: str, n: int) -> str:
     """Distinct word n-gram shingles as a SQL expression.  Documents
@@ -54,8 +76,26 @@ def shingle_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     return df.select(F.col(id_col), F.expr(_shingles_expr(text_col, n)).alias("shingles"))
 
 
+def minhash_coef(tag: str, p: int) -> int:
+    """Deterministic affine-map coefficient on the PORTABLE_MOD ring
+    (sha256-derived, like ``_coef`` but overflow-free): multiplier
+    ``a`` in [1, P-1], offset ``b`` in [0, P-1].  Public so the oracle
+    SQL can embed the identical constants."""
+    import hashlib
+    import struct
+
+    h = hashlib.sha256(f"{tag}:{p}".encode()).digest()
+    (u,) = struct.unpack(">Q", h[:8])
+    return (u % (PORTABLE_MOD - 1)) + 1 if tag == "a" else u % PORTABLE_MOD
+
+
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, num_perm: int = 32
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signature per doc: permutation i is simulated by seeding
     xxhash64 with a per-permutation prefix; signature[i] = min over
@@ -69,7 +109,14 @@ def minhash_signatures(
     would tokenize the document num_perm times (CollapseProject
     inlines the shingle expression into every lane); this layout
     tokenizes once and ships one (id, num_perm mins) row per partition
-    into the shuffle — the scale-correct form."""
+    into the shuffle — the scale-correct form.
+
+    ``portable=True`` keeps the same shape (hash words once, combine
+    per shingle arithmetically) but swaps xxhash64 for the md5-derived
+    portable hash and the 64-bit wrapping ring for the PORTABLE_MOD
+    ring (every product reduced mod P so nothing overflows — DuckDB
+    BIGINTs are overflow-checked).  Bit-identical in DuckDB → exact
+    oracle; only extra cost is md5-vs-xxhash64 per word."""
     import hashlib
     import struct
 
@@ -77,6 +124,32 @@ def minhash_signatures(
         h = hashlib.sha256(f"{tag}:{p}".encode()).digest()
         (u,) = struct.unpack(">q", h[:8])
         return u | 1 if tag == "a" else u  # odd multiplier -> bijection mod 2^64
+
+    if portable:
+        P = PORTABLE_MOD
+        words = f"filter(split({text_col}, ' '), w -> w <> '')"
+        whashes = f"transform({words}, w -> {portable_hash_expr('w')} % {P})"
+        combine = " + ".join(
+            f"element_at(hs, cast(i + {j} as int)) * {minhash_coef('g', j)}L % {P}" for j in range(n)
+        )
+        shingle_hashes = (
+            f"case when size(hs) >= {n} then "
+            f"array_distinct(transform(sequence(1, size(hs) - {n - 1}), i -> ({combine}) % {P})) "
+            f"else array(cast(null as bigint)) end"
+        )
+        exploded = (
+            df.select(F.col(id_col), F.explode(F.array(F.expr(whashes))).alias("hs"))
+            .select(F.col(id_col), F.explode(F.expr(shingle_hashes)).alias("h"))
+            .filter(F.col("h").isNotNull())
+        )
+        mins = [
+            F.min(F.expr(f"({minhash_coef('a', p)}L * h + {minhash_coef('b', p)}L) % {P}")).alias(f"_m{p}")
+            for p in range(num_perm)
+        ]
+        agged = exploded.groupBy(id_col).agg(*mins)
+        return agged.select(
+            F.col(id_col), F.array(*[F.col(f"_m{p}") for p in range(num_perm)]).alias("signature")
+        )
 
     # shingle identity = arithmetic combination of the n word hashes —
     # never materializes n-gram strings (hash each word once, then one
@@ -115,26 +188,28 @@ def minhash_candidate_pairs(
     n: int = 3,
     num_perm: int = 32,
     bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """Banded LSH: split the signature into ``bands`` bands of
     ``num_perm/bands`` rows, hash each band, self-join on
     (band, band_hash).  Docs agreeing on any band become a candidate
     pair (id_a < id_b, distinct).  The only shuffle is the bucket join
-    on the band hash — never an all-pairs comparison."""
+    on the band hash — never an all-pairs comparison.
+
+    ``portable=True``: portable signatures (see minhash_signatures) and
+    the band's value array itself as the join key (array equality —
+    collision-free, and reproducible in the DuckDB oracle) instead of
+    an xxhash64 of the slice."""
     rows = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_perm)
+    sigs = minhash_signatures(df, text_col, id_col, n, num_perm, portable=portable)
+    if portable:
+        band_key = lambda b: F.expr(f"slice(signature, {b * rows + 1}, {rows})").alias("band_hash")  # noqa: E731
+    else:
+        band_key = lambda b: F.xxhash64(F.expr(f"slice(signature, {b * rows + 1}, {rows})")).alias("band_hash")  # noqa: E731
     banded = sigs.select(
         F.col(id_col),
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.expr(f"slice(signature, {b * rows + 1}, {rows})")).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
+            F.array(*[F.struct(F.lit(b).alias("band"), band_key(b)) for b in range(bands)])
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.band_hash")
     a = banded.alias("a")
@@ -192,13 +267,17 @@ def ngram_jaccard_pairs(
     return pairs.select("id_a", "id_b", jaccard.alias("jaccard")).filter(F.col("jaccard") >= threshold)
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", portable: bool = False) -> DataFrame:
     """64-bit SimHash: per token hash, each bit contributes +1/-1 to a
-    64-lane counter; fingerprint bit i = sign of lane i.  One aggregate
-    fold per document (JVM higher-order functions), no shuffle."""
+     64-lane counter; fingerprint bit i = sign of lane i.  One aggregate
+    fold per document (JVM higher-order functions), no shuffle.
+
+    ``portable=True`` uses the md5-derived 60-bit token hash (exact
+    DuckDB oracle); lanes 60-63 then never go positive, so the
+    fingerprint effectively has 60 informative bits."""
     words = f"filter(split({text_col}, ' '), w -> w <> '')"
     lanes = (
-        f"aggregate(transform({words}, w -> xxhash64(w)), "
+        f"aggregate(transform({words}, w -> {_token_hash('w', portable)}), "
         f"array_repeat(cast(0 as bigint), 64), "
         f"(acc, h) -> zip_with(acc, sequence(0, 63), "
         f"(a, i) -> a + case when (shiftright(h, cast(i as int)) & 1) = 1 then 1 else -1 end))"

@@ -92,6 +92,66 @@ def cosine_pairs_above(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    probe_ids: list[int] | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus onto
+    ``num_centroids`` centroid lists, search only the ``nprobe``
+    nearest lists per probe.
+
+    Centroids here are the vectors with ``id < num_centroids`` — a
+    deterministic, engine-reproducible seeding that keeps the whole
+    query exactly oracle-checkable; at scale you'd swap in kmeans||
+    centroids from a sample without touching the assignment/probe
+    machinery.  Scale shape: centroids are broadcast (a few KB); the
+    |V|×K score matrix exists only inside one stage (broadcast
+    nested-loop + partial max_by combine), so the shuffle carries one
+    assignment row per vector keyed by ``cent_id`` — the inverted
+    "lists" are just that partitioning, never materialized.  Probe
+    ranking is a window over |probes|×K rows only.  Per-probe work
+    drops from O(|V|) (brute force) to O(|V|·nprobe/K) expected."""
+    from pyspark.sql.window import Window
+
+    cents = (
+        emb.filter(F.col(id_col) < num_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
+        .withColumn("_cnorm", F.expr(f"sqrt({_dot('cvec', 'cvec')})"))
+    )
+    v = with_norm(emb, vec_col)
+    cscore = F.round(F.expr(f"{_dot(vec_col, 'cvec')} / (_norm * _cnorm)"), 6)
+    vc = v.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), F.col(vec_col), F.col("_norm"), F.col("cent_id"), cscore.alias("cscore")
+    )
+    assigned = vc.groupBy(id_col).agg(
+        F.max_by("cent_id", F.struct(F.col("cscore"), (-F.col("cent_id")).alias("_nc"))).alias("cent_id"),
+        F.first(vec_col).alias(vec_col),
+        F.first("_norm").alias("_norm"),
+    )
+    pw = Window.partitionBy(id_col).orderBy(F.col("cscore").desc(), F.col("cent_id").asc())
+    probe_vc = vc.filter(F.col(id_col).isin(probe_ids)) if probe_ids is not None else vc
+    probes = (
+        probe_vc.withColumn("crank", F.row_number().over(pw))
+        .filter(F.col("crank") <= nprobe)
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("_pvec"),
+            F.col("_norm").alias("_pnorm"),
+            "cent_id",
+        )
+    )
+    score = F.round(F.expr(f"{_dot('_pvec', vec_col)} / (_pnorm * _norm)"), 6)
+    cand = probes.join(assigned, on="cent_id").filter(F.col("probe_id") != F.col(id_col))
+    scored = cand.select("probe_id", F.col(id_col).alias("neighbor_id"), score.alias("score"))
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def _plane_vectors(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (p, j) is
     derived from sha256, mapped to [-1, 1).  No RNG state, so every

@@ -907,18 +907,72 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
 
 
-@_register("dedup_minhash")  # approximate: validated against exact jaccard in tests
+def _minhash_oracle(n: int = 3, num_perm: int = 32, bands: int = 8) -> str:
+    """DuckDB mirror of the portable minhash+LSH pipeline: identical
+    md5-derived shingle hashes, identical sha256-derived affine maps on
+    the PORTABLE_MOD ring, band key = the min-lane slice itself."""
+    from hadoop_3_3_6_spark.functions.dedup import PORTABLE_MOD as P
+    from hadoop_3_3_6_spark.functions.dedup import minhash_coef
+
+    rows = num_perm // bands
+    lanes = ",\n           ".join(
+        f"min(({minhash_coef('a', p)} * h + {minhash_coef('b', p)}) % {P}) AS m{p}"
+        for p in range(num_perm)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, [{', '.join(f'm{b * rows + j}' for j in range(rows))}] AS bkey FROM sig"
+        for b in range(bands)
+    )
+    combine = " + ".join(f"hs[i + {j}] * {minhash_coef('g', j)} % {P}" for j in range(n))
+    return f"""
+    WITH wh AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+                            w -> ('0x' || substr(md5(w), 1, 15))::BIGINT % {P}) AS hs
+      FROM documents),
+    h AS (
+      SELECT doc_id, unnest(shingle_hs) AS h FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(hs) - {n - 2}), i -> ({combine}) % {P})) AS shingle_hs
+        FROM wh WHERE len(hs) >= {n})),
+    sig AS (SELECT doc_id, {lanes} FROM h GROUP BY doc_id),
+    bands AS ({band_rows})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """
+
+
+@_register("dedup_minhash", _minhash_oracle())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH banded candidate pairs (scale path for near-dedup)."""
+    """MinHash+LSH banded candidate pairs (scale path for near-dedup).
+    Portable-hash mode — exactly reproduced by the DuckDB oracle; the
+    xxhash64 fast path (same pipeline, ~2× cheaper hashing) stays the
+    100 TB default and is recall-tested against exact jaccard."""
     docs = load_table(spark, "documents", sf_dir)
-    return minhash_candidate_pairs(docs, "text", "doc_id", n=3, num_perm=32, bands=8)
+    return minhash_candidate_pairs(docs, "text", "doc_id", n=3, num_perm=32, bands=8, portable=True)
 
 
-@_register("dedup_simhash")  # xxhash64 not reproducible in DuckDB: rows-only
+@_register(
+    "dedup_simhash",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w),
+    lanes AS (
+      SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS lane
+      FROM h CROSS JOIN generate_series(0, 63) AS t(i)
+      GROUP BY doc_id, i),
+    fp AS (SELECT doc_id, sum(CASE WHEN lane > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+           FROM lanes GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(fp.simhash, 0)::BIGINT AS simhash
+    FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints per document."""
+    """SimHash fingerprints per document (portable 60-bit token hash —
+    exact DuckDB oracle; xxhash64 mode for full 64 bits at scale)."""
     docs = load_table(spark, "documents", sf_dir)
-    return simhash(docs, "text", "doc_id")
+    return simhash(docs, "text", "doc_id", portable=True)
 
 
 @_register(
@@ -967,6 +1021,54 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     probe_ids = [r[0] for r in emb.filter(F.col("vec_id") < 25).select("vec_id").collect()]
     return lsh_bucketed_topk(emb, "vec_id", "embedding", k=5, num_tables=8, bits_per_table=4, dim=64, probe_ids=probe_ids)
+
+
+_IVF_COS = "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+
+
+@_register(
+    "similarity_ivf_topk",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 16),
+    vc AS (
+      SELECT v.vec_id, c.cent_id, {_IVF_COS.format(a="v.e", b="c.ce")} AS cscore
+      FROM v CROSS JOIN c),
+    asg AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn
+        FROM vc) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS probe_id, cent_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn
+        FROM vc WHERE vec_id < 25) WHERE rn <= 4),
+    cand AS (
+      SELECT p.probe_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN asg a ON a.cent_id = p.cent_id AND a.vec_id != p.probe_id),
+    scored AS (
+      SELECT cand.probe_id, cand.neighbor_id, {_IVF_COS.format(a="pa.e", b="pb.e")} AS score
+      FROM cand JOIN v pa ON pa.vec_id = cand.probe_id JOIN v pb ON pb.vec_id = cand.neighbor_id),
+    ranked AS (
+      SELECT probe_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT probe_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN top-5 for probes vec_id < 25 —
+    deterministic centroid seeding (vec_id < 16) keeps it exactly
+    oracle-checkable; see functions/similarity.ivf_topk for the
+    kmeans||-at-scale note.  Unlike the LSH path this is an exact
+    search within the probed lists, so recall loss comes only from
+    list selection."""
+    from hadoop_3_3_6_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probe_ids = [r[0] for r in emb.filter(F.col("vec_id") < 25).select("vec_id").collect()]
+    return ivf_topk(emb, "vec_id", "embedding", k=5, num_centroids=16, nprobe=4, probe_ids=probe_ids)
 
 
 @_register(
