@@ -1,0 +1,97 @@
+"""Deterministic sampling / splitting / shuffling for training-data
+pipelines (north-star extension; SURVEY.md §7.2 M6).
+
+Every operator here keys off the portable 60-bit md5 hash
+(functions.dedup.portable_hash_expr) of a stable id — NOT rand():
+a hash-derived decision is reproducible across runs, engines
+(exact DuckDB oracles) and re-partitions, survives speculative task
+re-execution, and lets an item's split assignment be recomputed from
+its id alone — the property a 100 TB pipeline needs so that adding
+data never reshuffles existing train/val/test membership.
+
+All three are narrow transformations (no shuffle): the hash is
+computed per row and the decision is a pure projection/filter, so
+they pipeline into whatever scan they follow.  Only global_shuffle
+introduces a shuffle, and that one IS the product: a
+deterministically-seeded total order, produced as (block, pos) so
+the rank windows parallelize over blocks instead of funnelling the
+corpus through one partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_3_3_6_spark.functions.dedup import portable_hash_expr
+
+
+def split_bucket_expr(id_col: str, buckets: int = 100, salt: str = "split") -> str:
+    """Bucket in [0, buckets) from the salted portable hash of the id.
+    The salt decorrelates independent decisions (split vs sample vs
+    shuffle) taken over the same id space."""
+    salted = f"concat('{salt}:', cast({id_col} as string))"
+    return f"{portable_hash_expr(salted)} % {buckets}"
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    buckets: int = 100,
+) -> DataFrame:
+    """Stable train/val/test assignment: bucket = hash(id) % buckets,
+    split = the band the bucket falls in (weights are per-split bucket
+    counts, summing to ``buckets``).  Adds (bucket, split)."""
+    weights = weights or {"train": 90, "val": 5, "test": 5}
+    assert sum(weights.values()) == buckets
+    bounds, acc = [], 0
+    for name, w in weights.items():
+        acc += w
+        bounds.append((acc, name))
+    branches = " ".join(f"WHEN bucket < {hi} THEN '{name}'" for hi, name in bounds)
+    return df.withColumn("bucket", F.expr(split_bucket_expr(id_col, buckets))).withColumn(
+        "split", F.expr(f"CASE {branches} END")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    rates: dict[str, int] | None = None,
+    default_rate: int = 10,
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic per-stratum sampling (data mixing): keep a row iff
+    hash(id) % buckets < rate(stratum), rate in buckets-per-100.
+    Up/down-weighting a source is a one-line rate change, and the kept
+    set is stable under re-runs and data growth."""
+    rates = rates or {}
+    branches = " ".join(f"WHEN {stratum_col} = '{s}' THEN {r}" for s, r in rates.items())
+    rate = f"CASE {branches} ELSE {default_rate} END" if rates else str(default_rate)
+    return df.withColumn("_b", F.expr(split_bucket_expr(id_col, buckets, salt="sample"))).filter(
+        F.expr(f"_b < ({rate})")
+    ).drop("_b")
+
+
+def global_shuffle(
+    df: DataFrame, id_col: str = "doc_id", num_blocks: int = 32
+) -> DataFrame:
+    """Deterministically-seeded global shuffle for training-order
+    randomization: shuffle order = (block, pos) where
+    block = hash(id) % num_blocks and pos ranks hash within the block.
+    Each block's rank window runs in its own partition — the corpus
+    never funnels through a single task, unlike a naive global
+    row_number; readers stream blocks in index order to consume the
+    permutation."""
+    from pyspark.sql.window import Window
+
+    key = portable_hash_expr(f"concat('shuffle:', cast({id_col} as string))")
+    w = Window.partitionBy("block").orderBy(F.col("_skey").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_skey", F.expr(key))
+        .withColumn("block", F.expr(f"_skey % {num_blocks}"))
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_skey")
+    )

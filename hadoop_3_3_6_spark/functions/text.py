@@ -122,3 +122,29 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         f"(acc, w) -> pmod(acc * 31 + length(w) * 131 + ascii(substring(w, 1, 1)), {FINGERPRINT_MOD}))"
     )
     return df.select(F.col(id_col), F.expr(expr).alias("fingerprint"))
+
+
+def boilerplate_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Gopher-style repetition signals: fraction of word n-grams that
+    are duplicates within the document (boilerplate / repeated-line
+    detector — high values mean templated or looping text that a
+    pretraining quality filter drops).  Pure per-row higher-order
+    expressions (one array of n-gram strings per doc inside a single
+    projection), no shuffle, no UDF."""
+    words = f"filter(split({text_col}, ' '), w -> w <> '')"
+    grams = (
+        f"case when size({words}) >= {n} then "
+        f"transform(sequence(1, size({words}) - {n - 1}), "
+        f"i -> array_join(slice({words}, i, {n}), ' ')) "
+        f"else array() end"
+    )
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({grams})").alias("total_ngrams"),
+        F.expr(f"size(array_distinct({grams}))").alias("distinct_ngrams"),
+        F.expr(
+            f"case when size({grams}) > 0 then "
+            f"round(1.0 - cast(size(array_distinct({grams})) as double) / size({grams}), 6) "
+            f"else 0.0 end"
+        ).alias("dup_ngram_fraction"),
+    )

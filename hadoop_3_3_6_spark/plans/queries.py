@@ -2122,6 +2122,94 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pipeline_hash_split",
+    """
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+          FROM documents)
+    """,
+)
+def q_pipeline_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/val/test split (90/5/5) keyed on the salted
+    portable hash of doc_id — membership is a pure function of the id,
+    so growing the corpus never migrates existing docs between splits
+    (functions/sampling.hash_split; narrow, shuffle-free)."""
+    from hadoop_3_3_6_spark.functions.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    return hash_split(docs, "doc_id").select("doc_id", "bucket", "split")
+
+
+@_register(
+    "pipeline_sample_stratified",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+      FROM documents)
+    WHERE b < (CASE WHEN source = 'src0' THEN 50 ELSE 10 END)
+    """,
+)
+def q_pipeline_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for data mixing: 50% of src0,
+    10% of every other source, decided by hash — reproducible across
+    runs/engines/partitionings, unlike rand()-based sampling
+    (functions/sampling.stratified_sample)."""
+    from hadoop_3_3_6_spark.functions.sampling import stratified_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return stratified_sample(docs, "doc_id", "source", rates={"src0": 50}, default_rate=10).select(
+        "doc_id", "source"
+    )
+
+
+@_register(
+    "text_boilerplate",
+    """
+    SELECT doc_id, len(grams)::INT AS total_ngrams, len(list_distinct(grams))::INT AS distinct_ngrams,
+           CASE WHEN len(grams) > 0
+                THEN round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6)
+                ELSE 0.0 END AS dup_ngram_fraction
+    FROM (SELECT doc_id,
+                 CASE WHEN len(words) >= 3
+                      THEN list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))
+                      ELSE []::VARCHAR[] END AS grams
+          FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words FROM documents))
+    """,
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: duplicate 3-gram fraction per
+    document (functions/text.boilerplate_signals; per-row HOFs, no
+    shuffle)."""
+    from hadoop_3_3_6_spark.functions.text import boilerplate_signals
+
+    return boilerplate_signals(load_table(spark, "documents", sf_dir), "text", "doc_id", n=3)
+
+
+@_register(
+    "pipeline_global_shuffle",
+    """
+    SELECT doc_id, skey % 32 AS block,
+           row_number() OVER (PARTITION BY skey % 32 ORDER BY skey, doc_id)::INT AS pos
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5('shuffle:' || doc_id::VARCHAR), 1, 15))::BIGINT AS skey
+          FROM documents)
+    """,
+)
+def q_pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically-seeded global shuffle for training order:
+    shuffle position = (block, pos), rank windows parallelized per
+    block so the corpus never funnels through one partition
+    (functions/sampling.global_shuffle)."""
+    from hadoop_3_3_6_spark.functions.sampling import global_shuffle
+
+    docs = load_table(spark, "documents", sf_dir)
+    return global_shuffle(docs, "doc_id", num_blocks=32).select("doc_id", "block", "pos")
+
+
 # === TPC-H-ish (cont.): Q9 / Q11 / Q13 shapes ============================
 
 

@@ -172,3 +172,34 @@ def test_key_field_sort_char_offsets(spark):
     df = spark.createDataFrame(rows, "line string")
     out = [r["line"] for r in key_field_sort(df, "line", "-k1.2,1.4").collect()]
     assert out == ["xABy\t2", "xBAy\t1", "xCAy\t3"]
+
+
+def test_hash_split_stable_under_growth(spark, sf_dir):
+    """A doc's split assignment is a pure function of its id: computing
+    the split over a half-corpus subset gives the same labels as over
+    the full corpus (the property rand()-sampling lacks)."""
+    from hadoop_3_3_6_spark.functions.sampling import hash_split
+    from hadoop_3_3_6_spark.session import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    full = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").select("doc_id", "split").collect()}
+    sub = hash_split(docs.filter(F.col("doc_id") % 2 == 0), "doc_id").select("doc_id", "split").collect()
+    assert sub and all(full[r["doc_id"]] == r["split"] for r in sub)
+    assert {"train", "val", "test"} >= set(full.values())
+
+
+def test_global_shuffle_is_permutation(spark, sf_dir):
+    """(block, pos) is a total order: positions are dense per block and
+    every input row appears exactly once."""
+    from hadoop_3_3_6_spark.functions.sampling import global_shuffle
+    from hadoop_3_3_6_spark.session import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = global_shuffle(docs, "doc_id", num_blocks=8).select("doc_id", "block", "pos").collect()
+    assert len(out) == docs.count()
+    assert len({r["doc_id"] for r in out}) == len(out)
+    by_block = {}
+    for r in out:
+        by_block.setdefault(r["block"], []).append(r["pos"])
+    for poss in by_block.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
