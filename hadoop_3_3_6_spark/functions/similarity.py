@@ -146,7 +146,13 @@ def ivf_topk(
         )
     )
     score = F.round(F.expr(f"{_dot('_pvec', vec_col)} / (_pnorm * _norm)"), 6)
-    cand = probes.join(assigned, on="cent_id").filter(F.col("probe_id") != F.col(id_col))
+    # probes × nprobe is small by construction — broadcast it so the
+    # corpus-sized assigned side never shuffles (cent_id has only
+    # num_centroids values: a hash join on it would be maximally
+    # skewed).  With probe_ids=None (all-pairs mode) the probe side is
+    # corpus-sized, so fall back to the shuffle join.
+    probe_side = F.broadcast(probes) if probe_ids is not None else probes
+    cand = assigned.join(probe_side, on="cent_id").filter(F.col("probe_id") != F.col(id_col))
     scored = cand.select("probe_id", F.col(id_col).alias("neighbor_id"), score.alias("score"))
     w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -137,3 +137,13 @@ def test_asof_join_is_linear(spark, sf_dir):
     for node in ["SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"]:
         assert node not in plan, f"asof join plan contains {node}"
     assert "Window" in plan
+
+
+def test_ivf_probe_join_broadcasts(spark, sf_dir):
+    """The probes-to-candidates join keys on cent_id (num_centroids
+    distinct values — maximal skew for a shuffle join); the tiny probe
+    side must broadcast so the corpus-sized assigned side never
+    shuffles for it."""
+    plan = plan_of(spark, sf_dir, "similarity_ivf_topk")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
