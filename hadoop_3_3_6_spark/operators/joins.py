@@ -140,3 +140,51 @@ def asof_join(
         *[F.col(f"_l_{f.name}").alias(f.name) for f in left.schema.fields],
         *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols],
     )
+
+
+def interval_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Range (interval) join: each left row (a point in time) matched to
+    right rows whose ``[start_col, end_col)`` interval contains it, with
+    an equi-key on top.  Spark has no native range join; the naive
+    encoding — equi-key plus two inequality predicates — still shuffles
+    on the key alone and compares every key-group pair (quadratic in hot
+    keys, or a BroadcastNestedLoopJoin with no key at all).
+
+    The scale form is bucketing: quantize time into ``bucket_seconds``
+    buckets, explode each interval to the buckets it covers, map each
+    point to its single bucket, equi-join on (key, bucket), then apply
+    the exact interval predicate as a post-filter.  The join is a plain
+    hash/SMJ equi-join on a composite key (shuffle keyed by
+    (key, bucket) — hot keys spread over their time range); each
+    matching pair meets in exactly one bucket (the point's), so no
+    dedup is needed.  Pick ``bucket_seconds`` ≈ typical interval length:
+    an interval then explodes to ~2 rows, and filter selectivity per
+    bucket stays high."""
+    lb = left.withColumn(
+        "_bucket", F.expr(f"floor(unix_timestamp({point_col}) / {bucket_seconds})")
+    )
+    rb = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.expr(
+                f"sequence(floor(unix_timestamp({start_col}) / {bucket_seconds}), "
+                f"floor(unix_timestamp({end_col}) / {bucket_seconds}))"
+            )
+        ),
+    )
+    cond = [
+        lb[left_on] == rb[right_on],
+        lb["_bucket"] == rb["_bucket"],
+        lb[point_col] >= rb[start_col].cast("timestamp"),
+        lb[point_col] < rb[end_col].cast("timestamp"),
+    ]
+    return lb.join(rb, on=cond).drop("_bucket")

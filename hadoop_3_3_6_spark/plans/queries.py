@@ -2210,6 +2210,36 @@ def q_pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_shuffle(docs, "doc_id", num_blocks=32).select("doc_id", "block", "pos")
 
 
+@_register(
+    "interval_join_events_orders",
+    """
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+    FROM events e JOIN orders o
+      ON o.o_custkey = e.user_id
+     AND e.ts >= o.o_orderdate
+     AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join extension (absent in the reference — SURVEY
+    §2.4 lists it as the extension row next to as-of): events matched
+    to orders whose 7-day post-order window contains the event.
+    Bucketed equi-join form (operators/joins.interval_join_bucketed):
+    shuffle keys on (user, week-bucket) — never a nested-loop or a
+    per-user quadratic compare."""
+    from hadoop_3_3_6_spark.operators.joins import interval_join_bucketed
+
+    events = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, "orders", sf_dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .withColumn("w_end", F.expr("o_orderdate + INTERVAL 7 DAY"))
+    )
+    return interval_join_bucketed(
+        events, orders, "user_id", "o_custkey", "ts", "o_orderdate", "w_end", bucket_seconds=7 * 86400
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+
+
 # === TPC-H-ish (cont.): Q9 / Q11 / Q13 shapes ============================
 
 

@@ -119,3 +119,39 @@ def random_text(spark: SparkSession, num_rows: int, words_per_row: int = 20, see
             f"array_join(transform(sequence(1, {words_per_row}), j -> {word}), ' ')"
         ).alias("text"),
     )
+
+
+def dist_ch(
+    spark: SparkSession,
+    src_glob: str,
+    mode: int | None = None,
+    mtime: float | None = None,
+    num_partitions: int = 8,
+) -> int:
+    """DistCh analogue (hadoop-tools/hadoop-extras/src/main/java/org/
+    apache/hadoop/tools/DistCh.java under /root/reference/):
+    distributed metadata mutation — chmod and/or touch applied to every
+    file matching ``src_glob``.  The listing is driver-side (as in
+    DistCh's job setup), the mutations run in executors over a
+    parallelized path list; no file content is ever read.  Ownership
+    changes (DistCh -owner) are deliberately out: they require
+    privileges an engine should not assume.  Returns files changed."""
+    import glob as _glob
+
+    paths = sorted(_glob.glob(src_glob))
+    if not paths:
+        return 0
+    changed = spark.sparkContext.accumulator(0)
+
+    def apply_partition(rows):
+        for (path,) in rows:
+            if mode is not None:
+                os.chmod(path, mode)
+            if mtime is not None:
+                os.utime(path, (mtime, mtime))
+            changed.add(1)
+
+    spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        min(num_partitions, len(paths))
+    ).foreachPartition(apply_partition)
+    return changed.value

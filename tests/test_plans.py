@@ -147,3 +147,11 @@ def test_ivf_probe_join_broadcasts(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "similarity_ivf_topk")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_interval_join_is_equi(spark, sf_dir):
+    """The bucketed interval join must compile to an equi-join on
+    (key, bucket) — never a nested-loop/cartesian pair scan."""
+    plan = plan_of(spark, sf_dir, "interval_join_events_orders")
+    for node in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan

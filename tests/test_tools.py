@@ -162,3 +162,20 @@ def test_approx_quantiles_tolerance(spark, sf_dir):
         approx_median = r["approx_q"][1]
         rel = abs(approx_median - r["exact_median"]) / r["exact_median"]
         assert rel < 0.02, f"{r['l_returnflag']}: rel err {rel:.4f}"
+
+
+def test_dist_ch_chmod_touch(spark, tmp_path):
+    """DistCh analogue: distributed chmod + touch over a glob."""
+    import os
+    import stat
+
+    from hadoop_3_3_6_spark.sources.tools import dist_ch
+
+    for i in range(5):
+        (tmp_path / f"f{i}.txt").write_text(f"data{i}")
+    n = dist_ch(spark, str(tmp_path / "*.txt"), mode=0o600, mtime=1_600_000_000.0)
+    assert n == 5
+    for i in range(5):
+        st = os.stat(tmp_path / f"f{i}.txt")
+        assert stat.S_IMODE(st.st_mode) == 0o600
+        assert int(st.st_mtime) == 1_600_000_000
