@@ -46,6 +46,8 @@ HEADLINE = [
     "text_tfidf_topk",
     "similarity_lsh_topk",
     "udaf_weighted_price",
+    "asof_join_events_orders",
+    "interval_join_events_orders",
 ]
 
 

@@ -2240,6 +2240,48 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
 
 
+@_register(
+    "pipeline_contamination",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(words) - 2),
+                                            i -> array_to_string(words[i:i+3], ' '))) AS shingles
+        FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words FROM documents)
+        WHERE len(words) >= 4))
+    SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id, count(*) AS shared_ngrams
+    FROM sh t JOIN sh e ON t.shingle = e.shingle
+    WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+    GROUP BY 1, 2
+    """,
+)
+def q_pipeline_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: count 4-gram overlaps between
+    training docs and a held-out eval set (doc_id % 97 == 0 stands in
+    for the benchmark suite).  The eval side's shingle index is
+    broadcast — benchmark suites are tiny next to a 100 TB corpus, so
+    the corpus-side shingles stream map-side against it, no shuffle of
+    the corpus."""
+    from hadoop_3_3_6_spark.functions.dedup import shingle_docs
+
+    docs = load_table(spark, "documents", sf_dir)
+    sh = shingle_docs(docs, "text", "doc_id", n=4).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    train = sh.filter(F.col("doc_id") % 97 != 0)
+    ev = sh.filter(F.col("doc_id") % 97 == 0)
+    return (
+        train.alias("t")
+        .join(F.broadcast(ev.alias("e")), on="shingle")
+        .groupBy(
+            F.col("t.doc_id").alias("train_doc_id"),
+            F.col("e.doc_id").alias("eval_doc_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+
+
 # === TPC-H-ish (cont.): Q9 / Q11 / Q13 shapes ============================
 
 
