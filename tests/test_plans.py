@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from hadoop_3_3_6_spark.plans.queries import QUERIES
 
 
@@ -155,3 +157,39 @@ def test_interval_join_is_equi(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "interval_join_events_orders")
     for node in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert node not in plan
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark, sf_dir):
+    """Catalyst's runtime bloom-filter injection: a selective dim-side
+    filter materializes a bloom filter that pre-filters the fact side
+    before the join shuffle — at 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the ~matching rows.
+    Verifies the engine's confs let might_contain appear once the join
+    is too big to broadcast."""
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from hadoop_3_3_6_spark.session import load_table
+
+        li = load_table(spark, "lineitem", sf_dir)
+        orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderpriority") == "1-URGENT")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
