@@ -1347,10 +1347,20 @@ def q_pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upper.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-@_register("randomtextwriter")  # deterministic generator: self-checked in tests
+@_register(
+    "randomtextwriter",
+    """
+    SELECT id AS row_id,
+           array_to_string(list_transform(range(1, 21),
+             j -> 'w' || (('0x' || substr(md5('42:' || id::VARCHAR || ':' || j::VARCHAR), 1, 15))::BIGINT % 1000)::VARCHAR),
+             ' ') AS text
+    FROM generate_series(0, 999) AS t(id)
+    """,
+)
 def q_randomtextwriter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RandomTextWriter (MRX/RandomTextWriter.java:77): synthetic text
-    rows from a seeded hash — reproducible on any cluster layout."""
+    rows from a seeded hash — reproducible on any cluster layout, and
+    (portable md5-ring hash) bit-identical in the DuckDB oracle."""
     from hadoop_3_3_6_spark.sources.tools import random_text
 
     return random_text(spark, 1000, words_per_row=20, seed=42)

@@ -109,10 +109,12 @@ def random_kv(spark: SparkSession, num_rows: int, key_bytes: int = 10, value_byt
 def random_text(spark: SparkSession, num_rows: int, words_per_row: int = 20, seed: int = 42) -> DataFrame:
     """RandomTextWriter: rows of pseudo-random words drawn from a
     1000-word synthetic vocabulary, fully deterministic (hash-seeded —
-    no RNG state, identical on any cluster layout)."""
-    word = (
-        f"concat('w', pmod(xxhash64(concat('{seed}:', cast(id as string), ':', cast(j as string))), {_WORDLIST_SIZE}))"
-    )
+    no RNG state, identical on any cluster layout; the portable
+    md5-ring hash keeps it bit-identical in the DuckDB oracle too)."""
+    from hadoop_3_3_6_spark.functions.dedup import portable_hash_expr
+
+    h = portable_hash_expr(f"concat('{seed}:', cast(id as string), ':', cast(j as string))")
+    word = f"concat('w', pmod({h}, {_WORDLIST_SIZE}))"
     return spark.range(num_rows).select(
         F.col("id").alias("row_id"),
         F.expr(
