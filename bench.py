@@ -47,7 +47,7 @@ HEADLINE = [
     "similarity_lsh_topk",
     "udaf_weighted_price",
     "asof_join_events_orders",
-    "interval_join_events_orders",
+    "interval_join_shipments",
 ]
 
 

@@ -2221,33 +2221,34 @@ def q_pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "interval_join_events_orders",
+    "interval_join_shipments",
     """
-    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
-    FROM events e JOIN orders o
-      ON o.o_custkey = e.user_id
-     AND e.ts >= o.o_orderdate
-     AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+    SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate
+    FROM lineitem l JOIN orders o
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
     """,
 )
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range/interval join extension (absent in the reference — SURVEY
-    §2.4 lists it as the extension row next to as-of): events matched
-    to orders whose 7-day post-order window contains the event.
+    §2.4 lists it as the extension row next to as-of): lineitems whose
+    ship date falls inside the 90-day window after their order's date.
     Bucketed equi-join form (operators/joins.interval_join_bucketed):
-    shuffle keys on (user, week-bucket) — never a nested-loop or a
-    per-user quadratic compare."""
+    shuffle keys on (orderkey, quarter-bucket) — never a nested-loop
+    or a per-key quadratic compare."""
     from hadoop_3_3_6_spark.operators.joins import interval_join_bucketed
 
-    events = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_linenumber", "l_shipdate")
     orders = (
         load_table(spark, "orders", sf_dir)
-        .select("o_orderkey", "o_custkey", "o_orderdate")
-        .withColumn("w_end", F.expr("o_orderdate + INTERVAL 7 DAY"))
+        .select("o_orderkey", "o_orderdate")
+        .withColumn("w_end", F.expr("o_orderdate + INTERVAL 90 DAY"))
     )
     return interval_join_bucketed(
-        events, orders, "user_id", "o_custkey", "ts", "o_orderdate", "w_end", bucket_seconds=7 * 86400
-    ).select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+        li, orders, "l_orderkey", "o_orderkey", "l_shipdate", "o_orderdate", "w_end",
+        bucket_seconds=90 * 86400,
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
 
 
 @_register(

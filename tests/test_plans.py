@@ -154,7 +154,7 @@ def test_ivf_probe_join_broadcasts(spark, sf_dir):
 def test_interval_join_is_equi(spark, sf_dir):
     """The bucketed interval join must compile to an equi-join on
     (key, bucket) — never a nested-loop/cartesian pair scan."""
-    plan = plan_of(spark, sf_dir, "interval_join_events_orders")
+    plan = plan_of(spark, sf_dir, "interval_join_shipments")
     for node in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert node not in plan
 
