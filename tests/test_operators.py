@@ -203,3 +203,64 @@ def test_global_shuffle_is_permutation(spark, sf_dir):
         by_block.setdefault(r["block"], []).append(r["pos"])
     for poss in by_block.values():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def _dt(s):
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+
+def test_asof_join_matches_naive_reference(spark):
+    """Randomized (seeded) as-of join vs the obvious per-row reference:
+    latest right row per key with rtime <= ltime, ties broken by max
+    tiebreak."""
+    import random
+
+    from hadoop_3_3_6_spark.operators.joins import asof_join
+
+    rng = random.Random(7)
+    left = [(i, rng.randrange(10), _dt(rng.randrange(0, 1000))) for i in range(200)]
+    right = [(rid, rng.randrange(10), _dt(rng.randrange(0, 1000)), rng.randrange(100)) for rid in range(100)]
+    ldf = spark.createDataFrame(left, "lid int, k int, t timestamp")
+    rdf = spark.createDataFrame(right, "rid int, k int, t timestamp, val int")
+    out = asof_join(
+        ldf, rdf, left_on="k", right_on="k", left_time="t", right_time="t",
+        value_cols=["rid", "val"], tiebreak_col="rid",
+    ).collect()
+    expected = {}
+    for lid, lk, lt in left:
+        cands = [(t, rid, val) for rid, rk, t, val in right if rk == lk and t <= lt]
+        expected[lid] = max(cands)[1:] if cands else (None, None)
+    assert len(out) == len(left)
+    for r in out:
+        assert (r["asof_rid"], r["asof_val"]) == expected[r["lid"]], r["lid"]
+
+
+def test_interval_join_matches_naive_reference(spark):
+    """Randomized (seeded) bucketed interval join vs the all-pairs
+    reference — intervals span multiple buckets, so the explode +
+    post-filter path is exercised."""
+    import random
+
+    from hadoop_3_3_6_spark.operators.joins import interval_join_bucketed
+
+    rng = random.Random(11)
+    left = [(i, rng.randrange(6), _dt(rng.randrange(0, 500))) for i in range(150)]
+    right = []
+    for rid in range(60):
+        s = rng.randrange(0, 500)
+        right.append((rid, rng.randrange(6), _dt(s), _dt(s + rng.randrange(1, 120))))
+    ldf = spark.createDataFrame(left, "lid int, k int, t timestamp")
+    rdf = spark.createDataFrame(right, "rid int, k int, s timestamp, e timestamp")
+    out = interval_join_bucketed(
+        ldf, rdf, "k", "k", "t", "s", "e", bucket_seconds=30
+    ).select("lid", "rid").collect()
+    got = {(r["lid"], r["rid"]) for r in out}
+    want = {
+        (lid, rid)
+        for lid, lk, lt in left
+        for rid, rk, s, e in right
+        if rk == lk and s <= lt < e
+    }
+    assert got == want
