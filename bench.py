@@ -48,6 +48,11 @@ HEADLINE = [
     "udaf_weighted_price",
     "asof_join_events_orders",
     "interval_join_shipments",
+    "similarity_ivf_topk",
+    "pipeline_hash_split",
+    "pipeline_global_shuffle",
+    "text_boilerplate",
+    "pipeline_contamination",
 ]
 
 

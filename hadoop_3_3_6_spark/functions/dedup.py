@@ -72,8 +72,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingles array) — distinct word n-grams per document."""
-    return df.select(F.col(id_col), F.expr(_shingles_expr(text_col, n)).alias("shingles"))
+    """(id, shingles array) — distinct word n-grams per document.
+
+    The word array is materialized behind an explode(array(...))
+    generator boundary first: higher-order functions are interpreted
+    (no codegen subexpression elimination), so without the boundary
+    CollapseProject inlines the split() into every size()/slice()
+    reference and the document is re-tokenized once per shingle —
+    ~10× the work."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.array(F.expr(f"filter(split({text_col}, ' '), w -> w <> '')"))).alias("ws"),
+    )
+    shingles = (
+        f"case when size(ws) >= {n} then "
+        f"array_distinct(transform(sequence(1, size(ws) - {n - 1}), "
+        f"i -> array_join(slice(ws, i, {n}), ' '))) "
+        f"else array() end"
+    )
+    return words.select(F.col(id_col), F.expr(shingles).alias("shingles"))
 
 
 def minhash_coef(tag: str, p: int) -> int:

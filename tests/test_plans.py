@@ -193,3 +193,25 @@ def test_runtime_bloom_filter_reduces_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
+    """Corpus-wide plan audit as a regression gate: CartesianProduct
+    never appears; BroadcastNestedLoopJoin only in the queries where
+    the cross product IS the semantics (brute-force similarity
+    baselines, IVF's bounded corpus × centroids stage, q22's 1-row
+    scalar-subquery cross)."""
+    allowed_nlj = {
+        "similarity_topk",
+        "embedding_neardup",
+        "similarity_ivf_topk",
+        "q22_global_sales_opportunity",
+    }
+    offenders = {}
+    for name in QUERIES:
+        plan = plan_of(spark, sf_dir, name)
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in allowed_nlj:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
