@@ -215,3 +215,21 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in allowed_nlj:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_oracle_coverage_is_pinned():
+    """Every oracle key maps to a query, and the rows-only remainder is
+    exactly the documented set — an oracle silently falling out of the
+    registry would otherwise downgrade a query to the weaker rows-only
+    driver check without anything failing."""
+    from hadoop_3_3_6_spark.plans.queries import ORACLES
+
+    assert set(ORACLES) <= set(QUERIES)
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only == {
+        "terasort_validate",
+        "approx_distinct_suppliers",
+        "approx_quantiles_lineitem",
+        "similarity_lsh_topk",
+        "bbp_pi_digits",
+    }
