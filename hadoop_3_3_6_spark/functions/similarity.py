@@ -36,6 +36,22 @@ def _dot(a: str, b: str) -> str:
     )
 
 
+def _restrict_to_probes(
+    df: DataFrame, id_col: str, probes: DataFrame | None, probe_ids: list[int] | None
+) -> DataFrame:
+    """Restrict ``df`` to probe rows without any driver action.
+
+    ``probes`` is a DataFrame of probe ids (column named ``id_col``) —
+    the scale form: a broadcast semi-join keeps the probe set a table
+    inside the plan instead of a collected literal list.  ``probe_ids``
+    (legacy literal list) is kept for small fixed sets."""
+    if probes is not None:
+        return df.join(F.broadcast(probes.select(id_col).distinct()), on=id_col, how="left_semi")
+    if probe_ids is not None:
+        return df.filter(F.col(id_col).isin(probe_ids))
+    return df
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_norm", F.expr(f"sqrt({_dot(vec_col, vec_col)})"))
 
@@ -58,12 +74,18 @@ def _scored_pairs(
 
 
 def cosine_topk_bruteforce(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5, probe_ids: list[int] | None = None
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    probe_ids: list[int] | None = None,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per probe.  Rank over (round(score,6) desc,
-    neighbor_id asc) — deterministic across engines."""
-    probes = emb.filter(F.col(id_col).isin(probe_ids)) if probe_ids is not None else emb
-    scored = _scored_pairs(emb, probes, id_col, vec_col)
+    neighbor_id asc) — deterministic across engines.  Pass ``probes``
+    (an id DataFrame) to keep the probe set in-plan; no driver action."""
+    probe_rows = _restrict_to_probes(emb, id_col, probes, probe_ids)
+    scored = _scored_pairs(emb, probe_rows, id_col, vec_col)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("probe_id").orderBy(F.round(F.col("score"), 6).desc(), F.col("neighbor_id").asc())
@@ -100,6 +122,7 @@ def ivf_topk(
     num_centroids: int = 16,
     nprobe: int = 4,
     probe_ids: list[int] | None = None,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus onto
     ``num_centroids`` centroid lists, search only the ``nprobe``
@@ -134,8 +157,9 @@ def ivf_topk(
         F.first("_norm").alias("_norm"),
     )
     pw = Window.partitionBy(id_col).orderBy(F.col("cscore").desc(), F.col("cent_id").asc())
-    probe_vc = vc.filter(F.col(id_col).isin(probe_ids)) if probe_ids is not None else vc
-    probes = (
+    bounded = probes is not None or probe_ids is not None
+    probe_vc = _restrict_to_probes(vc, id_col, probes, probe_ids)
+    probe_rows = (
         probe_vc.withColumn("crank", F.row_number().over(pw))
         .filter(F.col("crank") <= nprobe)
         .select(
@@ -149,9 +173,9 @@ def ivf_topk(
     # probes × nprobe is small by construction — broadcast it so the
     # corpus-sized assigned side never shuffles (cent_id has only
     # num_centroids values: a hash join on it would be maximally
-    # skewed).  With probe_ids=None (all-pairs mode) the probe side is
-    # corpus-sized, so fall back to the shuffle join.
-    probe_side = F.broadcast(probes) if probe_ids is not None else probes
+    # skewed).  In all-pairs mode (no probe restriction) the probe side
+    # is corpus-sized, so fall back to the shuffle join.
+    probe_side = F.broadcast(probe_rows) if bounded else probe_rows
     cand = assigned.join(probe_side, on="cent_id").filter(F.col("probe_id") != F.col(id_col))
     scored = cand.select("probe_id", F.col(id_col).alias("neighbor_id"), score.alias("score"))
     w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
@@ -182,6 +206,7 @@ def lsh_bucketed_topk(
     bits_per_table: int = 4,
     dim: int = 64,
     probe_ids: list[int] | None = None,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH.
 
@@ -211,9 +236,7 @@ def lsh_bucketed_topk(
     buckets = emb.select(
         F.col(id_col), F.posexplode(table_buckets(F.col(vec_col))).alias("table", "bucket")
     )
-    probe_buckets = (
-        buckets.filter(F.col(id_col).isin(probe_ids)) if probe_ids is not None else buckets
-    )
+    probe_buckets = _restrict_to_probes(buckets, id_col, probes, probe_ids)
     pairs = (
         probe_buckets.alias("pa")
         .join(

@@ -94,19 +94,22 @@ def tf_idf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     is the reference's own chained-job idiom: materialize tf (persist
     or intermediate parquet) and run both consumers off it; at bench
     scale the re-tokenize is cheaper than the spill, so this stays a
-    pure plan.  The doc-count N is a separate column-pruned scan of
-    the id column only (footer-counted parquet: near-free)."""
+    pure plan.  The doc-count N stays IN the plan as a broadcast
+    1-row cross join (a column-pruned scan of the id column only:
+    footer-counted parquet, near-free) — no driver action, so tf_idf
+    composes into larger plans without splitting them."""
     words = df.select(F.col(id_col), F.explode(_words(text_col)).alias("term"))
     tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = df.select(F.countDistinct(id_col)).collect()[0][0]
+    n_docs = df.select(F.countDistinct(id_col).cast("double").alias("_n_docs"))
     return (
         tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
             "term",
             "tf",
-            (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+            (F.col("tf") * F.log(F.col("_n_docs") / F.col("df"))).alias("score"),
         )
     )
 

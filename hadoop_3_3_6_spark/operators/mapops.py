@@ -33,9 +33,11 @@ def regex_map(df: DataFrame, text_col: str, pattern: str, out_col: str = "match"
     Reference: RegexMapper.java:36 emits (match, 1) per match of group 0;
     here the count lives downstream in a groupBy, so we emit matches only.
     Runs entirely JVM-side (regexp_extract_all + explode) — no Python UDF.
+    The pattern travels as a Column literal, never interpolated into a
+    SQL string, so backslash escapes (``\\d+``) and quotes survive intact.
     """
     return df.select(
-        F.explode(F.expr(f"regexp_extract_all({text_col}, '{pattern}', 0)")).alias(out_col)
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))).alias(out_col)
     )
 
 

@@ -56,7 +56,16 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side, replicate the small side
     across all salt values, join on (key, salt).  Row multiplicity is
-    preserved (each big row matches exactly its salt's replica)."""
+    preserved for the BIG side (each big row matches exactly its salt's
+    replica), which is why only join types that never emit unmatched
+    small-side rows are allowed: a right/full outer would emit each
+    unmatched small-side row once per salt replica."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} — {how!r} would duplicate "
+            "unmatched small-side rows across salt replicas"
+        )
     big_s = big.withColumn("_salt", (F.rand(seed=42) * num_salts).cast("int"))
     small_s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))))
     out = big_s.join(small_s, on=[on, "_salt"], how=how)

@@ -173,8 +173,13 @@ def parse_key_field_spec_full(spec: str) -> list[tuple[int, int | None, int | No
 
 def key_field_sort(df: DataFrame, text_col: str, spec: str, sep: str = "\t") -> DataFrame:
     """Sort separator-joined text records by a key-field spec
-    (optionally with ``f.c`` char offsets within the field)."""
-    fields = F.split(F.col(text_col), re.escape(sep).replace("\\", "\\\\") if sep in ".^$*+?()[]{}|\\" else sep)
+    (optionally with ``f.c`` char offsets within the field).
+
+    ``F.split`` receives the pattern string as-is (no SQL-literal
+    layer consumes backslashes), so a single ``re.escape`` is the
+    correct escaping for regex-special separators like ``.`` or ``|``.
+    """
+    fields = F.split(F.col(text_col), re.escape(sep))
     order: list[Column] = []
     for idx, char_start, char_end, numeric, reverse in parse_key_field_spec_full(spec):
         c = F.element_at(fields, idx + 1)

@@ -995,8 +995,8 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for probes vec_id < 25 —
     the exactness baseline for ANN (scale path: lsh_topk)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    probe_ids = [r[0] for r in emb.filter(F.col("vec_id") < 25).select("vec_id").collect()]
-    return cosine_topk_bruteforce(emb, "vec_id", "embedding", k=5, probe_ids=probe_ids)
+    probes = emb.filter(F.col("vec_id") < 25).select("vec_id")
+    return cosine_topk_bruteforce(emb, "vec_id", "embedding", k=5, probes=probes)
 
 
 @_register(
@@ -1019,8 +1019,8 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketed top-k (the 100 TB ANN path)."""
     emb = load_table(spark, "embeddings", sf_dir)
-    probe_ids = [r[0] for r in emb.filter(F.col("vec_id") < 25).select("vec_id").collect()]
-    return lsh_bucketed_topk(emb, "vec_id", "embedding", k=5, num_tables=8, bits_per_table=4, dim=64, probe_ids=probe_ids)
+    probes = emb.filter(F.col("vec_id") < 25).select("vec_id")
+    return lsh_bucketed_topk(emb, "vec_id", "embedding", k=5, num_tables=8, bits_per_table=4, dim=64, probes=probes)
 
 
 _IVF_COS = "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
@@ -1067,8 +1067,8 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_3_3_6_spark.functions.similarity import ivf_topk
 
     emb = load_table(spark, "embeddings", sf_dir)
-    probe_ids = [r[0] for r in emb.filter(F.col("vec_id") < 25).select("vec_id").collect()]
-    return ivf_topk(emb, "vec_id", "embedding", k=5, num_centroids=16, nprobe=4, probe_ids=probe_ids)
+    probes = emb.filter(F.col("vec_id") < 25).select("vec_id")
+    return ivf_topk(emb, "vec_id", "embedding", k=5, num_centroids=16, nprobe=4, probes=probes)
 
 
 @_register(
@@ -2707,3 +2707,43 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["o_orderkey", "o_orderdate"],
         tiebreak_col="o_orderkey",
     )
+
+
+# === Driver registration order ===========================================
+# The correctness driver consumes ``queries()`` in dict-insertion order
+# and is budgeted (round 1 verified exactly the first 50 entries).  Keep
+# everything that does NOT yet have a driver-verified green row in
+# CORRECTNESS_r01.json at the FRONT so round 2 verifies the other half
+# of the corpus; the 50 round-1-verified names ride at the back (they
+# remain covered by tests/test_oracle_parity.py every run).
+_ROUND1_DRIVER_VERIFIED = [
+    "wordcount", "multifilewc", "grep", "wordmean", "wordmedian",
+    "wordstandarddeviation", "sort", "topk_orders", "distinct_segments",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_volume",
+    "q6_revenue_forecast", "join_inner", "join_outer", "join_override",
+    "semi_join_customers", "anti_join_customers", "tagged_join_3way",
+    "intersect_nations", "except_orderkeys", "union_heterogeneous",
+    "dbcount", "fieldsel", "aggregate_framework", "uniq_value_count",
+    "value_histogram", "secondarysort", "terasort_validate",
+    "window_topn_per_customer", "window_lag_events", "window_running_sum",
+    "sessionize_events", "streaming_tumbling_counts", "streaming_dedup",
+    "streaming_session_window", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash", "dedup_simhash", "similarity_topk",
+    "embedding_neardup", "similarity_lsh_topk", "similarity_ivf_topk",
+    "text_token_counts", "text_langid", "text_quality",
+    "text_fingerprint", "multimodal_meta", "aggregatewordcount",
+]
+
+
+def _reorder_for_driver() -> None:
+    front = [n for n in QUERIES if n not in set(_ROUND1_DRIVER_VERIFIED)]
+    back = [n for n in _ROUND1_DRIVER_VERIFIED if n in QUERIES]
+    for registry in (QUERIES, ORACLES):
+        snapshot = dict(registry)
+        registry.clear()
+        for name in front + back:
+            if name in snapshot:
+                registry[name] = snapshot[name]
+
+
+_reorder_for_driver()

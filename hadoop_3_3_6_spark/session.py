@@ -93,23 +93,36 @@ def ensure_session_confs(spark: SparkSession) -> None:
             pass
 
 
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Scan one fixture table. Parquet scans get predicate pushdown,
     column pruning and split planning from the file source for free
     (reference split planning: FileInputFormat.getSplits,
     hadoop-mapreduce-client-core .../lib/input/FileInputFormat.java:397).
 
+    The (lazy) DataFrame is memoized per (application, table, sf_dir):
+    `spark.read.parquet` runs a footer schema-inference job on every
+    call, so uncached repeat loads pay one driver job each — across a
+    100-query corpus run that is hundreds of pointless metadata jobs.
+    The cached object is a pure plan; reusing it never reuses results.
+
     events.ts is stored as TIMESTAMP(NANOS); with nanosAsLong it scans
     as bigint nanos and is converted here to a microsecond timestamp
     (same truncation DuckDB applies reading ns into its us timestamps).
     """
     ensure_session_confs(spark)
+    key = (spark.sparkContext.applicationId, name, sf_dir)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         # integer div: float division would lose precision above 2^53 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 

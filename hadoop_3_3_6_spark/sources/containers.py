@@ -22,6 +22,8 @@ Reference parity targets (paths under /root/reference/):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -95,7 +97,9 @@ def read_xml_records(spark: SparkSession, path: str, tag: str) -> DataFrame:
     regex extraction).  For huge single XML files prefer splitting
     upstream; for many files this parallelizes per file."""
     files = spark.read.text(path, wholetext=True)
-    pattern = f"(?s)<{tag}[^>]*>.*?</{tag}>"
+    # Column-literal pattern (not SQL-string interpolation): a tag with
+    # regex-special or quote characters can't break out of the expression.
+    pattern = f"(?s)<{re.escape(tag)}[^>]*>.*?</{re.escape(tag)}>"
     return files.select(
-        F.explode(F.expr(f"regexp_extract_all(value, '{pattern}', 0)")).alias("record")
+        F.explode(F.regexp_extract_all(F.col("value"), F.lit(pattern), F.lit(0))).alias("record")
     )

@@ -2,12 +2,23 @@
 
 - ``dist_copy``: DistCp analogue (hadoop-tools/hadoop-distcp/src/main/
   java/org/apache/hadoop/tools/DistCp.java:60 under /root/reference/):
-  distributed file copy — listing is a driver-side walk (DistCp's
-  SimpleCopyListing), the byte movement is distributed via the
-  binaryFile source + per-partition writes.  ``update=True``
-  reproduces ``-update`` incremental semantics (skip files whose
-  size matches — DistCp's default skip criterion, CopyMapper.java:
-  skipCopy) by filtering the listing against the target state.
+  distributed file copy — the listing is itself a distributed
+  metadata-only scan (binaryFile source with the content column
+  pruned: DistCp's SimpleCopyListing made into a job, which the
+  reference only does for the copies), byte movement is streamed
+  file-to-file inside executors (CopyMapper.java analogue; whole-file
+  rows never materialize).  Destinations preserve the path relative
+  to the glob base, so equal basenames in different subdirs never
+  collide.  ``update=True`` reproduces ``-update`` incremental
+  semantics (skip files whose size matches — DistCp's skip criterion,
+  CopyMapper.java skipCopy) via an in-plan metadata join, no driver
+  listing.  ``dist_copy_sync`` is the snapshot-diff sync analogue
+  (DistCpSync.java:1): a recorded manifest plays the from-snapshot,
+  the live source tree the to-snapshot; only created/modified files
+  are copied and deleted files are removed from the target.
+  Executors must share the destination filesystem with the driver
+  (true in local mode and on any shared mount; on a real cluster the
+  destination is a distributed FS path, same as DistCp assumes).
 - ``archive_files`` / ``unarchive_files``: HadoopArchives analogue
   (hadoop-tools/hadoop-archives/.../HadoopArchives.java:83): pack many
   small files into one indexed container — here a parquet table keyed
@@ -26,45 +37,140 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def dist_copy(spark: SparkSession, src_glob: str, dst_dir: str, update: bool = False) -> int:
-    """Parallel copy of files matching ``src_glob`` into ``dst_dir``.
-    Returns number of files copied.  Bytes move inside executors
-    (foreachPartition), never through the driver."""
-    files = spark.read.format("binaryFile").load(src_glob)
-    if update and os.path.isdir(dst_dir):
-        # driver-side listing comparison (DistCp also builds its copy
-        # listing centrally); only metadata is collected, never bytes
-        meta = files.select("path", "length").collect()
-        existing = {n: os.path.getsize(os.path.join(dst_dir, n)) for n in os.listdir(dst_dir)}
-        to_copy = [
-            r["path"]
-            for r in meta
-            if existing.get(r["path"].rsplit("/", 1)[-1]) != r["length"]
-        ]
-        listing = files.filter(F.col("path").isin(to_copy)).select("path", "content")
-    else:
-        listing = files.select("path", "content")
-    os.makedirs(dst_dir, exist_ok=True)
-    copied = spark.sparkContext.accumulator(0)
+_GLOB_CHARS = "*?[{"
 
-    def write_partition(rows):
+
+def _glob_base(src_glob: str) -> str:
+    """Directory prefix of a glob before its first metacharacter — the
+    root that relative destination paths are computed against."""
+    parts = src_glob.split(os.sep)
+    base: list[str] = []
+    for p in parts:
+        if any(ch in p for ch in _GLOB_CHARS):
+            break
+        base.append(p)
+    d = os.sep.join(base) or os.sep
+    return d if os.path.isdir(d) else (os.path.dirname(d) or os.sep)
+
+
+def _meta_listing(spark: SparkSession, glob: str, base: str) -> DataFrame:
+    """Distributed metadata listing: (rel, src, length, mtime) rows.
+    The binaryFile source with content pruned reads only file status —
+    the listing scales out instead of walking on the driver."""
+    prefix_len = len("file:" + base.rstrip(os.sep)) + 2  # +2: 1-based substring past the '/'
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true" if _GLOB_CHARS[0] not in glob else "false")
+        .load(glob)
+        .select(
+            F.expr(f"substring(path, {prefix_len})").alias("rel"),
+            F.regexp_replace("path", "^file:", "").alias("src"),
+            "length",
+            F.col("modificationTime").cast("double").alias("mtime"),
+        )
+    )
+
+
+def _copy_listing(listing: DataFrame, dst_dir: str) -> int:
+    """Execute a (rel, src) copy listing: streamed file-to-file copies
+    inside executors (CopyMapper analogue) — bytes never enter a Spark
+    row, so multi-GB files copy in constant memory."""
+    copied = listing.sparkSession.sparkContext.accumulator(0)
+
+    def copy_partition(rows):
+        import shutil
+
         for row in rows:
-            name = row["path"].rsplit("/", 1)[-1]
-            with open(os.path.join(dst_dir, name), "wb") as f:
-                f.write(bytes(row["content"]))
+            dst = os.path.join(dst_dir, row["rel"])
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(row["src"], dst)
             copied.add(1)
 
-    listing.foreachPartition(write_partition)
+    listing.select("rel", "src").foreachPartition(copy_partition)
     return copied.value
 
 
+def dist_copy(spark: SparkSession, src_glob: str, dst_dir: str, update: bool = False) -> int:
+    """Parallel copy of files matching ``src_glob`` into ``dst_dir``,
+    preserving paths relative to the glob base.  Returns number of
+    files copied.  Listing and byte movement are both distributed;
+    nothing is collected on the driver."""
+    src = _meta_listing(spark, src_glob, _glob_base(src_glob))
+    if update and os.path.isdir(dst_dir) and any(os.scandir(dst_dir)):
+        dst = _meta_listing(spark, dst_dir, dst_dir).select(
+            "rel", F.col("length").alias("_dst_length")
+        )
+        # -update skip criterion: same relative path AND same size
+        src = (
+            src.join(dst, on="rel", how="left")
+            .filter(F.col("_dst_length").isNull() | (F.col("_dst_length") != F.col("length")))
+            .drop("_dst_length")
+        )
+    os.makedirs(dst_dir, exist_ok=True)
+    return _copy_listing(src, dst_dir)
+
+
+def dist_copy_sync(spark: SparkSession, src_glob: str, dst_dir: str, manifest_path: str) -> dict[str, int]:
+    """Snapshot-diff incremental sync (DistCpSync analogue): diff the
+    live source tree against the recorded manifest (the from-snapshot),
+    copy only created/modified files, delete target files whose source
+    vanished, then atomically re-record the manifest.  Returns
+    ``{"copied": n, "deleted": m}``.  All diffing is in-plan joins over
+    metadata DataFrames — no driver-side listing at any size."""
+    src = _meta_listing(spark, src_glob, _glob_base(src_glob))
+    os.makedirs(dst_dir, exist_ok=True)
+    have_manifest = os.path.isdir(manifest_path)
+    if have_manifest:
+        old = spark.read.parquet(manifest_path).select(
+            "rel", F.col("length").alias("_old_length"), F.col("mtime").alias("_old_mtime")
+        )
+        changed = (
+            src.join(old, on="rel", how="left")
+            .filter(
+                F.col("_old_length").isNull()
+                | (F.col("_old_length") != F.col("length"))
+                | (F.col("_old_mtime") != F.col("mtime"))
+            )
+            .drop("_old_length", "_old_mtime")
+        )
+        deleted_listing = old.join(src.select("rel"), on="rel", how="left_anti").select("rel")
+    else:
+        changed = src
+        deleted_listing = None
+    copied = _copy_listing(changed, dst_dir)
+
+    deleted = 0
+    if deleted_listing is not None:
+        del_acc = spark.sparkContext.accumulator(0)
+
+        def delete_partition(rows):
+            for row in rows:
+                target = os.path.join(dst_dir, row["rel"])
+                if os.path.exists(target):
+                    os.remove(target)
+                    del_acc.add(1)
+
+        deleted_listing.foreachPartition(delete_partition)
+        deleted = del_acc.value
+
+    # new manifest = current source state (written last: a failed sync
+    # re-runs against the old manifest, copies are idempotent)
+    src.select("rel", "length", "mtime").write.mode("overwrite").parquet(manifest_path)
+    return {"copied": copied, "deleted": deleted}
+
+
 def archive_files(spark: SparkSession, src_glob: str, archive_path: str) -> None:
-    """Pack small files into one indexed parquet archive (path, size,
-    mod_time, content) — the compaction that .har performed, with
-    predicate-pushdown lookup by path replacing the .har index."""
+    """Pack small files into one indexed parquet archive (path, rel,
+    size, mod_time, content) — the compaction that .har performed, with
+    predicate-pushdown lookup by path replacing the .har index.  ``rel``
+    (path relative to the glob base) is the restore destination, so
+    equal basenames in different subdirs survive the roundtrip."""
+    base = _glob_base(src_glob)
+    prefix_len = len("file:" + base.rstrip(os.sep)) + 2
     files = spark.read.format("binaryFile").load(src_glob)
     files.select(
         "path",
+        F.expr(f"substring(path, {prefix_len})").alias("rel"),
         F.col("length").alias("size"),
         F.col("modificationTime").alias("mod_time"),
         "content",
@@ -73,7 +179,8 @@ def archive_files(spark: SparkSession, src_glob: str, archive_path: str) -> None
 
 def unarchive_files(spark: SparkSession, archive_path: str, dst_dir: str, path_filter: str | None = None) -> int:
     """Restore files from an archive (optionally a single path via
-    pushdown-filtered lookup — the .har random-access role)."""
+    pushdown-filtered lookup — the .har random-access role).  Restores
+    to the archived relative path under ``dst_dir``."""
     arch = spark.read.parquet(archive_path)
     if path_filter:
         arch = arch.filter(F.col("path").rlike(path_filter))
@@ -82,12 +189,13 @@ def unarchive_files(spark: SparkSession, archive_path: str, dst_dir: str, path_f
 
     def write_partition(rows):
         for row in rows:
-            name = row["path"].rsplit("/", 1)[-1]
-            with open(os.path.join(dst_dir, name), "wb") as f:
+            dst = os.path.join(dst_dir, row["rel"])
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            with open(dst, "wb") as f:
                 f.write(bytes(row["content"]))
             restored.add(1)
 
-    arch.select("path", "content").foreachPartition(write_partition)
+    arch.select("rel", "content").foreachPartition(write_partition)
     return restored.value
 
 

@@ -264,3 +264,42 @@ def test_interval_join_matches_naive_reference(spark):
         if rk == lk and s <= lt < e
     }
     assert got == want
+
+
+def test_key_field_sort_regex_special_separator(spark):
+    """Separators that are regex metacharacters ('.', '|') must split
+    literally — a double-escaped pattern would never split on '.' and
+    would split '|' between every character."""
+    rows = [("b.2",), ("a.10",), ("c.1",)]
+    df = spark.createDataFrame(rows, "line string")
+    out = [r["line"] for r in key_field_sort(df, "line", "-k2,2nr", sep=".").collect()]
+    assert out == ["a.10", "b.2", "c.1"]
+    df2 = spark.createDataFrame([("b|2",), ("a|10",), ("c|1",)], "line string")
+    out2 = [r["line"] for r in key_field_sort(df2, "line", "-k2,2nr", sep="|").collect()]
+    assert out2 == ["a|10", "b|2", "c|1"]
+
+
+def test_regex_map_backslash_and_quote_patterns(spark):
+    """Patterns with backslash classes and quotes must survive intact —
+    SQL-literal interpolation would eat the backslash ('\\d+' -> 'd+')
+    and a quote would break the expression."""
+    from hadoop_3_3_6_spark.operators.mapops import regex_map
+
+    df = spark.createDataFrame([("a1 bb22 c333 don't",)], "text string")
+    out = sorted(r["match"] for r in regex_map(df, "text", r"\d+").collect())
+    assert out == ["1", "22", "333"]
+    out2 = [r["match"] for r in regex_map(df, "text", r"don't").collect()]
+    assert out2 == ["don't"]
+
+
+def test_salted_join_rejects_outer_types(spark):
+    from hadoop_3_3_6_spark.operators.skew import salted_join
+
+    big = spark.range(10).select((F.col("id") % 3).alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([(0, "z"), (7, "unmatched")], "k long, name string")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(big, small, "k", how="full_outer")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(big, small, "k", how="right")
+    # left join multiplicity is preserved for the big side
+    assert salted_join(big, small, "k", how="left").count() == 10

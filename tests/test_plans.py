@@ -199,13 +199,14 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
     """Corpus-wide plan audit as a regression gate: CartesianProduct
     never appears; BroadcastNestedLoopJoin only in the queries where
     the cross product IS the semantics (brute-force similarity
-    baselines, IVF's bounded corpus × centroids stage, q22's 1-row
-    scalar-subquery cross)."""
+    baselines, IVF's bounded corpus × centroids stage, q22's and
+    tf_idf's 1-row scalar-subquery crosses)."""
     allowed_nlj = {
         "similarity_topk",
         "embedding_neardup",
         "similarity_ivf_topk",
         "q22_global_sales_opportunity",
+        "text_tfidf_topk",
     }
     offenders = {}
     for name in QUERIES:
@@ -215,6 +216,39 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in allowed_nlj:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_query_construction_runs_no_jobs(spark, sf_dir):
+    """Query constructors must be pure plan builders — no eager driver
+    action (collect/count) hidden inside.  At scale an eager action in
+    a constructor splits the plan and materializes intermediates.
+    Exemptions: streaming queries execute an availableNow micro-batch
+    run by contract (the returned DataFrame is the memory-sink table),
+    terasort_validate writes+reads its sorted run, and pipe_wordcount
+    spawns the child-process pipe eagerly to surface launch errors."""
+    eager_by_contract = {
+        name
+        for name in QUERIES
+        if name.startswith("streaming_") or name in {"terasort_validate", "pipe_wordcount"}
+    }
+    lazy = [n for n in QUERIES if n not in eager_by_contract]
+    # Warm pass: pays the one-time parquet schema-inference jobs that
+    # load_table memoizes; the measured pass below must then be pure.
+    for name in lazy:
+        QUERIES[name](spark, sf_dir)
+    sc = spark.sparkContext
+    offenders = {}
+    for name in lazy:
+        group = f"construct-{name}"
+        sc.setJobGroup(group, "construction laziness sweep")
+        try:
+            QUERIES[name](spark, sf_dir)
+        finally:
+            sc.setJobGroup("", "")
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        if jobs:
+            offenders[name] = len(jobs)
+    assert not offenders, f"eager constructors: {offenders}"
 
 
 def test_oracle_coverage_is_pinned():

@@ -179,3 +179,60 @@ def test_dist_ch_chmod_touch(spark, tmp_path):
         st = os.stat(tmp_path / f"f{i}.txt")
         assert stat.S_IMODE(st.st_mode) == 0o600
         assert int(st.st_mtime) == 1_600_000_000
+
+
+def test_dist_copy_preserves_subdir_paths(spark, tmp_path):
+    """Two sources with the SAME basename in different subdirs must not
+    collide: destinations preserve the path relative to the glob base."""
+    src = tmp_path / "tree"
+    (src / "a").mkdir(parents=True)
+    (src / "b").mkdir()
+    (src / "a" / "same.bin").write_bytes(b"AAA")
+    (src / "b" / "same.bin").write_bytes(b"BBBB")
+    dst = tmp_path / "out"
+    n = dist_copy(spark, str(src / "*" / "*.bin"), str(dst))
+    assert n == 2
+    assert (dst / "a" / "same.bin").read_bytes() == b"AAA"
+    assert (dst / "b" / "same.bin").read_bytes() == b"BBBB"
+
+
+def test_dist_copy_sync_snapshot_diff(spark, tmp_path):
+    """DistCpSync semantics: first sync copies everything; after
+    create/modify/delete in the source, only the delta is applied."""
+    from hadoop_3_3_6_spark.sources.tools import dist_copy_sync
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(4):
+        (src / f"f{i}.txt").write_bytes(b"x" * (10 + i))
+    dst, manifest = tmp_path / "dst", str(tmp_path / "manifest")
+    first = dist_copy_sync(spark, str(src / "*.txt"), str(dst), manifest)
+    assert first == {"copied": 4, "deleted": 0}
+    # no-op sync: nothing changed
+    assert dist_copy_sync(spark, str(src / "*.txt"), str(dst), manifest) == {
+        "copied": 0,
+        "deleted": 0,
+    }
+    # modify one, create one, delete one
+    (src / "f0.txt").write_bytes(b"y" * 10)  # same size, new mtime -> recopied
+    (src / "new.txt").write_bytes(b"n")
+    (src / "f3.txt").unlink()
+    delta = dist_copy_sync(spark, str(src / "*.txt"), str(dst), manifest)
+    assert delta == {"copied": 2, "deleted": 1}
+    assert (dst / "f0.txt").read_bytes() == b"y" * 10
+    assert (dst / "new.txt").read_bytes() == b"n"
+    assert not (dst / "f3.txt").exists()
+
+
+def test_archive_roundtrip_subdirs(spark, tmp_path):
+    src = tmp_path / "tree"
+    (src / "a").mkdir(parents=True)
+    (src / "b").mkdir()
+    (src / "a" / "same.bin").write_bytes(b"AAA")
+    (src / "b" / "same.bin").write_bytes(b"BBBB")
+    arch = str(tmp_path / "arch.parquet")
+    archive_files(spark, str(src / "*" / "*.bin"), arch)
+    out = tmp_path / "restored"
+    assert unarchive_files(spark, arch, str(out)) == 2
+    assert (out / "a" / "same.bin").read_bytes() == b"AAA"
+    assert (out / "b" / "same.bin").read_bytes() == b"BBBB"
