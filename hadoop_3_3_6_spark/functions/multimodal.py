@@ -3,18 +3,24 @@
 Treats image/audio/video payloads as ``binary`` columns with typed
 metadata, processed through Arrow-batched ``mapInPandas`` — the real
 Spark-side plumbing (schema, partitioning, batch shape) for a decode /
-feature-extract stage.  The actual media decode is STUBBED (the
-image/audio libraries are not in this environment): ``decode_stub``
-raises NotImplementedError unless ``fake=True``, in which case it
-produces a deterministic fake feature so the pipeline shape is
-testable end-to-end.
+feature-extract stage.
+
+Image decode is REAL for the two classic uncompressed formats — PPM
+(P6) and BMP (24-bit uncompressed) — implemented in pure numpy
+(``decode_image`` / ``encode_ppm`` / ``encode_bmp`` /
+``resize_nearest``): byte-exact roundtrips, nearest-neighbor resize,
+no PIL/opencv needed.  Compressed formats (JPEG/PNG) and audio/video
+decode stay STUBBED behind ``fake=True`` / NotImplementedError — those
+genuinely require external codec libraries not in this environment.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -39,11 +45,105 @@ def binary_metadata(df: DataFrame, payload_col: str = "payload", id_col: str = "
     return df.mapInPandas(extract, schema=f"{id_col} bigint, n_bytes int, digest string")
 
 
+# --- pure-numpy image codecs (PPM P6 and 24-bit BMP) ---------------------
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode a PPM (P6, maxval 255) or uncompressed 24-bit BMP payload
+    to an (h, w, 3) uint8 RGB array.  Pure numpy; raises ValueError for
+    any other format (the caller falls back to the stub gate)."""
+    if payload[:2] == b"P6":
+        # header: P6 <ws> width <ws> height <ws> maxval <single ws>, then raw RGB
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment to end of line
+                while payload[pos : pos + 1] not in (b"\n", b""):
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"PPM maxval {maxval} unsupported (only 8-bit)")
+        arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return arr.reshape(h, w, 3).copy()
+    if payload[:2] == b"BM":
+        data_offset, = struct.unpack_from("<I", payload, 10)
+        header_size, = struct.unpack_from("<I", payload, 14)
+        if header_size < 40:
+            raise ValueError("BMP core-header variant unsupported")
+        w, h = struct.unpack_from("<ii", payload, 18)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression, = struct.unpack_from("<I", payload, 30)
+        if bpp != 24 or compression != 0:
+            raise ValueError(f"BMP bpp={bpp} compression={compression} unsupported (24-bit uncompressed only)")
+        bottom_up = h > 0
+        h = abs(h)
+        row_bytes = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(payload, dtype=np.uint8, count=h * row_bytes, offset=data_offset)
+        rows = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR -> RGB
+    raise ValueError("not a PPM(P6)/BMP(24) payload")
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as binary PPM (P6)."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a bottom-up 24-bit BMP."""
+    h, w, _ = arr.shape
+    row_bytes = (w * 3 + 3) & ~3
+    padded = np.zeros((h, row_bytes), dtype=np.uint8)
+    padded[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # RGB -> BGR, bottom-up
+    pixel_bytes = padded.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_bytes), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_bytes), 2835, 2835, 0, 0)
+    return header + info + pixel_bytes
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize to (height, width, 3) — pure numpy
+    fancy-indexing, deterministic (pixel centers, round-half-down)."""
+    h, w, _ = arr.shape
+    rows = np.minimum((np.arange(height) + 0.5) * h / height, h - 1).astype(np.int64)
+    cols = np.minimum((np.arange(width) + 0.5) * w / width, w - 1).astype(np.int64)
+    return arr[rows][:, cols]
+
+
 def decode_stub(payload: bytes, modality: str = "image", fake: bool = False) -> dict:
-    """Placeholder for a real media decoder (PIL/librosa/ffmpeg are not
-    available here).  With ``fake=True`` returns a deterministic
-    pseudo-feature derived from the payload digest, preserving the
-    pipeline contract (dict of typed metadata) for tests."""
+    """Decode one payload to typed metadata + an 8-dim feature.
+
+    Real path: PPM/BMP images decode via ``decode_image`` — the
+    feature is [per-channel mean (3), per-channel max (3), normalized
+    aspect terms (2)], all deterministic.  Other formats require codec
+    libraries not in this environment: ``fake=True`` substitutes a
+    digest-derived pseudo-feature with the same contract, else
+    NotImplementedError."""
+    if modality == "image":
+        try:
+            arr = decode_image(bytes(payload))
+        except ValueError:
+            arr = None
+        if arr is not None:
+            h, w, _ = arr.shape
+            means = arr.reshape(-1, 3).mean(axis=0) / 255.0
+            maxes = arr.reshape(-1, 3).max(axis=0) / 255.0
+            return {
+                "width": w,
+                "height": h,
+                "channels": 3,
+                "feature": [*means.tolist(), *maxes.tolist(), w / (w + h), h / (w + h)],
+            }
     if not fake:
         raise NotImplementedError(
             f"media decode for modality={modality!r} requires external libraries not present in this environment"
@@ -58,12 +158,21 @@ def decode_stub(payload: bytes, modality: str = "image", fake: bool = False) -> 
 
 
 def resize_stub(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
-    """Image-resize stage placeholder (no PIL in this environment).
-    ``fake=True`` returns a deterministic pseudo-thumbnail: digest-
-    derived bytes of size width*height — preserving the contract
-    (bytes in, smaller bytes out) for pipeline-shape tests."""
+    """Resize one image payload.  Real path: PPM/BMP decode →
+    nearest-neighbor resize → re-encode in the same container format.
+    Other formats: ``fake=True`` returns a deterministic digest-derived
+    pseudo-thumbnail (same bytes-in/bytes-out contract), else
+    NotImplementedError."""
+    payload = bytes(payload)
+    try:
+        arr = decode_image(payload)
+    except ValueError:
+        arr = None
+    if arr is not None:
+        small = resize_nearest(arr, width, height)
+        return encode_ppm(small) if payload[:2] == b"P6" else encode_bmp(small)
     if not fake:
-        raise NotImplementedError("image resize requires PIL/opencv, not present in this environment")
+        raise NotImplementedError("resize of non-PPM/BMP images requires PIL/opencv, not present in this environment")
     digest = hashlib.sha256(payload).digest()
     need = width * height
     return (digest * (need // len(digest) + 1))[:need]

@@ -1157,6 +1157,79 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_metadata(blobs, "payload", "doc_id")
 
 
+@_register(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           (4 + doc_id % 13)::INT AS width,
+           (3 + doc_id % 7)::INT AS height,
+           round((doc_id % 251) / 255.0, 6) AS mean_r
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the distributed pipeline: per document
+    a constant-color PPM image of deterministic size is encoded in one
+    mapInPandas stage and decoded by the pure-numpy decoder
+    (functions/multimodal.decode_image) in the next — binary payloads
+    cross the Arrow boundary in both directions and the decoded
+    (width, height, channel mean) are exactly oracle-checkable because
+    color and dims derive from doc_id.  This is the production batch
+    shape for an image feature-extract stage; only the codec (PPM here,
+    JPEG on a real cluster) changes."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_3_3_6_spark.functions.multimodal import decode_features, encode_ppm
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_ppm(
+                    np.full((3 + int(i) % 7, 4 + int(i) % 13, 3), int(i) % 251, dtype=np.uint8)
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(render, schema="doc_id bigint, payload binary")
+    feats = decode_features(blobs, "payload", "doc_id", fake=False)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round(F.element_at("feature", 1), 6).alias("mean_r"),
+    )
+
+
+@_register(
+    "avro_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro container-file exchange (reference: hadoop-common .../io/
+    serializer/avro/AvroSerialization.java:1): the nation table is
+    written as Avro object-container files (deflate codec, encoded in
+    executors) and read back through the distributed binaryFile +
+    mapInPandas decoder — the returned rows must be value-identical to
+    the source.  The codec implements the public Avro 1.x spec and is
+    conformance-tested against the Java DataFileReader in
+    tests/test_avro.py.  Eager by contract (it performs its write when
+    constructed, like terasort_validate)."""
+    import tempfile
+
+    from hadoop_3_3_6_spark.sources.avro_io import read_avro, write_avro
+
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name", "n_regionkey")
+    out = tempfile.mkdtemp(prefix="avro_roundtrip_")
+    write_avro(nation, out, codec="deflate")
+    return read_avro(spark, out)
+
+
 # === M2 (cont.): aggregate-framework example queries =====================
 
 

@@ -1,0 +1,320 @@
+"""Avro Object Container File read/write (SURVEY.md §2.1 Avro row).
+
+Reference parity target: AvroSerialization / Avro container-file
+exchange (hadoop-common-project/hadoop-common/src/main/java/org/apache/
+hadoop/io/serializer/avro/AvroSerialization.java:1 under
+/root/reference/) — the container format Hadoop jobs use to hand rows
+between systems.
+
+The spark-avro DataSource jar is not bundled in this environment, so
+the codec is implemented here directly against the PUBLIC Avro 1.x
+spec (container format: magic ``Obj\\x01``, metadata map with
+``avro.schema``/``avro.codec``, sync-marker-delimited blocks; binary
+encoding: zigzag-varint ints/longs, little-endian IEEE floats,
+length-prefixed strings/bytes, union-index-prefixed unions).  It is
+NOT a private re-implementation of a closed format — the files
+interoperate with the real Java Avro library, and the test suite
+proves it by reading our output through ``org.apache.avro.file.
+DataFileReader`` from the avro-1.12.1 jar on Spark's classpath.
+
+Scale shape: ``write_avro`` emits one container file per partition
+inside executors (bytes never visit the driver); ``read_avro`` lists
+distributively via the binaryFile source and decodes per file in
+``mapInPandas`` (a container file is splittable at sync markers — at
+100 TB you would split large files by sync scan; fixture files are
+one-block, so per-file parallelism is the operative axis here).
+
+Supported schema surface: records of boolean / int / long / float /
+double / string / bytes and their nullable unions — the primitive
+surface AvroSerialization itself marshals.  ``null`` and ``deflate``
+codecs (zlib is stdlib; snappy would need an external lib).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+import struct
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+
+_SPARK_TO_AVRO = {
+    T.BooleanType(): "boolean",
+    T.IntegerType(): "int",
+    T.LongType(): "long",
+    T.FloatType(): "float",
+    T.DoubleType(): "double",
+    T.StringType(): "string",
+    T.BinaryType(): "bytes",
+}
+
+_AVRO_TO_SPARK = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "bytes": "binary",
+}
+
+
+def avro_schema_of(schema: T.StructType, name: str = "row") -> dict:
+    """Map a Spark StructType to an Avro record schema (nullable fields
+    become ``["null", T]`` unions, Avro's idiom for optionality)."""
+    fields = []
+    for f in schema.fields:
+        try:
+            avro_type: object = _SPARK_TO_AVRO[f.dataType]
+        except KeyError:
+            raise ValueError(f"unsupported Spark type for Avro: {f.dataType}") from None
+        if f.nullable:
+            avro_type = ["null", avro_type]
+        fields.append({"name": f.name, "type": avro_type})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def spark_schema_of(avro_schema: dict) -> str:
+    """DDL Spark schema for an Avro record schema."""
+    cols = []
+    for f in avro_schema["fields"]:
+        t = f["type"]
+        if isinstance(t, list):  # ["null", T] union
+            t = next(x for x in t if x != "null")
+        cols.append(f"{f['name']} {_AVRO_TO_SPARK[t]}")
+    return ", ".join(cols)
+
+
+# --- binary encoding (Avro spec §"Binary Encoding") ----------------------
+
+
+def _zigzag_encode(out: io.BytesIO, n: int) -> None:
+    n = (n << 1) ^ (n >> 63)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.write(bytes([b | 0x80]))
+        else:
+            out.write(bytes([b]))
+            return
+
+
+def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    shift, acc = 0, 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _encode_value(out: io.BytesIO, v, avro_type) -> None:
+    if isinstance(avro_type, list):  # union: write branch index, then value
+        if v is None:
+            _zigzag_encode(out, avro_type.index("null"))
+            return
+        branch = next(i for i, t in enumerate(avro_type) if t != "null")
+        _zigzag_encode(out, branch)
+        avro_type = avro_type[branch]
+    if avro_type in ("int", "long"):
+        _zigzag_encode(out, int(v))
+    elif avro_type == "boolean":
+        out.write(b"\x01" if v else b"\x00")
+    elif avro_type == "float":
+        out.write(struct.pack("<f", float(v)))
+    elif avro_type == "double":
+        out.write(struct.pack("<d", float(v)))
+    elif avro_type == "string":
+        raw = str(v).encode("utf-8")
+        _zigzag_encode(out, len(raw))
+        out.write(raw)
+    elif avro_type == "bytes":
+        raw = bytes(v)
+        _zigzag_encode(out, len(raw))
+        out.write(raw)
+    else:  # pragma: no cover
+        raise ValueError(f"unsupported Avro type {avro_type!r}")
+
+
+def _decode_value(buf: bytes, pos: int, avro_type):
+    if isinstance(avro_type, list):
+        branch, pos = _zigzag_decode(buf, pos)
+        avro_type = avro_type[branch]
+        if avro_type == "null":
+            return None, pos
+    if avro_type in ("int", "long"):
+        return _zigzag_decode(buf, pos)
+    if avro_type == "boolean":
+        return buf[pos] == 1, pos + 1
+    if avro_type == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if avro_type == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if avro_type == "string":
+        n, pos = _zigzag_decode(buf, pos)
+        return buf[pos : pos + n].decode("utf-8"), pos + n
+    if avro_type == "bytes":
+        n, pos = _zigzag_decode(buf, pos)
+        return bytes(buf[pos : pos + n]), pos + n
+    raise ValueError(f"unsupported Avro type {avro_type!r}")  # pragma: no cover
+
+
+def encode_container(rows: list[tuple], avro_schema: dict, codec: str = "null", sync_seed: str = "") -> bytes:
+    """Serialize rows as one single-block Avro Object Container File.
+    The sync marker is derived deterministically from ``sync_seed`` so
+    repeated writes are byte-identical (reproducible outputs)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"codec {codec!r} unsupported (null/deflate)")
+    sync = hashlib.md5(f"spark-graft-avro:{sync_seed}".encode()).digest()
+    field_types = [f["type"] for f in avro_schema["fields"]]
+    body = io.BytesIO()
+    for row in rows:
+        for v, t in zip(row, field_types):
+            _encode_value(body, v, t)
+    payload = body.getvalue()
+    if codec == "deflate":
+        payload = zlib.compress(payload)[2:-4]  # raw deflate per spec (no zlib header/checksum)
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {"avro.schema": json.dumps(avro_schema).encode(), "avro.codec": codec.encode()}
+    _zigzag_encode(out, len(meta))
+    for k, v in meta.items():
+        _encode_value(out, k, "string")
+        _encode_value(out, v, "bytes")
+    _zigzag_encode(out, 0)  # end of metadata map
+    out.write(sync)
+    if rows:
+        _zigzag_encode(out, len(rows))
+        _zigzag_encode(out, len(payload))
+        out.write(payload)
+        out.write(sync)
+    return out.getvalue()
+
+
+def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
+    """Parse an Avro Object Container File into (schema, rows)."""
+    if data[:4] != MAGIC:
+        raise ValueError("not an Avro container file")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        count, pos = _zigzag_decode(data, pos)
+        if count == 0:
+            break
+        if count < 0:  # block with byte size prefix (spec allows)
+            count = -count
+            _, pos = _zigzag_decode(data, pos)
+        for _ in range(count):
+            k, pos = _decode_value(data, pos, "string")
+            v, pos = _decode_value(data, pos, "bytes")
+            meta[k] = v
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = data[pos : pos + 16]
+    pos += 16
+    field_types = [f["type"] for f in schema["fields"]]
+    rows: list[tuple] = []
+    while pos < len(data):
+        n_rows, pos = _zigzag_decode(data, pos)
+        n_bytes, pos = _zigzag_decode(data, pos)
+        block = data[pos : pos + n_bytes]
+        pos += n_bytes
+        if codec == "deflate":
+            block = zlib.decompress(block, wbits=-15)
+        elif codec != "null":
+            raise ValueError(f"codec {codec!r} unsupported")
+        bpos = 0
+        for _ in range(n_rows):
+            vals = []
+            for t in field_types:
+                v, bpos = _decode_value(block, bpos, t)
+                vals.append(v)
+            rows.append(tuple(vals))
+        if data[pos : pos + 16] != sync:
+            raise ValueError("sync marker mismatch (corrupt container)")
+        pos += 16
+    return schema, rows
+
+
+# --- Spark integration ---------------------------------------------------
+
+
+def write_avro(df: DataFrame, path: str, codec: str = "null") -> int:
+    """Write ``df`` as a directory of Avro container files, one per
+    partition, encoded inside executors.  Returns files written."""
+    avro_schema = avro_schema_of(df.schema)
+    os.makedirs(path, exist_ok=True)
+    wrote = df.sparkSession.sparkContext.accumulator(0)
+
+    def write_partition(idx: int, rows):
+        buf = [tuple(r) for r in rows]
+        if not buf:
+            return iter(())  # LazyOutputFormat stance: no empty files
+        data = encode_container(buf, avro_schema, codec=codec, sync_seed=f"{path}:{idx}")
+        with open(os.path.join(path, f"part-{idx:05d}.avro"), "wb") as f:
+            f.write(data)
+        wrote.add(1)
+        return iter(())
+
+    df.rdd.mapPartitionsWithIndex(write_partition).count()
+    return wrote.value
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Read a directory/glob of Avro container files as a DataFrame.
+    Schema comes from one header peek (driver, O(bytes of one header));
+    record decode runs distributed in mapInPandas over binaryFile."""
+    import glob as _glob
+
+    candidates = sorted(_glob.glob(os.path.join(path, "*.avro")) or _glob.glob(path))
+    if not candidates:
+        raise FileNotFoundError(f"no avro files under {path!r}")
+    with open(candidates[0], "rb") as f:
+        header = f.read(1 << 20)
+    schema = json.loads(_header_schema(header))
+    ddl = spark_schema_of(schema)
+    colnames = [f["name"] for f in schema["fields"]]
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in colnames}
+            for blob in pdf["content"]:
+                _, rows = decode_container(bytes(blob))
+                for row in rows:
+                    for c, v in zip(colnames, row):
+                        out[c].append(v)
+            yield pd.DataFrame(out, columns=colnames)
+
+    files = spark.read.format("binaryFile").load(os.path.join(path, "*.avro") if os.path.isdir(path) else path)
+    return files.select("content").mapInPandas(decode, schema=ddl)
+
+
+def _header_schema(data: bytes) -> bytes:
+    """Extract avro.schema from a container header without decoding
+    blocks (used when only a prefix of the file was read)."""
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        count, pos = _zigzag_decode(data, pos)
+        if count == 0:
+            break
+        if count < 0:
+            count = -count
+            _, pos = _zigzag_decode(data, pos)
+        for _ in range(count):
+            k, pos = _decode_value(data, pos, "string")
+            v, pos = _decode_value(data, pos, "bytes")
+            meta[k] = v
+    return meta["avro.schema"]

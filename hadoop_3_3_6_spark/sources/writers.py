@@ -48,3 +48,37 @@ def multiple_outputs(df: DataFrame, path: str, route_col: str, fmt: str = "parqu
     ``{path}/{route_col}={v}/``.  Single pass, no per-route job."""
     writer = df.write.mode("overwrite").partitionBy(route_col)
     getattr(writer, fmt)(path)
+
+
+def write_non_empty(df: DataFrame, path: str, fmt: str = "parquet") -> int:
+    """LazyOutputFormat analogue (MRC/mapreduce/lib/output/
+    LazyOutputFormat.java:42): only partitions that actually produced
+    records leave a part file behind.
+
+    Spark's FileFormatWriter already commits lazily for normal jobs —
+    an empty task leaves no part file (verified by test), so the
+    reference's wrapper is built-in for the common case.  The one gap:
+    an entirely empty DataFrame still writes a single schema-only part
+    file.  This helper writes normally, then prunes any zero-row part
+    files in a post-commit pass over the output listing (driver-side,
+    but bounded by the partition count, not the data).  Returns files
+    removed.  Text/CSV empties are zero-byte; parquet empties carry
+    only a footer, detected via the file metadata row count."""
+    import os
+
+    getattr(df.write.mode("overwrite"), fmt)(path)
+    removed = 0
+    for name in os.listdir(path):
+        if not name.startswith("part-"):
+            continue
+        full = os.path.join(path, name)
+        if fmt == "parquet":
+            import pyarrow.parquet as pq
+
+            empty = pq.ParquetFile(full).metadata.num_rows == 0
+        else:
+            empty = os.path.getsize(full) == 0
+        if empty:
+            os.remove(full)
+            removed += 1
+    return removed

@@ -184,3 +184,52 @@ def test_columnar_and_text_format_roundtrips(spark, tmp_path):
     back = spark.read.orc(orc_path)
     assert back.schema == df.schema
     assert {tuple(r) for r in back.collect()} == expect
+
+
+def test_mapfile_point_lookup_prunes_to_single_bucket(spark, sf_dir):
+    """MapFile.Reader.get analogue: the lookup plan must touch ONE
+    bucket (SelectedBucketsCount: 1 out of N), and return exactly what
+    a full-scan filter returns."""
+    from hadoop_3_3_6_spark.session import load_table
+    from hadoop_3_3_6_spark.sources.containers import bucketed_table, mapfile_get
+
+    cust = load_table(spark, "customer", sf_dir)
+    bucketed_table(cust, "mapfile_cust", ["c_custkey"], num_buckets=8, sort_cols=["c_custkey"])
+    got = mapfile_get(spark, "mapfile_cust", "c_custkey", 42)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+    expect = cust.filter(F.col("c_custkey") == 42).collect()
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in expect]
+
+
+def test_write_non_empty_suppresses_empty_part_files(spark, tmp_path):
+    """LazyOutputFormat behavior: zero-row partitions leave no part
+    file.  Spark's writer already does this for empty TASKS (pinned
+    here so a regression reopens the gap); write_non_empty closes the
+    remaining case — an entirely empty DataFrame's schema-only file."""
+    import os
+
+    from hadoop_3_3_6_spark.sources.writers import write_non_empty
+
+    # 16 partitions, 10 rows: empty tasks leave no files (built-in lazy)
+    df = spark.range(10).repartition(16)
+    out = str(tmp_path / "lazy_parquet")
+    removed = write_non_empty(df, out, fmt="parquet")
+    assert removed == 0
+    parts = [n for n in os.listdir(out) if n.startswith("part-")]
+    assert 0 < len(parts) < 16, parts
+    back = spark.read.parquet(out)
+    assert sorted(r["id"] for r in back.collect()) == list(range(10))
+
+    # fully empty frame: the single schema-only part file is pruned
+    out_empty = str(tmp_path / "lazy_empty")
+    removed_empty = write_non_empty(df.filter("id < 0"), out_empty, fmt="parquet")
+    assert removed_empty == 1
+    assert [n for n in os.listdir(out_empty) if n.startswith("part-")] == []
+
+    out_txt = str(tmp_path / "lazy_text")
+    removed_txt = write_non_empty(
+        df.filter("id < 0").selectExpr("cast(id as string) as value"), out_txt, fmt="text"
+    )
+    assert removed_txt == 1
+    assert [n for n in os.listdir(out_txt) if n.startswith("part-")] == []

@@ -224,12 +224,14 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
     a constructor splits the plan and materializes intermediates.
     Exemptions: streaming queries execute an availableNow micro-batch
     run by contract (the returned DataFrame is the memory-sink table),
-    terasort_validate writes+reads its sorted run, and pipe_wordcount
-    spawns the child-process pipe eagerly to surface launch errors."""
+    terasort_validate and avro_roundtrip write+read their own data,
+    and pipe_wordcount spawns the child-process pipe eagerly to
+    surface launch errors."""
     eager_by_contract = {
         name
         for name in QUERIES
-        if name.startswith("streaming_") or name in {"terasort_validate", "pipe_wordcount"}
+        if name.startswith("streaming_")
+        or name in {"terasort_validate", "pipe_wordcount", "avro_roundtrip"}
     }
     lazy = [n for n in QUERIES if n not in eager_by_contract]
     # Warm pass: pays the one-time parquet schema-inference jobs that

@@ -236,3 +236,67 @@ def test_archive_roundtrip_subdirs(spark, tmp_path):
     assert unarchive_files(spark, arch, str(out)) == 2
     assert (out / "a" / "same.bin").read_bytes() == b"AAA"
     assert (out / "b" / "same.bin").read_bytes() == b"BBBB"
+
+
+def test_image_codec_roundtrips():
+    """PPM and BMP encode/decode are byte-exact inverses (incl. BMP
+    4-byte row padding at odd widths)."""
+    import numpy as np
+
+    from hadoop_3_3_6_spark.functions.multimodal import decode_image, encode_bmp, encode_ppm
+
+    rng = np.random.default_rng(7)
+    for h, w in [(5, 3), (4, 4), (7, 13)]:
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_image(encode_ppm(arr)) == arr).all()
+        assert (decode_image(encode_bmp(arr)) == arr).all()
+
+
+def test_resize_nearest_known_values():
+    import numpy as np
+
+    from hadoop_3_3_6_spark.functions.multimodal import resize_nearest
+
+    # 2x2 checkerboard scaled to 4x4: each source pixel becomes a 2x2 block
+    arr = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]], dtype=np.uint8
+    )
+    big = resize_nearest(arr, 4, 4)
+    assert (big[0, 0] == [255, 0, 0]).all() and (big[1, 1] == [255, 0, 0]).all()
+    assert (big[0, 3] == [0, 255, 0]).all() and (big[3, 3] == [255, 255, 255]).all()
+
+
+def test_real_image_decode_and_resize_in_spark(spark):
+    """The mapInPandas stages run the REAL numpy decoder end-to-end on
+    PPM and BMP payloads (no fake gate), producing true dimensions and
+    re-encoded thumbnails that decode back to the expected size."""
+    import numpy as np
+
+    from hadoop_3_3_6_spark.functions.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+        decode_features,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(3)
+    img1 = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    img2 = rng.integers(0, 256, size=(9, 21, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(img1))), (2, bytearray(encode_bmp(img2)))],
+        "doc_id long, payload binary",
+    )
+    feats = {r["doc_id"]: r for r in decode_features(df, fake=False).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (12, 16)
+    assert (feats[2]["width"], feats[2]["height"]) == (21, 9)
+    exp_mean = img1.reshape(-1, 3).mean(axis=0) / 255.0
+    assert abs(feats[1]["feature"][0] - exp_mean[0]) < 1e-9
+
+    thumbs = {r["doc_id"]: r for r in resize_images(df, width=4, height=4, fake=False).collect()}
+    t1 = decode_image(bytes(thumbs[1]["thumbnail"]))
+    t2 = decode_image(bytes(thumbs[2]["thumbnail"]))
+    assert t1.shape == (4, 4, 3) and t2.shape == (4, 4, 3)
+    # thumbnail formats follow the source container (PPM in -> PPM out)
+    assert bytes(thumbs[1]["thumbnail"])[:2] == b"P6"
+    assert bytes(thumbs[2]["thumbnail"])[:2] == b"BM"
