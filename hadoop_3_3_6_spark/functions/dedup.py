@@ -310,3 +310,67 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", porta
 def hamming_distance(col_a: str, col_b: str):
     """Popcount of XOR — built-in bit_count over the fingerprint XOR."""
     return F.bit_count(F.expr(f"{col_a} ^ {col_b}"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    vertices: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair graph — the step
+    that turns near-dup candidate PAIRS into duplicate CLUSTERS (pick
+    one representative per cluster to keep; everything else drops).
+
+    Iterative min-label propagation: every vertex starts labeled with
+    itself; each round every vertex takes the min label among itself
+    and its neighbors; fixpoint = per-component min id.  Converges in
+    O(component diameter) rounds — dedup components are near-cliques
+    (band buckets connect most members directly), so 2-4 rounds in
+    practice.  Per round: one hash shuffle of (dst, label) for the
+    neighbor-min join + one convergence count.  ``localCheckpoint``
+    truncates the lineage each round so the plan doesn't grow with the
+    iteration count (at cluster scale, swap for reliable
+    ``checkpoint`` on a DFS dir — same call shape).
+
+    The reference has no graph operator — its users chained MR jobs
+    for exactly this loop (the chained-jobs idiom, SURVEY §2.11); the
+    driver contract checks it against a recursive-CTE oracle.
+
+    Returns (id, cluster_id)."""
+    sym = (
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .unionAll(edges.select(F.col(dst).alias("e_src"), F.col(src).alias("e_dst")))
+        .localCheckpoint()  # reused every round: materialize once
+    )
+    if vertices is None:
+        verts = sym.select(F.col("e_src").alias("id")).distinct()
+    else:
+        verts = vertices.select(F.col(id_col).alias("id")).distinct()
+    labels = verts.select("id", F.col("id").alias("label")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["e_dst"] == labels["id"])
+            .groupBy("e_src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["e_src"], "left")
+            .select(
+                labels["id"],
+                F.least(labels["label"], F.coalesce(nbr["nbr_label"], labels["label"])).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -953,6 +953,37 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE edges AS (SELECT * FROM ({_minhash_oracle()}) t),
+    sym AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS label FROM documents
+      UNION
+      SELECT s.a AS id, r.label FROM reach r JOIN sym s ON s.b = r.id)
+    SELECT id AS doc_id, min(label)::BIGINT AS cluster_id
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs → duplicate CLUSTERS: connected components over
+    the minhash-LSH pair graph (iterative min-label propagation,
+    functions/dedup.connected_components), every document labeled with
+    its component's min doc_id — the keep/drop decision of a dedup
+    pipeline.  Exact recursive-CTE oracle over the identical portable
+    pair graph.  Eager by contract: the fixpoint loop runs actions
+    (per-round convergence counts), the reference's chained-jobs idiom
+    made distributed."""
+    from hadoop_3_3_6_spark.functions.dedup import connected_components
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_candidate_pairs(docs, "text", "doc_id", n=3, num_perm=32, bands=8, portable=True)
+    comp = connected_components(pairs, "id_a", "id_b", vertices=docs, id_col="doc_id")
+    return comp.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+@_register(
     "dedup_simhash",
     """
     WITH w AS (

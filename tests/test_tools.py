@@ -300,3 +300,17 @@ def test_real_image_decode_and_resize_in_spark(spark):
     # thumbnail formats follow the source container (PPM in -> PPM out)
     assert bytes(thumbs[1]["thumbnail"])[:2] == b"P6"
     assert bytes(thumbs[2]["thumbnail"])[:2] == b"BM"
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """Min-label propagation must cross multi-hop chains (worst case
+    for banded dedup graphs) and leave singletons self-labeled."""
+    from hadoop_3_3_6_spark.functions.dedup import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4), pair 10-11, singleton 20
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 20]], "doc_id long")
+    out = {r["id"]: r["cluster_id"] for r in connected_components(edges, vertices=verts).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
