@@ -3,13 +3,13 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()`` — every implemented operator from SURVEY.md §2 as a
 ``(spark, sf_dir) -> DataFrame`` callable.
-``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents (95 of 100;
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents (99 of 103;
 omitted only for genuinely non-reproducible ops: approx_* sketches,
-hyperplane-LSH ANN (recall-tested instead), BBP digits, and the
-self-validating terasort — the driver records its weaker rows-only
-check for those, and tests/ validate them independently.  minhash /
-simhash / randomtextwriter ARE exactly oracle-checked via the
-portable md5-ring hash).
+BBP digits, and the self-validating terasort — the driver records its
+weaker rows-only check for those, and tests/ validate them
+independently.  minhash / simhash / hyperplane-LSH ANN /
+randomtextwriter ARE exactly oracle-checked via portable
+(cross-engine bit-identical) hash/fold modes.
 """
 
 from __future__ import annotations

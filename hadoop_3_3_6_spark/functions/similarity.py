@@ -207,6 +207,7 @@ def lsh_bucketed_topk(
     dim: int = 64,
     probe_ids: list[int] | None = None,
     probes: DataFrame | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH.
 
@@ -217,25 +218,50 @@ def lsh_bucketed_topk(
     stays selective).  Candidate pairs are deduped before scoring, so
     the shuffle carries (table, bucket) keyed rows and each surviving
     pair is scored once.  Recall < 1 by construction — verified
-    against the brute-force baseline in tests."""
+    against the brute-force baseline in tests.
+
+    ``portable=True`` computes the sign bits with sequential JVM
+    ``aggregate`` folds over literal plane arrays instead of the numpy
+    matmul — identical operation order to DuckDB's list_dot_product, so
+    buckets (and therefore the whole result) are exactly
+    oracle-checkable; projections are rounded to 1e-6 before the sign
+    test (``>= 0``) on both engines.  The matmul path stays the scale
+    default (one BLAS call per Arrow batch)."""
     planes = _plane_vectors(num_tables * bits_per_table, dim)
 
-    from pyspark.sql.functions import pandas_udf
+    if portable:
+        bucket_cols = []
+        for t in range(num_tables):
+            bits = []
+            for b in range(bits_per_table):
+                plane = planes[t * bits_per_table + b]
+                lit = f"array({', '.join(f'{x!r}D' for x in plane)})"
+                proj = F.round(F.expr(_dot(vec_col, lit)), 6)
+                bits.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+            bucket = bits[0]
+            for extra in bits[1:]:
+                bucket = bucket + extra
+            bucket_cols.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+        buckets = emb.select(
+            F.col(id_col), F.explode(F.array(*bucket_cols)).alias("tb")
+        ).select(id_col, "tb.table", "tb.bucket")
+    else:
+        from pyspark.sql.functions import pandas_udf
 
-    plane_mat = np.array(planes).T  # dim × (tables*bits)
-    powers = np.array([1 << b for b in range(bits_per_table)])
+        plane_mat = np.array(planes).T  # dim × (tables*bits)
+        powers = np.array([1 << b for b in range(bits_per_table)])
 
-    @pandas_udf("array<int>")
-    def table_buckets(vecs: pd.Series) -> pd.Series:
-        # one matmul per Arrow batch: (rows × dim) @ (dim × tables*bits)
-        m = np.vstack(vecs.to_numpy())
-        bits = (m @ plane_mat) > 0  # rows × (tables*bits)
-        per_table = bits.reshape(len(m), num_tables, bits_per_table) @ powers
-        return pd.Series(list(per_table.astype(np.int32)))
+        @pandas_udf("array<int>")
+        def table_buckets(vecs: pd.Series) -> pd.Series:
+            # one matmul per Arrow batch: (rows × dim) @ (dim × tables*bits)
+            m = np.vstack(vecs.to_numpy())
+            bits = (m @ plane_mat) > 0  # rows × (tables*bits)
+            per_table = bits.reshape(len(m), num_tables, bits_per_table) @ powers
+            return pd.Series(list(per_table.astype(np.int32)))
 
-    buckets = emb.select(
-        F.col(id_col), F.posexplode(table_buckets(F.col(vec_col))).alias("table", "bucket")
-    )
+        buckets = emb.select(
+            F.col(id_col), F.posexplode(table_buckets(F.col(vec_col))).alias("table", "bucket")
+        )
     probe_buckets = _restrict_to_probes(buckets, id_col, probes, probe_ids)
     pairs = (
         probe_buckets.alias("pa")

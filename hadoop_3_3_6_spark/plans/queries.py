@@ -1046,12 +1046,57 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_above(emb, "vec_id", "embedding", threshold=0.45)
 
 
-@_register("similarity_lsh_topk")  # approximate: recall vs brute force in tests
+def _lsh_oracle(num_tables: int = 8, bits_per_table: int = 4, dim: int = 64, k: int = 5) -> str:
+    """DuckDB mirror of the portable hyperplane-LSH pipeline: identical
+    sha256-derived plane literals, identical sequential dot products
+    (list_dot_product == Spark's aggregate/zip_with fold), projections
+    rounded to 1e-6 before the sign test on both engines."""
+    from hadoop_3_3_6_spark.functions.similarity import _plane_vectors
+
+    planes = _plane_vectors(num_tables * bits_per_table, dim)
+    table_rows = []
+    for t in range(num_tables):
+        bits = " + ".join(
+            f"(CASE WHEN round(list_dot_product(e, "
+            f"[{', '.join(repr(x) for x in planes[t * bits_per_table + b])}]::DOUBLE[]), 6) >= 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+            for b in range(bits_per_table)
+        )
+        table_rows.append(f"SELECT vec_id, e, {t} AS tbl, ({bits}) AS bucket FROM v")
+    buckets = "\n      UNION ALL ".join(table_rows)
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    buckets AS ({buckets}),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS neighbor_id
+      FROM buckets a JOIN buckets b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id != b.vec_id
+      WHERE a.vec_id < 25),
+    scored AS (
+      SELECT p.probe_id, p.neighbor_id,
+             round(list_dot_product(pa.e, pb.e) / (sqrt(list_dot_product(pa.e, pa.e)) * sqrt(list_dot_product(pb.e, pb.e))), 6) AS score
+      FROM pairs p JOIN v pa ON pa.vec_id = p.probe_id JOIN v pb ON pb.vec_id = p.neighbor_id),
+    ranked AS (
+      SELECT probe_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT probe_id, neighbor_id, score, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@_register("similarity_lsh_topk", _lsh_oracle())
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucketed top-k (the 100 TB ANN path)."""
+    """Random-hyperplane LSH bucketed top-k (the 100 TB ANN path),
+    portable-bucket mode — exactly reproduced by the DuckDB oracle.
+    The numpy-matmul bucket path (same planes, one BLAS call per Arrow
+    batch) is the scale default and is recall-tested in
+    tests/test_tools.py."""
     emb = load_table(spark, "embeddings", sf_dir)
     probes = emb.filter(F.col("vec_id") < 25).select("vec_id")
-    return lsh_bucketed_topk(emb, "vec_id", "embedding", k=5, num_tables=8, bits_per_table=4, dim=64, probes=probes)
+    return lsh_bucketed_topk(
+        emb, "vec_id", "embedding", k=5, num_tables=8, bits_per_table=4, dim=64,
+        probes=probes, portable=True,
+    )
 
 
 _IVF_COS = "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"

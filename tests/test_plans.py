@@ -266,6 +266,5 @@ def test_oracle_coverage_is_pinned():
         "terasort_validate",
         "approx_distinct_suppliers",
         "approx_quantiles_lineitem",
-        "similarity_lsh_topk",
         "bbp_pi_digits",
     }

@@ -83,12 +83,20 @@ def test_approx_distinct_tolerance(spark, sf_dir):
 
 
 def test_lsh_recall_vs_bruteforce(spark, sf_dir):
-    """The LSH ANN path must find a decent fraction of the true top-5
-    (it is approximate by construction; recall floor keeps it honest)."""
+    """The DEFAULT (numpy-matmul buckets) LSH ANN path must find a
+    decent fraction of the true top-5 (approximate by construction;
+    recall floor keeps it honest).  The portable-bucket mode is exactly
+    oracle-checked via the registered query instead."""
+    from hadoop_3_3_6_spark.functions.similarity import lsh_bucketed_topk
     from hadoop_3_3_6_spark.plans.queries import QUERIES
+    from hadoop_3_3_6_spark.session import load_table
 
     exact = QUERIES["similarity_topk"](spark, sf_dir).toPandas()
-    approx = QUERIES["similarity_lsh_topk"](spark, sf_dir).toPandas()
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 25).select("vec_id")
+    approx = lsh_bucketed_topk(
+        emb, "vec_id", "embedding", k=5, num_tables=8, bits_per_table=4, dim=64, probes=probes
+    ).toPandas()
     truth = set(zip(exact.probe_id, exact.neighbor_id))
     got = set(zip(approx.probe_id, approx.neighbor_id))
     recall = len(truth & got) / len(truth)
