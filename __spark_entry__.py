@@ -3,7 +3,7 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()`` — every implemented operator from SURVEY.md §2 as a
 ``(spark, sf_dir) -> DataFrame`` callable.
-``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents (99 of 103;
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents (100 of 104;
 omitted only for genuinely non-reproducible ops: approx_* sketches,
 BBP digits, and the self-validating terasort — the driver records its
 weaker rows-only check for those, and tests/ validate them

@@ -198,6 +198,88 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, band, band_hash) LSH band rows — the unit of both the
+    self-join dedup (minhash_candidate_pairs) and the persistent corpus
+    band INDEX (build_minhash_index / dedup_against_index): at scale
+    you store these rows once per corpus and join each new batch
+    against them instead of re-hashing the corpus per run."""
+    rows = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_perm, portable=portable)
+    if portable:
+        band_key = lambda b: F.expr(f"slice(signature, {b * rows + 1}, {rows})").alias("band_hash")  # noqa: E731
+    else:
+        band_key = lambda b: F.xxhash64(F.expr(f"slice(signature, {b * rows + 1}, {rows})")).alias("band_hash")  # noqa: E731
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), band_key(b)) for b in range(bands)])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.band_hash")
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> None:
+    """Persist the corpus band index as parquet partitioned-friendly
+    rows (id, band, band_hash) — hash the corpus ONCE; every future
+    batch dedups by joining against this table (repartitioned by
+    (band, band_hash) at write so batch joins co-locate)."""
+    minhash_bands(df, text_col, id_col, n, num_perm, bands, portable=portable).repartition(
+        "band", "band_hash"
+    ).write.mode("overwrite").parquet(path)
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    corpus_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """Incremental near-dedup: match a NEW batch against an existing
+    corpus band index (from ``minhash_bands`` live or
+    ``build_minhash_index`` parquet).  Returns distinct
+    (new_id, corpus_id) collision pairs; new docs absent from the
+    result are novel.  The only shuffle is the (band, band_hash) equi
+    join — corpus is never re-hashed, batch side is typically small
+    enough to broadcast.  This is the production shape: dedup a crawl
+    increment against 100 TB of history at batch cost, not corpus
+    cost."""
+    batch = minhash_bands(new_df, text_col, id_col, n, num_perm, bands, portable=portable)
+    a = batch.alias("a")
+    b = corpus_bands.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("new_id"), F.col(f"b.{id_col}").alias("corpus_id"))
+        .distinct()
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -217,18 +299,7 @@ def minhash_candidate_pairs(
     the band's value array itself as the join key (array equality —
     collision-free, and reproducible in the DuckDB oracle) instead of
     an xxhash64 of the slice."""
-    rows = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_perm, portable=portable)
-    if portable:
-        band_key = lambda b: F.expr(f"slice(signature, {b * rows + 1}, {rows})").alias("band_hash")  # noqa: E731
-    else:
-        band_key = lambda b: F.xxhash64(F.expr(f"slice(signature, {b * rows + 1}, {rows})")).alias("band_hash")  # noqa: E731
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), band_key(b)) for b in range(bands)])
-        ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.band_hash")
+    banded = minhash_bands(df, text_col, id_col, n, num_perm, bands, portable=portable)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -907,10 +907,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
 
 
-def _minhash_oracle(n: int = 3, num_perm: int = 32, bands: int = 8) -> str:
+def _minhash_oracle(n: int = 3, num_perm: int = 32, bands: int = 8, tail: str | None = None) -> str:
     """DuckDB mirror of the portable minhash+LSH pipeline: identical
     md5-derived shingle hashes, identical sha256-derived affine maps on
-    the PORTABLE_MOD ring, band key = the min-lane slice itself."""
+    the PORTABLE_MOD ring, band key = the min-lane slice itself.
+    ``tail`` overrides the final SELECT over the ``bands`` CTE (default:
+    the self-join candidate-pair query)."""
     from hadoop_3_3_6_spark.functions.dedup import PORTABLE_MOD as P
     from hadoop_3_3_6_spark.functions.dedup import minhash_coef
 
@@ -924,6 +926,10 @@ def _minhash_oracle(n: int = 3, num_perm: int = 32, bands: int = 8) -> str:
         for b in range(bands)
     )
     combine = " + ".join(f"hs[i + {j}] * {minhash_coef('g', j)} % {P}" for j in range(n))
+    if tail is None:
+        tail = """
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"""
     return f"""
     WITH wh AS (
       SELECT doc_id,
@@ -937,8 +943,7 @@ def _minhash_oracle(n: int = 3, num_perm: int = 32, bands: int = 8) -> str:
         FROM wh WHERE len(hs) >= {n})),
     sig AS (SELECT doc_id, {lanes} FROM h GROUP BY doc_id),
     bands AS ({band_rows})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    {tail}
     """
 
 
@@ -950,6 +955,32 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB default and is recall-tested against exact jaccard."""
     docs = load_table(spark, "documents", sf_dir)
     return minhash_candidate_pairs(docs, "text", "doc_id", n=3, num_perm=32, bands=8, portable=True)
+
+
+@_register(
+    "dedup_incremental",
+    _minhash_oracle(
+        tail="""
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+    WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0"""
+    ),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup against a corpus band index — the
+    production shape for deduping a crawl increment against 100 TB of
+    history: the corpus (here: even doc_ids) is band-hashed once
+    (functions/dedup.minhash_bands / build_minhash_index persists it);
+    each new batch (odd doc_ids) joins its bands against the index at
+    batch cost, never corpus cost.  Exact oracle over the identical
+    portable band computation."""
+    from hadoop_3_3_6_spark.functions.dedup import dedup_against_index, minhash_bands
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index = minhash_bands(corpus, "text", "doc_id", n=3, num_perm=32, bands=8, portable=True)
+    return dedup_against_index(batch, index, "text", "doc_id", n=3, num_perm=32, bands=8, portable=True)
 
 
 @_register(

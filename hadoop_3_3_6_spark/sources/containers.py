@@ -40,6 +40,13 @@ def write_sequence_file(df: DataFrame, path: str, codec: str | None = None) -> N
     """Write the first two columns as a SequenceFile (Writable-encoded,
     splittable, sync-marked — SequenceFile.Writer semantics).
 
+    NON-HOT-PATH legacy-compat sink: rows travel through a pickled
+    Python RDD (row-at-a-time via Py4J) because the Writable converters
+    only accept RDDs.  Use it to hand data to legacy Hadoop consumers;
+    the engine's canonical high-throughput container is Parquet (and
+    ``avro_io.write_avro`` for Avro exchange, which encodes in
+    executors without the per-row pickle hop).
+
     ``codec``: short name like "gzip"/"bzip2" — the compression surface
     of SequenceFile.Writer (compression NONE/RECORD/BLOCK,
     SequenceFile.java:240)."""

@@ -89,3 +89,45 @@ def test_avro_rejects_unsupported_types(spark):
     df = spark.createDataFrame([([1, 2],)], "xs array<int>")
     with pytest.raises(ValueError, match="unsupported Spark type"):
         avro_schema_of(df.schema)
+
+
+def test_container_roundtrip_property():
+    """Property test: arbitrary rows of the supported primitive surface
+    survive the container roundtrip byte-exactly (both codecs)."""
+    import math
+
+    import pyspark.sql.types as T
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), True),
+            T.StructField("b", T.StringType(), True),
+            T.StructField("c", T.DoubleType(), True),
+            T.StructField("d", T.BooleanType(), False),
+            T.StructField("e", T.BinaryType(), True),
+        ]
+    )
+    a_schema = avro_schema_of(schema)
+    row = st.tuples(
+        st.one_of(st.none(), st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+        st.one_of(st.none(), st.text(max_size=40)),
+        st.one_of(st.none(), st.floats(allow_nan=False)),
+        st.booleans(),
+        st.one_of(st.none(), st.binary(max_size=40)),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(row, max_size=12), st.sampled_from(["null", "deflate"]))
+    def roundtrip(rows, codec):
+        _, got = decode_container(encode_container(rows, a_schema, codec=codec, sync_seed="p"))
+        assert len(got) == len(rows)
+        for g, r in zip(got, rows):
+            for gv, rv in zip(g, r):
+                if isinstance(rv, float):
+                    assert gv == rv or (math.isinf(rv) and gv == rv)
+                else:
+                    assert gv == rv
+
+    roundtrip()

@@ -322,3 +322,26 @@ def test_connected_components_chain_and_singleton(spark):
     verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 10, 11, 20]], "doc_id long")
     out = {r["id"]: r["cluster_id"] for r in connected_components(edges, vertices=verts).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_minhash_index_roundtrip_matches_live(spark, sf_dir, tmp_path):
+    """The persisted parquet band index must dedup identically to the
+    live band DataFrame (hash-the-corpus-once contract)."""
+    from hadoop_3_3_6_spark.functions.dedup import (
+        build_minhash_index,
+        dedup_against_index,
+        minhash_bands,
+    )
+    from hadoop_3_3_6_spark.session import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    idx_path = str(tmp_path / "band_index")
+    build_minhash_index(corpus, idx_path)
+    live = minhash_bands(corpus)
+    via_live = set(map(tuple, dedup_against_index(batch, live).collect()))
+    via_parquet = set(
+        map(tuple, dedup_against_index(batch, spark.read.parquet(idx_path)).collect())
+    )
+    assert via_live == via_parquet
