@@ -69,6 +69,13 @@ HEADLINE = [
     "pipeline_global_shuffle",
     "text_boilerplate",
     "pipeline_contamination",
+    # round-2 additions
+    "dedup_incremental",
+    "multimodal_decode",
+    "avro_roundtrip",
+    "text_pii_redact",
+    "text_repetition_topgram",
+    "dedup_span_fraction",
 ]
 
 

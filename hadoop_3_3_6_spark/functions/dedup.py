@@ -355,6 +355,68 @@ def ngram_jaccard_pairs(
     return pairs.select("id_a", "id_b", jaccard.alias("jaccard")).filter(F.col("jaccard") >= threshold)
 
 
+def duplicated_span_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Corpus-level duplicated-span marking (the shingle-granularity
+    form of exact substring dedup, Lee et al. 2022 'Deduplicating
+    Training Data Makes Language Models Better'): for every document,
+    the fraction of its word n-gram *instances* whose n-gram also
+    occurs in at least one OTHER document.  High fraction = the doc is
+    mostly made of text duplicated elsewhere in the corpus — the
+    per-doc signal a span-dedup pass thresholds on.
+
+    Shape: inverted index, never all-pairs — explode instances,
+    count distinct docs per shingle (two-phase partial agg), join
+    back on shingle, re-aggregate per doc.  Only (shingle, id) rows
+    shuffle.  ``max_df`` optionally drops shingles hotter than that
+    many docs before the join-back (skew guard: a boilerplate shingle
+    present in millions of docs is known-duplicated; at scale you cap
+    its fan-out and count it as duplicated without joining).  Leave
+    None for oracle-exact semantics.
+    """
+    words = f"filter(split({text_col}, ' '), w -> w <> '')"
+    grams = (
+        f"case when size({words}) >= {n} then "
+        f"transform(sequence(1, size({words}) - {n - 1}), "
+        f"i -> array_join(slice({words}, i, {n}), ' ')) "
+        f"else array() end"
+    )
+    inst = df.select(F.col(id_col), F.explode(F.expr(grams)).alias("shingle"))
+    docs_per = inst.groupBy("shingle").agg(F.countDistinct(id_col).alias("n_docs"))
+    if max_df is not None:
+        docs_per = docs_per.filter(F.col("n_docs") <= max_df)
+    per_doc = (
+        inst.join(docs_per, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("total_shingles"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("dup_shingles"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("total_shingles", F.lit(0)).alias("total_shingles"),
+            F.coalesce("dup_shingles", F.lit(0)).alias("dup_shingles"),
+            F.when(
+                F.coalesce("total_shingles", F.lit(0)) > 0,
+                F.round(
+                    F.col("dup_shingles").cast("double") / F.col("total_shingles").cast("double"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_span_fraction"),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", portable: bool = False) -> DataFrame:
     """64-bit SimHash: per token hash, each bit contributes +1/-1 to a
      64-lane counter; fingerprint bit i = sign of lane i.  One aggregate

@@ -127,6 +127,82 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return df.select(F.col(id_col), F.expr(expr).alias("fingerprint"))
 
 
+# PII patterns restricted to syntax valid in BOTH Java regex (Spark) and
+# RE2 (DuckDB oracle): no backreferences, no lookaround.  Order matters:
+# emails are redacted first (they contain dots/digits an IP or phone
+# pattern could partially claim), then IPv4, then phone numbers.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Regex PII scrubbing — the standard pre-training compliance pass
+    (emails / IPv4 / phone numbers -> typed placeholder tokens), with a
+    per-category match count for audit metrics.
+
+    Pure ``regexp_count`` + ``regexp_replace`` column expressions
+    (JVM-side, codegen), applied sequentially so each count is taken on
+    the text as already redacted by the previous (higher-precedence)
+    category — no double counting.  The reference has no PII surface;
+    this is the training-pipeline extension analogue of a chained
+    RegexMapper (MRX/RegexMapper semantics, MRC/lib/map/RegexMapper.java:1).
+    """
+    cur = F.col(text_col)
+    out_cols = [F.col(id_col)]
+    counts = []
+    for cat, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{cat}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select(*out_cols, *counts, cur.alias("clean_text"))
+
+
+def repetition_top_ngram(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Gopher-style top-n-gram repetition signal: the occurrence count
+    of the single most frequent word n-gram in the document, and the
+    fraction of the document's characters covered by its occurrences
+    (count * len(gram) / len(text)).  High values flag looping /
+    templated text (Rae et al. 2021 'top n-gram fraction' filters).
+
+    Per-row higher-order expressions only — O(distinct_grams * grams)
+    inside one projection, no shuffle, no UDF; the scan stays in
+    whole-stage codegen.  The two maxima are computed independently
+    (the most frequent gram and the most char-covering gram may
+    differ); both are exact integer arithmetic + one division, so the
+    SQL oracle reproduces them bit-for-bit."""
+    words = f"filter(split({text_col}, ' '), w -> w <> '')"
+    grams = (
+        f"case when size({words}) >= {n} then "
+        f"transform(sequence(1, size({words}) - {n - 1}), "
+        f"i -> array_join(slice({words}, i, {n}), ' ')) "
+        f"else array() end"
+    )
+    top_count = (
+        f"aggregate(array_distinct({grams}), 0, "
+        f"(acc, g) -> greatest(acc, size(filter({grams}, x -> x = g))))"
+    )
+    top_chars = (
+        f"aggregate(array_distinct({grams}), 0, "
+        f"(acc, g) -> greatest(acc, size(filter({grams}, x -> x = g)) * length(g)))"
+    )
+    n_chars = F.length(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({grams})").alias("total_ngrams"),
+        F.expr(top_count).alias("top_ngram_count"),
+        F.when(
+            n_chars > 0,
+            F.round(F.expr(top_chars).cast("double") / n_chars.cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_ngram_char_fraction"),
+    )
+
+
 def boilerplate_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Gopher-style repetition signals: fraction of word n-grams that
     are duplicates within the document (boilerplate / repeated-line

@@ -2380,6 +2380,121 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_pii_redact",
+    r"""
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.0.'
+                  || (doc_id % 250)::VARCHAR || ' tel 555-010-'
+                  || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+      FROM documents),
+    r1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))::INT AS n_email,
+             regexp_replace(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+      FROM injected),
+    r2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ipv4,
+             regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
+      FROM r1)
+    SELECT doc_id, n_email, n_ipv4,
+           len(regexp_extract_all(t, '\+?\d{3}[-. ]\d{3}[-. ]\d{4}'))::INT AS n_phone,
+           regexp_replace(t, '\+?\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g') AS clean_text
+    FROM r2
+    """,
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing compliance pass over the corpus.  The synthetic
+    corpus contains no PII, so the query first injects a deterministic
+    email / IPv4 / phone per document (derived from doc_id) and then
+    redacts them — exercising match, count, and replacement for all
+    three categories with a bit-exact oracle
+    (functions/text.pii_redact; sequential regexp_count +
+    regexp_replace, all codegen)."""
+    from hadoop_3_3_6_spark.functions.text import pii_redact
+
+    docs = load_table(spark, "documents", sf_dir)
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" tel 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return pii_redact(injected, "text", "doc_id")
+
+
+@_register(
+    "text_repetition_topgram",
+    """
+    SELECT doc_id, len(grams)::INT AS total_ngrams,
+           coalesce(list_max(list_transform(list_distinct(grams),
+                    g -> len(list_filter(grams, x -> x = g)))), 0)::INT AS top_ngram_count,
+           CASE WHEN length(text) > 0
+                THEN round(coalesce(list_max(list_transform(list_distinct(grams),
+                           g -> len(list_filter(grams, x -> x = g)) * length(g))), 0)::DOUBLE
+                           / length(text), 6)
+                ELSE 0.0 END AS top_ngram_char_fraction
+    FROM (SELECT doc_id, text,
+                 CASE WHEN len(words) >= 2
+                      THEN list_transform(range(1, len(words)), i -> array_to_string(words[i:i+1], ' '))
+                      ELSE []::VARCHAR[] END AS grams
+          FROM (SELECT doc_id, text, list_filter(string_split(text, ' '), w -> w <> '') AS words
+                FROM documents))
+    """,
+)
+def q_text_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher top-2-gram repetition filter signals: most-frequent-gram
+    occurrence count and the char fraction its occurrences cover
+    (functions/text.repetition_top_ngram; per-row HOFs, no shuffle)."""
+    from hadoop_3_3_6_spark.functions.text import repetition_top_ngram
+
+    return repetition_top_ngram(load_table(spark, "documents", sf_dir), "text", "doc_id", n=2)
+
+
+@_register(
+    "dedup_span_fraction",
+    """
+    WITH inst AS (
+      SELECT doc_id, unnest(grams) AS shingle
+      FROM (SELECT doc_id,
+                   CASE WHEN len(words) >= 3
+                        THEN list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))
+                        ELSE []::VARCHAR[] END AS grams
+            FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+                  FROM documents))),
+    dpc AS (SELECT shingle, count(DISTINCT doc_id) AS n_docs FROM inst GROUP BY shingle),
+    per_doc AS (
+      SELECT i.doc_id, count(*)::BIGINT AS total_shingles,
+             sum(CASE WHEN p.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_shingles
+      FROM inst i JOIN dpc p USING (shingle)
+      GROUP BY i.doc_id)
+    SELECT d.doc_id,
+           coalesce(t.total_shingles, 0)::BIGINT AS total_shingles,
+           coalesce(t.dup_shingles, 0)::BIGINT AS dup_shingles,
+           CASE WHEN coalesce(t.total_shingles, 0) > 0
+                THEN round(t.dup_shingles::DOUBLE / t.total_shingles, 6)
+                ELSE 0.0 END AS dup_span_fraction
+    FROM documents d LEFT JOIN per_doc t USING (doc_id)
+    """,
+)
+def q_dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-span fraction per document — the
+    shingle-granularity exact-substring-dedup signal (inverted-index
+    join, never all-pairs; functions/dedup.duplicated_span_fraction)."""
+    from hadoop_3_3_6_spark.functions.dedup import duplicated_span_fraction
+
+    docs = load_table(spark, "documents", sf_dir)
+    return duplicated_span_fraction(docs, "text", "doc_id", n=3)
+
+
+@_register(
     "pipeline_global_shuffle",
     """
     SELECT doc_id, skey % 32 AS block,
@@ -2915,13 +3030,34 @@ _ROUND1_DRIVER_VERIFIED = [
 ]
 
 
+# Deliberately deferred past the driver's ~50-row budget: detail/scalar
+# suites whose semantics are already exhaustively pytest-oracle-checked
+# (tests/test_oracle_parity.py) and whose parent query is driver-green.
+# They rotate into the front group next round.
+_DRIVER_DEFERRED = [
+    "value_histogram_details",
+    "date_functions",
+    "string_functions",
+    "array_functions",
+]
+
+
 def _reorder_for_driver() -> None:
-    front = [n for n in QUERIES if n not in set(_ROUND1_DRIVER_VERIFIED)]
+    verified = set(_ROUND1_DRIVER_VERIFIED)
+    deferred = set(_DRIVER_DEFERRED)
+    front = [
+        n for n in QUERIES
+        if n not in verified and n not in deferred and n in ORACLES
+    ]
+    # no-oracle entries only ever earn a rows-only driver row; don't let
+    # them burn budgeted slots ahead of exact-oracle checks.
+    no_oracle = [n for n in QUERIES if n not in verified and n not in ORACLES]
+    mid = [n for n in _DRIVER_DEFERRED if n in QUERIES] + no_oracle
     back = [n for n in _ROUND1_DRIVER_VERIFIED if n in QUERIES]
     for registry in (QUERIES, ORACLES):
         snapshot = dict(registry)
         registry.clear()
-        for name in front + back:
+        for name in front + mid + back:
             if name in snapshot:
                 registry[name] = snapshot[name]
 

@@ -1,0 +1,79 @@
+"""Unit tests for the round-2 text-pipeline ops on hand-built fixtures
+(the synthetic corpus has no real PII / pathological repetition, so the
+oracle-parity sweep alone would not exercise these edges)."""
+
+from __future__ import annotations
+
+from hadoop_3_3_6_spark.functions.dedup import duplicated_span_fraction
+from hadoop_3_3_6_spark.functions.text import pii_redact, repetition_top_ngram
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_pii_redact_categories_and_order(spark):
+    df = _docs(
+        spark,
+        [
+            "mail a.b+c@sub.example.org or b@x.io now",
+            "server at 10.0.0.1 and 192.168.255.254 up",
+            "call 555-010-1234 or +1 555.010.9999 ok",
+            # email must win over phone/ip on its own digits+dots
+            "mixed u1@e.co 8.8.8.8 555 010 1234",
+            "clean text with no pii at all",
+        ],
+    )
+    rows = {r.doc_id: r for r in pii_redact(df, "text", "doc_id").collect()}
+    assert (rows[0].n_email, rows[0].n_ipv4, rows[0].n_phone) == (2, 0, 0)
+    assert rows[0].clean_text == "mail <EMAIL> or <EMAIL> now"
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_phone) == (0, 2, 0)
+    assert rows[1].clean_text == "server at <IP> and <IP> up"
+    assert rows[2].n_phone == 2 and "555" not in rows[2].clean_text
+    assert (rows[3].n_email, rows[3].n_ipv4, rows[3].n_phone) == (1, 1, 1)
+    assert rows[3].clean_text == "mixed <EMAIL> <IP> <PHONE>"
+    assert rows[4].clean_text == "clean text with no pii at all"
+    assert (rows[4].n_email, rows[4].n_ipv4, rows[4].n_phone) == (0, 0, 0)
+
+
+def test_repetition_top_ngram_counts(spark):
+    # "ab ab ab ab" -> 3 bigrams, all "ab ab" (5 chars); text len 11
+    df = _docs(spark, ["ab ab ab ab", "w x y z", "solo", ""])
+    rows = {r.doc_id: r for r in repetition_top_ngram(df, "text", "doc_id", n=2).collect()}
+    assert rows[0].total_ngrams == 3 and rows[0].top_ngram_count == 3
+    assert rows[0].top_ngram_char_fraction == round(3 * 5 / 11, 6)
+    # all bigrams distinct -> top count 1
+    assert rows[1].total_ngrams == 3 and rows[1].top_ngram_count == 1
+    # fewer than n words / empty text -> zeros
+    assert rows[2].total_ngrams == 0 and rows[2].top_ngram_count == 0
+    assert rows[2].top_ngram_char_fraction == 0.0
+    assert rows[3].top_ngram_char_fraction == 0.0
+
+
+def test_duplicated_span_fraction_and_max_df(spark):
+    df = _docs(
+        spark,
+        [
+            "a b c d e",  # shares "a b c"/"b c d" with doc 1
+            "a b c d x",
+            "p q r s t",  # unique spans
+            "zz",  # too short for 3-grams
+        ],
+    )
+    rows = {r.doc_id: r for r in duplicated_span_fraction(df, "text", "doc_id", n=3).collect()}
+    assert rows[0].total_shingles == 3 and rows[0].dup_shingles == 2
+    assert rows[0].dup_span_fraction == round(2 / 3, 6)
+    assert rows[1].dup_shingles == 2
+    assert rows[2].dup_shingles == 0 and rows[2].dup_span_fraction == 0.0
+    assert rows[3].total_shingles == 0 and rows[3].dup_span_fraction == 0.0
+
+    # max_df=1 drops the shared shingles from the index entirely: the
+    # skew guard removes hot shingles before the join-back, so docs 0/1
+    # lose those instances from their totals.
+    guarded = {
+        r.doc_id: r
+        for r in duplicated_span_fraction(df, "text", "doc_id", n=3, max_df=1).collect()
+    }
+    assert guarded[0].total_shingles == 1 and guarded[0].dup_shingles == 0
