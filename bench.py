@@ -76,6 +76,7 @@ HEADLINE = [
     "text_pii_redact",
     "text_repetition_topgram",
     "dedup_span_fraction",
+    "multimodal_audio",
 ]
 
 

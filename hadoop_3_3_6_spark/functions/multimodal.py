@@ -9,9 +9,12 @@ Image decode is REAL for the two classic uncompressed formats — PPM
 (P6) and BMP (24-bit uncompressed) — implemented in pure numpy
 (``decode_image`` / ``encode_ppm`` / ``encode_bmp`` /
 ``resize_nearest``): byte-exact roundtrips, nearest-neighbor resize,
-no PIL/opencv needed.  Compressed formats (JPEG/PNG) and audio/video
-decode stay STUBBED behind ``fake=True`` / NotImplementedError — those
-genuinely require external codec libraries not in this environment.
+no PIL/opencv needed.  Audio decode is REAL for RIFF/WAVE PCM (8/16-bit,
+any channel count) — ``decode_wav`` / ``encode_wav`` / ``audio_features``,
+conformance-tested against the stdlib ``wave`` writer.  Compressed
+formats (JPEG/PNG/MP3) and video decode stay STUBBED behind
+``fake=True`` / NotImplementedError — those genuinely require external
+codec libraries not in this environment.
 """
 
 from __future__ import annotations
@@ -118,6 +121,84 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     rows = np.minimum((np.arange(height) + 0.5) * h / height, h - 1).astype(np.int64)
     cols = np.minimum((np.arange(width) + 0.5) * w / width, w - 1).astype(np.int64)
     return arr[rows][:, cols]
+
+
+# --- pure-numpy audio codec (RIFF/WAVE, PCM 8/16-bit) --------------------
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE PCM payload (8-bit unsigned or 16-bit signed,
+    any channel count) to ((n_samples, n_channels) int16 array,
+    sample_rate).  Pure struct/numpy chunk walk — no codec library;
+    raises ValueError for non-WAV or compressed formats."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are padded to even size
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"only PCM 8/16-bit supported (format={audio_format}, bits={bits})")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2).astype(np.int16)
+    else:
+        # 8-bit WAV is unsigned with 128 bias
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) * 256
+    n = (len(samples) // n_channels) * n_channels
+    return samples[:n].reshape(-1, n_channels), sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an (n_samples, n_channels) int16 array as 16-bit PCM WAV."""
+    if samples.ndim == 1:
+        samples = samples.reshape(-1, 1)
+    n_channels = samples.shape[1]
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, sample_rate * n_channels * 2, n_channels * 2, 16)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt))
+        + fmt
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def audio_features(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """Distributed audio feature extraction over WAV binary payloads:
+    mapInPandas → (id, sample_rate, n_channels, n_samples, peak,
+    zero_crossings).  All-integer outputs (peak = max |sample| of the
+    first channel; zero crossings = strict sign changes), so a SQL
+    oracle can reproduce them exactly when the signal is deterministic.
+    The batch shape is what a real audio embedder (spectrogram/codec
+    frontend) would use — only the per-payload function changes."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (id_col, "sample_rate", "n_channels", "n_samples", "peak", "zero_crossings")}
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                samples, rate = decode_wav(bytes(b))
+                mono = samples[:, 0].astype(np.int64)
+                rows[id_col].append(i)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(samples.shape[1])
+                rows["n_samples"].append(samples.shape[0])
+                rows["peak"].append(int(np.abs(mono).max(initial=0)))
+                rows["zero_crossings"].append(int(np.sum(mono[1:] * mono[:-1] < 0)))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        extract,
+        schema=f"{id_col} bigint, sample_rate int, n_channels int, n_samples int, peak int, zero_crossings int",
+    )
 
 
 def decode_stub(payload: bytes, modality: str = "image", fake: bool = False) -> dict:

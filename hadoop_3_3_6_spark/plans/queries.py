@@ -1314,6 +1314,52 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_audio",
+    """
+    SELECT doc_id,
+           8000 AS sample_rate,
+           1 AS n_channels,
+           (100 + doc_id % 400)::INT AS n_samples,
+           (1000 + doc_id % 20000)::INT AS peak,
+           ((100 + doc_id % 400 - 1) // (1 + doc_id % 16))::INT AS zero_crossings
+    FROM documents
+    """,
+)
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through the distributed pipeline: per document
+    a square-wave 16-bit PCM WAV with doc_id-derived length, amplitude,
+    and half-period is encoded in one mapInPandas stage and decoded by
+    the pure-numpy RIFF parser (functions/multimodal.decode_wav) in the
+    next; the extracted integer features (sample count, peak, strict
+    zero crossings) have closed forms in doc_id, so the oracle is
+    exact.  Same batch shape as a production audio feature-extract
+    stage — only the codec (PCM here, MP3/FLAC on a real cluster)
+    changes."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_3_3_6_spark.functions.multimodal import audio_features, encode_wav
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n, amp, half = 100 + i % 400, 1000 + i % 20000, 1 + i % 16
+                idx = np.arange(n)
+                wave_arr = np.where((idx // half) % 2 == 0, amp, -amp).astype(np.int16)
+                payloads.append(encode_wav(wave_arr, 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(render, schema="doc_id bigint, payload binary")
+    return audio_features(blobs, "payload", "doc_id")
+
+
+@_register(
     "avro_roundtrip",
     "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 )
@@ -3039,6 +3085,7 @@ _DRIVER_DEFERRED = [
     "date_functions",
     "string_functions",
     "array_functions",
+    "pi_estimate",
 ]
 
 

@@ -1,0 +1,86 @@
+"""WAV (RIFF/PCM) codec conformance and distributed audio features.
+
+The decoder must interoperate with files produced by the stdlib
+``wave`` writer (an independent implementation of the public WAV spec),
+not merely roundtrip its own output."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+
+from hadoop_3_3_6_spark.functions.multimodal import audio_features, decode_wav, encode_wav
+
+
+def _stdlib_wav(samples: np.ndarray, rate: int, sampwidth: int = 2) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(samples.shape[1] if samples.ndim == 2 else 1)
+        w.setsampwidth(sampwidth)
+        w.setframerate(rate)
+        if sampwidth == 1:
+            w.writeframes((samples.astype(np.int16) // 256 + 128).astype(np.uint8).tobytes())
+        else:
+            w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_roundtrip_stereo():
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-32768, 32767, size=(501, 2), dtype=np.int64).astype(np.int16)
+    decoded, rate = decode_wav(encode_wav(samples, 44100))
+    assert rate == 44100
+    np.testing.assert_array_equal(decoded, samples)
+
+
+def test_decode_stdlib_written():
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-32768, 32767, size=(257, 2), dtype=np.int64).astype(np.int16)
+    decoded, rate = decode_wav(_stdlib_wav(samples, 16000))
+    assert rate == 16000
+    np.testing.assert_array_equal(decoded, samples)
+
+
+def test_stdlib_reads_our_encoding():
+    samples = (np.sin(np.arange(300) / 10.0) * 20000).astype(np.int16).reshape(-1, 1)
+    with wave.open(io.BytesIO(encode_wav(samples, 8000)), "rb") as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate(), w.getnframes()) == (1, 2, 8000, 300)
+        np.testing.assert_array_equal(
+            np.frombuffer(w.readframes(300), dtype="<i2"), samples.ravel()
+        )
+
+
+def test_decode_8bit_and_chunk_padding():
+    # 8-bit mono with an ODD-size data chunk, followed by a trailing
+    # chunk — exercises unsigned bias and even-padding in the walker.
+    raw8 = np.array([0, 64, 128, 192, 255], dtype=np.uint8)  # odd count
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (
+        struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(raw8)) + raw8.tobytes() + b"\x00"  # pad
+        + struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    )
+    payload = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    decoded, rate = decode_wav(payload)
+    assert rate == 8000
+    np.testing.assert_array_equal(decoded.ravel(), (raw8.astype(np.int16) - 128) * 256)
+
+
+def test_audio_features_distributed(spark):
+    sigs = {
+        0: np.array([100, 100, -100, -100, 100], dtype=np.int16),  # 2 crossings
+        1: np.array([5, -5, 5, -5], dtype=np.int16),  # 3 crossings
+        2: np.zeros(10, dtype=np.int16),  # no crossings, peak 0
+    }
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_wav(s, 8000))) for i, s in sigs.items()],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in audio_features(df, "payload", "doc_id").collect()}
+    assert (rows[0].n_samples, rows[0].peak, rows[0].zero_crossings) == (5, 100, 2)
+    assert (rows[1].n_samples, rows[1].peak, rows[1].zero_crossings) == (4, 5, 3)
+    assert (rows[2].peak, rows[2].zero_crossings) == (0, 0)
+    assert rows[0].sample_rate == 8000 and rows[0].n_channels == 1
