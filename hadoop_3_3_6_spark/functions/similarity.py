@@ -114,6 +114,94 @@ def cosine_pairs_above(
     )
 
 
+def train_kmeans_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 5,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Distributed Lloyd's k-means for IVF centroid training.
+
+    Init: the ``k`` vectors with the smallest portable hash of their id
+    — a deterministic, engine-independent uniform sample (the scalable
+    analogue of random init; swap for k-means|| over-seeding if cluster
+    counts grow adversarial).  Each iteration: assign every vector to
+    its nearest centroid (broadcast nested-loop + ``min_by`` partial
+    combine — the corpus never shuffles on the tiny cent_id key), then
+    recompute means with a two-level aggregate on (cent_id, dim).
+
+    The ONLY driver-side state is the k×dim centroid matrix collected
+    once per iteration — bounded by design (a few KB), the same
+    contract as MLlib's KMeans; collecting it keeps the lineage flat
+    across iterations instead of stacking ``iters`` corpus scans into
+    one plan.  ``sample_fraction`` optionally trains on a
+    deterministic hash-sample of the corpus (the standard 100 TB play:
+    centroids from a 0.1% sample are statistically identical).
+
+    Returns a DataFrame (cent_id int, cvec array<double>) usable as
+    ``ivf_topk(centroids=...)``.
+    """
+    from pyspark.sql.window import Window
+
+    spark = emb.sparkSession
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_fraction is not None:
+        bucket = F.expr(
+            f"pmod(conv(substr(md5(concat('kmtrain:', cast({id_col} as string))), 1, 15), 16, 10), 1000000)"
+        )
+        v = v.filter(bucket < int(sample_fraction * 1_000_000))
+    seed_rank = F.expr(
+        f"conv(substr(md5(concat('kmseed:', cast({id_col} as string))), 1, 15), 16, 10)"
+    )
+    cents = (
+        v.withColumn("_r", seed_rank.cast("decimal(20,0)"))
+        .orderBy("_r", id_col)
+        .limit(k)
+        .select(F.monotonically_increasing_id().alias("_seq"), F.col("v"))
+    )
+    # stable small ids 0..k-1 for the seeds
+    cents = cents.select(
+        (F.row_number().over(Window.orderBy("_seq")) - 1).alias("cent_id"),
+        F.col("v").alias("cvec"),
+    )
+    cent_rows = cents.collect()
+    for _ in range(iters):
+        cents_df = F.broadcast(
+            spark.createDataFrame([(r["cent_id"], r["cvec"]) for r in cent_rows], "cent_id int, cvec array<double>")
+        )
+        dist = F.expr(
+            "aggregate(zip_with(v, cvec, (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, d) -> acc + d)"
+        )
+        assigned = (
+            v.crossJoin(cents_df)
+            .select(F.col(id_col), "v", "cent_id", dist.alias("_d"))
+            .groupBy(id_col)
+            .agg(
+                F.min_by("cent_id", F.struct("_d", "cent_id")).alias("cent_id"),
+                F.first("v").alias("v"),
+            )
+        )
+        means = (
+            assigned.select("cent_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cent_id")
+            .agg(
+                F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").alias("cvec")
+            )
+        )
+        new_rows = {r["cent_id"]: r["cvec"] for r in means.collect()}
+        # empty clusters keep their previous centroid
+        cent_rows = [
+            {"cent_id": r["cent_id"], "cvec": new_rows.get(r["cent_id"], r["cvec"])} for r in cent_rows
+        ]
+    return spark.createDataFrame(
+        [(r["cent_id"], r["cvec"]) for r in cent_rows], "cent_id int, cvec array<double>"
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -123,16 +211,20 @@ def ivf_topk(
     nprobe: int = 4,
     probe_ids: list[int] | None = None,
     probes: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize the corpus onto
     ``num_centroids`` centroid lists, search only the ``nprobe``
     nearest lists per probe.
 
-    Centroids here are the vectors with ``id < num_centroids`` — a
+    Default centroids are the vectors with ``id < num_centroids`` — a
     deterministic, engine-reproducible seeding that keeps the whole
-    query exactly oracle-checkable; at scale you'd swap in kmeans||
-    centroids from a sample without touching the assignment/probe
-    machinery.  Scale shape: centroids are broadcast (a few KB); the
+    query exactly oracle-checkable.  Pass ``centroids`` (cent_id,
+    cvec) — e.g. from ``train_kmeans_centroids`` — to use trained
+    lists without touching the assignment/probe machinery (trained
+    means are float-order-dependent, so that path is recall-tested
+    rather than oracle-matched).  Scale shape: centroids are broadcast
+    (a few KB); the
     |V|×K score matrix exists only inside one stage (broadcast
     nested-loop + partial max_by combine), so the shuffle carries one
     assignment row per vector keyed by ``cent_id`` — the inverted
@@ -141,11 +233,13 @@ def ivf_topk(
     drops from O(|V|) (brute force) to O(|V|·nprobe/K) expected."""
     from pyspark.sql.window import Window
 
-    cents = (
-        emb.filter(F.col(id_col) < num_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
-        .withColumn("_cnorm", F.expr(f"sqrt({_dot('cvec', 'cvec')})"))
-    )
+    if centroids is not None:
+        cents = centroids.select("cent_id", F.col("cvec").cast("array<double>").alias("cvec"))
+    else:
+        cents = emb.filter(F.col(id_col) < num_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+        )
+    cents = cents.withColumn("_cnorm", F.expr(f"sqrt({_dot('cvec', 'cvec')})"))
     v = with_norm(emb, vec_col)
     cscore = F.round(F.expr(f"{_dot(vec_col, 'cvec')} / (_norm * _cnorm)"), 6)
     vc = v.crossJoin(F.broadcast(cents)).select(

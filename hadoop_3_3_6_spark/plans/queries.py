@@ -1313,6 +1313,25 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("similarity_ivf_trained")
+def q_similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over Lloyd-trained centroids: distributed k-means
+    (functions/similarity.train_kmeans_centroids — deterministic
+    hash-seeded init, broadcast-assign + two-level mean aggregate per
+    iteration, k×dim driver state only) feeds ivf_topk's unchanged
+    assignment/probe machinery.  Trained means are float-order-
+    dependent, so this is deliberately oracle-less; the inertia and
+    recall floors live in tests/test_tools.py
+    (test_kmeans_trained_ivf_recall).  Eager by contract (training
+    iterations run when constructed)."""
+    from hadoop_3_3_6_spark.functions.similarity import ivf_topk, train_kmeans_centroids
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    trained = train_kmeans_centroids(emb, "vec_id", "embedding", k=16, iters=3)
+    probes = emb.filter(F.col("vec_id") < 25).select("vec_id")
+    return ivf_topk(emb, "vec_id", "embedding", k=5, nprobe=4, probes=probes, centroids=trained)
+
+
 @_register(
     "multimodal_audio",
     """

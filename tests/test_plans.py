@@ -205,6 +205,7 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "similarity_topk",
         "embedding_neardup",
         "similarity_ivf_topk",
+        "similarity_ivf_trained",
         "q22_global_sales_opportunity",
         "text_tfidf_topk",
     }
@@ -231,7 +232,8 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
         name
         for name in QUERIES
         if name.startswith("streaming_")
-        or name in {"terasort_validate", "pipe_wordcount", "avro_roundtrip", "dedup_clusters"}
+        or name in {"terasort_validate", "pipe_wordcount", "avro_roundtrip", "dedup_clusters",
+                    "similarity_ivf_trained"}
     }
     lazy = [n for n in QUERIES if n not in eager_by_contract]
     # Warm pass: pays the one-time parquet schema-inference jobs that
@@ -267,4 +269,5 @@ def test_oracle_coverage_is_pinned():
         "approx_distinct_suppliers",
         "approx_quantiles_lineitem",
         "bbp_pi_digits",
+        "similarity_ivf_trained",
     }

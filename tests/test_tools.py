@@ -103,6 +103,45 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.2, f"LSH recall {recall:.2f}"
 
 
+def test_kmeans_trained_ivf_recall(spark, sf_dir):
+    """Lloyd-trained IVF centroids must (a) strictly reduce k-means
+    inertia vs the hash-seeded init and (b) give the IVF ANN path a
+    reasonable recall floor vs exact brute force."""
+    from hadoop_3_3_6_spark.functions.similarity import ivf_topk, train_kmeans_centroids
+    from hadoop_3_3_6_spark.plans.queries import QUERIES
+    from hadoop_3_3_6_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+
+    def inertia(cents_df):
+        dist = F.expr(
+            "aggregate(zip_with(v, cvec, (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, d) -> acc + d)"
+        )
+        return (
+            emb.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"))
+            .crossJoin(F.broadcast(cents_df))
+            .select("vec_id", dist.alias("d"))
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("d"))
+            .agg(F.sum("d"))
+            .collect()[0][0]
+        )
+
+    seeds = train_kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=0)
+    trained = train_kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=3)
+    assert inertia(trained) < inertia(seeds), "training did not reduce inertia"
+
+    exact = QUERIES["similarity_topk"](spark, sf_dir).toPandas()
+    probes = emb.filter(F.col("vec_id") < 25).select("vec_id")
+    approx = ivf_topk(
+        emb, "vec_id", "embedding", k=5, nprobe=3, probes=probes, centroids=trained
+    ).toPandas()
+    truth = set(zip(exact.probe_id, exact.neighbor_id))
+    got = set(zip(approx.probe_id, approx.neighbor_id))
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.4, f"trained-IVF recall {recall:.2f}"
+
+
 def test_simhash_near_duplicates_close(spark):
     """Property: near-identical documents get hamming-close simhashes,
     unrelated documents don't."""
