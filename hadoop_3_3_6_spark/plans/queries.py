@@ -837,6 +837,21 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "streaming_dedup_within_watermark",
+    "SELECT event_type, count(DISTINCT event_id) AS n_events FROM events GROUP BY event_type",
+)
+def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark):
+    key state evicts when the watermark passes, so state is O(events
+    within the delay) instead of O(distinct keys ever) — the dedup
+    form that survives an unbounded stream
+    (streaming/windows.streaming_dedup_within_watermark)."""
+    from hadoop_3_3_6_spark.streaming.windows import streaming_dedup_within_watermark
+
+    return streaming_dedup_within_watermark(spark, sf_dir)
+
+
+@_register(
     "streaming_session_window",
     """
     WITH marked AS (
@@ -3105,6 +3120,7 @@ _DRIVER_DEFERRED = [
     "string_functions",
     "array_functions",
     "pi_estimate",
+    "randomtextwriter",
 ]
 
 

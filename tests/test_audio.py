@@ -69,6 +69,57 @@ def test_decode_8bit_and_chunk_padding():
     np.testing.assert_array_equal(decoded.ravel(), (raw8.astype(np.int16) - 128) * 256)
 
 
+def test_wav_roundtrip_property():
+    """Property: encode→decode is the identity for arbitrary int16
+    signals, channel counts, and rates (pure-python, no Spark)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+        st.integers(1, 4),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def check(values, n_channels, rate):
+        n = (len(values) // n_channels) * n_channels
+        if n == 0:
+            return
+        samples = np.array(values[:n], dtype=np.int16).reshape(-1, n_channels)
+        decoded, out_rate = decode_wav(encode_wav(samples, rate))
+        assert out_rate == rate
+        np.testing.assert_array_equal(decoded, samples)
+
+    check()
+
+
+def test_pii_redact_property(spark):
+    """Property: k injected emails are all counted and fully scrubbed
+    regardless of surrounding safe text (batched into ONE Spark job)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcdefg ", min_size=0, max_size=12)
+    cases = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(word, word, st.integers(0, 3))
+    def gen(prefix, sep, k):
+        emails = f" x{len(cases)}@ex.org ".join([""] * (k + 1)) if k else ""
+        cases.append((len(cases), f"{prefix} {emails} {sep}".strip(), k))
+
+    gen()
+    from hadoop_3_3_6_spark.functions.text import pii_redact
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in pii_redact(df, "text", "doc_id").collect()}
+    for i, _, k in cases:
+        assert rows[i].n_email == k, (i, k, rows[i])
+        assert "@" not in rows[i].clean_text or k == 0
+
+
 def test_audio_features_distributed(spark):
     sigs = {
         0: np.array([100, 100, -100, -100, 100], dtype=np.int16),  # 2 crossings
