@@ -1394,6 +1394,58 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_wav_source",
+    """
+    SELECT doc_id, 8000 AS sample_rate, 1 AS n_channels,
+           (100 + doc_id % 400)::INT AS n_samples
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def q_multimodal_wav_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource ingestion (Spark 4
+    ``pyspark.sql.datasource`` API — the FileInputFormat analogue,
+    MRC/mapreduce/lib/input/FileInputFormat.java:1): executors render
+    one WAV file per tenth document (foreachPartition, shared local
+    fs), then ``spark.read.format("wavfiles")`` lists files
+    driver-side, decodes RIFF headers executor-side, one partition per
+    file, header-only scan (metadata_only skips payload bytes).  File
+    sizes/rates have closed forms in doc_id → exact oracle.  Eager by
+    contract (renders its corpus when constructed, like
+    avro_roundtrip)."""
+    import tempfile
+
+    from hadoop_3_3_6_spark.sources.pydatasource import register_wav_source
+
+    register_wav_source(spark)
+    out = tempfile.mkdtemp(prefix="wavsrc_")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id").filter(F.col("doc_id") % 10 == 0)
+
+    def write_part(rows):
+        import numpy as np
+
+        from hadoop_3_3_6_spark.functions.multimodal import encode_wav
+
+        for r in rows:
+            i = int(r.doc_id)
+            n, amp, half = 100 + i % 400, 1000 + i % 20000, 1 + i % 16
+            idx = np.arange(n)
+            s = np.where((idx // half) % 2 == 0, amp, -amp).astype(np.int16)
+            with open(f"{out}/{i}.wav", "wb") as f:
+                f.write(encode_wav(s, 8000))
+
+    docs.foreachPartition(write_part)
+    src = spark.read.format("wavfiles").option("metadata_only", "true").load(out)
+    return src.select(
+        F.regexp_extract(F.element_at(F.split("path", "/"), -1), r"(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+    )
+
+
+@_register(
     "avro_roundtrip",
     "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 )
@@ -3121,6 +3173,7 @@ _DRIVER_DEFERRED = [
     "array_functions",
     "pi_estimate",
     "randomtextwriter",
+    "aggregatewordhist",
 ]
 
 
