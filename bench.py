@@ -77,6 +77,7 @@ HEADLINE = [
     "text_repetition_topgram",
     "dedup_span_fraction",
     "multimodal_audio",
+    "pipeline_pack_sequences",
 ]
 
 

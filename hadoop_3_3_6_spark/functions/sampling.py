@@ -75,6 +75,57 @@ def stratified_sample(
     ).drop("_b")
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    num_blocks: int = 32,
+) -> DataFrame:
+    """Training-sequence packing: lay documents end-to-end in a
+    deterministic shuffled order and cut the token stream into
+    fixed-``seq_len`` bins — the step that turns a cleaned corpus into
+    the dense (no-padding) sequences a pretraining loader consumes.
+    A document starting at running offset ``s`` lands in bin
+    ``s // seq_len`` at offset ``s % seq_len`` (documents may straddle
+    a bin boundary; the loader continues the document in the next bin
+    — standard contiguous packing à la GPT-style pretraining).
+
+    Output: (id, n_tokens, block, bin_id, start_offset).
+
+    Scale shape: one hash shuffle into ``num_blocks`` independent
+    streams, then a running-sum window PER BLOCK — the corpus never
+    funnels through a single partition (same parallel-prefix layout as
+    ``global_shuffle``); all integer arithmetic on the portable hash,
+    so the packing is reproducible across engines and re-runs."""
+    from pyspark.sql.window import Window
+
+    key = portable_hash_expr(f"concat('pack:', cast({id_col} as string))")
+    n_tokens = F.expr(f"size(filter(split({text_col}, ' '), w -> w <> ''))")
+    w = (
+        Window.partitionBy("block")
+        .orderBy(F.col("_skey").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        df.select(
+            F.col(id_col),
+            n_tokens.cast("bigint").alias("n_tokens"),
+            F.expr(key).alias("_skey"),
+        )
+        .withColumn("block", F.expr(f"_skey % {num_blocks}"))
+        .withColumn("_start", start)
+        .select(
+            id_col,
+            "n_tokens",
+            "block",
+            F.expr(f"_start div {seq_len}").alias("bin_id"),
+            (F.col("_start") % seq_len).alias("start_offset"),
+        )
+    )
+
+
 def global_shuffle(
     df: DataFrame, id_col: str = "doc_id", num_blocks: int = 32
 ) -> DataFrame:

@@ -2512,6 +2512,33 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipeline_pack_sequences",
+    """
+    SELECT doc_id, n_tokens, block,
+           (start // 256) AS bin_id,
+           (start % 256) AS start_offset
+    FROM (SELECT doc_id, n_tokens, block,
+                 coalesce(sum(n_tokens) OVER (PARTITION BY block ORDER BY skey, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+          FROM (SELECT doc_id,
+                       len(list_filter(string_split(text, ' '), w -> w <> ''))::BIGINT AS n_tokens,
+                       ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 15))::BIGINT AS skey,
+                       ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 15))::BIGINT % 32 AS block
+                FROM documents))
+    """,
+)
+def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: documents laid end-to-end in
+    deterministic shuffled order, token stream cut into fixed 256-token
+    bins, parallelized per hash block
+    (functions/sampling.pack_sequences)."""
+    from hadoop_3_3_6_spark.functions.sampling import pack_sequences
+
+    docs = load_table(spark, "documents", sf_dir)
+    return pack_sequences(docs, "doc_id", "text", seq_len=256, num_blocks=32)
+
+
+@_register(
     "text_pii_redact",
     r"""
     WITH injected AS (
@@ -3174,15 +3201,25 @@ _DRIVER_DEFERRED = [
     "pi_estimate",
     "randomtextwriter",
     "aggregatewordhist",
+    "json_extract_events",
+]
+
+
+# Pinned to the head of the front group: flagship custom operators the
+# driver must verify regardless of how late they register in this file.
+_DRIVER_PRIORITY = [
+    "asof_join_events_orders",
+    "interval_join_shipments",
 ]
 
 
 def _reorder_for_driver() -> None:
     verified = set(_ROUND1_DRIVER_VERIFIED)
     deferred = set(_DRIVER_DEFERRED)
-    front = [
+    priority = [n for n in _DRIVER_PRIORITY if n in QUERIES and n not in verified]
+    front = priority + [
         n for n in QUERIES
-        if n not in verified and n not in deferred and n in ORACLES
+        if n not in verified and n not in deferred and n not in priority and n in ORACLES
     ]
     # no-oracle entries only ever earn a rows-only driver row; don't let
     # them burn budgeted slots ahead of exact-oracle checks.

@@ -52,6 +52,27 @@ def test_repetition_top_ngram_counts(spark):
     assert rows[3].top_ngram_char_fraction == 0.0
 
 
+def test_pack_sequences_invariants(spark):
+    """Packing invariants: offsets stay inside the bin, each block's
+    layout is gapless (start = previous start + previous n_tokens), and
+    every document appears exactly once."""
+    from hadoop_3_3_6_spark.functions.sampling import pack_sequences
+
+    df = _docs(spark, [f"{'w ' * (i % 7 + 1)}".strip() for i in range(40)])
+    out = pack_sequences(df, "doc_id", "text", seq_len=10, num_blocks=4).collect()
+    assert len(out) == 40 and len({r.doc_id for r in out}) == 40
+    assert all(0 <= r.start_offset < 10 for r in out)
+    by_block: dict[int, list] = {}
+    for r in out:
+        by_block.setdefault(r.block, []).append(r)
+    for rows in by_block.values():
+        rows.sort(key=lambda r: (r.bin_id, r.start_offset))
+        cum = 0
+        for r in rows:
+            assert r.bin_id * 10 + r.start_offset == cum, r
+            cum += r.n_tokens
+
+
 def test_duplicated_span_fraction_and_max_df(spark):
     df = _docs(
         spark,
