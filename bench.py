@@ -78,6 +78,7 @@ HEADLINE = [
     "dedup_span_fraction",
     "multimodal_audio",
     "pipeline_pack_sequences",
+    "text_lm_score",
 ]
 
 

@@ -203,6 +203,60 @@ def repetition_top_ngram(
     )
 
 
+def unigram_lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-unigram language-model scoring — the classic LM-based
+    quality filter (kenlm-style perplexity filtering, approximated at
+    unigram order): per document, the summed log-probability of its
+    tokens under the corpus unigram distribution and the per-token
+    average.  Low-probability documents are OOV-heavy / non-linguistic;
+    high-probability ones are stopword soup — pretraining filters trim
+    both tails.
+
+    Exactness: per-term log-probs are quantized to integer micro-nats
+    (round(ln(c/T)·1e6)), so the per-doc aggregate is an INTEGER sum —
+    order-independent and bit-identical in any engine, unlike a float
+    sum.  Plan: tokenize → term-count aggregate (broadcastable dim,
+    same shape as tf_idf's dfreq) → join back → integer sum per doc;
+    corpus total T stays in-plan as a broadcast 1-row cross join."""
+    tok = df.select(F.col(id_col), F.explode(_words(text_col)).alias("term"))
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").cast("double").alias("_T"))
+    quant = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.round(F.log(F.col("c").cast("double") / F.col("_T")) * 1_000_000)
+            .cast("bigint")
+            .alias("lp_micro"),
+        )
+    )
+    per_doc = (
+        tok.join(F.broadcast(quant), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lp_micro").alias("logprob_micro"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("logprob_micro", F.lit(0)).alias("logprob_micro"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.round(
+                    F.col("logprob_micro").cast("double") / F.col("n_tokens").cast("double") / 1e6, 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("avg_logprob"),
+        )
+    )
+
+
 def boilerplate_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Gopher-style repetition signals: fraction of word n-grams that
     are duplicates within the document (boilerplate / repeated-line

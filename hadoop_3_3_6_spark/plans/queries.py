@@ -2590,6 +2590,35 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_lm_score",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+      FROM documents),
+    c AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+    t AS (SELECT sum(c)::DOUBLE AS T FROM c),
+    q AS (SELECT term, round(ln(c::DOUBLE / T) * 1000000)::BIGINT AS lp_micro FROM c, t),
+    s AS (SELECT tok.doc_id, count(*)::BIGINT AS n_tokens, sum(lp_micro)::BIGINT AS logprob_micro
+          FROM tok JOIN q USING (term) GROUP BY tok.doc_id)
+    SELECT d.doc_id,
+           coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(s.logprob_micro, 0)::BIGINT AS logprob_micro,
+           CASE WHEN coalesce(s.n_tokens, 0) > 0
+                THEN round(s.logprob_micro::DOUBLE / s.n_tokens / 1e6, 6)
+                ELSE 0.0 END AS avg_logprob
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """,
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality scoring: per-doc summed corpus log-prob in
+    integer micro-nats (order-independent exact aggregate) + per-token
+    average (functions/text.unigram_lm_score)."""
+    from hadoop_3_3_6_spark.functions.text import unigram_lm_score
+
+    return unigram_lm_score(load_table(spark, "documents", sf_dir), "text", "doc_id")
+
+
+@_register(
     "text_repetition_topgram",
     """
     SELECT doc_id, len(grams)::INT AS total_ngrams,
@@ -3202,14 +3231,36 @@ _DRIVER_DEFERRED = [
     "randomtextwriter",
     "aggregatewordhist",
     "json_extract_events",
+    "streaming_sliding_counts",
 ]
 
 
-# Pinned to the head of the front group: flagship custom operators the
-# driver must verify regardless of how late they register in this file.
+# Pinned to the head of the front group: flagship custom operators and
+# the TPC-H suite — the driver must verify these regardless of how many
+# extension queries register after them.
 _DRIVER_PRIORITY = [
     "asof_join_events_orders",
     "interval_join_shipments",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_by_status",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_stats",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q20_excess_share_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    "sql_interface_q3",
+    "sql_interface_window",
 ]
 
 

@@ -208,6 +208,7 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "similarity_ivf_trained",
         "q22_global_sales_opportunity",
         "text_tfidf_topk",
+        "text_lm_score",
     }
     offenders = {}
     for name in QUERIES:
