@@ -79,6 +79,8 @@ HEADLINE = [
     "multimodal_audio",
     "pipeline_pack_sequences",
     "text_lm_score",
+    "pipeline_chunk_documents",
+    "pipeline_temperature_mix",
 ]
 
 

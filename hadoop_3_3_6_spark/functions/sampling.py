@@ -75,6 +75,48 @@ def stratified_sample(
     ).drop("_b")
 
 
+def temperature_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based source mixing (multilingual-pretraining style:
+    sample sources ∝ size^alpha, alpha<1 flattens the size
+    distribution): per-source keep-rate = (n_s^alpha / n_s) relative to
+    the most-upweighted source, so the smallest source keeps 100% and
+    larger sources are downsampled toward equal share as alpha → 0;
+    alpha = 1 keeps everything.
+
+    Rates are computed IN-PLAN (per-source count aggregate + 1-row max,
+    both broadcast back — no driver action) and quantized to parts per
+    million so the keep decision is integer hash arithmetic:
+    deterministic, engine-reproducible, stable under data growth of
+    other sources (a row's fate depends only on its id and its own
+    source's rate).  Returns kept rows + their source's rate_ppm."""
+    sizes = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    ratio = F.pow(F.col("_n").cast("double"), F.lit(alpha)) / F.col("_n").cast("double")
+    rated = sizes.select(F.col(stratum_col), ratio.alias("_ratio"))
+    mx = rated.agg(F.max("_ratio").alias("_max_ratio"))
+    rates = (
+        rated.crossJoin(F.broadcast(mx))
+        .select(
+            stratum_col,
+            F.floor(F.lit(1_000_000) * F.col("_ratio") / F.col("_max_ratio"))
+            .cast("bigint")
+            .alias("rate_ppm"),
+        )
+    )
+    salted = f"concat('tmix:', cast({id_col} as string))"
+    bucket = F.expr(f"{portable_hash_expr(salted)} % 1000000")
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .withColumn("_b", bucket)
+        .filter(F.col("_b") < F.col("rate_ppm"))
+        .drop("_b")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

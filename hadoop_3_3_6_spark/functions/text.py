@@ -203,6 +203,41 @@ def repetition_top_ngram(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking — the preprocessing step for
+    embedding / retrieval pipelines: each document becomes
+    ``1 + ceil(max(n - chunk, 0) / step)`` chunks of ``chunk_tokens``
+    whitespace tokens advancing by ``step = chunk_tokens - overlap``
+    (consecutive chunks share ``overlap`` tokens; the final chunk may
+    be short; empty documents yield no chunks).
+
+    One generator expression per document (``inline`` over a
+    transform-built struct array) — no shuffle, no UDF; chunk count
+    and boundaries are pure integer arithmetic so a SQL oracle
+    reproduces rows exactly."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    words = f"filter(split({text_col}, ' '), w -> w <> '')"
+    n = f"size({words})"
+    n_chunks = f"(1 + ((greatest({n} - {chunk_tokens}, 0) + {step} - 1) div {step}))"
+    chunks = (
+        f"case when {n} > 0 then "
+        f"transform(sequence(0, {n_chunks} - 1), i -> named_struct("
+        f"'chunk_idx', i, "
+        f"'chunk_text', array_join(slice({words}, i * {step} + 1, {chunk_tokens}), ' '), "
+        f"'n_chunk_tokens', size(slice({words}, i * {step} + 1, {chunk_tokens})))) "
+        f"else array() end"
+    )
+    return df.select(F.col(id_col), F.expr(f"inline({chunks})"))
+
+
 def unigram_lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus-unigram language-model scoring — the classic LM-based
     quality filter (kenlm-style perplexity filtering, approximated at

@@ -2512,6 +2512,51 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipeline_chunk_documents",
+    """
+    SELECT doc_id, idx::INT AS chunk_idx,
+           array_to_string(words[(idx * 48 + 1):(idx * 48 + 64)], ' ') AS chunk_text,
+           len(words[(idx * 48 + 1):(idx * 48 + 64)])::INT AS n_chunk_tokens
+    FROM (SELECT doc_id, words,
+                 unnest(range(0, 1 + ((greatest(len(words) - 64, 0) + 47) // 48))) AS idx
+          FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+                FROM documents)
+          WHERE len(words) > 0)
+    """,
+)
+def q_pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for embedding/retrieval prep: 64-token
+    chunks advancing by 48 (16-token overlap), one generator expression
+    per doc (functions/text.chunk_documents)."""
+    from hadoop_3_3_6_spark.functions.text import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_documents(docs, "text", "doc_id", chunk_tokens=64, overlap=16)
+
+
+@_register(
+    "pipeline_temperature_mix",
+    """
+    WITH sizes AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY source),
+    rated AS (SELECT source, pow(n::DOUBLE, 0.5) / n AS ratio FROM sizes),
+    mx AS (SELECT max(ratio) AS max_ratio FROM rated),
+    rates AS (SELECT source, floor(1000000 * ratio / max_ratio)::BIGINT AS rate_ppm FROM rated, mx)
+    SELECT d.doc_id, d.source, r.rate_ppm
+    FROM documents d JOIN rates r USING (source)
+    WHERE ('0x' || substr(md5('tmix:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < r.rate_ppm
+    """,
+)
+def q_pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (size^0.5 flattening): keep-rates
+    computed in-plan and quantized to ppm, keep decision by portable
+    hash (functions/sampling.temperature_sample)."""
+    from hadoop_3_3_6_spark.functions.sampling import temperature_sample
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    return temperature_sample(docs, "doc_id", "source", alpha=0.5)
+
+
+@_register(
     "pipeline_pack_sequences",
     """
     SELECT doc_id, n_tokens, block,

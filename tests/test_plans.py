@@ -209,6 +209,7 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "q22_global_sales_opportunity",
         "text_tfidf_topk",
         "text_lm_score",
+        "pipeline_temperature_mix",
     }
     offenders = {}
     for name in QUERIES:

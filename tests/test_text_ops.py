@@ -52,6 +52,48 @@ def test_repetition_top_ngram_counts(spark):
     assert rows[3].top_ngram_char_fraction == 0.0
 
 
+def test_chunk_documents_boundaries(spark):
+    from hadoop_3_3_6_spark.functions.text import chunk_documents
+
+    texts = ["a b c d e f g", "x y", ""]
+    df = _docs(spark, texts)
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=2).collect()
+    rows = {}
+    for r in out:
+        rows.setdefault(r.doc_id, []).append(r)
+    # 7 tokens, chunk 4, step 2 -> starts 0,2,4 -> 3 chunks
+    c0 = sorted(rows[0], key=lambda r: r.chunk_idx)
+    assert [r.chunk_text for r in c0] == ["a b c d", "c d e f", "e f g"]
+    assert [r.n_chunk_tokens for r in c0] == [4, 4, 3]
+    # overlap continuity: consecutive chunks share the last/first 2 tokens
+    for a, b in zip(c0, c0[1:]):
+        assert a.chunk_text.split()[-2:] == b.chunk_text.split()[:2]
+    assert [r.chunk_text for r in rows[1]] == ["x y"]
+    assert 2 not in rows  # empty doc -> no chunks
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=4, overlap=4)
+
+
+def test_temperature_sample_rates(spark):
+    from hadoop_3_3_6_spark.functions.sampling import temperature_sample
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(440)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # alpha=1 -> every source keeps 100%
+    assert temperature_sample(df, "doc_id", "source", alpha=1.0).count() == 440
+    out = temperature_sample(df, "doc_id", "source", alpha=0.5).toPandas()
+    by_src = out.groupby("source").size().to_dict()
+    rates = dict(out[["source", "rate_ppm"]].drop_duplicates().itertuples(index=False))
+    # smallest source is the anchor: keeps everything
+    assert rates["small"] == 1_000_000 and by_src["small"] == 40
+    # big source downsampled by ~sqrt(40/400): rate = sqrt(400)/400 normalized
+    assert rates["big"] < 1_000_000
+    assert 0 < by_src["big"] < 400
+
+
 def test_pack_sequences_invariants(spark):
     """Packing invariants: offsets stay inside the bin, each block's
     layout is gapless (start = previous start + previous n_tokens), and
