@@ -81,6 +81,7 @@ HEADLINE = [
     "text_lm_score",
     "pipeline_chunk_documents",
     "pipeline_temperature_mix",
+    "pipeline_pretraining_e2e",
 ]
 
 

@@ -138,7 +138,12 @@ PII_PATTERNS = [
 ]
 
 
-def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Regex PII scrubbing — the standard pre-training compliance pass
     (emails / IPv4 / phone numbers -> typed placeholder tokens), with a
     per-category match count for audit metrics.
@@ -151,7 +156,7 @@ def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     RegexMapper (MRX/RegexMapper semantics, MRC/lib/map/RegexMapper.java:1).
     """
     cur = F.col(text_col)
-    out_cols = [F.col(id_col)]
+    out_cols = [F.col(id_col)] + [F.col(c) for c in keep_cols]
     counts = []
     for cat, pat, token in PII_PATTERNS:
         counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{cat}"))

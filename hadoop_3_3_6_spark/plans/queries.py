@@ -2512,6 +2512,93 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipeline_pretraining_e2e",
+    r"""
+    WITH injected AS (
+      SELECT doc_id, source,
+             text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.0.'
+                  || (doc_id % 250)::VARCHAR || ' tel 555-010-'
+                  || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+      FROM documents),
+    r1 AS (SELECT doc_id, source,
+                  regexp_replace(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+           FROM injected),
+    r2 AS (SELECT doc_id, source,
+                  regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t FROM r1),
+    red AS (SELECT doc_id, source,
+                   regexp_replace(t, '\+?\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g') AS clean_text FROM r2),
+    toks AS (
+      SELECT doc_id, source, clean_text,
+             list_filter(string_split(clean_text, ' '), w -> w <> '') AS words
+      FROM red),
+    kept AS (
+      SELECT doc_id, source, clean_text, len(words) AS n_words,
+             len(list_filter(words,
+                 w -> list_contains(['the','a','of','and','to','in','is','on','for','with'], w))) AS hits
+      FROM toks
+      WHERE len(words) >= 20
+        AND cast(len(list_filter(words, w -> list_contains(['the','a','of','and','to','in','is','on','for','with'], w))) AS DOUBLE)
+            / len(words) >= 0.05),
+    sizes AS (SELECT source, count(*)::BIGINT AS n FROM kept GROUP BY source),
+    rated AS (SELECT source, pow(n::DOUBLE, 0.5) / n AS ratio FROM sizes),
+    mx AS (SELECT max(ratio) AS max_ratio FROM rated),
+    rates AS (SELECT source, floor(1000000 * ratio / max_ratio)::BIGINT AS rate_ppm FROM rated, mx),
+    mixed AS (
+      SELECT k.doc_id, k.clean_text
+      FROM kept k JOIN rates r USING (source)
+      WHERE ('0x' || substr(md5('tmix:' || k.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < r.rate_ppm),
+    packed AS (
+      SELECT doc_id, n_tokens, block,
+             coalesce(sum(n_tokens) OVER (PARTITION BY block ORDER BY skey, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM (SELECT doc_id,
+                   len(list_filter(string_split(clean_text, ' '), w -> w <> ''))::BIGINT AS n_tokens,
+                   ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 15))::BIGINT AS skey,
+                   ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 15))::BIGINT % 32 AS block
+            FROM mixed))
+    SELECT doc_id, n_tokens, block, (start // 256) AS bin_id, (start % 256) AS start_offset
+    FROM packed
+    """,
+)
+def q_pipeline_pretraining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED end-to-end pretraining data pipeline in ONE Catalyst
+    plan — no materialization between stages: deterministic PII
+    injection → pii_redact → quality gate (>= 20 tokens) → language
+    gate (stopword ratio) → temperature_sample source mixing (rates
+    computed in-plan on the filtered corpus) → pack_sequences into
+    256-token training bins.  Every stage is a reusable operator from
+    functions/{text,sampling}.py; the exact oracle replays the whole
+    chain in SQL."""
+    from hadoop_3_3_6_spark.functions.sampling import pack_sequences, temperature_sample
+    from hadoop_3_3_6_spark.functions.text import EN_STOPWORDS, pii_redact
+
+    docs = load_table(spark, "documents", sf_dir)
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" tel 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    red = pii_redact(injected, "text", "doc_id", keep_cols=("source",))
+    words = F.expr("filter(split(clean_text, ' '), w -> w <> '')")
+    stop_arr = "array(" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+    hits = F.expr(
+        f"size(filter(filter(split(clean_text, ' '), w -> w <> ''), w -> array_contains({stop_arr}, w)))"
+    )
+    kept = red.select("doc_id", "source", "clean_text", F.size(words).alias("_nw"), hits.alias("_hits")).filter(
+        (F.col("_nw") >= 20) & (F.col("_hits").cast("double") / F.col("_nw") >= 0.05)
+    )
+    mixed = temperature_sample(kept, "doc_id", "source", alpha=0.5)
+    return pack_sequences(mixed, "doc_id", "clean_text", seq_len=256, num_blocks=32)
+
+
+@_register(
     "pipeline_chunk_documents",
     """
     SELECT doc_id, idx::INT AS chunk_idx,

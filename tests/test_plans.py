@@ -210,6 +210,7 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "text_tfidf_topk",
         "text_lm_score",
         "pipeline_temperature_mix",
+        "pipeline_pretraining_e2e",
     }
     offenders = {}
     for name in QUERIES:
