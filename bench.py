@@ -77,6 +77,7 @@ HEADLINE = [
     "text_repetition_topgram",
     "dedup_span_fraction",
     "multimodal_audio",
+    "multimodal_video",
     "pipeline_pack_sequences",
     "text_lm_score",
     "pipeline_chunk_documents",

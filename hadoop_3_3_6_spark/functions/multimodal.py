@@ -11,10 +11,12 @@ Image decode is REAL for the two classic uncompressed formats — PPM
 ``resize_nearest``): byte-exact roundtrips, nearest-neighbor resize,
 no PIL/opencv needed.  Audio decode is REAL for RIFF/WAVE PCM (8/16-bit,
 any channel count) — ``decode_wav`` / ``encode_wav`` / ``audio_features``,
-conformance-tested against the stdlib ``wave`` writer.  Compressed
-formats (JPEG/PNG/MP3) and video decode stay STUBBED behind
-``fake=True`` / NotImplementedError — those genuinely require external
-codec libraries not in this environment.
+conformance-tested against the stdlib ``wave`` writer.  Video decode
+is REAL for YUV4MPEG2 (C420/C444) — ``decode_y4m`` / ``encode_y4m``;
+``frame_sample_stub`` samples real y4m frames.  Only compressed-codec
+formats (JPEG/PNG/MP3/MP4) stay STUBBED behind ``fake=True`` /
+NotImplementedError — those genuinely require external codec libraries
+not in this environment.
 """
 
 from __future__ import annotations
@@ -201,6 +203,66 @@ def audio_features(df: DataFrame, payload_col: str = "payload", id_col: str = "d
     )
 
 
+# --- pure-numpy video codec (YUV4MPEG2 / y4m, C420 + C444) ---------------
+
+
+def decode_y4m(payload: bytes) -> tuple[dict, list[bytes]]:
+    """Decode a YUV4MPEG2 stream (the classic uncompressed video
+    container: text header + raw planar frames) to (meta, frames).
+    ``meta`` has width/height/fps_num/fps_den/colorspace; each frame is
+    the raw planar payload (Y then U then V).  Supports C420* (1.5
+    bytes/px, the default) and C444 (3 bytes/px).  Pure byte walk —
+    no ffmpeg; raises ValueError otherwise."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    meta = {"width": 0, "height": 0, "fps_num": 25, "fps_den": 1, "colorspace": "420"}
+    for tok in payload[9:nl].split():
+        tag, val = tok[:1], tok[1:].decode()
+        if tag == b"W":
+            meta["width"] = int(val)
+        elif tag == b"H":
+            meta["height"] = int(val)
+        elif tag == b"F":
+            num, den = val.split(":")
+            meta["fps_num"], meta["fps_den"] = int(num), int(den)
+        elif tag == b"C":
+            meta["colorspace"] = val
+    w, h = meta["width"], meta["height"]
+    if w <= 0 or h <= 0:
+        raise ValueError("y4m missing W/H")
+    if meta["colorspace"].startswith("420"):
+        frame_bytes = w * h * 3 // 2
+    elif meta["colorspace"].startswith("444"):
+        frame_bytes = w * h * 3
+    else:
+        raise ValueError(f"y4m colorspace {meta['colorspace']} unsupported (420/444 only)")
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed y4m FRAME marker")
+        fnl = payload.index(b"\n", pos)
+        frames.append(payload[fnl + 1 : fnl + 1 + frame_bytes])
+        pos = fnl + 1 + frame_bytes
+    return meta, frames
+
+
+def encode_y4m(meta: dict, frames: list[bytes]) -> bytes:
+    """Encode raw planar frames as a YUV4MPEG2 stream."""
+    header = (
+        f"YUV4MPEG2 W{meta['width']} H{meta['height']} "
+        f"F{meta.get('fps_num', 25)}:{meta.get('fps_den', 1)} "
+        f"C{meta.get('colorspace', '420')}\n"
+    ).encode()
+    return header + b"".join(b"FRAME\n" + f for f in frames)
+
+
+def y4m_frame_luma(meta: dict, frame: bytes) -> np.ndarray:
+    """The (h, w) uint8 Y (luma) plane of one raw y4m frame."""
+    w, h = meta["width"], meta["height"]
+    return np.frombuffer(frame, dtype=np.uint8, count=w * h).reshape(h, w)
+
+
 def decode_stub(payload: bytes, modality: str = "image", fake: bool = False) -> dict:
     """Decode one payload to typed metadata + an 8-dim feature.
 
@@ -260,12 +322,21 @@ def resize_stub(payload: bytes, width: int, height: int, fake: bool = False) -> 
 
 
 def frame_sample_stub(payload: bytes, every_n: int = 10, fake: bool = False) -> list[bytes]:
-    """Video frame-sampling placeholder (no ffmpeg here).  ``fake=True``
-    treats the payload as a byte stream of 16-byte 'frames' and keeps
-    every n-th — same output contract (list of frame blobs) as a real
-    decoder."""
+    """Video frame sampling.  Real path: YUV4MPEG2 streams decode via
+    ``decode_y4m`` and every n-th frame is re-encoded as a standalone
+    single-frame y4m (self-describing blob).  Compressed containers
+    (MP4/MKV) require ffmpeg: ``fake=True`` treats the payload as a
+    byte stream of 16-byte 'frames' with the same output contract,
+    else NotImplementedError."""
+    payload = bytes(payload)
+    try:
+        meta, frames = decode_y4m(payload)
+    except ValueError:
+        meta = None
+    if meta is not None:
+        return [encode_y4m(meta, [f]) for f in frames[::every_n]]
     if not fake:
-        raise NotImplementedError("video decode requires ffmpeg, not present in this environment")
+        raise NotImplementedError("compressed video decode requires ffmpeg, not present in this environment")
     frames = [payload[i : i + 16] for i in range(0, len(payload), 16)]
     return frames[::every_n]
 

@@ -1446,6 +1446,77 @@ def q_multimodal_wav_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_video",
+    """
+    SELECT doc_id,
+           ((2 + doc_id % 8 + 1) // 2)::INT AS kept_frames,
+           (4 + (doc_id % 3) * 2)::INT AS width,
+           (2 + (doc_id % 2) * 2)::INT AS height,
+           round((doc_id % 251)::DOUBLE, 6) AS mean_y
+    FROM documents
+    """,
+)
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode through the distributed pipeline: per document
+    a constant-luma YUV4MPEG2 clip (doc_id-derived dims / frame count /
+    luma) is rendered in one mapInPandas stage, every 2nd frame is kept
+    by the real y4m frame sampler (functions/multimodal.decode_y4m →
+    standalone single-frame clips), and a feature stage decodes each
+    kept frame's luma plane — frame counts and means have closed forms
+    in doc_id, so the oracle is exact.  Production batch shape for a
+    video frame-extract stage; only the codec (y4m here, MP4 via
+    ffmpeg on a real cluster) changes."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_3_3_6_spark.functions.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        sample_frames,
+        y4m_frame_luma,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h, n, val = 4 + (i % 3) * 2, 2 + (i % 2) * 2, 2 + i % 8, i % 251
+                meta = {"width": w, "height": h, "colorspace": "420"}
+                frame = bytes([val]) * (w * h) + bytes([128]) * (w * h // 2)
+                payloads.append(encode_y4m(meta, [frame] * n))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(render, schema="doc_id bigint, payload binary")
+    kept = sample_frames(blobs, "payload", "doc_id", every_n=2, fake=False)
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, means = [], [], []
+            for b in pdf["frame"]:
+                meta, frames = decode_y4m(bytes(b))
+                luma = y4m_frame_luma(meta, frames[0])
+                ws.append(meta["width"])
+                hs.append(meta["height"])
+                means.append(float(luma.mean()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "width": ws, "height": hs, "frame_mean": means}
+            )
+
+    feats = kept.mapInPandas(features, schema="doc_id bigint, width int, height int, frame_mean double")
+    return feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("kept_frames"),
+        F.first("width").alias("width"),
+        F.first("height").alias("height"),
+        F.round(F.avg("frame_mean"), 6).alias("mean_y"),
+    )
+
+
+@_register(
     "avro_roundtrip",
     "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 )
