@@ -836,6 +836,33 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_dedup_events(spark, sf_dir)
 
 
+def q_streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 arbitrary-state streaming (transformWithStateInPandas +
+    RocksDB ValueState): exact running per-user totals in integer cents
+    (streaming/windows.streaming_transform_with_state).  Registered
+    only when google-protobuf (required by pyspark's transformWithState
+    state-server protocol) is importable — an environment gate like the
+    PIL/ffmpeg codec stubs."""
+    from hadoop_3_3_6_spark.streaming.windows import streaming_transform_with_state
+
+    return streaming_transform_with_state(spark, sf_dir)
+
+
+try:  # pragma: no cover - environment-dependent registration
+    import google.protobuf  # noqa: F401
+
+    _register(
+        "streaming_transform_with_state",
+        """
+        SELECT user_id, count(*)::BIGINT AS n_events,
+               sum(round(value * 100)::BIGINT)::BIGINT AS total_cents
+        FROM events GROUP BY user_id
+        """,
+    )(q_streaming_transform_with_state)
+except ImportError:
+    pass
+
+
 @_register(
     "streaming_dedup_within_watermark",
     "SELECT event_type, count(DISTINCT event_id) AS n_events FROM events GROUP BY event_type",

@@ -17,6 +17,8 @@ from __future__ import annotations
 import os
 import uuid
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -118,6 +120,76 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     return run_stream_to_batch(agg, output_mode="complete")
+
+
+def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API (typed ValueState in a RocksDB-backed
+    store, timers, TTL) that supersedes applyInPandasWithState for new
+    stateful operators.  Dollar values are quantized to integer cents
+    BEFORE the stateful op so the running sum is exact integer
+    arithmetic — the same order-independence trick as the LM scorer,
+    which is what makes an exact replay oracle possible.
+
+    On the bounded replay the final state equals a global
+    (count, sum) per user; update-mode emissions are one row per
+    (user, batch), so the batch view keeps each user's last row.
+
+    ENVIRONMENT GATE: the transformWithState state-server protocol
+    needs the ``google.protobuf`` package (not bundled with pyspark);
+    without it this raises RuntimeError and the query is not
+    registered (see plans/queries.py)."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise RuntimeError(
+            "transformWithStateInPandas requires the google-protobuf package "
+            "(pyspark's state-server protocol); not present in this environment"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._agg.get() if self._agg.exists() else (0, 0)
+            for pdf in rows:
+                n += int(len(pdf))
+                cents += int(pdf["value_cents"].sum())
+            self._agg.update((n, cents))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
+
+        def close(self) -> None:
+            pass
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _event_stream(spark, sf_dir).withColumn(
+            "value_cents", F.round(F.col("value") * 100).cast("bigint")
+        )
+        counted = stream.groupBy("user_id").transformWithStateInPandas(
+            RunningStats(),
+            outputStructType="user_id bigint, n_events bigint, total_cents bigint",
+            outputMode="Update",
+            timeMode="None",
+        )
+        out = run_stream_to_batch(counted, output_mode="update")
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("total_cents").alias("total_cents")
+    )
 
 
 def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5,6 +5,34 @@ and the multimodal resize/frame-sample plumbing."""
 from __future__ import annotations
 
 import pytest
+
+try:
+    import google.protobuf  # noqa: F401
+
+    _HAVE_PROTOBUF = True
+except ImportError:
+    _HAVE_PROTOBUF = False
+
+
+def test_transform_with_state_gate_or_oracle(spark, duck, sf_dir):
+    """transformWithStateInPandas: exact per-user running totals when
+    google-protobuf is available; a clear RuntimeError gate when not
+    (this sandbox lacks it — same honest-gate pattern as the codec
+    stubs)."""
+    from hadoop_3_3_6_spark.streaming.windows import streaming_transform_with_state
+
+    if not _HAVE_PROTOBUF:
+        with pytest.raises(RuntimeError, match="protobuf"):
+            streaming_transform_with_state(spark, sf_dir)
+        return
+    from hadoop_3_3_6_spark.plans.queries import ORACLES
+    from tests.util import assert_frames_match
+
+    got = streaming_transform_with_state(spark, sf_dir).toPandas()
+    want = duck.execute(ORACLES["streaming_transform_with_state"]).df()
+    assert_frames_match(got, want, "streaming_transform_with_state")
+
+import pytest
 from pyspark.sql import functions as F
 
 
