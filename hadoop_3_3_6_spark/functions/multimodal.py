@@ -174,33 +174,60 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     )
 
 
-def audio_features(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+def audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", permissive: bool = False
+) -> DataFrame:
     """Distributed audio feature extraction over WAV binary payloads:
     mapInPandas → (id, sample_rate, n_channels, n_samples, peak,
     zero_crossings).  All-integer outputs (peak = max |sample| of the
     first channel; zero crossings = strict sign changes), so a SQL
     oracle can reproduce them exactly when the signal is deterministic.
     The batch shape is what a real audio embedder (spectrogram/codec
-    frontend) would use — only the per-payload function changes."""
+    frontend) would use — only the per-payload function changes.
+
+    ``permissive=True`` is the SkipBadRecords analogue for media
+    (reference: MRC/mapred/SkipBadRecords.java:1): undecodable payloads
+    yield a row with NULL features and ``decode_ok = false`` instead of
+    failing the task — at crawl scale some corrupt payloads are a
+    certainty, and dropping the whole task to one bad record is not an
+    option.  Default (strict) raises, keeping the exact-oracle
+    contract."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {k: [] for k in (id_col, "sample_rate", "n_channels", "n_samples", "peak", "zero_crossings")}
+            cols = (id_col, "sample_rate", "n_channels", "n_samples", "peak", "zero_crossings", "decode_ok")
+            rows = {k: [] for k in cols}
             for i, b in zip(pdf[id_col], pdf[payload_col]):
-                samples, rate = decode_wav(bytes(b))
+                try:
+                    samples, rate = decode_wav(bytes(b))
+                except ValueError:
+                    if not permissive:
+                        raise
+                    for k, v in zip(cols, (i, None, None, None, None, None, False)):
+                        rows[k].append(v)
+                    continue
                 mono = samples[:, 0].astype(np.int64)
-                rows[id_col].append(i)
-                rows["sample_rate"].append(rate)
-                rows["n_channels"].append(samples.shape[1])
-                rows["n_samples"].append(samples.shape[0])
-                rows["peak"].append(int(np.abs(mono).max(initial=0)))
-                rows["zero_crossings"].append(int(np.sum(mono[1:] * mono[:-1] < 0)))
+                vals = (
+                    i,
+                    rate,
+                    samples.shape[1],
+                    samples.shape[0],
+                    int(np.abs(mono).max(initial=0)),
+                    int(np.sum(mono[1:] * mono[:-1] < 0)),
+                    True,
+                )
+                for k, v in zip(cols, vals):
+                    rows[k].append(v)
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(
+    out = df.mapInPandas(
         extract,
-        schema=f"{id_col} bigint, sample_rate int, n_channels int, n_samples int, peak int, zero_crossings int",
+        schema=(
+            f"{id_col} bigint, sample_rate int, n_channels int, n_samples int, "
+            f"peak int, zero_crossings int, decode_ok boolean"
+        ),
     )
+    return out if permissive else out.drop("decode_ok")
 
 
 # --- pure-numpy video codec (YUV4MPEG2 / y4m, C420 + C444) ---------------

@@ -120,6 +120,25 @@ def test_pii_redact_property(spark):
         assert "@" not in rows[i].clean_text or k == 0
 
 
+def test_audio_features_permissive_skips_bad_records(spark):
+    """SkipBadRecords analogue: corrupt payloads become decode_ok=false
+    rows in permissive mode and raise in strict mode."""
+    import pytest
+    from pyspark.errors import PythonException
+
+    good = encode_wav(np.array([7, -7, 7], dtype=np.int16), 8000)
+    df = spark.createDataFrame(
+        [(0, bytearray(good)), (1, bytearray(b"not a wav at all"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in audio_features(df, "payload", "doc_id", permissive=True).collect()}
+    assert rows[0].decode_ok and rows[0].peak == 7
+    assert rows[1].decode_ok is False and rows[1].sample_rate is None
+
+    with pytest.raises(PythonException, match="not a RIFF"):
+        audio_features(df, "payload", "doc_id").collect()
+
+
 def test_audio_features_distributed(spark):
     sigs = {
         0: np.array([100, 100, -100, -100, 100], dtype=np.int16),  # 2 crossings
