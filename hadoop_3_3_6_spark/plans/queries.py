@@ -3494,8 +3494,37 @@ _DRIVER_PRIORITY = [
 ]
 
 
+def _driver_verified_names() -> set[str]:
+    """Names with a green (or rows-only) row in ANY recorded driver
+    correctness round — read from CORRECTNESS_r*.json at the repo root
+    so the rotation self-heals every round: whatever the driver has
+    already verified automatically yields its budgeted slot to queries
+    it has not.  Falls back to the hardcoded round-1 list when no
+    files are readable (e.g. the package runs outside the repo)."""
+    import glob
+    import json
+    from pathlib import Path
+
+    names = set(_ROUND1_DRIVER_VERIFIED)
+    root = Path(__file__).resolve().parent.parent.parent
+    for p in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            # hash-green, or a rows-only row for a deliberately
+            # oracle-less query — both already consumed a driver slot.
+            if row.get("hash_match") or row.get("err") == "no_oracle":
+                names.add(name)
+    return names
+
+
 def _reorder_for_driver() -> None:
-    verified = set(_ROUND1_DRIVER_VERIFIED)
+    verified = _driver_verified_names()
     deferred = set(_DRIVER_DEFERRED)
     priority = [n for n in _DRIVER_PRIORITY if n in QUERIES and n not in verified]
     front = priority + [
@@ -3506,13 +3535,15 @@ def _reorder_for_driver() -> None:
     # them burn budgeted slots ahead of exact-oracle checks.
     no_oracle = [n for n in QUERIES if n not in verified and n not in ORACLES]
     mid = [n for n in _DRIVER_DEFERRED if n in QUERIES] + no_oracle
-    back = [n for n in _ROUND1_DRIVER_VERIFIED if n in QUERIES]
+    placed = set(front) | set(mid)
+    back = [n for n in QUERIES if n not in placed]
     for registry in (QUERIES, ORACLES):
         snapshot = dict(registry)
         registry.clear()
         for name in front + mid + back:
             if name in snapshot:
                 registry[name] = snapshot[name]
+    assert set(QUERIES) == placed | set(back), "reorder dropped queries"
 
 
 _reorder_for_driver()

@@ -258,6 +258,28 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
     assert not offenders, f"eager constructors: {offenders}"
 
 
+def test_driver_rotation_invariants():
+    """The self-healing driver ordering must (a) never drop a query,
+    (b) fill the first 50 slots with exact-oracle queries that have no
+    green row in any recorded CORRECTNESS_r*.json, and (c) keep the
+    pinned flagship/TPC-H names in front of the budget."""
+    from hadoop_3_3_6_spark.plans.queries import (
+        ORACLES,
+        _DRIVER_PRIORITY,
+        _driver_verified_names,
+    )
+
+    names = list(QUERIES)
+    verified = _driver_verified_names()
+    top = names[: min(50, len(names))]
+    assert all(n in ORACLES and n not in verified for n in top), [
+        n for n in top if n not in ORACLES or n in verified
+    ]
+    for n in _DRIVER_PRIORITY:
+        if n in QUERIES and n not in verified:
+            assert n in top, f"priority query {n} fell out of the driver budget"
+
+
 def test_oracle_coverage_is_pinned():
     """Every oracle key maps to a query, and the rows-only remainder is
     exactly the documented set — an oracle silently falling out of the
