@@ -5,11 +5,11 @@ metadata, processed through Arrow-batched ``mapInPandas`` — the real
 Spark-side plumbing (schema, partitioning, batch shape) for a decode /
 feature-extract stage.
 
-Image decode is REAL for the two classic uncompressed formats — PPM
-(P6) and BMP (24-bit uncompressed) — implemented in pure numpy
-(``decode_image`` / ``encode_ppm`` / ``encode_bmp`` /
-``resize_nearest``): byte-exact roundtrips, nearest-neighbor resize,
-no PIL/opencv needed.  Audio decode is REAL for RIFF/WAVE PCM (8/16-bit,
+Image decode is REAL for PPM (P6), BMP (24-bit uncompressed), and PNG
+(8-bit truecolor RGB/RGBA, stdlib-zlib inflate + spec defilter) —
+implemented in pure numpy (``decode_image`` / ``decode_png`` /
+``encode_ppm`` / ``encode_bmp`` / ``encode_png`` / ``resize_nearest``):
+byte-exact roundtrips, nearest-neighbor resize, no PIL/opencv needed.  Audio decode is REAL for RIFF/WAVE PCM (8/16-bit,
 any channel count) — ``decode_wav`` / ``encode_wav`` / ``audio_features``,
 conformance-tested against the stdlib ``wave`` writer.  Video decode
 is REAL for YUV4MPEG2 (C420/C444) — ``decode_y4m`` / ``encode_y4m``;
@@ -54,9 +54,13 @@ def binary_metadata(df: DataFrame, payload_col: str = "payload", id_col: str = "
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode a PPM (P6, maxval 255) or uncompressed 24-bit BMP payload
-    to an (h, w, 3) uint8 RGB array.  Pure numpy; raises ValueError for
-    any other format (the caller falls back to the stub gate)."""
+    """Decode a PPM (P6, maxval 255), uncompressed 24-bit BMP, or 8-bit
+    truecolor PNG payload to an (h, w, 3) uint8 RGB array (PNG alpha is
+    dropped).  Pure numpy + stdlib zlib; raises ValueError for any
+    other format (the caller falls back to the stub gate)."""
+    if payload[:8] == _PNG_SIG:
+        arr = decode_png(payload)
+        return arr[:, :, :3].copy()
     if payload[:2] == b"P6":
         # header: P6 <ws> width <ws> height <ws> maxval <single ws>, then raw RGB
         pos, fields = 2, []
@@ -123,6 +127,102 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     rows = np.minimum((np.arange(height) + 0.5) * h / height, h - 1).astype(np.int64)
     cols = np.minimum((np.arange(width) + 0.5) * w / width, w - 1).astype(np.int64)
     return arr[rows][:, cols]
+
+
+# --- PNG codec (stdlib zlib inflate + numpy defilter) --------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor PNG (RGB or RGBA, non-interlaced) to
+    an (h, w, 3|4) uint8 array.  Needs only stdlib zlib (IDAT inflate)
+    plus the five spec filters (None/Sub/Up/Average/Paeth) undone
+    per scanline; raises ValueError for other PNG flavors.  Palette /
+    16-bit / interlaced variants and JPEG remain codec-library gates."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            meta = (w, h, depth, color, interlace)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if meta is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, interlace = meta
+    if depth != 8 or color not in (2, 6) or interlace != 0:
+        raise ValueError(f"PNG depth={depth} color={color} interlace={interlace} unsupported")
+    bpp = 3 if color == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, row = line[0], np.frombuffer(line, dtype=np.uint8, offset=1).copy()
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up
+            row += prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a left-scan
+            cur = row.astype(np.int32)
+            pv = prev.astype(np.int32)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(pv[i])
+                if ftype == 1:
+                    cur[i] = (cur[i] + a) & 0xFF
+                elif ftype == 3:
+                    cur[i] = (cur[i] + (a + b) // 2) & 0xFF
+                else:
+                    c = int(pv[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[i] = (cur[i] + pred) & 0xFF
+            row = cur.astype(np.uint8)
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = row
+        prev = out[y]
+    return out.reshape(h, w, bpp)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3|4) uint8 array as a non-interlaced 8-bit PNG
+    (filter 0 scanlines, one zlib IDAT)."""
+    import zlib
+
+    h, w, ch = arr.shape
+    color = 2 if ch == 3 else 6
+    raw = b"".join(b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
 
 # --- pure-numpy audio codec (RIFF/WAVE, PCM 8/16-bit) --------------------
@@ -340,9 +440,13 @@ def resize_stub(payload: bytes, width: int, height: int, fake: bool = False) -> 
         arr = None
     if arr is not None:
         small = resize_nearest(arr, width, height)
+        if payload[:8] == _PNG_SIG:
+            return encode_png(small)
         return encode_ppm(small) if payload[:2] == b"P6" else encode_bmp(small)
     if not fake:
-        raise NotImplementedError("resize of non-PPM/BMP images requires PIL/opencv, not present in this environment")
+        raise NotImplementedError(
+            "resize of non-PPM/BMP/PNG images requires PIL/opencv, not present in this environment"
+        )
     digest = hashlib.sha256(payload).digest()
     need = width * height
     return (digest * (need // len(digest) + 1))[:need]

@@ -1318,31 +1318,35 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode through the distributed pipeline: per document
-    a constant-color PPM image of deterministic size is encoded in one
-    mapInPandas stage and decoded by the pure-numpy decoder
-    (functions/multimodal.decode_image) in the next — binary payloads
+    a constant-color image of deterministic size — PPM for even ids,
+    PNG (zlib+defilter) for odd — is encoded in one mapInPandas stage
+    and decoded by the pure-numpy decoder
+    (functions/multimodal.decode_image) in the next; binary payloads
     cross the Arrow boundary in both directions and the decoded
     (width, height, channel mean) are exactly oracle-checkable because
     color and dims derive from doc_id.  This is the production batch
-    shape for an image feature-extract stage; only the codec (PPM here,
-    JPEG on a real cluster) changes."""
+    shape for an image feature-extract stage; only the codec changes
+    (JPEG stays a codec-library gate)."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    from hadoop_3_3_6_spark.functions.multimodal import decode_features, encode_ppm
+    from hadoop_3_3_6_spark.functions.multimodal import (
+        decode_features,
+        encode_png,
+        encode_ppm,
+    )
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [
-                encode_ppm(
-                    np.full((3 + int(i) % 7, 4 + int(i) % 13, 3), int(i) % 251, dtype=np.uint8)
-                )
-                for i in pdf["doc_id"]
-            ]
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                arr = np.full((3 + i % 7, 4 + i % 13, 3), i % 251, dtype=np.uint8)
+                payloads.append(encode_ppm(arr) if i % 2 == 0 else encode_png(arr))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     blobs = docs.mapInPandas(render, schema="doc_id bigint, payload binary")
