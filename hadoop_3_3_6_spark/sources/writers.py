@@ -50,6 +50,62 @@ def multiple_outputs(df: DataFrame, path: str, route_col: str, fmt: str = "parqu
     getattr(writer, fmt)(path)
 
 
+def zorder_expr(col_a: str, col_b: str, bits: int = 16) -> F.Column:
+    """Morton/Z-order value of two non-negative integer columns: the
+    low ``bits`` of each, bit-interleaved (a in even positions, b in
+    odd).  Pure bitwise higher-order expression, no UDF."""
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, i) -> "
+        f"acc + shiftleft(cast(shiftright(cast({col_a} as bigint), i) & 1 as bigint), 2 * i) "
+        f"    + shiftleft(cast(shiftright(cast({col_b} as bigint), i) & 1 as bigint), 2 * i + 1))"
+    )
+
+
+def write_zordered(
+    df: DataFrame, path: str, col_a: str, col_b: str, bits: int = 12, num_files: int = 8
+) -> None:
+    """Z-order-clustered parquet write — the lakehouse OPTIMIZE ZORDER
+    analogue for multi-dimensional data skipping: rows are range-
+    partitioned and sorted by the Morton value of (col_a, col_b), so
+    each output file/row-group covers a small rectangle in both
+    dimensions at once and parquet min/max stats prune scans filtered
+    on EITHER column.  A single-column sort gives perfect pruning on
+    one key and none on the other; Z-order trades a little of each
+    for skipping on both — the standard layout move when a 100 TB
+    table serves two access paths.
+
+    Both dimensions are min/max-normalized to the same ``bits``-wide
+    space IN-PLAN (1-row stats broadcast) before interleaving —
+    without this, a wider-ranged column's high bits dominate the
+    curve and the narrower column gets no clustering at all.  Cost is
+    one extra stats aggregate + one range shuffle + in-partition sort
+    (same as a total-order sort)."""
+    scale = (1 << bits) - 1
+    stats = df.agg(
+        F.min(col_a).alias("_amin"),
+        F.max(col_a).alias("_amax"),
+        F.min(col_b).alias("_bmin"),
+        F.max(col_b).alias("_bmax"),
+    )
+    norm_a = (
+        f"cast(cast(({col_a} - _amin) as double) * {scale} / greatest(_amax - _amin, 1) as bigint)"
+    )
+    norm_b = (
+        f"cast(cast(({col_b} - _bmin) as double) * {scale} / greatest(_bmax - _bmin, 1) as bigint)"
+    )
+    (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("_na", F.expr(norm_a))
+        .withColumn("_nb", F.expr(norm_b))
+        .withColumn("_z", zorder_expr("_na", "_nb", bits))
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", "_na", "_nb", "_amin", "_amax", "_bmin", "_bmax")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_non_empty(df: DataFrame, path: str, fmt: str = "parquet") -> int:
     """LazyOutputFormat analogue (MRC/mapreduce/lib/output/
     LazyOutputFormat.java:42): only partitions that actually produced
