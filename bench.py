@@ -76,6 +76,7 @@ HEADLINE = [
     "text_pii_redact",
     "text_repetition_topgram",
     "dedup_span_fraction",
+    "dedup_spans",
     "multimodal_audio",
     "multimodal_video",
     "pipeline_pack_sequences",

@@ -417,6 +417,55 @@ def duplicated_span_fraction(
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Duplicated-span EXTRACTION (the actionable form of
+    ``duplicated_span_fraction``): contiguous token runs whose every
+    n-gram also occurs in another document, merged via gaps-and-islands
+    — the spans an exact-substring dedup pass would actually cut out of
+    the training corpus (Lee et al. 2022 semantics at shingle
+    granularity).  Output: (id, run_start, run_end, run_tokens) in
+    0-based token offsets, run_end inclusive.
+
+    Shape: positional explode → inverted-index join on shingle (the
+    same two aggregates as the fraction variant) → per-document
+    islands window (pos - row_number).  The window partitions by
+    document, so parallelism is corpus-wide and state is bounded by
+    document length; ``max_df`` is the usual hot-shingle guard."""
+    from pyspark.sql.window import Window
+
+    words = f"filter(split({text_col}, ' '), w -> w <> '')"
+    grams = (
+        f"case when size({words}) >= {n} then "
+        f"transform(sequence(1, size({words}) - {n - 1}), "
+        f"i -> array_join(slice({words}, i, {n}), ' ')) "
+        f"else array() end"
+    )
+    inst = df.select(F.col(id_col), F.posexplode(F.expr(grams)).alias("pos", "shingle"))
+    docs_per = inst.groupBy("shingle").agg(F.countDistinct(id_col).alias("n_docs"))
+    if max_df is not None:
+        docs_per = docs_per.filter(F.col("n_docs") <= max_df)
+    marked = inst.join(docs_per.filter(F.col("n_docs") >= 2), "shingle").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        marked.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "_grp")
+        .agg(F.min("pos").alias("run_start"), F.max("pos").alias("_last"))
+        .select(
+            F.col(id_col),
+            "run_start",
+            (F.col("_last") + n - 1).alias("run_end"),
+            (F.col("_last") + n - F.col("run_start")).alias("run_tokens"),
+        )
+    )
+    return runs
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", portable: bool = False) -> DataFrame:
     """64-bit SimHash: per token hash, each bit contributes +1/-1 to a
      64-lane counter; fingerprint bit i = sign of lane i.  One aggregate

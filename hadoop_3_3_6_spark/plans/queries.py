@@ -2614,6 +2614,43 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_spans",
+    """
+    WITH inst AS (
+      SELECT doc_id, idx - 1 AS pos, grams[idx] AS shingle
+      FROM (SELECT doc_id,
+                   CASE WHEN len(words) >= 3
+                        THEN list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))
+                        ELSE []::VARCHAR[] END AS grams
+            FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+                  FROM documents)),
+           unnest(range(1, len(grams) + 1)) AS t(idx)),
+    dpc AS (SELECT shingle FROM inst GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2),
+    marked AS (SELECT i.doc_id, i.pos FROM inst i JOIN dpc USING (shingle)),
+    runs AS (
+      SELECT doc_id, min(pos) AS run_start, max(pos) AS last_pos
+      FROM (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM marked)
+      GROUP BY doc_id, grp)
+    SELECT doc_id, run_start::INT AS run_start,
+           (last_pos + 2)::INT AS run_end,
+           (last_pos + 3 - run_start)::INT AS run_tokens
+    FROM runs
+    """,
+)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span extraction: contiguous runs of corpus-duplicated
+    3-grams per document, merged with gaps-and-islands — the spans an
+    exact-substring dedup pass would cut
+    (functions/dedup.duplicated_spans)."""
+    from hadoop_3_3_6_spark.functions.dedup import duplicated_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    return duplicated_spans(docs, "text", "doc_id", n=3)
+
+
+@_register(
     "pipeline_pretraining_e2e",
     r"""
     WITH injected AS (

@@ -115,6 +115,29 @@ def test_pack_sequences_invariants(spark):
             cum += r.n_tokens
 
 
+def test_duplicated_spans_islands(spark):
+    """Adjacent duplicated shingles merge into one run; disjoint
+    duplicated regions yield separate runs with correct token bounds."""
+    from hadoop_3_3_6_spark.functions.dedup import duplicated_spans
+
+    df = _docs(
+        spark,
+        [
+            "a b c d Z p q r s",  # shares 'a b c d' and 'p q r s' with doc 1, split by Z
+            "a b c d w w w p q r s",
+            "u v x y z1 z2 z3",  # nothing shared
+        ],
+    )
+    out = duplicated_spans(df, "text", "doc_id", n=3).collect()
+    runs = {}
+    for r in out:
+        runs.setdefault(r.doc_id, []).append((r.run_start, r.run_end, r.run_tokens))
+    # doc 0: 'a b c d' = positions 0..3 (grams 0,1), 'p q r s' = 5..8 (grams 5,6)
+    assert sorted(runs[0]) == [(0, 3, 4), (5, 8, 4)]
+    assert sorted(runs[1]) == [(0, 3, 4), (7, 10, 4)]
+    assert 2 not in runs
+
+
 def test_duplicated_span_fraction_and_max_df(spark):
     df = _docs(
         spark,
