@@ -1057,6 +1057,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipeline_dedup_keep",
+    f"""
+    WITH RECURSIVE edges AS (SELECT * FROM ({_minhash_oracle()}) t),
+    sym AS (SELECT id_a AS a, id_b AS b FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS label FROM documents
+      UNION
+      SELECT s.a AS id, r.label FROM reach r JOIN sym s ON s.b = r.id),
+    labels AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN labels l USING (doc_id)
+    WHERE l.cluster_id = d.doc_id
+    """,
+)
+def q_pipeline_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup KEEP decision materialized: connected components over
+    the minhash-LSH pair graph, keep each cluster's min-id canonical
+    document, drop the rest — the corpus a near-dedup pass actually
+    emits (signal → clusters → kept corpus completes the dedup story).
+    Eager by contract (the component fixpoint loop runs actions)."""
+    from hadoop_3_3_6_spark.functions.dedup import connected_components
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_candidate_pairs(docs, "text", "doc_id", n=3, num_perm=32, bands=8, portable=True)
+    comp = connected_components(pairs, "id_a", "id_b", vertices=docs, id_col="doc_id")
+    kept = comp.filter(F.col("id") == F.col("cluster_id")).select(F.col("id").alias("doc_id"))
+    return docs.join(kept, "doc_id").select("doc_id", "source")
+
+
+@_register(
     "dedup_simhash",
     """
     WITH w AS (
