@@ -90,6 +90,46 @@ def test_foreach_batch_sink(spark, sf_dir, tmp_path):
     assert total == 10000  # all events accounted for across microbatches
 
 
+def test_streaming_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Checkpointed restart processes ONLY data that arrived after the
+    first run — the exactly-once recovery contract a production stream
+    relies on (offsets live in the checkpoint, the sink is idempotent
+    per batch)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("id long").parquet(str(src) + "/*")
+
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.range(0, 100).write.parquet(str(src / "a"))
+    run_once()
+    assert spark.read.parquet(out).count() == 100
+
+    # second run with NO new data: nothing reprocessed
+    run_once()
+    assert spark.read.parquet(out).count() == 100
+
+    # append an increment: only the delta flows
+    spark.range(100, 130).write.parquet(str(src / "b"))
+    run_once()
+    back = spark.read.parquet(out)
+    assert back.count() == 130
+    assert back.agg(F.countDistinct("id")).collect()[0][0] == 130
+
+
 @pytest.mark.parametrize("codec", ["gzip", "bzip2", "lz4", "snappy"])
 def test_text_compression_roundtrip(spark, tmp_path, codec):
     """Codec surface (HC/io/compress/: Gzip/BZip2/Lz4/Snappy/Zstd):
