@@ -52,6 +52,33 @@ def test_q1_partial_aggregation(spark, sf_dir):
     assert plan.index("partial_sum") > plan.index("Exchange hashpartitioning")
 
 
+def test_span_fraction_partial_aggregation_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_span_fraction")
+    # two-phase countDistinct: partial aggregate must precede both shuffles
+    assert "partial_count(distinct" in plan
+    import re
+
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    # every documents scan reads at most (doc_id, text) — never the full row
+    for schema in m:
+        cols = {c.split(":")[0] for c in schema.split(",")}
+        assert cols <= {"doc_id", "text"}, cols
+
+
+def test_pack_sequences_single_shuffle_per_block_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pipeline_pack_sequences")
+    # one hash exchange into block streams + the per-block running-sum
+    # window; a global (single-partition) sort would be the scale bug
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_pii_redact_is_shuffle_free(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_pii_redact")
+    assert "Exchange" not in plan  # pure projection over the scan
+
+
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "topk_orders")
     assert "TakeOrderedAndProject" in plan
