@@ -130,12 +130,39 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
 # PII patterns restricted to syntax valid in BOTH Java regex (Spark) and
 # RE2 (DuckDB oracle): no backreferences, no lookaround.  Order matters:
 # emails are redacted first (they contain dots/digits an IP or phone
-# pattern could partially claim), then IPv4, then phone numbers.
+# pattern could partially claim), then IPv4, then payment cards (so the
+# phone pattern can never claim card fragments), then phone numbers.
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ccard", r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b", "<CARD>"),
     ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
 ]
+
+
+def _luhn_valid_count(col: Column, pattern: str) -> Column:
+    """Count card-shaped candidates that pass the Luhn checksum — pure
+    higher-order Column expressions (no UDF): reverse the digits,
+    double every even 1-based position (−9 overflow fold), sum mod 10.
+    Redaction is deliberately broader than the count: ALL card-shaped
+    runs are scrubbed (conservative), only validated ones are counted
+    as card PII."""
+
+    def luhn_sum(c: Column) -> Column:
+        rev = F.reverse(F.transform(F.regexp_extract_all(c, F.lit(r"\d"), F.lit(0)), lambda d: d.cast("int")))
+        contrib = F.transform(
+            F.sequence(F.lit(1), F.size(rev)),
+            lambda j: F.when(
+                j % 2 == 0,
+                F.when(F.element_at(rev, j) * 2 > 9, F.element_at(rev, j) * 2 - 9).otherwise(
+                    F.element_at(rev, j) * 2
+                ),
+            ).otherwise(F.element_at(rev, j)),
+        )
+        return F.aggregate(contrib, F.lit(0), lambda a, x: a + x)
+
+    cands = F.regexp_extract_all(col, F.lit(pattern), F.lit(0))
+    return F.size(F.filter(cands, lambda c: luhn_sum(c) % 10 == 0))
 
 
 def pii_redact(
@@ -159,7 +186,10 @@ def pii_redact(
     out_cols = [F.col(id_col)] + [F.col(c) for c in keep_cols]
     counts = []
     for cat, pat, token in PII_PATTERNS:
-        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{cat}"))
+        if cat == "ccard":
+            counts.append(_luhn_valid_count(cur, pat).alias("n_ccard"))
+        else:
+            counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{cat}"))
         cur = F.regexp_replace(cur, pat, token)
     return df.select(*out_cols, *counts, cur.alias("clean_text"))
 

@@ -2846,7 +2846,9 @@ def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH injected AS (
       SELECT doc_id,
              text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.0.'
-                  || (doc_id % 250)::VARCHAR || ' tel 555-010-'
+                  || (doc_id % 250)::VARCHAR || ' pay '
+                  || CASE WHEN doc_id % 2 = 0 THEN '4111 1111 1111 1111' ELSE '1234 5678 9012 3456' END
+                  || ' tel 555-010-'
                   || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
       FROM documents),
     r1 AS (
@@ -2858,21 +2860,34 @@ def q_pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, n_email,
              len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INT AS n_ipv4,
              regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t
-      FROM r1)
-    SELECT doc_id, n_email, n_ipv4,
+      FROM r1),
+    r3 AS (
+      SELECT doc_id, n_email, n_ipv4,
+             len(list_filter(regexp_extract_all(t, '\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b'), c ->
+               list_sum(list_transform(range(1, len(list_reverse(list_transform(regexp_extract_all(c, '\d'), d -> d::INT))) + 1), j ->
+                 CASE WHEN j % 2 = 0
+                      THEN CASE WHEN list_reverse(list_transform(regexp_extract_all(c, '\d'), d -> d::INT))[j] * 2 > 9
+                                THEN list_reverse(list_transform(regexp_extract_all(c, '\d'), d -> d::INT))[j] * 2 - 9
+                                ELSE list_reverse(list_transform(regexp_extract_all(c, '\d'), d -> d::INT))[j] * 2 END
+                      ELSE list_reverse(list_transform(regexp_extract_all(c, '\d'), d -> d::INT))[j] END)) % 10 = 0))::INT AS n_ccard,
+             regexp_replace(t, '\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b', '<CARD>', 'g') AS t
+      FROM r2)
+    SELECT doc_id, n_email, n_ipv4, n_ccard,
            len(regexp_extract_all(t, '\+?\d{3}[-. ]\d{3}[-. ]\d{4}'))::INT AS n_phone,
            regexp_replace(t, '\+?\d{3}[-. ]\d{3}[-. ]\d{4}', '<PHONE>', 'g') AS clean_text
-    FROM r2
+    FROM r3
     """,
 )
 def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing compliance pass over the corpus.  The synthetic
     corpus contains no PII, so the query first injects a deterministic
-    email / IPv4 / phone per document (derived from doc_id) and then
-    redacts them — exercising match, count, and replacement for all
-    three categories with a bit-exact oracle
+    email / IPv4 / payment card / phone per document (derived from
+    doc_id; even docs get a Luhn-VALID card, odd docs a Luhn-invalid
+    one, so both checksum branches are exercised) and then redacts
+    them — match, count (card counts are Luhn-validated), and
+    replacement for all four categories with a bit-exact oracle
     (functions/text.pii_redact; sequential regexp_count +
-    regexp_replace, all codegen)."""
+    regexp_replace + HOF Luhn fold, all codegen)."""
     from hadoop_3_3_6_spark.functions.text import pii_redact
 
     docs = load_table(spark, "documents", sf_dir)
@@ -2884,6 +2899,10 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string"),
             F.lit("@example.com from 10.0.0."),
             (F.col("doc_id") % 250).cast("string"),
+            F.lit(" pay "),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("4111 1111 1111 1111")).otherwise(
+                F.lit("1234 5678 9012 3456")
+            ),
             F.lit(" tel 555-010-"),
             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         ),

@@ -24,6 +24,8 @@ def test_pii_redact_categories_and_order(spark):
             # email must win over phone/ip on its own digits+dots
             "mixed u1@e.co 8.8.8.8 555 010 1234",
             "clean text with no pii at all",
+            # Luhn-valid counted AND scrubbed; invalid scrubbed only
+            "pay 4111-1111-1111-1111 or 1234 5678 9012 3456 now",
         ],
     )
     rows = {r.doc_id: r for r in pii_redact(df, "text", "doc_id").collect()}
@@ -35,7 +37,9 @@ def test_pii_redact_categories_and_order(spark):
     assert (rows[3].n_email, rows[3].n_ipv4, rows[3].n_phone) == (1, 1, 1)
     assert rows[3].clean_text == "mixed <EMAIL> <IP> <PHONE>"
     assert rows[4].clean_text == "clean text with no pii at all"
-    assert (rows[4].n_email, rows[4].n_ipv4, rows[4].n_phone) == (0, 0, 0)
+    assert (rows[4].n_email, rows[4].n_ipv4, rows[4].n_ccard, rows[4].n_phone) == (0, 0, 0, 0)
+    assert rows[5].n_ccard == 1  # only the Luhn-valid card counts
+    assert rows[5].clean_text == "pay <CARD> or <CARD> now"  # both scrubbed
 
 
 def test_repetition_top_ngram_counts(spark):
