@@ -81,6 +81,8 @@ HEADLINE = [
     "multimodal_video",
     "pipeline_pack_sequences",
     "text_lm_score",
+    "text_normalize",
+    "text_langid_multi",
     "pipeline_chunk_documents",
     "pipeline_temperature_mix",
     "pipeline_pretraining_e2e",

@@ -59,6 +59,70 @@ def language_id(
     )
 
 
+# Small fixed per-language stopword lists (like EN_STOPWORDS, kept tiny
+# and inline-able so the DuckDB oracle can reproduce the decision).
+LANG_STOPWORDS = {
+    "en": EN_STOPWORDS,
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "du", "pas"],
+}
+
+
+def language_id_multi(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.05
+) -> DataFrame:
+    """Multi-language stopword-ratio language ID: one ratio per
+    candidate language, prediction = argmax ratio if it clears the
+    threshold else 'unk' (ties break in en > de > fr declaration
+    order via strict comparisons).  Pure column expressions — the
+    n-language generalization of ``language_id``."""
+    words = _words(text_col)
+    total = F.size(words)
+    ratios = {}
+    for lang, stops in LANG_STOPWORDS.items():
+        arr = "array(" + ",".join(f"'{w}'" for w in stops) + ")"
+        hits = F.expr(
+            f"size(filter(filter(split({text_col}, ' '), w -> w <> ''), w -> array_contains({arr}, w)))"
+        )
+        ratios[lang] = (
+            F.when(total > 0, hits.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
+        )
+    langs = list(LANG_STOPWORDS)
+    best = None
+    for lang in langs:
+        cond = (ratios[lang] >= threshold) & F.lit(True)
+        for other in langs:
+            if other == lang:
+                continue
+            op = ratios[lang] >= ratios[other] if langs.index(other) > langs.index(lang) else ratios[lang] > ratios[other]
+            cond = cond & op
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    pred = best.otherwise(F.lit("unk"))
+    return df.select(
+        F.col(id_col),
+        *[F.round(ratios[lang], 6).alias(f"ratio_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical text normalization for dedup/tokenization pipelines:
+    lowercase, non-alphanumerics → space, whitespace collapsed, ends
+    trimmed.  Normalizing before hashing/shingling is what makes
+    near-dup detection robust to case/punctuation noise; three
+    regexp_replace passes, shuffle-free."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("norm_text"),
+        F.size(F.expr("filter(split(trim(regexp_replace(regexp_replace(lower(" + text_col + "), '[^a-z0-9 ]', ' '), ' +', ' ')), ' '), w -> w <> '')")).alias("n_tokens"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document quality signals: char/word counts, mean word length,
     alpha-char ratio — the classic pre-training filter features.  All

@@ -2940,6 +2940,50 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_normalize",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+           len(list_filter(string_split(
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+               w -> w <> ''))::INT AS n_tokens
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization (lowercase, punctuation → space,
+    whitespace collapse) — the pass that precedes hashing/shingling in
+    a dedup pipeline (functions/text.normalize_text)."""
+    from hadoop_3_3_6_spark.functions.text import normalize_text
+
+    return normalize_text(load_table(spark, "documents", sf_dir), "text", "doc_id")
+
+
+@_register(
+    "text_langid_multi",
+    """
+    SELECT doc_id, round(r_en, 6) AS ratio_en, round(r_de, 6) AS ratio_de, round(r_fr, 6) AS ratio_fr,
+           CASE WHEN r_en >= 0.05 AND r_en >= r_de AND r_en >= r_fr THEN 'en'
+                WHEN r_de >= 0.05 AND r_de > r_en AND r_de >= r_fr THEN 'de'
+                WHEN r_fr >= 0.05 AND r_fr > r_en AND r_fr > r_de THEN 'fr'
+                ELSE 'unk' END AS pred_lang
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(words) > 0 THEN len(list_filter(words, w -> list_contains(['the','a','of','and','to','in','is','on','for','with'], w)))::DOUBLE / len(words) ELSE 0.0 END AS r_en,
+             CASE WHEN len(words) > 0 THEN len(list_filter(words, w -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','den'], w)))::DOUBLE / len(words) ELSE 0.0 END AS r_de,
+             CASE WHEN len(words) > 0 THEN len(list_filter(words, w -> list_contains(['le','la','les','et','est','un','une','des','du','pas'], w)))::DOUBLE / len(words) ELSE 0.0 END AS r_fr
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words FROM documents))
+    """,
+)
+def q_text_langid_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-language stopword-ratio language ID with argmax + declared
+    tie-break order (functions/text.language_id_multi)."""
+    from hadoop_3_3_6_spark.functions.text import language_id_multi
+
+    return language_id_multi(load_table(spark, "documents", sf_dir), "text", "doc_id")
+
+
+@_register(
     "text_repetition_topgram",
     """
     SELECT doc_id, len(grams)::INT AS total_ngrams,

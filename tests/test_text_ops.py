@@ -42,6 +42,33 @@ def test_pii_redact_categories_and_order(spark):
     assert rows[5].clean_text == "pay <CARD> or <CARD> now"  # both scrubbed
 
 
+def test_normalize_text_collapses(spark):
+    from hadoop_3_3_6_spark.functions.text import normalize_text
+
+    df = _docs(spark, ["  Hello,   WORLD!! 42 ", "---", ""])
+    rows = {r.doc_id: r for r in normalize_text(df, "text", "doc_id").collect()}
+    assert rows[0].norm_text == "hello world 42" and rows[0].n_tokens == 3
+    assert rows[1].norm_text == "" and rows[1].n_tokens == 0
+    assert rows[2].n_tokens == 0
+
+
+def test_language_id_multi_argmax_and_ties(spark):
+    from hadoop_3_3_6_spark.functions.text import language_id_multi
+
+    df = _docs(
+        spark,
+        [
+            "the cat is on the mat with a hat",  # en
+            "der hund ist nicht mit der katze zu hause",  # de
+            "le chat est un animal et la souris aussi",  # fr
+            "xyzzy plugh qwert",  # none
+            "the der x x x x x x x x x x x x x x x x x x",  # tie en==de -> en wins
+        ],
+    )
+    rows = {r.doc_id: r for r in language_id_multi(df, "text", "doc_id").collect()}
+    assert [rows[i].pred_lang for i in range(5)] == ["en", "de", "fr", "unk", "en"]
+
+
 def test_repetition_top_ngram_counts(spark):
     # "ab ab ab ab" -> 3 bigrams, all "ab ab" (5 chars); text len 11
     df = _docs(spark, ["ab ab ab ab", "w x y z", "solo", ""])
