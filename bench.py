@@ -83,6 +83,7 @@ HEADLINE = [
     "text_lm_score",
     "text_normalize",
     "text_langid_multi",
+    "streaming_session_dynamic",
     "pipeline_chunk_documents",
     "pipeline_temperature_mix",
     "pipeline_pretraining_e2e",

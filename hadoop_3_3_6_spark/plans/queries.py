@@ -908,6 +908,41 @@ def q_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_session_counts(spark, sf_dir)
 
 
+@_register(
+    "streaming_session_dynamic",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN INTERVAL 60 MINUTE
+                  ELSE INTERVAL 30 MINUTE END AS gap
+      FROM events),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR ts >= max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM g),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_streaming_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows (purchase holds the session 60 min,
+    others 30): session_window with a Column gap; oracle = islands
+    over the running max of per-event window ends — the exact merge
+    rule (streaming/windows.streaming_session_dynamic_gap)."""
+    from hadoop_3_3_6_spark.streaming.windows import streaming_session_dynamic_gap
+
+    return streaming_session_dynamic_gap(spark, sf_dir)
+
+
 # === M6: LLM-pipeline operators =========================================
 
 

@@ -82,6 +82,26 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str, gap: str = "30 mi
     return out.select("user_id", F.col("w.start").alias("session_start"), "n_events")
 
 
+def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT inactivity gap (purchases hold
+    a session open for 60 minutes, everything else 30) —
+    ``session_window`` with a Column gap, the event-time feature fixed
+    gaps can't express: each event extends its session to
+    ``ts + gap(event)`` and overlapping windows merge.  Exact
+    gaps-and-islands oracle via running max of window ends."""
+    stream = _event_stream(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", "60 minutes").otherwise("30 minutes")
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window(F.col("ts"), gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_stream_to_batch(agg, output_mode="complete")
+    return out.select(
+        "user_id", F.col("sw.start").alias("session_start"), "n_events"
+    )
+
+
 def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: a running
     per-user event counter carried in explicit state across
