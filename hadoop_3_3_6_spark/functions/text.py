@@ -90,7 +90,7 @@ def language_id_multi(
     langs = list(LANG_STOPWORDS)
     best = None
     for lang in langs:
-        cond = (ratios[lang] >= threshold) & F.lit(True)
+        cond = ratios[lang] >= threshold
         for other in langs:
             if other == lang:
                 continue

@@ -52,6 +52,33 @@ def test_key_field_sort(spark):
     assert out2 == ["c\t1", "a\t10", "b\t2"]
 
 
+def test_corrupt_record_tolerant_scans(spark, tmp_path):
+    """SkipBadRecords for structured text formats: PERMISSIVE scans
+    quarantine malformed lines into _corrupt_record instead of failing
+    the job; DROPMALFORMED silently skips them — the bad-row-tolerance
+    a crawl-scale ingest relies on."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\nTHIS IS NOT JSON\n{"a": 3}\n')
+    schema = "a long, b string, _corrupt_record string"
+    perm = spark.read.schema(schema).option("mode", "PERMISSIVE").json(str(p)).cache()
+    assert perm.count() == 4
+    bad = perm.filter("_corrupt_record is not null").collect()
+    assert len(bad) == 1 and "NOT JSON" in bad[0]._corrupt_record
+    perm.unpersist()
+    dropped = spark.read.schema("a long, b string").option("mode", "DROPMALFORMED").json(str(p))
+    assert dropped.count() == 3
+
+    c = tmp_path / "mixed.csv"
+    c.write_text("a,b\n1,x\nnot_a_number,y\n3,z\n")
+    csv_drop = (
+        spark.read.option("header", True)
+        .schema("a long, b string")
+        .option("mode", "DROPMALFORMED")
+        .csv(str(c))
+    )
+    assert [r.a for r in csv_drop.collect()] == [1, 3]
+
+
 def test_text_and_kv_readers(spark, tmp_path):
     p = tmp_path / "in.txt"
     p.write_text("k1\tv1\nk2\tv2 with tabs\tv2b\nno-separator\n")
