@@ -84,6 +84,7 @@ HEADLINE = [
     "text_normalize",
     "text_langid_multi",
     "streaming_session_dynamic",
+    "asof_join_forward",
     "pipeline_chunk_documents",
     "pipeline_temperature_mix",
     "pipeline_pretraining_e2e",

@@ -94,24 +94,33 @@ def asof_join(
     right_time: str,
     value_cols: list[str],
     tiebreak_col: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: each left row picks the latest right row of the same
-    key with ``right_time <= left_time`` (left rows without a match keep
-    nulls).  Spark has no native ASOF JOIN; the naive form — range join
-    then rank — expands to |left|x|right| pairs per key before the
-    filter.  This implementation is the linear, one-shuffle form: union
-    both sides tagged, sort within key by (time, side), and carry the
-    last-seen right values forward with ``last(ignorenulls)`` over an
-    unbounded-preceding frame.  Each row is touched once; the only
+    key with ``right_time <= left_time`` (``direction="backward"``, the
+    default) or the earliest with ``right_time >= left_time``
+    (``direction="forward"``) — the two pandas ``merge_asof``
+    directions; "nearest" is their composition (run both, pick the
+    smaller delta per row).  Left rows without a match keep nulls.
+
+    Spark has no native ASOF JOIN; the naive form — range join then
+    rank — expands to |left|x|right| pairs per key before the filter.
+    This implementation is the linear, one-shuffle form: union both
+    sides tagged, sort within key by (time, side) — time descending
+    for forward, so "last seen" is the next row in event time — and
+    carry the last-seen right values with ``last(ignorenulls)`` over
+    an unbounded-preceding frame.  Each row is touched once; the only
     shuffle is hash(key); a hot key degrades to one sorted partition
     (salt upstream if a single key exceeds a partition).
 
     Ties are deterministic: right rows sort before left rows at equal
-    time (<= semantics), and ``tiebreak_col`` ascending picks the
-    largest value as the carried row among equal-time right rows.
+    time (inclusive semantics both directions); among equal-time right
+    rows backward carries the MAX ``tiebreak_col``, forward the MIN.
     """
     from pyspark.sql.window import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     tb = tiebreak_col or value_cols[0]
     key, t = "_asof_key", "_asof_t"
     r = right.select(
@@ -128,11 +137,11 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
         *[F.col(f.name).alias(f"_l_{f.name}") for f in left.schema.fields],
     )
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col(t).asc(), F.col("_is_right").desc(), F.col(tb).asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if direction == "backward":
+        order = [F.col(t).asc(), F.col("_is_right").desc(), F.col(tb).asc_nulls_first()]
+    else:
+        order = [F.col(t).desc(), F.col("_is_right").desc(), F.col(tb).desc_nulls_first()]
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     carried = r.unionByName(l).select(
         "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}") for c in value_cols]
     )

@@ -3635,6 +3635,45 @@ _DRIVER_DEFERRED = [
 ]
 
 
+@_register(
+    "asof_join_forward",
+    """
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             o.o_orderkey AS asof_o_orderkey, o.o_orderdate AS asof_o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate ASC NULLS LAST,
+                                         o.o_orderkey ASC NULLS LAST) AS rn
+      FROM events e LEFT JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts)
+    SELECT event_id, user_id, ts, asof_o_orderkey, asof_o_orderdate
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each event stamped with the user's NEXT
+    order at-or-after event time (the label-attribution direction:
+    which outcome followed this interaction).  Same linear
+    union+window plan as backward, scanned in descending event time
+    (operators/joins.asof_join, direction='forward'); ties take the
+    earliest o_orderdate then min o_orderkey, oracle-exact."""
+    from hadoop_3_3_6_spark.operators.joins import asof_join
+
+    events = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderdate", "o_orderkey")
+    return asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey", "o_orderdate"],
+        tiebreak_col="o_orderkey",
+        direction="forward",
+    )
+
+
 # Pinned to the head of the front group: flagship custom operators and
 # the TPC-H suite — the driver must verify these regardless of how many
 # extension queries register after them.

@@ -263,6 +263,19 @@ def test_asof_join_matches_naive_reference(spark):
     for r in out:
         assert (r["asof_rid"], r["asof_val"]) == expected[r["lid"]], r["lid"]
 
+    # forward direction: earliest right at-or-after, ties -> MIN tiebreak
+    fwd = asof_join(
+        ldf, rdf, left_on="k", right_on="k", left_time="t", right_time="t",
+        value_cols=["rid", "val"], tiebreak_col="rid", direction="forward",
+    ).collect()
+    fexp = {}
+    for lid, lk, lt in left:
+        cands = [(t, rid, val) for rid, rk, t, val in right if rk == lk and t >= lt]
+        fexp[lid] = min(cands)[1:] if cands else (None, None)
+    assert len(fwd) == len(left)
+    for r in fwd:
+        assert (r["asof_rid"], r["asof_val"]) == fexp[r["lid"]], r["lid"]
+
 
 def test_interval_join_matches_naive_reference(spark):
     """Randomized (seeded) bucketed interval join vs the all-pairs
