@@ -85,6 +85,7 @@ HEADLINE = [
     "text_langid_multi",
     "streaming_session_dynamic",
     "asof_join_forward",
+    "asof_join_nearest",
     "pipeline_chunk_documents",
     "pipeline_temperature_mix",
     "pipeline_pretraining_e2e",

@@ -98,10 +98,13 @@ def asof_join(
 ) -> DataFrame:
     """As-of join: each left row picks the latest right row of the same
     key with ``right_time <= left_time`` (``direction="backward"``, the
-    default) or the earliest with ``right_time >= left_time``
-    (``direction="forward"``) — the two pandas ``merge_asof``
-    directions; "nearest" is their composition (run both, pick the
-    smaller delta per row).  Left rows without a match keep nulls.
+    default), the earliest with ``right_time >= left_time``
+    (``direction="forward"``), or whichever of the two is closer in
+    time (``direction="nearest"``, exact-microsecond deltas, ties →
+    backward) — the three pandas ``merge_asof`` directions.  Left rows
+    without a match keep nulls.  Nearest runs both directional scans
+    over the SAME single hash(key) shuffle (two in-partition sorts, no
+    second exchange, no self-join).
 
     Spark has no native ASOF JOIN; the naive form — range join then
     rank — expands to |left|x|right| pairs per key before the filter.
@@ -119,13 +122,17 @@ def asof_join(
     """
     from pyspark.sql.window import Window
 
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward', or 'nearest', got {direction!r}"
+        )
     tb = tiebreak_col or value_cols[0]
     key, t = "_asof_key", "_asof_t"
+    carry_cols = list(value_cols) + ["_rt"]
     r = right.select(
         F.col(right_on).alias(key),
         F.col(right_time).alias(t),
+        F.col(right_time).alias("_rt"),
         F.lit(1).alias("_is_right"),
         *[F.col(c) for c in value_cols],
         *[F.lit(None).cast(f.dataType).alias(f"_l_{f.name}") for f in left.schema.fields],
@@ -133,21 +140,43 @@ def asof_join(
     l = left.select(
         F.col(left_on).alias(key),
         F.col(left_time).alias(t),
+        F.lit(None).cast(right.schema[right_time].dataType).alias("_rt"),
         F.lit(0).alias("_is_right"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
         *[F.col(f.name).alias(f"_l_{f.name}") for f in left.schema.fields],
     )
-    if direction == "backward":
-        order = [F.col(t).asc(), F.col("_is_right").desc(), F.col(tb).asc_nulls_first()]
+    bwd_order = [F.col(t).asc(), F.col("_is_right").desc(), F.col(tb).asc_nulls_first()]
+    fwd_order = [F.col(t).desc(), F.col("_is_right").desc(), F.col(tb).desc_nulls_first()]
+    unioned = r.unionByName(l)
+
+    def carried_over(order, prefix):
+        w = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+        return [F.last(c, ignorenulls=True).over(w).alias(f"_{prefix}_{c}") for c in carry_cols]
+
+    if direction in ("backward", "forward"):
+        prefix = "b" if direction == "backward" else "f"
+        order = bwd_order if direction == "backward" else fwd_order
+        carried = unioned.select("*", *carried_over(order, prefix))
+        picked = {c: F.col(f"_{prefix}_{c}") for c in value_cols}
     else:
-        order = [F.col(t).desc(), F.col("_is_right").desc(), F.col(tb).desc_nulls_first()]
-    w = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    carried = r.unionByName(l).select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}") for c in value_cols]
-    )
+        # nearest: both scans share the one hash(key) shuffle; per row
+        # the smaller exact-microsecond delta wins, ties -> backward
+        # (pandas merge_asof semantics).
+        carried = unioned.select("*", *carried_over(bwd_order, "b"), *carried_over(fwd_order, "f"))
+        micros = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+        fwd_wins = (
+            F.col("_b__rt").isNull()
+            | (
+                F.col("_f__rt").isNotNull()
+                & ((micros(F.col("_f__rt")) - micros(F.col(t))) < (micros(F.col(t)) - micros(F.col("_b__rt"))))
+            )
+        )
+        picked = {
+            c: F.when(fwd_wins, F.col(f"_f_{c}")).otherwise(F.col(f"_b_{c}")) for c in value_cols
+        }
     return carried.filter(F.col("_is_right") == 0).select(
         *[F.col(f"_l_{f.name}").alias(f.name) for f in left.schema.fields],
-        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in value_cols],
+        *[picked[c].alias(f"asof_{c}") for c in value_cols],
     )
 
 

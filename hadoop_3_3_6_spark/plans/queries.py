@@ -3674,6 +3674,44 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "asof_join_nearest",
+    """
+    WITH ranked AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             o.o_orderkey AS asof_o_orderkey, o.o_orderdate AS asof_o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                ORDER BY abs(epoch_us(e.ts) - epoch_us(o.o_orderdate::TIMESTAMP)) ASC,
+                         CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END ASC,
+                         CASE WHEN o.o_orderdate <= e.ts THEN -o.o_orderkey ELSE o.o_orderkey END ASC) AS rn
+      FROM events e LEFT JOIN orders o ON o.o_custkey = e.user_id)
+    SELECT event_id, user_id, ts, asof_o_orderkey, asof_o_orderdate
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: each event stamped with the user's
+    closest-in-time order, exact-microsecond deltas, ties preferring
+    the backward (at-or-before) match — pandas merge_asof 'nearest'.
+    Both directional scans share one hash(user) shuffle
+    (operators/joins.asof_join, direction='nearest')."""
+    from hadoop_3_3_6_spark.operators.joins import asof_join
+
+    events = load_table(spark, "events", sf_dir).select("event_id", "user_id", "ts")
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderdate", "o_orderkey")
+    return asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey", "o_orderdate"],
+        tiebreak_col="o_orderkey",
+        direction="nearest",
+    )
+
+
 # Pinned to the head of the front group: flagship custom operators and
 # the TPC-H suite — the driver must verify these regardless of how many
 # extension queries register after them.

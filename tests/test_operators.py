@@ -276,6 +276,29 @@ def test_asof_join_matches_naive_reference(spark):
     for r in fwd:
         assert (r["asof_rid"], r["asof_val"]) == fexp[r["lid"]], r["lid"]
 
+    # nearest: smaller |delta| wins, ties -> backward
+    near = asof_join(
+        ldf, rdf, left_on="k", right_on="k", left_time="t", right_time="t",
+        value_cols=["rid", "val"], tiebreak_col="rid", direction="nearest",
+    ).collect()
+    nexp = {}
+    for lid, lk, lt in left:
+        b = [(t, rid, val) for rid, rk, t, val in right if rk == lk and t <= lt]
+        f = [(t, rid, val) for rid, rk, t, val in right if rk == lk and t >= lt]
+        bpick = max(b) if b else None
+        fpick = min(f) if f else None
+        if bpick is None and fpick is None:
+            nexp[lid] = (None, None)
+        elif bpick is None:
+            nexp[lid] = fpick[1:]
+        elif fpick is None or (fpick[0] - lt) >= (lt - bpick[0]):
+            nexp[lid] = bpick[1:]
+        else:
+            nexp[lid] = fpick[1:]
+    assert len(near) == len(left)
+    for r in near:
+        assert (r["asof_rid"], r["asof_val"]) == nexp[r["lid"]], r["lid"]
+
 
 def test_interval_join_matches_naive_reference(spark):
     """Randomized (seeded) bucketed interval join vs the all-pairs
