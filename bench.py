@@ -86,6 +86,7 @@ HEADLINE = [
     "streaming_session_dynamic",
     "asof_join_forward",
     "asof_join_nearest",
+    "pivot_orders",
     "pipeline_chunk_documents",
     "pipeline_temperature_mix",
     "pipeline_pretraining_e2e",

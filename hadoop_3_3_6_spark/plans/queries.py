@@ -3636,6 +3636,53 @@ _DRIVER_DEFERRED = [
 
 
 @_register(
+    "pivot_orders",
+    """
+    SELECT o_orderpriority,
+           nullif(count(*) FILTER (WHERE o_orderstatus = 'F'), 0)::BIGINT AS F,
+           nullif(count(*) FILTER (WHERE o_orderstatus = 'O'), 0)::BIGINT AS O,
+           nullif(count(*) FILTER (WHERE o_orderstatus = 'P'), 0)::BIGINT AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide reshaping): order counts per priority with one
+    column per order status — ``groupBy().pivot(values).agg`` with an
+    explicit value list, which keeps the plan a single two-phase
+    aggregate (no extra distinct-values job, fixed output schema at
+    plan time; absent combinations are NULL, matching Spark's pivot)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+@_register(
+    "unpivot_orders",
+    """
+    SELECT o_orderpriority, o_orderstatus AS status, count(*)::BIGINT AS n
+    FROM orders GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def q_unpivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long): the pivoted counts melted back to
+    (priority, status, n) rows — ``DataFrame.unpivot`` with NULL cells
+    dropped, recovering exactly the plain grouped counts (pivot∘unpivot
+    is the identity on present combinations)."""
+    orders = load_table(spark, "orders", sf_dir)
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["F", "O", "P"], "status", "n"
+    ).filter(F.col("n").isNotNull())
+
+
+@_register(
     "asof_join_forward",
     """
     WITH ranked AS (
