@@ -87,6 +87,7 @@ HEADLINE = [
     "asof_join_forward",
     "asof_join_nearest",
     "pivot_orders",
+    "variant_events",
     "pipeline_chunk_documents",
     "pipeline_temperature_mix",
     "pipeline_pretraining_e2e",

@@ -3636,6 +3636,32 @@ _DRIVER_DEFERRED = [
 
 
 @_register(
+    "variant_events",
+    """
+    SELECT event_type,
+           count(*)::BIGINT AS n_events,
+           sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_sum,
+           max(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_max
+    FROM events GROUP BY event_type
+    """,
+)
+def q_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the Spark 4 VARIANT type:
+    ``parse_json`` once into a variant column, then typed
+    ``variant_get`` paths — the open-schema ingestion pattern that
+    replaces per-query string re-parsing (vs get_json_object in
+    json_extract_events); variant decodes to a binary-encoded form so
+    repeated path access doesn't re-parse text."""
+    events = load_table(spark, "events", sf_dir)
+    v = events.select("event_type", F.parse_json("props").alias("v"))
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.variant_get("v", "$.k", "bigint")).alias("k_sum"),
+        F.max(F.variant_get("v", "$.k", "bigint")).alias("k_max"),
+    )
+
+
+@_register(
     "pivot_orders",
     """
     SELECT o_orderpriority,
