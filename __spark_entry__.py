@@ -3,13 +3,19 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()`` — every implemented operator from SURVEY.md §2 as a
 ``(spark, sf_dir) -> DataFrame`` callable.
-``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents (100 of 104;
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents (122 of 127;
 omitted only for genuinely non-reproducible ops: approx_* sketches,
-BBP digits, and the self-validating terasort — the driver records its
-weaker rows-only check for those, and tests/ validate them
-independently.  minhash / simhash / hyperplane-LSH ANN /
-randomtextwriter ARE exactly oracle-checked via portable
-(cross-engine bit-identical) hash/fold modes.
+BBP digits, the self-validating terasort, and the float-order-
+dependent trained-IVF ANN — the driver records its weaker rows-only
+check for those, and tests/ validate them independently (recall /
+inertia / tolerance / known-digit).  minhash / simhash /
+hyperplane-LSH ANN / randomtextwriter ARE exactly oracle-checked via
+portable (cross-engine bit-identical) hash/fold modes.
+
+Registration order is the driver's verification order and is
+self-healing: queries with a green row in any CORRECTNESS_r*.json
+rotate behind the ones the driver has never checked
+(plans/queries.py::_reorder_for_driver).
 """
 
 from __future__ import annotations
