@@ -168,6 +168,18 @@ def test_asof_join_is_linear(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_asof_nearest_shares_one_shuffle(spark, sf_dir):
+    """direction='nearest' runs both directional scans over the SAME
+    hash(key) shuffle: exactly one exchange, two in-partition sorts,
+    zero join nodes — a second exchange or a self-join would double
+    the cost of the most expensive stage."""
+    plan = plan_of(spark, sf_dir, "asof_join_nearest")
+    assert plan.count("Exchange hashpartitioning") == 1, plan.count("Exchange hashpartitioning")
+    assert plan.count("Sort [") == 2
+    for node in ["SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct"]:
+        assert node not in plan, f"nearest asof plan contains {node}"
+
+
 def test_ivf_probe_join_broadcasts(spark, sf_dir):
     """The probes-to-candidates join keys on cent_id (num_centroids
     distinct values — maximal skew for a shuffle join); the tiny probe
