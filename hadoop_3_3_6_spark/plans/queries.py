@@ -1732,14 +1732,19 @@ def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            dense_rank() OVER w AS drank,
            ntile(4) OVER w AS quartile,
-           lead(o_orderkey) OVER w AS next_orderkey
+           lead(o_orderkey) OVER w AS next_orderkey,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           first_value(o_orderkey) OVER w AS top_orderkey,
+           nth_value(o_orderkey, 2) OVER w AS second_orderkey
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
     """,
 )
 def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dense_rank / ntile / lead over one window spec (§2.8 extension
-    suite)."""
+    """dense_rank / ntile / lead / percent_rank / cume_dist /
+    first_value / nth_value over one window spec (§2.8 extension
+    suite — the full ranking-function surface on a single sort)."""
     orders = load_table(spark, "orders", sf_dir)
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return orders.select(
@@ -1748,6 +1753,10 @@ def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("drank"),
         F.ntile(4).over(w).alias("quartile"),
         F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("top_orderkey"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
     )
 
 
