@@ -53,6 +53,9 @@ def get_spark(app_name: str = "hadoop-3-3-6-spark", shuffle_partitions: int | No
         # Arrow for every JVM<->Python exchange (pandas UDFs,
         # mapInPandas/applyInPandas) — the reference's TypedBytes role.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # custom Python DataSources (sources/pydatasource.py) implement
+        # pushFilters; Spark refuses a pushdown-capable reader unless on
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Match Hadoop's permissive numeric semantics (no ANSI errors
         # on overflow/cast; MR user code wrapped silently).

@@ -25,7 +25,13 @@ from __future__ import annotations
 import glob as _glob
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+    StringStartsWith,
+)
 
 
 class _WavPartition(InputPartition):
@@ -39,6 +45,29 @@ class WavDataSourceReader(DataSourceReader):
         if not self.path:
             raise ValueError("wavfiles source requires a path")
         self.metadata_only = str(options.get("metadata_only", "false")).lower() == "true"
+        self._path_filters: list = []
+
+    def pushFilters(self, filters):
+        """Partition pruning for the custom source: `path` equality and
+        prefix predicates are consumed here and applied to the file
+        LISTING, so pruned files are never opened and never become
+        partitions — the FileInputFormat `setInputPathFilter` analogue.
+        Everything else is returned for Spark to evaluate post-scan."""
+        remaining = []
+        for f in filters:
+            if isinstance(f, (EqualTo, StringStartsWith)) and tuple(f.attribute) == ("path",):
+                self._path_filters.append(f)
+            else:
+                remaining.append(f)
+        return remaining
+
+    def _keep(self, p: str) -> bool:
+        for f in self._path_filters:
+            if isinstance(f, EqualTo) and p != f.value:
+                return False
+            if isinstance(f, StringStartsWith) and not p.startswith(f.value):
+                return False
+        return True
 
     def partitions(self):
         paths = sorted(_glob.glob(self.path)) if any(c in self.path for c in "*?[") else None
@@ -54,6 +83,7 @@ class WavDataSourceReader(DataSourceReader):
             )
         if not paths:
             raise FileNotFoundError(f"no wav files match {self.path}")
+        paths = [p for p in paths if self._keep(p)]
         return [_WavPartition(p) for p in paths]
 
     def read(self, partition):

@@ -43,6 +43,28 @@ def test_wav_source_metadata_only_and_glob(spark, wav_dir):
     assert meta.agg({"n_samples": "sum"}).collect()[0][0] == sum(20 + i for i in range(6))
 
 
+def test_wav_source_filter_pushdown_prunes_partitions(spark, wav_dir):
+    """`path` equality/prefix filters must be consumed by pushFilters
+    and prune the file LISTING — pruned files never become partitions
+    (the setInputPathFilter analogue), instead of being read and then
+    row-filtered."""
+    register_wav_source(spark)
+    one = os.path.join(wav_dir, "sig3.wav")
+    df = spark.read.format("wavfiles").load(wav_dir).filter(f"path = '{one}'")
+    assert df.rdd.getNumPartitions() == 1
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].sample_rate == 8003
+
+    from pyspark.sql import functions as F
+
+    pref = spark.read.format("wavfiles").load(wav_dir).filter(
+        F.col("path").startswith(os.path.join(wav_dir, "sig1"))
+    )
+    # startswith -> StringStartsWith -> pruned at listing time
+    assert pref.rdd.getNumPartitions() == 1
+    assert pref.count() == 1
+
+
 def test_wav_source_missing_path_fails(spark, tmp_path):
     register_wav_source(spark)
     with pytest.raises(Exception, match="no wav files|FileNotFound"):
