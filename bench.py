@@ -88,6 +88,7 @@ HEADLINE = [
     "asof_join_nearest",
     "pivot_orders",
     "variant_events",
+    "storage_file_profile",
     "pipeline_chunk_documents",
     "pipeline_temperature_mix",
     "pipeline_pretraining_e2e",

@@ -3671,6 +3671,36 @@ def q_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "storage_file_profile",
+    """
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           count(*)::BIGINT AS n_rows,
+           min(l_orderkey)::BIGINT AS min_orderkey,
+           max(l_orderkey)::BIGINT AS max_orderkey
+    FROM read_parquet('{sf_dir}/lineitem.parquet', filename=true)
+    GROUP BY 1
+    """.replace("{sf_dir}", "/root/testdata/sf0.01"),
+)
+def q_storage_file_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout profiling: per input FILE row counts and key
+    ranges via ``input_file_name()`` — the ops query behind small-files
+    detection and compaction planning (at 100 TB, file-count and
+    per-file balance decide scan parallelism and listing cost).  The
+    oracle reads the same physical layout through DuckDB's
+    filename-aware parquet scan."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.withColumn("file_name", F.regexp_extract(F.input_file_name(), "([^/]+)$", 1))
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+        )
+    )
+
+
+@_register(
     "pivot_orders",
     """
     SELECT o_orderpriority,
