@@ -37,6 +37,21 @@ def test_zorder_expr_interleaves(spark):
     assert [r.z for r in rows.collect()] == [5, 10, 6]
 
 
+def test_zordered_write_constant_column_degenerate(spark, tmp_path):
+    """A constant dimension (max == min) must not divide by zero and
+    must not perturb the other dimension's clustering."""
+    df = spark.range(1000).selectExpr("id AS a", "42 AS b")
+    path = str(tmp_path / "zconst")
+    write_zordered(df, path, "a", "b", bits=10, num_files=4)
+    import pyspark.sql.functions as F
+
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.agg(F.sum("a")).collect()[0][0] == 999 * 1000 // 2
+    cov = _avg_file_coverage(path, "a", 0, 999)
+    assert cov < 0.5, cov  # constant b leaves a's ordering intact
+
+
 def test_zordered_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
     li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey", "l_quantity")
     lo_o = li.agg({"l_orderkey": "min"}).collect()[0][0]
