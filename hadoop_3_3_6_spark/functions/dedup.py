@@ -387,15 +387,25 @@ def duplicated_span_fraction(
         f"else array() end"
     )
     inst = df.select(F.col(id_col), F.explode(F.expr(grams)).alias("shingle"))
-    docs_per = inst.groupBy("shingle").agg(F.countDistinct(id_col).alias("n_docs"))
     if max_df is not None:
+        # the skew guard needs the true distinct-doc count
+        docs_per = inst.groupBy("shingle").agg(F.countDistinct(id_col).alias("n_docs"))
         docs_per = docs_per.filter(F.col("n_docs") <= max_df)
+        dup_flag = F.col("n_docs") >= 2
+    else:
+        # "appears in >= 2 docs" == min(doc) != max(doc): min/max have
+        # cheap partial aggregation and skip the two-phase
+        # countDistinct expansion (one exchange instead of two)
+        docs_per = inst.groupBy("shingle").agg(
+            (F.min(id_col) != F.max(id_col)).alias("_dup")
+        )
+        dup_flag = F.col("_dup")
     per_doc = (
         inst.join(docs_per, "shingle")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("total_shingles"),
-            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("dup_shingles"),
+            F.sum(F.when(dup_flag, 1).otherwise(0)).alias("dup_shingles"),
         )
     )
     return (
@@ -447,10 +457,18 @@ def duplicated_spans(
         f"else array() end"
     )
     inst = df.select(F.col(id_col), F.posexplode(F.expr(grams)).alias("pos", "shingle"))
-    docs_per = inst.groupBy("shingle").agg(F.countDistinct(id_col).alias("n_docs"))
     if max_df is not None:
-        docs_per = docs_per.filter(F.col("n_docs") <= max_df)
-    marked = inst.join(docs_per.filter(F.col("n_docs") >= 2), "shingle").select(id_col, "pos")
+        docs_per = inst.groupBy("shingle").agg(F.countDistinct(id_col).alias("n_docs"))
+        dup = docs_per.filter((F.col("n_docs") <= max_df) & (F.col("n_docs") >= 2))
+    else:
+        # min(doc) != max(doc) == "in >= 2 docs", with cheap partials
+        # (no two-phase countDistinct expansion)
+        dup = (
+            inst.groupBy("shingle")
+            .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+            .filter(F.col("_mn") != F.col("_mx"))
+        )
+    marked = inst.join(dup.select("shingle"), "shingle").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     runs = (
         marked.withColumn("_grp", F.col("pos") - F.row_number().over(w))

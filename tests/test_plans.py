@@ -54,8 +54,10 @@ def test_q1_partial_aggregation(spark, sf_dir):
 
 def test_span_fraction_partial_aggregation_and_pruning(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_span_fraction")
-    # two-phase countDistinct: partial aggregate must precede both shuffles
-    assert "partial_count(distinct" in plan
+    # the >=2-docs test must use cheap min/max partials (map-side
+    # combine), NOT the two-phase countDistinct expansion
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "partial_count(distinct" not in plan
     import re
 
     m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
