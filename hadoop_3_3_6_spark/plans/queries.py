@@ -731,7 +731,7 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag() window: seconds since the user's previous event."""
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    secs = F.floor(F.col("ts").cast("double")).cast("long")
+    secs = F.floor(F.col("ts").cast("timestamp_ltz").cast("double")).cast("long")
     return ev.select("event_id", "user_id", (secs - F.lag(secs).over(w)).alias("gap_seconds"))
 
 
@@ -783,7 +783,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows — new session after a 30-minute silence."""
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = F.floor(F.col("ts").cast("double")).cast("long")
+    secs = F.floor(F.col("ts").cast("timestamp_ltz").cast("double")).cast("long")
     flagged = ev.select(
         "user_id",
         "ts",

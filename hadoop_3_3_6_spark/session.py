@@ -66,6 +66,9 @@ def get_spark(app_name: str = "hadoop-3-3-6-spark", shuffle_partitions: int | No
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # naive parquet timestamps read as LTZ (== NTZ under UTC tz);
+        # event-time/watermark ops require TIMESTAMP, not TIMESTAMP_NTZ
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Keep partition files reasonably sized at scan time.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
@@ -89,6 +92,11 @@ def ensure_session_confs(spark: SparkSession) -> None:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.ansi.enabled", "false"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # parquet timestamp[us] without the UTC-adjusted flag would
+        # otherwise infer as TIMESTAMP_NTZ (Spark 4.1 default), which
+        # watermarks/event-time reject and which cannot cast to double;
+        # with session tz pinned to UTC the LTZ reading is identical.
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
     ):
         try:
             spark.conf.set(k, v)
@@ -125,6 +133,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 
         # integer div: float division would lose precision above 2^53 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # belt-and-braces vs a host session that inferred NTZ before our
+    # confs landed: normalize naive timestamps to LTZ (identical under
+    # the pinned UTC session timezone).
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        from pyspark.sql import functions as F
+
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     _TABLE_CACHE[key] = df
     return df
 

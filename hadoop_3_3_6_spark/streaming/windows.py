@@ -35,6 +35,10 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if dict(stream.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) scanned as long (see session.load_table)
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # schema inferred before inferTimestampNTZ was disabled:
+        # watermarks reject NTZ; LTZ is identical under UTC session tz
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
