@@ -92,6 +92,9 @@ HEADLINE = [
     "pipeline_chunk_documents",
     "pipeline_temperature_mix",
     "pipeline_pretraining_e2e",
+    "dedup_semantic",
+    "grouping_sets_orders",
+    "percentiles_lineitem",
 ]
 
 

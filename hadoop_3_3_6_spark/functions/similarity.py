@@ -276,6 +276,74 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def semdedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    threshold: float = 0.55,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup semantic near-dedup (public method: Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus, then compare
+    pairs ONLY within a cluster and drop every vector whose cosine to
+    a lower-id cluster member is >= ``threshold`` (lowest id is the
+    kept representative of each duplicate neighborhood — a
+    deterministic stand-in for the paper's keep-farthest-from-centroid
+    choice, chosen so the whole op is exactly oracle-checkable).
+
+    Returns (``id_col``, cluster_id, keep) for every corpus row.
+
+    Scale shape: stage 1 is the IVF assignment — k centroids broadcast
+    (a few KB), max_by partial combine, ONE assignment row per vector
+    shuffled by cluster_id; stage 2 is a self equi-join on cluster_id,
+    so pair work is sum(|cluster|^2), never corpus^2.  At 100 TB pick
+    k ~ sqrt(N) trained centroids (train_kmeans_centroids) to bound
+    cluster sizes; default centroids (id < num_centroids) are the
+    deterministic oracle-reproducible seeding, same as ivf_topk.
+    """
+    if centroids is not None:
+        cents = centroids.select("cent_id", F.col("cvec").cast("array<double>").alias("cvec"))
+    else:
+        cents = emb.filter(F.col(id_col) < num_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+        )
+    cents = cents.withColumn("_cnorm", F.expr(f"sqrt({_dot('cvec', 'cvec')})"))
+    v = with_norm(emb, vec_col)
+    cscore = F.round(F.expr(f"{_dot(vec_col, 'cvec')} / (_norm * _cnorm)"), 6)
+    vc = v.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), F.col(vec_col), F.col("_norm"), F.col("cent_id"), cscore.alias("cscore")
+    )
+    assigned = vc.groupBy(id_col).agg(
+        F.max_by("cent_id", F.struct(F.col("cscore"), (-F.col("cent_id")).alias("_nc"))).alias("cluster_id"),
+        F.first(vec_col).alias(vec_col),
+        F.first("_norm").alias("_norm"),
+    )
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("_id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("_id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    pair_score = F.round(F.expr(f"{_dot('_va', '_vb')} / (_na * _nb)"), 6)
+    dropped = (
+        a.join(b, on="cluster_id")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .filter(pair_score >= threshold)
+        .select(F.col("_id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped.withColumn("_drop", F.lit(True)), on=id_col, how="left").select(
+        id_col, "cluster_id", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")
+    )
+
+
 def _plane_vectors(num_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (p, j) is
     derived from sha256, mapped to [-1, 1).  No RNG state, so every

@@ -1287,6 +1287,41 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_semantic",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 16),
+    vc AS (
+      SELECT v.vec_id, c.cent_id, {_IVF_COS.format(a="v.e", b="c.ce")} AS cscore
+      FROM v CROSS JOIN c),
+    asg AS (
+      SELECT vec_id, cent_id AS cluster_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn
+        FROM vc) WHERE rn = 1),
+    av AS (SELECT a.vec_id, a.cluster_id, v.e FROM asg a JOIN v ON v.vec_id = a.vec_id),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM av a JOIN av b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {_IVF_COS.format(a="a.e", b="b.e")} >= 0.45)
+    SELECT av.vec_id, av.cluster_id, (d.vec_id IS NULL) AS keep
+    FROM av LEFT JOIN dropped d ON av.vec_id = d.vec_id
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dedup (Abbas et al. 2023): cluster the
+    embeddings (deterministic vec_id<16 seeding, same as the IVF
+    query), drop any vector cosine-similar (>= 0.45) to a lower-id
+    member of its own cluster.  Pair work is within-cluster only —
+    the corpus^2 comparison never happens (see
+    functions/similarity.semdedup for the 100 TB shape)."""
+    from hadoop_3_3_6_spark.functions.similarity import semdedup
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return semdedup(emb, "vec_id", "embedding", num_centroids=16, threshold=0.45)
+
+
+@_register(
     "text_token_counts",
     """
     SELECT doc_id,
@@ -1720,6 +1755,62 @@ def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.expr(_dec("l_quantity"))).cast("double").alias("qty"),
+    )
+
+
+@_register(
+    "grouping_sets_orders",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus)::INT AS g_status,
+           GROUPING(o_orderpriority)::INT AS g_priority,
+           count(*) AS n_orders,
+           cast(sum({_dec('o_totalprice')}) as double) AS total_value
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two disjoint single-dimension sets, a
+    shape neither ROLLUP nor CUBE expresses; grouping() flags
+    disambiguate set-NULLs from data-NULLs.  One scan expands to both
+    groupings before the shuffle (Catalyst Expand), so the table is
+    read once, not once per set."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupingSets(
+        [[F.col("o_orderstatus")], [F.col("o_orderpriority")]],
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    ).agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr(_dec("o_totalprice"))).cast("double").alias("total_value"),
+    )
+
+
+@_register(
+    "percentiles_lineitem",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (linear interpolation — same
+    definition as DuckDB quantile_cont), the precise tier behind the
+    approx_percentile sketch query.  Exact percentile shuffles the
+    group's values to one reducer; the approx sketch
+    (approx_quantiles_lineitem) is the 100 TB default, this is the
+    bounded-cardinality exact tier."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25D)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50D)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75D)"), 6).alias("p75"),
     )
 
 

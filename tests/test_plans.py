@@ -247,6 +247,7 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "embedding_neardup",
         "similarity_ivf_topk",
         "similarity_ivf_trained",
+        "dedup_semantic",
         "q22_global_sales_opportunity",
         "text_tfidf_topk",
         "text_lm_score",
