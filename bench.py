@@ -95,6 +95,7 @@ HEADLINE = [
     "dedup_semantic",
     "grouping_sets_orders",
     "percentiles_lineitem",
+    "merge_upsert_orders",
 ]
 
 

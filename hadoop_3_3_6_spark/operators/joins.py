@@ -226,3 +226,55 @@ def interval_join_bucketed(
         lb[point_col] < rb[end_col].cast("timestamp"),
     ]
     return lb.join(rb, on=cond).drop("_bucket")
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    on: str | list[str],
+    tombstone_col: str | None = None,
+    action_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO analogue (idiomatic extension; the copy-on-write CDC
+    apply the reference expresses as a full identity-reduce re-write of
+    the dataset):
+
+    - WHEN MATCHED UPDATE: matched keys take every source column
+      (columns absent from the source pass through from the target);
+    - WHEN NOT MATCHED INSERT: source-only keys are appended;
+    - WHEN MATCHED DELETE: if ``tombstone_col`` is given, matched
+      source rows with that column true remove the target row.
+
+    ``action_col`` (optional) emits 'update' / 'insert' / 'keep' per
+    surviving row for observability.
+
+    Scale shape: ONE full-outer equi-join on the merge key — each side
+    shuffles once; Catalyst broadcasts the source when it is small (the
+    common CDC-batch case) and AQE splits skewed keys.  Pair with a
+    partitioned or bucketed rewrite sink for table maintenance; only
+    key + changed columns travel from the source side.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    src = source.withColumn("_m", F.lit(1))
+    joined = target.alias("t").join(src.alias("s"), on=keys, how="full_outer")
+    matched = F.col("_m").isNotNull()
+    if tombstone_col is not None:
+        joined = joined.filter(~(matched & F.coalesce(F.col(f"s.{tombstone_col}"), F.lit(False))))
+    out_cols = [F.col(k) for k in keys]
+    src_cols = set(source.columns)
+    for c in target.columns:
+        if c in keys:
+            continue
+        if c in src_cols:
+            out_cols.append(F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c))
+        else:
+            out_cols.append(F.col(f"t.{c}"))
+    if action_col is not None:
+        in_target = F.col(f"t.{keys[0]}").isNotNull()
+        out_cols.append(
+            F.when(matched & in_target, F.lit("update"))
+            .when(~in_target, F.lit("insert"))
+            .otherwise(F.lit("keep"))
+            .alias(action_col)
+        )
+    return joined.select(*out_cols)

@@ -1814,6 +1814,66 @@ def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "merge_upsert_orders",
+    """
+    WITH src AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+             false AS deleted
+      FROM orders WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'N', o_totalprice, false
+      FROM orders WHERE o_orderkey % 997 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice, true
+      FROM orders WHERE o_orderkey % 89 = 0 AND o_orderkey % 97 != 0)
+    SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           t.o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+           t.o_orderpriority,
+           CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN 'update'
+                WHEN t.o_orderkey IS NULL THEN 'insert' ELSE 'keep' END AS merge_action
+    FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+    WHERE NOT (s.o_orderkey IS NOT NULL AND s.deleted)
+    """,
+)
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO analogue over orders: deterministic CDC batch built
+    from the table itself — keys %97 update (price +1000, status 'U'),
+    keys %997 insert under shifted ids, keys %89 delete via tombstone.
+    One full-outer join applies all three arms (operators/joins.
+    merge_upsert)."""
+    from hadoop_3_3_6_spark.operators.joins import merge_upsert
+
+    orders = load_table(spark, "orders", sf_dir)
+    k = F.col("o_orderkey")
+    updates = orders.filter(k % 97 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        F.lit(False).alias("deleted"),
+    )
+    inserts = orders.filter(k % 997 == 0).select(
+        (k + 100000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.lit(False).alias("deleted"),
+    )
+    deletes = orders.filter((k % 89 == 0) & (k % 97 != 0)).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(True).alias("deleted")
+    )
+    src = updates.unionByName(inserts).unionByName(deletes)
+    merged = merge_upsert(
+        orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
+        src,
+        on="o_orderkey",
+        tombstone_col="deleted",
+        action_col="merge_action",
+    )
+    return merged
+
+
 # === M5 (cont.): more window shapes =====================================
 
 

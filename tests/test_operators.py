@@ -366,3 +366,30 @@ def test_salted_join_rejects_outer_types(spark):
         salted_join(big, small, "k", how="right")
     # left join multiplicity is preserved for the big side
     assert salted_join(big, small, "k", how="left").count() == 10
+
+
+def test_merge_upsert_arms_and_passthrough(spark):
+    """All three MERGE arms in one op: matched keys take source values
+    (columns absent from the source pass through), source-only keys
+    insert, tombstoned matches delete.  Unmatched tombstones are
+    no-ops."""
+    from hadoop_3_3_6_spark.operators.joins import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+    )
+    source = spark.createDataFrame(
+        [(2, 99.0, False), (4, 40.0, False), (3, 0.0, True), (9, 0.0, True)],
+        "k long, v double, dead boolean",
+    )
+    out = {
+        r["k"]: r
+        for r in merge_upsert(
+            target, source, on="k", tombstone_col="dead", action_col="act"
+        ).collect()
+    }
+    assert sorted(out) == [1, 2, 4]
+    assert out[1]["name"] == "a" and out[1]["v"] == 10.0 and out[1]["act"] == "keep"
+    # matched: v from source, name passes through from target
+    assert out[2]["v"] == 99.0 and out[2]["name"] == "b" and out[2]["act"] == "update"
+    assert out[4]["v"] == 40.0 and out[4]["name"] is None and out[4]["act"] == "insert"
