@@ -96,6 +96,8 @@ HEADLINE = [
     "grouping_sets_orders",
     "percentiles_lineitem",
     "merge_upsert_orders",
+    "skew_profile_events",
+    "text_vocab",
 ]
 
 

@@ -404,9 +404,11 @@ def lsh_bucketed_topk(
             for extra in bits[1:]:
                 bucket = bucket + extra
             bucket_cols.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
-        buckets = emb.select(
-            F.col(id_col), F.explode(F.array(*bucket_cols)).alias("tb")
-        ).select(id_col, "tb.table", "tb.bucket")
+
+        def mk_buckets(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.col(id_col), F.col(vec_col), F.explode(F.array(*bucket_cols)).alias("tb")
+            ).select(id_col, vec_col, "tb.table", "tb.bucket")
     else:
         from pyspark.sql.functions import pandas_udf
 
@@ -421,12 +423,53 @@ def lsh_bucketed_topk(
             per_table = bits.reshape(len(m), num_tables, bits_per_table) @ powers
             return pd.Series(list(per_table.astype(np.int32)))
 
-        buckets = emb.select(
-            F.col(id_col), F.posexplode(table_buckets(F.col(vec_col))).alias("table", "bucket")
+        def mk_buckets(df: DataFrame) -> DataFrame:
+            return df.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.posexplode(table_buckets(F.col(vec_col))).alias("table", "bucket"),
+            )
+
+    buckets = mk_buckets(emb)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    bounded = probes is not None or probe_ids is not None
+    if bounded:
+        # bounded probe set: the bucket rows carry the vector (map-side
+        # projection — never shuffled), so candidates are scored inside
+        # the bucket join with the BROADCAST probe side; the corpus
+        # never shuffles, and the cross-table pair dedup is a tiny
+        # (probe, neighbor) agg instead of a distinct + two
+        # join-back-by-id corpus shuffles.  The norm fold repeats per
+        # bucket row (×num_tables) — arithmetic, not I/O; a bargain
+        # against any extra exchange.
+        vb = buckets.withColumn("_norm", F.expr(f"sqrt({_dot(vec_col, vec_col)})"))
+        # probe side: restrict FIRST, then fold buckets over the probe
+        # rows only — |probes| fold evaluations, not another corpus pass
+        probe_vb = mk_buckets(_restrict_to_probes(emb, id_col, probes, probe_ids)).withColumn(
+            "_norm", F.expr(f"sqrt({_dot(vec_col, vec_col)})")
         )
-    probe_buckets = _restrict_to_probes(buckets, id_col, probes, probe_ids)
+        pa = probe_vb.select(
+            F.col(id_col).alias("probe_id"),
+            F.col("table"),
+            F.col("bucket"),
+            F.col(vec_col).alias("_pvec"),
+            F.col("_norm").alias("_pnorm"),
+        )
+        score = F.round(F.expr(f"{_dot('_pvec', vec_col)} / (_pnorm * _norm)"), 6)
+        return (
+            vb.join(F.broadcast(pa), on=["table", "bucket"])
+            .filter(F.col("probe_id") != F.col(id_col))
+            .select("probe_id", F.col(id_col).alias("neighbor_id"), score.alias("score"))
+            .groupBy("probe_id", "neighbor_id")
+            .agg(F.first("score").alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
     pairs = (
-        probe_buckets.alias("pa")
+        _restrict_to_probes(buckets, id_col, probes, probe_ids)
+        .alias("pa")
         .join(
             buckets.alias("pb"),
             on=[
@@ -447,7 +490,4 @@ def lsh_bucketed_topk(
         .join(b, pairs.neighbor_id == F.col(f"b.{id_col}"))
         .select("probe_id", "neighbor_id", F.round(score, 6).alias("score"))
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -426,3 +426,40 @@ def boilerplate_signals(df: DataFrame, text_col: str = "text", id_col: str = "do
         .otherwise(F.lit(0.0))
         .alias("dup_ngram_fraction"),
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+    max_size: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary construction — the tokenizer-training
+    precursor: every distinct whitespace token with its corpus count,
+    document frequency, and a frequency-ranked id (0 = most frequent;
+    ties broken by token text, so ids are deterministic across engines
+    and runs).
+
+    Shape: explode → one two-phase aggregate keyed by token (count
+    partials + min/max-style df via countDistinct partials), then the
+    rank window.  The window is a single global ordering over the
+    VOCABULARY (≤ max_size rows after the filter), not the corpus —
+    at 100 TB the token table is millions of rows, not trillions, so
+    the one-partition rank stage is bounded; for open-ended
+    vocabularies cap with ``max_size`` (TakeOrdered) before ranking."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col), F.explode(_words(text_col)).alias("token"))
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.countDistinct(id_col).alias("doc_freq"),
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("count") >= min_count)
+    if max_size is not None:
+        counts = counts.orderBy(F.col("count").desc(), F.col("token").asc()).limit(max_size)
+    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+    return counts.withColumn("token_id", F.row_number().over(w) - 1).select(
+        "token", "count", "doc_freq", "token_id"
+    )

@@ -70,3 +70,29 @@ def salted_join(
     small_s = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))))
     out = big_s.join(small_s, on=[on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
+    """Key-distribution diagnostics — the measurement half of skew
+    handling (the remedies above are the treatment): the ``top_n``
+    heaviest keys with their row counts, corpus share, and rank.
+    Before picking num_salts / a custom partitioner at 100 TB, run
+    this; a top-1 share near 1/num_partitions means no intervention is
+    needed.
+
+    Shape: one two-phase count aggregate (partial combine, so the
+    shuffle carries one row per key per map partition), a TakeOrdered
+    top-k (k-heap per partition, never a global sort), and the scalar
+    corpus total broadcast back in-plan (no driver action)."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    top = counts.orderBy(F.col("n").desc(), F.col(key_col).asc()).limit(top_n)
+    w = Window.orderBy(F.col("n").desc(), F.col(key_col).asc())
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n") / F.col("_total"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .select(key_col, "n", "share", "rank")
+    )

@@ -1815,6 +1815,48 @@ def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_vocab",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS token
+      FROM documents),
+    c AS (SELECT token, count(*)::BIGINT AS count, count(DISTINCT doc_id)::BIGINT AS doc_freq
+          FROM toks GROUP BY token)
+    SELECT token, count, doc_freq,
+           (row_number() OVER (ORDER BY count DESC, token) - 1)::INT AS token_id
+    FROM c
+    """,
+)
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with frequency-ranked ids — the
+    tokenizer-training precursor (functions/text.build_vocab)."""
+    from hadoop_3_3_6_spark.functions.text import build_vocab
+
+    docs = load_table(spark, "documents", sf_dir)
+    return build_vocab(docs, "text", "doc_id")
+
+
+@_register(
+    "skew_profile_events",
+    """
+    WITH c AS (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id),
+    t AS (SELECT count(*)::BIGINT AS total FROM events)
+    SELECT user_id, n, round(n / total, 6) AS share,
+           row_number() OVER (ORDER BY n DESC, user_id) AS rank
+    FROM c, t ORDER BY n DESC, user_id LIMIT 20
+    """,
+)
+def q_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics: top-20 heaviest event keys with
+    corpus share — the measurement that decides whether salting / a
+    custom partitioner is needed (operators/skew.skew_profile)."""
+    from hadoop_3_3_6_spark.operators.skew import skew_profile
+
+    ev = load_table(spark, "events", sf_dir)
+    return skew_profile(ev, "user_id", top_n=20)
+
+
+@_register(
     "merge_upsert_orders",
     """
     WITH src AS (

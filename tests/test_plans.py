@@ -52,15 +52,19 @@ def test_q1_partial_aggregation(spark, sf_dir):
     assert plan.index("partial_sum") > plan.index("Exchange hashpartitioning")
 
 
-def test_span_fraction_partial_aggregation_and_pruning(spark, sf_dir):
+def test_span_fraction_single_pass_and_pruning(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_span_fraction")
-    # the >=2-docs test must use cheap min/max partials (map-side
-    # combine), NOT the two-phase countDistinct expansion
-    assert "partial_min" in plan and "partial_max" in plan
-    assert "partial_count(distinct" not in plan
+    # the >=2-docs flag is ONE min/max window over the shingle
+    # partition — no two-phase countDistinct expansion, and only one
+    # scan tokenizes text (the old aggregate + join-back form exploded
+    # the corpus twice)
+    assert "count(distinct" not in plan
+    assert "Window" in plan
     import re
 
     m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    text_scans = [s for s in m if "text" in s]
+    assert len(text_scans) == 1, m
     # every documents scan reads at most (doc_id, text) — never the full row
     for schema in m:
         cols = {c.split(":")[0] for c in schema.split(",")}
@@ -249,6 +253,7 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "similarity_ivf_trained",
         "dedup_semantic",
         "q22_global_sales_opportunity",
+        "skew_profile_events",
         "text_tfidf_topk",
         "text_lm_score",
         "pipeline_temperature_mix",
