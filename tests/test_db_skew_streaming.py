@@ -146,3 +146,52 @@ def test_parquet_compression_roundtrip(spark, tmp_path, codec):
     path = str(tmp_path / f"pq_{codec}")
     df.write.option("compression", codec).parquet(path)
     assert spark.read.parquet(path).agg(F.sum("v")).collect()[0][0] == 9900
+
+
+def test_foreach_batch_merge_maintains_materialized_view(spark, sf_dir, tmp_path):
+    """Incremental materialized-view maintenance: foreachBatch applies
+    each micro-batch's partial counts into a persisted aggregate table
+    with merge_upsert (read-merge-rewrite per batch — the
+    copy-on-write MERGE pattern).  After draining the stream the MV
+    must equal the batch aggregate, regardless of how the micro-batch
+    boundaries fell."""
+    from hadoop_3_3_6_spark.operators.joins import merge_upsert
+    from hadoop_3_3_6_spark.session import load_table
+    from hadoop_3_3_6_spark.streaming.windows import _event_stream
+
+    mv = str(tmp_path / "mv")
+
+    def apply_batch(batch_df, batch_id):
+        delta = batch_df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        import os
+
+        if os.path.isdir(mv) and spark.read.parquet(mv).count() >= 0:
+            cur = spark.read.parquet(mv)
+            # source = delta keys only, with their new running totals;
+            # MV keys untouched by this batch flow through the keep arm
+            src = (
+                delta.alias("d")
+                .join(cur.alias("c"), "event_type", "left")
+                .select(
+                    "event_type",
+                    (F.col("d.n") + F.coalesce(F.col("c.n"), F.lit(0))).alias("n"),
+                )
+            )
+            merged = merge_upsert(cur, src, on="event_type")
+            merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(mv)
+        else:
+            delta.write.mode("overwrite").parquet(mv)
+
+    stream = _event_stream(spark, sf_dir)
+    q = stream.writeStream.foreachBatch(apply_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    got = {r["event_type"]: r["n"] for r in spark.read.parquet(mv).collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
