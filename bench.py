@@ -98,6 +98,7 @@ HEADLINE = [
     "merge_upsert_orders",
     "skew_profile_events",
     "text_vocab",
+    "warc_source_scan",
 ]
 
 

@@ -1815,6 +1815,60 @@ def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "warc_source_scan",
+    """
+    SELECT doc_id, 'response' AS warc_type,
+           octet_length(encode(text))::BIGINT AS content_length
+    FROM documents WHERE doc_id % 10 = 1
+    """,
+)
+def q_warc_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC corpus ingestion (sources/warc.py — the Common-Crawl-style
+    container behind LLM training corpora): executors render one
+    WARC/1.0 segment per partition (response records whose block is
+    the document text), then ``spark.read.format("warc")`` streams the
+    records back, one partition per segment, with the record-type
+    filter applied inside the reader.  Record Content-Length has a
+    closed form (UTF-8 byte length of text) → exact oracle.  Eager by
+    contract (renders its corpus when constructed, like
+    multimodal_wav_source)."""
+    import tempfile
+
+    from hadoop_3_3_6_spark.sources.warc import register_warc_source
+
+    register_warc_source(spark)
+    out = tempfile.mkdtemp(prefix="warcsrc_")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text").filter(F.col("doc_id") % 10 == 1)
+
+    def write_part(rows):
+        from pyspark import TaskContext
+
+        from hadoop_3_3_6_spark.sources.warc import encode_warc
+
+        recs = [
+            {
+                "warc_type": "response",
+                "target_uri": f"http://example.com/doc/{int(r.doc_id)}",
+                "content_type": "text/plain",
+                "payload": r.text,
+            }
+            for r in rows
+        ]
+        if recs:
+            pid = TaskContext.get().partitionId()
+            with open(f"{out}/seg{pid:05d}.warc.gz", "wb") as f:
+                f.write(encode_warc(recs, compress=True))
+
+    docs.foreachPartition(write_part)
+    src = spark.read.format("warc").option("record_types", "response").option("metadata_only", "true").load(out)
+    return src.select(
+        F.regexp_extract("target_uri", r"(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "warc_type",
+        "content_length",
+    )
+
+
+@_register(
     "text_vocab",
     """
     WITH toks AS (

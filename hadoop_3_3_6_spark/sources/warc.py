@@ -1,0 +1,197 @@
+"""WARC (ISO 28500 / WARC/1.0) corpus ingestion — the standard web
+archive container behind Common-Crawl-style LLM training corpora, as a
+custom Python DataSource (same Spark 4 ``pyspark.sql.datasource``
+surface as the wavfiles source; FileInputFormat analogue:
+MRC/mapreduce/lib/input/FileInputFormat.java:1 computes splits
+driver-side, record readers run executor-side).
+
+``spark.read.format("warc").load(glob)`` yields one row per WARC
+record: (path, record_id, warc_type, target_uri, warc_date,
+content_type, content_length, payload).  Options:
+
+- ``metadata_only=true`` — never ship block bytes (header scan).
+- ``record_types=response,conversion`` — record-type filter applied
+  INSIDE the record reader, so filtered records never cross the
+  Python→JVM boundary (the scan-level filter a warc_type predicate
+  would otherwise apply post-Arrow).
+
+``.warc.gz`` files are read through gzip; the common
+one-gzip-member-per-record layout concatenates transparently.
+
+Scale notes: listing is a driver-side glob (InMemoryFileIndex
+analogue); each FILE is one InputPartition because WARC is a
+sequential record stream (and .warc.gz is only splittable at member
+boundaries, which require an index) — the same non-splittable
+contract as gzip TextInputFormat in the reference
+(io/compress/GzipCodec: no SplittableCompressionCodec).  Parallelism
+therefore equals file count; crawls ship thousands of ~1 GB segment
+files, which is exactly the right granularity for a 1000-executor
+cluster.  Records stream one at a time — a segment never
+materializes in memory.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import io
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+    StringStartsWith,
+)
+
+_CRLF = b"\r\n"
+
+
+def encode_warc(records: list[dict], compress: bool = False) -> bytes:
+    """Serialize records to WARC/1.0 bytes (spec-conformant framing:
+    header block, CRLF blank line, Content-Length block bytes, two
+    CRLFs).  Each record dict: warc_type, target_uri (optional),
+    payload (bytes), content_type (optional), date (optional),
+    record_id (optional).  ``compress=True`` emits one gzip member per
+    record — the standard .warc.gz layout."""
+    out = io.BytesIO()
+    for r in records:
+        body = r.get("payload", b"")
+        if isinstance(body, str):
+            body = body.encode("utf-8")
+        head = [b"WARC/1.0"]
+        head.append(b"WARC-Type: " + r["warc_type"].encode())
+        rid = r.get("record_id") or f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, r.get('target_uri', '') + r['warc_type'])}>"
+        head.append(b"WARC-Record-ID: " + rid.encode())
+        head.append(b"WARC-Date: " + r.get("date", "2020-01-01T00:00:00Z").encode())
+        if r.get("target_uri"):
+            head.append(b"WARC-Target-URI: " + r["target_uri"].encode())
+        if r.get("content_type"):
+            head.append(b"Content-Type: " + r["content_type"].encode())
+        head.append(b"Content-Length: " + str(len(body)).encode())
+        rec = _CRLF.join(head) + _CRLF + _CRLF + body + _CRLF + _CRLF
+        out.write(gzip.compress(rec) if compress else rec)
+    return out.getvalue()
+
+
+def iter_warc_records(stream):
+    """Stream (headers, block) pairs from a WARC byte stream.  Headers
+    come back lower-cased; the block is exactly Content-Length bytes.
+    Tolerates leading blank lines between records (the two-CRLF record
+    separator)."""
+    while True:
+        line = stream.readline()
+        if not line:
+            return
+        if line in (b"\r\n", b"\n"):
+            continue
+        if not line.strip().startswith(b"WARC/"):
+            raise ValueError(f"not a WARC record header: {line[:40]!r}")
+        headers: dict[str, str] = {}
+        while True:
+            hl = stream.readline()
+            if hl in (b"\r\n", b"\n", b""):
+                break
+            k, _, v = hl.decode("utf-8", "replace").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        n = int(headers.get("content-length", "0"))
+        block = stream.read(n)
+        yield headers, block
+
+
+class _WarcPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class WarcDataSourceReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc source requires a path")
+        self.metadata_only = str(options.get("metadata_only", "false")).lower() == "true"
+        types = options.get("record_types")
+        self.record_types = {t.strip() for t in types.split(",")} if types else None
+        self._path_filters: list = []
+
+    def pushFilters(self, filters):
+        """`path` equality/prefix predicates prune the file LISTING
+        (pruned files never become partitions); `warc_type` equality
+        narrows the in-reader record filter so skipped records never
+        cross the Arrow boundary.  The rest is Spark's to re-check."""
+        remaining = []
+        for f in filters:
+            if isinstance(f, (EqualTo, StringStartsWith)) and tuple(f.attribute) == ("path",):
+                self._path_filters.append(f)
+            elif isinstance(f, EqualTo) and tuple(f.attribute) == ("warc_type",):
+                wanted = {f.value}
+                self.record_types = wanted if self.record_types is None else (self.record_types & wanted)
+                remaining.append(f)  # Spark re-checks; filter here is an optimization
+            else:
+                remaining.append(f)
+        return remaining
+
+    def _keep(self, p: str) -> bool:
+        for f in self._path_filters:
+            if isinstance(f, EqualTo) and p != f.value:
+                return False
+            if isinstance(f, StringStartsWith) and not p.startswith(f.value):
+                return False
+        return True
+
+    def partitions(self):
+        if any(c in self.path for c in "*?["):
+            paths = sorted(_glob.glob(self.path))
+        elif os.path.isdir(self.path):
+            paths = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith((".warc", ".warc.gz"))
+            )
+        else:
+            paths = [self.path]
+        if not paths:
+            raise FileNotFoundError(f"no warc files match {self.path}")
+        return [_WarcPartition(p) for p in paths if self._keep(p)]
+
+    def read(self, partition):
+        opener = gzip.open if partition.path.endswith(".gz") else open
+        with opener(partition.path, "rb") as f:
+            for headers, block in iter_warc_records(f):
+                wtype = headers.get("warc-type", "")
+                if self.record_types is not None and wtype not in self.record_types:
+                    continue
+                yield (
+                    partition.path,
+                    headers.get("warc-record-id", ""),
+                    wtype,
+                    headers.get("warc-target-uri"),
+                    headers.get("warc-date", ""),
+                    headers.get("content-type"),
+                    len(block),
+                    None if self.metadata_only else block,
+                )
+
+
+class WarcDataSource(DataSource):
+    """``warc`` format: distributed WARC/1.0 record reader."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> str:
+        return (
+            "path string, record_id string, warc_type string, target_uri string, "
+            "warc_date string, content_type string, content_length long, payload binary"
+        )
+
+    def reader(self, schema) -> WarcDataSourceReader:
+        return WarcDataSourceReader(self.options)
+
+
+def register_warc_source(spark) -> None:
+    """Idempotently register the ``warc`` format on this session."""
+    spark.dataSource.register(WarcDataSource)

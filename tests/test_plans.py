@@ -283,7 +283,8 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
         for name in QUERIES
         if name.startswith("streaming_")
         or name in {"terasort_validate", "pipe_wordcount", "avro_roundtrip", "dedup_clusters",
-                    "similarity_ivf_trained", "multimodal_wav_source", "pipeline_dedup_keep"}
+                    "similarity_ivf_trained", "multimodal_wav_source", "pipeline_dedup_keep",
+                    "warc_source_scan"}
     }
     lazy = [n for n in QUERIES if n not in eager_by_contract]
     # Warm pass: pays the one-time parquet schema-inference jobs that

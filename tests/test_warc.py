@@ -1,0 +1,90 @@
+"""WARC custom DataSource: framing roundtrip, gzip member layout,
+record-type filtering inside the reader, listing-level path pruning."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from hadoop_3_3_6_spark.sources.warc import (
+    encode_warc,
+    iter_warc_records,
+    register_warc_source,
+)
+
+
+def _records(n, uri_prefix="http://example.com/doc/"):
+    recs = []
+    for i in range(n):
+        recs.append(
+            {
+                "warc_type": "response",
+                "target_uri": f"{uri_prefix}{i}",
+                "content_type": "text/html",
+                "payload": f"<html>doc {i} body {'x' * i}</html>",
+            }
+        )
+        recs.append(
+            {
+                "warc_type": "request",
+                "target_uri": f"{uri_prefix}{i}",
+                "content_type": "application/http; msgtype=request",
+                "payload": f"GET /doc/{i} HTTP/1.1",
+            }
+        )
+    return recs
+
+
+def test_warc_codec_roundtrip_plain_and_gzip(tmp_path):
+    recs = _records(5)
+    for compress, name in ((False, "a.warc"), (True, "b.warc.gz")):
+        blob = encode_warc(recs, compress=compress)
+        p = tmp_path / name
+        p.write_bytes(blob)
+        opener = gzip.open if compress else open
+        with opener(p, "rb") as f:
+            got = list(iter_warc_records(f))
+        assert len(got) == 10
+        for (headers, block), want in zip(got, recs):
+            assert headers["warc-type"] == want["warc_type"]
+            assert headers["warc-target-uri"] == want["target_uri"]
+            assert int(headers["content-length"]) == len(block)
+            assert block == want["payload"].encode()
+
+
+def test_warc_source_reads_records_and_filters_types(spark, tmp_path):
+    register_warc_source(spark)
+    (tmp_path / "seg0.warc").write_bytes(encode_warc(_records(4)))
+    (tmp_path / "seg1.warc.gz").write_bytes(encode_warc(_records(3), compress=True))
+
+    df = spark.read.format("warc").load(str(tmp_path) + "/*.warc*")
+    assert df.count() == 14  # (4+3) docs x (response+request)
+    # one partition per segment file — the FileInputFormat contract
+    assert df.rdd.getNumPartitions() == 2
+
+    resp = spark.read.format("warc").option("record_types", "response").load(str(tmp_path) + "/*.warc*")
+    rows = resp.collect()
+    assert len(rows) == 7 and all(r.warc_type == "response" for r in rows)
+    # payload survives both plain and gzip framing
+    by_uri = {r.target_uri: bytes(r.payload) for r in rows}
+    assert by_uri["http://example.com/doc/2"].startswith(b"<html>doc 2 body")
+    # content_length is the block's true byte count
+    assert all(r.content_length == len(bytes(r.payload)) for r in rows)
+
+
+def test_warc_source_metadata_only_and_path_pruning(spark, tmp_path):
+    register_warc_source(spark)
+    (tmp_path / "seg0.warc").write_bytes(encode_warc(_records(2)))
+    (tmp_path / "seg1.warc").write_bytes(encode_warc(_records(2)))
+
+    meta = spark.read.format("warc").option("metadata_only", "true").load(str(tmp_path))
+    assert meta.filter(F.col("payload").isNotNull()).count() == 0
+    assert meta.count() == 8
+
+    # path-prefix predicate prunes at LISTING time: one partition left
+    pruned = spark.read.format("warc").load(str(tmp_path)).filter(
+        F.col("path").startswith(str(tmp_path / "seg1"))
+    )
+    assert pruned.count() == 4
+    assert pruned.rdd.getNumPartitions() == 1
