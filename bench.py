@@ -99,6 +99,7 @@ HEADLINE = [
     "skew_profile_events",
     "text_vocab",
     "warc_source_scan",
+    "text_url_domains",
 ]
 
 

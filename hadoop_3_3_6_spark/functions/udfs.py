@@ -58,3 +58,29 @@ def discounted_revenue_udaf(df: DataFrame, key_cols: list[str]) -> DataFrame:
     return df.groupBy(*key_cols).agg(
         weighted_avg(F.col("l_extendedprice"), F.col("l_quantity")).alias("wavg_price")
     )
+
+
+def sentence_split_udtf():
+    """Python UDTF (Spark 4 ``@udtf`` — the user-defined TABLE function
+    tier of the UDF surface): one input row → N output rows
+    (doc_id, sent_idx, sentence).  This is the extension point for
+    user logic that genuinely needs one-to-many row generation with
+    imperative control flow; for anything regex-expressible the
+    built-in explode(split(...)) path is the hot path (JVM-side,
+    whole-stage codegen) — see the text_sentences query, which uses
+    built-ins and exists as the UDTF's fast-path twin."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string")
+    class SentenceSplit:
+        def eval(self, doc_id, text: str):
+            import re
+
+            idx = 0
+            for s in re.split(r"[.!?]+\s*", text or ""):
+                s = s.strip()
+                if s:
+                    yield (doc_id, idx, s)
+                    idx += 1
+
+    return SentenceSplit

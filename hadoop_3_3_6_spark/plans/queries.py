@@ -1815,6 +1815,56 @@ def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_url_domains",
+    """
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' see https://site' || (doc_id % 50)::VARCHAR || '.example.org/page'
+                  || (doc_id % 7)::VARCHAR
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' and http://cdn' || (doc_id % 11)::VARCHAR || '.example.net/x'
+                          ELSE '' END AS text
+      FROM documents),
+    urls AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^/ ]+')) AS url
+      FROM injected),
+    d AS (SELECT doc_id, regexp_extract(url, '^https?://([^/]+)', 1) AS domain FROM urls)
+    SELECT domain, count(*)::BIGINT AS n_urls, count(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM d GROUP BY domain
+    """,
+)
+def q_text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain stats — the web-corpus provenance
+    report (domain blocklists, crawl-balance checks).  The synthetic
+    docs carry no URLs, so deterministic ones are injected first (same
+    pattern as the PII query); extraction is one JVM-side
+    regexp_extract_all + explode, stats one two-phase aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example.org/page"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" and http://cdn"), (F.col("doc_id") % 11).cast("string"), F.lit(".example.net/x")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    urls = injected.select(
+        "doc_id", F.explode(F.expr("regexp_extract_all(text, 'https?://[^/ ]+', 0)")).alias("url")
+    )
+    return (
+        urls.select("doc_id", F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_urls"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+@_register(
     "warc_source_scan",
     """
     SELECT doc_id, 'response' AS warc_type,

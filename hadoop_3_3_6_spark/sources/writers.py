@@ -138,3 +138,41 @@ def write_non_empty(df: DataFrame, path: str, fmt: str = "parquet") -> int:
             os.remove(full)
             removed += 1
     return removed
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """Small-files compaction — the maintenance op
+    ``storage_file_profile`` plans for: rewrite a table directory so
+    each output file is ~``target_file_bytes``.  At 100 TB, scan
+    parallelism and listing cost are governed by file count/balance; a
+    streaming or per-batch sink leaving thousands of KB-sized parts
+    degrades both (the reference's answer was HAR archiving —
+    hadoop-tools/.../HadoopArchives.java:1 — which packs but cannot be
+    rewritten; this rewrites to first-class files).
+
+    The byte-size listing is driver-side metadata (like every file
+    source's InMemoryFileIndex); the DATA moves executor-side through
+    a round-robin repartition to ceil(total/target) files.  The
+    rewrite lands in a sibling temp dir then swaps in — crash before
+    the swap leaves the original intact (same recovery contract as
+    FileOutputCommitter v1's rename).  Returns {files_before,
+    files_after, bytes}."""
+    import os
+    import shutil
+
+    names = [n for n in os.listdir(path) if n.startswith("part-")]
+    total = sum(os.path.getsize(os.path.join(path, n)) for n in names)
+    n_out = max(1, -(-total // target_file_bytes))
+    df = getattr(spark.read, fmt)(path)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    getattr(df.repartition(int(n_out)).write.mode("overwrite"), fmt)(tmp)
+    old = path.rstrip("/") + ".compact.old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {"files_before": len(names), "files_after": int(n_out), "bytes": int(total)}

@@ -233,3 +233,23 @@ def test_write_non_empty_suppresses_empty_part_files(spark, tmp_path):
     )
     assert removed_txt == 1
     assert [n for n in os.listdir(out_txt) if n.startswith("part-")] == []
+
+
+def test_compact_files_reduces_file_count_preserving_rows(spark, tmp_path):
+    """Small-files compaction: a 40-part table rewrites to the computed
+    ceil(bytes/target) file count with identical content."""
+    import os
+
+    from hadoop_3_3_6_spark.sources.writers import compact_files
+
+    p = str(tmp_path / "frag")
+    spark.range(20_000).selectExpr("id", "id * 2 AS v").repartition(40).write.parquet(p)
+    before = sorted(r.id for r in spark.read.parquet(p).collect())
+    n_parts = len([n for n in os.listdir(p) if n.startswith("part-")])
+    assert n_parts == 40
+
+    stats = compact_files(spark, p, target_file_bytes=64 * 1024)
+    after_parts = len([n for n in os.listdir(p) if n.startswith("part-")])
+    assert stats["files_before"] == 40
+    assert after_parts == stats["files_after"] < 40
+    assert sorted(r.id for r in spark.read.parquet(p).collect()) == before

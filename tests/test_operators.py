@@ -393,3 +393,50 @@ def test_merge_upsert_arms_and_passthrough(spark):
     # matched: v from source, name passes through from target
     assert out[2]["v"] == 99.0 and out[2]["name"] == "b" and out[2]["act"] == "update"
     assert out[4]["v"] == 40.0 and out[4]["name"] is None and out[4]["act"] == "insert"
+
+
+def test_merge_upsert_randomized_reference(spark):
+    """Seeded randomized equivalence against a plain-Python MERGE
+    reference over overlapping key ranges with tombstones."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    tgt = [(int(k), float(v)) for k, v in zip(rng.choice(60, 40, replace=False), rng.integers(0, 100, 40))]
+    src = [
+        (int(k), float(v), bool(d))
+        for k, v, d in zip(
+            rng.choice(80, 30, replace=False), rng.integers(100, 200, 30), rng.integers(0, 2, 30)
+        )
+    ]
+    from hadoop_3_3_6_spark.operators.joins import merge_upsert
+
+    target = spark.createDataFrame(tgt, "k long, v double")
+    source = spark.createDataFrame(src, "k long, v double, dead boolean")
+    got = {r["k"]: r["v"] for r in merge_upsert(target, source, on="k", tombstone_col="dead").collect()}
+
+    want = dict(tgt)
+    for k, v, dead in src:
+        if dead:
+            want.pop(k, None)  # unmatched tombstone: no-op insert-skip
+        else:
+            want[k] = v
+    # reference also inserts non-dead source-only keys (dict update above covers it)
+    assert got == want
+
+
+def test_sentence_split_udtf_lateral(spark):
+    """The Python UDTF tier: registered table function, lateral join
+    row expansion, output parity with the built-in fast path."""
+    from hadoop_3_3_6_spark.functions.udfs import sentence_split_udtf
+
+    SentenceSplit = sentence_split_udtf()
+    spark.udtf.register("split_sentences", SentenceSplit)
+    df = spark.createDataFrame(
+        [(1, "a b. c d! e"), (2, ""), (3, "one?  two. ")], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("_udtf_docs")
+    got = spark.sql(
+        "SELECT s.* FROM _udtf_docs, LATERAL split_sentences(doc_id, text) s ORDER BY doc_id, sent_idx"
+    ).collect()
+    want = [(1, 0, "a b"), (1, 1, "c d"), (1, 2, "e"), (3, 0, "one"), (3, 1, "two")]
+    assert [tuple(r) for r in got] == want
