@@ -100,6 +100,7 @@ HEADLINE = [
     "text_vocab",
     "warc_source_scan",
     "text_url_domains",
+    "similarity_quantized_topk",
 ]
 
 

@@ -1287,6 +1287,43 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "similarity_quantized_topk",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (
+      SELECT vec_id,
+             CASE WHEN list_max(list_transform(e, y -> abs(y))) = 0.0
+                  THEN list_transform(e, x -> 0::BIGINT)
+                  ELSE list_transform(e, x -> round(x / (list_max(list_transform(e, y -> abs(y))) / 127.0))::BIGINT)
+             END AS qe
+      FROM v),
+    n AS (SELECT vec_id, qe, sqrt(list_dot_product(qe, qe)) AS qnorm FROM q),
+    scored AS (
+      SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.qe, b.qe) / (a.qnorm * b.qnorm), 6) AS score
+      FROM n a JOIN n b ON a.vec_id != b.vec_id
+      WHERE a.vec_id < 25),
+    ranked AS (
+      SELECT probe_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT probe_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q_similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-5 (probes vec_id < 25): the 4×
+    memory-bandwidth variant of the brute-force tier — per-vector
+    scales cancel in cosine, so scoring is exact integer arithmetic
+    and the whole op is oracle-checkable bit-for-bit
+    (functions/similarity.quantized_topk)."""
+    from hadoop_3_3_6_spark.functions.similarity import quantized_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 25).select("vec_id")
+    return quantized_topk(emb, "vec_id", "embedding", k=5, probes=probes)
+
+
+@_register(
     "dedup_semantic",
     f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -251,6 +251,7 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "embedding_neardup",
         "similarity_ivf_topk",
         "similarity_ivf_trained",
+        "similarity_quantized_topk",
         "dedup_semantic",
         "q22_global_sales_opportunity",
         "skew_profile_events",

@@ -384,3 +384,25 @@ def test_minhash_index_roundtrip_matches_live(spark, sf_dir, tmp_path):
         map(tuple, dedup_against_index(batch, spark.read.parquet(idx_path)).collect())
     )
     assert via_live == via_parquet
+
+
+def test_quantized_topk_recall_floor(spark, sf_dir):
+    """Int8-quantized cosine top-k must stay near the exact float
+    baseline — quantization error is grid-bounded, so recall below
+    0.9 would mean the integer scoring is wrong, not merely lossy."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_3_6_spark.functions.similarity import cosine_topk_bruteforce, quantized_topk
+    from hadoop_3_3_6_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 15).select("vec_id")
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, "vec_id", "embedding", k=5, probes=probes).collect()
+    }
+    quant = {
+        (r.probe_id, r.neighbor_id)
+        for r in quantized_topk(emb, "vec_id", "embedding", k=5, probes=probes).collect()
+    }
+    assert len(exact & quant) / len(exact) >= 0.9
