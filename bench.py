@@ -101,6 +101,7 @@ HEADLINE = [
     "warc_source_scan",
     "text_url_domains",
     "similarity_quantized_topk",
+    "text_lm_bigram",
 ]
 
 

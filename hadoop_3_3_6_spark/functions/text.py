@@ -463,3 +463,55 @@ def build_vocab(
     return counts.withColumn("token_id", F.row_number().over(w) - 1).select(
         "token", "count", "doc_freq", "token_id"
     )
+
+
+def bigram_lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-BIGRAM language-model scoring — one order up from
+    ``unigram_lm_score`` toward the kenlm-style filter: per document,
+    the summed log of P(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1} ·)
+    under corpus counts (MLE, no smoothing needed: every document
+    bigram is by construction in the corpus counts).
+
+    Same exactness device as the unigram tier: per-bigram log-probs
+    quantize to integer micro-nats, so the per-doc aggregate is an
+    integer sum — order-independent, engine-portable.  Plan: bigram
+    explode → ONE corpus count aggregate; the prefix (continuation)
+    totals derive from the bigram counts themselves (vocab-sized, not
+    corpus-sized); join back by bigram.  Docs with < 2 tokens score 0
+    over 0 bigrams."""
+    words = f"filter(split({text_col}, ' '), x -> x <> '')"
+    grams = (
+        f"case when size({words}) >= 2 then "
+        f"transform(sequence(1, size({words}) - 1), i -> array_join(slice({words}, i, 2), ' ')) "
+        f"else array() end"
+    )
+    inst = df.select(F.col(id_col), F.explode(F.expr(grams)).alias("bg"))
+    bg_counts = inst.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
+    bg_counts = bg_counts.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+    prefix = bg_counts.groupBy("w1").agg(F.sum("cbg").alias("cpre"))
+    quant = bg_counts.join(prefix, "w1").select(
+        "bg",
+        F.round(F.log(F.col("cbg").cast("double") / F.col("cpre").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("lp_micro"),
+    )
+    per_doc = (
+        inst.join(F.broadcast(quant), "bg")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp_micro").alias("logprob_micro"))
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("logprob_micro", F.lit(0)).alias("logprob_micro"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.round(F.col("logprob_micro").cast("double") / F.col("n_bigrams").cast("double") / 1e6, 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("avg_logprob"),
+        )
+    )

@@ -1852,6 +1852,47 @@ def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_lm_bigram",
+    """
+    WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+               FROM documents),
+    inst AS (
+      SELECT doc_id, grams[i] AS bg
+      FROM (SELECT doc_id,
+                   CASE WHEN len(words) >= 2
+                        THEN list_transform(range(1, len(words)), i -> array_to_string(words[i:i+1], ' '))
+                        ELSE []::VARCHAR[] END AS grams
+            FROM w),
+           unnest(range(1, len(grams) + 1)) AS t(i)),
+    cbg AS (SELECT bg, count(*)::BIGINT AS cbg, string_split(bg, ' ')[1] AS w1
+            FROM inst GROUP BY bg),
+    cpre AS (SELECT w1, sum(cbg)::BIGINT AS cpre FROM cbg GROUP BY w1),
+    quant AS (
+      SELECT bg, round(ln(cbg::DOUBLE / cpre::DOUBLE) * 1000000)::BIGINT AS lp_micro
+      FROM cbg JOIN cpre USING (w1)),
+    per_doc AS (
+      SELECT i.doc_id, count(*)::BIGINT AS n_bigrams, sum(q.lp_micro)::BIGINT AS logprob_micro
+      FROM inst i JOIN quant q USING (bg) GROUP BY i.doc_id)
+    SELECT d.doc_id,
+           coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+           coalesce(p.logprob_micro, 0)::BIGINT AS logprob_micro,
+           CASE WHEN coalesce(p.n_bigrams, 0) > 0
+                THEN round(p.logprob_micro::DOUBLE / p.n_bigrams::DOUBLE / 1e6, 6)
+                ELSE 0.0 END AS avg_logprob
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)
+def q_text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality scoring — P(w_i | w_{i-1}) under corpus MLE
+    counts, integer micro-nat aggregate (functions/text.
+    bigram_lm_score); one order above the unigram kenlm stand-in."""
+    from hadoop_3_3_6_spark.functions.text import bigram_lm_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bigram_lm_score(docs, "text", "doc_id")
+
+
+@_register(
     "text_url_domains",
     """
     WITH injected AS (
