@@ -102,6 +102,8 @@ HEADLINE = [
     "text_url_domains",
     "similarity_quantized_topk",
     "text_lm_bigram",
+    "approx_topk_event_types",
+    "scd2_customer_status",
 ]
 
 

@@ -278,3 +278,48 @@ def merge_upsert(
             .alias(action_col)
         )
     return joined.select(*out_cols)
+
+
+def scd2_collapse(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """SCD Type-2 history build (idiomatic extension; the warehouse
+    temporal-dimension op MERGE feeds): collapse each key's
+    attribute timeline into validity intervals — one row per
+    consecutive run of an attribute value, with [valid_from, valid_to)
+    bounds and an is_current flag on the open interval.
+
+    Gaps-and-islands: a per-key ordered window flags changes
+    (lag != current), a running sum numbers the runs, one aggregate
+    collapses each run, and lead() over the runs closes the
+    intervals.  Everything partitions by key, so state is bounded by
+    one key's history and parallelism is key-cardinality wide; ties on
+    ``ts_col`` break on ``tiebreak_col``, keeping versions
+    deterministic across engines."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    prev = F.lag(attr_col).over(w)
+    chg = F.when(prev.isNull() | (F.col(attr_col) != prev), 1).otherwise(0)
+    flagged = df.withColumn("_chg", chg).withColumn(
+        "_grp", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = flagged.groupBy(key_col, "_grp").agg(
+        F.min(attr_col).alias(attr_col),  # constant within a run
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("_grp")
+    return runs.select(
+        F.col(key_col),
+        F.col("_grp").cast("int").alias("version"),
+        F.col(attr_col),
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        "n_rows",
+    )

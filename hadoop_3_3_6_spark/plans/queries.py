@@ -1852,6 +1852,61 @@ def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "scd2_customer_status",
+    """
+    WITH flagged AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             CASE WHEN lag(o_orderstatus) OVER w IS NULL
+                       OR o_orderstatus != lag(o_orderstatus) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    grp AS (
+      SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM flagged),
+    runs AS (
+      SELECT o_custkey, g, min(o_orderstatus) AS o_orderstatus,
+             min(o_orderdate) AS valid_from, count(*)::BIGINT AS n_rows
+      FROM grp GROUP BY o_custkey, g)
+    SELECT o_custkey, g::INT AS version, o_orderstatus, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           (lead(valid_from) OVER w2 IS NULL) AS is_current, n_rows
+    FROM runs WINDOW w2 AS (PARTITION BY o_custkey ORDER BY g)
+    """,
+)
+def q_scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history: each customer's order-status
+    timeline collapsed to validity intervals with an is_current open
+    interval (operators/joins.scd2_collapse) — the temporal-dimension
+    build that merge_upsert maintains incrementally."""
+    from hadoop_3_3_6_spark.operators.joins import scd2_collapse
+
+    orders = load_table(spark, "orders", sf_dir)
+    return scd2_collapse(orders, "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+
+
+@_register(
+    "approx_topk_event_types",
+    """
+    SELECT event_type AS item, count(*)::BIGINT AS n FROM events GROUP BY event_type
+    """,
+)
+def q_approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch tier: approx_top_k (space-saving sketch —
+    partials merge associatively, one sketch per partition crosses the
+    wire, like the HLL++ and KLL tiers).  With maxItemsTracked above
+    the true cardinality the sketch is EXACT, which is what makes this
+    registration oracle-checkable; at open cardinality the same plan
+    returns the approximate heavy hitters."""
+    ev = load_table(spark, "events", sf_dir)
+    sk = ev.agg(F.expr("approx_top_k(event_type, 100, 10000)").alias("tk"))
+    return sk.select(F.explode("tk").alias("r")).select(
+        F.col("r.item").alias("item"), F.col("r.count").alias("n")
+    )
+
+
+@_register(
     "text_lm_bigram",
     """
     WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
