@@ -104,6 +104,7 @@ HEADLINE = [
     "text_lm_bigram",
     "approx_topk_event_types",
     "scd2_customer_status",
+    "funnel_view_click_purchase",
 ]
 
 

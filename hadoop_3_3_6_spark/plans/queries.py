@@ -1852,6 +1852,67 @@ def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 2 HOUR GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             AND e.ts <= s2.t2 + INTERVAL 12 HOUR GROUP BY e.user_id)
+    SELECT s1.user_id, s1.t1 AS view_ts, s2.t2 AS click_ts, s3.t3 AS purchase_ts,
+           (1 + CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END)::INT AS stage
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase): per user,
+    the first view, the first click within 2 h after it, the first
+    purchase within 12 h after that — the product-analytics
+    conversion query.  Three stage aggregates chained by per-user joins (each
+    stage's frame shrinks, so join sides only get smaller); no window
+    over the full event stream and no per-user event sorting."""
+    ev = load_table(spark, "events", sf_dir)
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 2 HOUR")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 12 HOUR")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t1").alias("view_ts"),
+            F.col("t2").alias("click_ts"),
+            F.col("t3").alias("purchase_ts"),
+            (
+                F.lit(1)
+                + F.when(F.col("t2").isNull(), 0).otherwise(1)
+                + F.when(F.col("t3").isNull(), 0).otherwise(1)
+            )
+            .cast("int")
+            .alias("stage"),
+        )
+    )
+
+
+@_register(
     "scd2_customer_status",
     """
     WITH flagged AS (
