@@ -105,6 +105,8 @@ HEADLINE = [
     "approx_topk_event_types",
     "scd2_customer_status",
     "funnel_view_click_purchase",
+    "retention_cohorts",
+    "audit_orders",
 ]
 
 

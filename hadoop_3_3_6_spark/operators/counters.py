@@ -50,3 +50,24 @@ def skip_bad_records(df: DataFrame, predicate: Column, counter_name: str = "skip
         F.count_if(~predicate).alias(counter_name),
     )
     return observed.filter(predicate), obs
+
+
+def audit_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Data-quality audit (the dbt-test / Deequ-style constraint
+    checker): each named check is a ROW-LEVEL predicate; the result is
+    one row per check with the violating-row count and a pass flag.
+
+    All checks evaluate in a single pass — one projection computes
+    every predicate, one partial-aggregated count_if per check crosses
+    the wire (a few longs per partition regardless of table size).
+    For cross-table checks (referential integrity), build the
+    violation predicate with a join/anti-join upstream and audit the
+    joined frame."""
+    aggs = [
+        F.count_if(~pred).alias(name) for name, pred in checks.items()
+    ] + [F.count(F.lit(1)).alias("_total")]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(f"'{name}', `{name}`" for name in checks)
+    return row.select(
+        F.expr(f"stack({len(checks)}, {stack_args}) as (check, n_bad)"), F.col("_total").alias("n_rows")
+    ).select("check", "n_rows", "n_bad", (F.col("n_bad") == 0).alias("passed"))

@@ -1852,6 +1852,82 @@ def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "audit_orders",
+    """
+    WITH base AS (
+      SELECT o.*, c.c_custkey AS _ck
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+    agg AS (
+      SELECT count(*)::BIGINT AS n_rows,
+             count_if(NOT (o_orderkey IS NOT NULL))::BIGINT AS key_not_null,
+             count_if(NOT (o_totalprice > 0))::BIGINT AS price_positive,
+             count_if(NOT (o_orderstatus IN ('F', 'O', 'P')))::BIGINT AS status_in_domain,
+             count_if(NOT (_ck IS NOT NULL))::BIGINT AS custkey_references_customer
+      FROM base)
+    SELECT 'key_not_null' AS "check", n_rows, key_not_null AS n_bad, key_not_null = 0 AS passed FROM agg
+    UNION ALL
+    SELECT 'price_positive', n_rows, price_positive, price_positive = 0 FROM agg
+    UNION ALL
+    SELECT 'status_in_domain', n_rows, status_in_domain, status_in_domain = 0 FROM agg
+    UNION ALL
+    SELECT 'custkey_references_customer', n_rows, custkey_references_customer,
+           custkey_references_customer = 0 FROM agg
+    """,
+)
+def q_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit over orders (operators/counters.
+    audit_checks): nullability, value range, domain membership, and
+    referential integrity to customer — one pass, one count_if per
+    check; the RI predicate comes from a left join upstream."""
+    from hadoop_3_3_6_spark.operators.counters import audit_checks
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select(F.col("c_custkey").alias("_ck"))
+    base = orders.join(F.broadcast(cust), orders.o_custkey == F.col("_ck"), "left")
+    return audit_checks(
+        base,
+        {
+            "key_not_null": F.col("o_orderkey").isNotNull(),
+            "price_positive": F.col("o_totalprice") > 0,
+            "status_in_domain": F.col("o_orderstatus").isin("F", "O", "P"),
+            "custkey_references_customer": F.col("_ck").isNotNull(),
+        },
+    )
+
+
+@_register(
+    "retention_cohorts",
+    """
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events)
+    SELECT c.cohort_week,
+           ((epoch(a.active_week)::BIGINT - epoch(c.cohort_week)::BIGINT) / 604800)::INT AS week_offset,
+           count(DISTINCT a.user_id)::BIGINT AS n_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    per week offset — the funnel's companion product-analytics query.
+    Two aggregates + one per-user join; offsets are integer epoch
+    arithmetic (week-truncation is Monday-anchored in both engines)."""
+    ev = load_table(spark, "events", sf_dir)
+    cohort = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    activity = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("active_week")).distinct()
+    off = (
+        (F.unix_timestamp("active_week") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("int")
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_week", off.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@_register(
     "funnel_view_click_purchase",
     """
     WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),

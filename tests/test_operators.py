@@ -440,3 +440,22 @@ def test_sentence_split_udtf_lateral(spark):
     ).collect()
     want = [(1, 0, "a b"), (1, 1, "c d"), (1, 2, "e"), (3, 0, "one"), (3, 1, "two")]
     assert [tuple(r) for r in got] == want
+
+
+def test_audit_checks_counts_violations(spark):
+    from hadoop_3_3_6_spark.operators.counters import audit_checks
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "B"), (None, 0.0, "A"), (4, None, "C")],
+        "k long, v double, s string",
+    )
+    out = {r["check"]: r for r in audit_checks(df, {
+        "k_not_null": F.col("k").isNotNull(),
+        "v_positive": F.col("v") > 0,
+        "s_in_domain": F.col("s").isin("A", "B"),
+    }).collect()}
+    assert out["k_not_null"]["n_bad"] == 1 and not out["k_not_null"]["passed"]
+    # NULL v is not counted bad under three-valued NOT (count_if skips NULL)
+    assert out["v_positive"]["n_bad"] == 2
+    assert out["s_in_domain"]["n_bad"] == 1
+    assert all(r["n_rows"] == 4 for r in out.values())
