@@ -107,6 +107,7 @@ HEADLINE = [
     "funnel_view_click_purchase",
     "retention_cohorts",
     "audit_orders",
+    "window_running_distinct",
 ]
 
 

@@ -1852,6 +1852,43 @@ def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "window_running_distinct",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events)
+    SELECT user_id, ts, event_id,
+           (sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — unsupported directly in
+    every SQL engine; the standard rewrite flags each (key, value)
+    first occurrence with row_number, then running-sums the flags.
+    Two windows, both partitioned by user (second reuses the first's
+    shuffle partitioning)."""
+    ev = load_table(spark, "events", sf_dir)
+    w1 = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.withColumn("first_seen", F.when(F.row_number().over(w1) == 1, 1).otherwise(0))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.sum("first_seen").over(w2).alias("distinct_types_so_far"),
+        )
+    )
+
+
+@_register(
     "audit_orders",
     """
     WITH base AS (
