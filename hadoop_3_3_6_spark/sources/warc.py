@@ -41,9 +41,11 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     InputPartition,
     StringStartsWith,
+    WriterCommitMessage,
 )
 
 _CRLF = b"\r\n"
@@ -191,7 +193,74 @@ class WarcDataSource(DataSource):
     def reader(self, schema) -> WarcDataSourceReader:
         return WarcDataSourceReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "WarcDataSourceWriter":
+        return WarcDataSourceWriter(self.options, overwrite)
+
 
 def register_warc_source(spark) -> None:
     """Idempotently register the ``warc`` format on this session."""
     spark.dataSource.register(WarcDataSource)
+
+
+class _WarcCommit(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+class WarcDataSourceWriter(DataSourceWriter):
+    """Custom batch SINK through the same Python DataSource API — the
+    FileOutputFormat analogue for WARC: each task serializes its
+    partition to one segment file (``part-<pid>-<uuid>.warc[.gz]``),
+    the driver's ``commit`` records a ``_SUCCESS`` manifest listing
+    the committed segments, ``abort`` deletes whatever the failed
+    attempt produced — FileOutputCommitter-v2-style semantics (task
+    output is visible on task success; job atomicity comes from the
+    manifest, which readers needing atomicity should consult).
+
+    Input rows need (warc_type, payload) and optionally target_uri /
+    content_type / warc_date / record_id columns."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc sink requires a path")
+        self.compress = str(options.get("compress", "true")).lower() == "true"
+        os.makedirs(self.path, exist_ok=True)
+        if overwrite:
+            for n in os.listdir(self.path):
+                if n.startswith("part-") or n == "_SUCCESS":
+                    os.remove(os.path.join(self.path, n))
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs = []
+        for row in iterator:
+            d = row.asDict()
+            rec = {"warc_type": d.get("warc_type", "resource"), "payload": d.get("payload") or b""}
+            for k in ("target_uri", "content_type", "record_id"):
+                if d.get(k):
+                    rec[k] = d[k]
+            if d.get("warc_date"):
+                rec["date"] = d["warc_date"]
+            recs.append(rec)
+        ext = ".warc.gz" if self.compress else ".warc"
+        name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{ext}"
+        full = os.path.join(self.path, name)
+        if recs:
+            with open(full, "wb") as f:
+                f.write(encode_warc(recs, compress=self.compress))
+            return _WarcCommit(full, len(recs))
+        return _WarcCommit("", 0)  # empty partition: no file (LazyOutputFormat)
+
+    def commit(self, messages):
+        kept = [m.path for m in messages if m and m.n]
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write("\n".join(os.path.basename(p) for p in kept))
+
+    def abort(self, messages):
+        for m in messages:
+            if m and m.path and os.path.exists(m.path):
+                os.remove(m.path)

@@ -143,3 +143,42 @@ def test_multimodal_resize_and_frames(spark):
     # 200 bytes -> 13 16-byte frames -> every 3rd -> 5 per doc
     assert len(frames) == 10
     assert {r["frame_idx"] for r in frames} == {0, 1, 2, 3, 4}
+
+
+def test_custom_stream_source_exactly_once_drain(spark, tmp_path):
+    """Custom Python streaming source (SimpleDataSourceStreamReader):
+    offset-bounded micro-batches drain the full range exactly once —
+    no gaps, no duplicates — and stop advancing at max_rows."""
+    import time
+    import uuid as _uuid
+
+    from hadoop_3_3_6_spark.sources.streamsource import register_range_stream
+
+    register_range_stream(spark)
+    name = "rs" + _uuid.uuid4().hex[:10]
+    q = (
+        spark.readStream.format("rangestream")
+        .option("batch_size", "700")
+        .option("max_rows", "3000")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c >= 3000:
+                break
+            time.sleep(0.5)
+        time.sleep(2)  # run the post-drain empty-read path
+        assert q.exception() is None  # end-of-stream reads must not error
+        rows = spark.sql(f"SELECT n, h FROM {name}").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 3000
+    assert {r.n for r in rows} == set(range(3000))
+    assert all(r.h == r.n * r.n % 997 for r in rows)

@@ -88,3 +88,35 @@ def test_warc_source_metadata_only_and_path_pruning(spark, tmp_path):
     )
     assert pruned.count() == 4
     assert pruned.rdd.getNumPartitions() == 1
+
+
+def test_warc_writer_roundtrip_and_commit_protocol(spark, tmp_path):
+    """Custom batch sink via the DataSource API: per-partition segment
+    write, _SUCCESS manifest on commit, empty partitions leave no file
+    (LazyOutputFormat), and the written corpus reads back exactly."""
+    import os
+
+    register_warc_source(spark)
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [(f"http://x/{i}", "response", "text/plain", f"body {i}".encode()) for i in range(20)],
+        "target_uri string, warc_type string, content_type string, payload binary",
+    ).repartition(6)
+    df.write.format("warc").option("compress", "true").mode("overwrite").save(out)
+
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    parts = [n for n in names if n.startswith("part-")]
+    assert 0 < len(parts) <= 6 and all(n.endswith(".warc.gz") for n in parts)
+    manifest = set(open(os.path.join(out, "_SUCCESS")).read().split())
+    assert manifest == set(parts)
+
+    back = spark.read.format("warc").load(out)
+    rows = back.collect()
+    assert len(rows) == 20
+    assert {(r.target_uri, bytes(r.payload).decode()) for r in rows} == {
+        (f"http://x/{i}", f"body {i}") for i in range(20)
+    }
+    # overwrite mode clears previous parts
+    df.limit(3).repartition(1).write.format("warc").mode("overwrite").save(out)
+    assert spark.read.format("warc").load(out).count() == 3
