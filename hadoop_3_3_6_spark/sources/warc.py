@@ -41,6 +41,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     InputPartition,
@@ -196,6 +197,9 @@ class WarcDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "WarcDataSourceWriter":
         return WarcDataSourceWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "WarcStreamWriter":
+        return WarcStreamWriter(self.options)
+
 
 def register_warc_source(spark) -> None:
     """Idempotently register the ``warc`` format on this session."""
@@ -261,6 +265,53 @@ class WarcDataSourceWriter(DataSourceWriter):
             f.write("\n".join(os.path.basename(p) for p in kept))
 
     def abort(self, messages):
+        for m in messages:
+            if m and m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class WarcStreamWriter(DataSourceStreamWriter):
+    """Custom STREAMING sink through the DataSource API — the
+    micro-batch twin of ``WarcDataSourceWriter``: every epoch's tasks
+    write their partitions as segment files, the driver's per-epoch
+    ``commit`` appends the segment names to an ``_epochs`` manifest
+    (one line per committed batch — the idempotence record a restarted
+    query checks), ``abort`` removes the failed epoch's files.  Same
+    crash contract as the streaming file sink's metadata log."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path") or options.get("checkpointLocation_path")
+        if not self.path:
+            raise ValueError("warc stream sink requires a path")
+        self.compress = str(options.get("compress", "true")).lower() == "true"
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs = []
+        for row in iterator:
+            d = row.asDict()
+            rec = {"warc_type": d.get("warc_type", "resource"), "payload": d.get("payload") or b""}
+            for k in ("target_uri", "content_type", "record_id"):
+                if d.get(k):
+                    rec[k] = d[k]
+            recs.append(rec)
+        if not recs:
+            return _WarcCommit("", 0)
+        ext = ".warc.gz" if self.compress else ".warc"
+        full = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{ext}")
+        with open(full, "wb") as f:
+            f.write(encode_warc(recs, compress=self.compress))
+        return _WarcCommit(full, len(recs))
+
+    def commit(self, messages, batchId: int) -> None:
+        kept = [os.path.basename(m.path) for m in messages if m and m.n]
+        with open(os.path.join(self.path, "_epochs"), "a") as f:
+            f.write(f"{batchId}\t{','.join(kept)}\n")
+
+    def abort(self, messages, batchId: int) -> None:
         for m in messages:
             if m and m.path and os.path.exists(m.path):
                 os.remove(m.path)

@@ -120,3 +120,50 @@ def test_warc_writer_roundtrip_and_commit_protocol(spark, tmp_path):
     # overwrite mode clears previous parts
     df.limit(3).repartition(1).write.format("warc").mode("overwrite").save(out)
     assert spark.read.format("warc").load(out).count() == 3
+
+
+def test_warc_stream_sink_writes_epochs(spark, tmp_path):
+    """Streaming WARC sink: the custom stream source drains into
+    per-epoch segment files with an _epochs manifest; reading the
+    directory back recovers every streamed record exactly once."""
+    import os
+    import time
+
+    from hadoop_3_3_6_spark.sources.streamsource import register_range_stream
+
+    register_warc_source(spark)
+    register_range_stream(spark)
+    out = str(tmp_path / "stream_out")
+    q = (
+        spark.readStream.format("rangestream")
+        .option("batch_size", "400")
+        .option("max_rows", "1200")
+        .load()
+        .selectExpr(
+            "concat('http://n/', n) AS target_uri",
+            "'resource' AS warc_type",
+            "encode(value, 'utf-8') AS payload",
+        )
+        .writeStream.format("warc")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if (
+                os.path.isdir(out)
+                and spark.read.format("warc").load(out + "/*.warc.gz").count() >= 1200
+            ):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    back = spark.read.format("warc").load(out + "/*.warc.gz")
+    rows = back.collect()
+    assert len(rows) == 1200
+    assert {bytes(r.payload).decode() for r in rows} == {f"v{n}" for n in range(1200)}
+    epochs = open(os.path.join(out, "_epochs")).read().strip().splitlines()
+    assert len(epochs) >= 3  # 1200 rows / 400-row batches
