@@ -286,11 +286,17 @@ def quantize_embeddings(
     integer arithmetic (exact, order-independent, engine-portable).
     Zero vectors quantize to zeros.  Output: (id, qvec array<int>)."""
     ma = f"aggregate({vec_col}, cast(0.0 as double), (a, v) -> greatest(a, abs(cast(v as double))))"
+    # compute the scale ONCE per vector in its own projection — inlining
+    # the fold inside the transform lambda would re-run the whole-vector
+    # max for every element (O(d^2) per vector)
     qe = (
-        f"case when {ma} = cast(0.0 as double) then transform({vec_col}, x -> 0) "
-        f"else transform({vec_col}, x -> cast(round(cast(x as double) / ({ma} / 127.0), 0) as int)) end"
+        "case when _ma = cast(0.0 as double) then transform({v}, x -> 0) "
+        "else transform({v}, x -> cast(round(cast(x as double) / (_ma / 127.0), 0) as int)) end"
+    ).format(v=vec_col)
+    return (
+        emb.withColumn("_ma", F.expr(ma))
+        .select(F.col(id_col), F.expr(qe).alias("qvec"))
     )
-    return emb.select(F.col(id_col), F.expr(qe).alias("qvec"))
 
 
 def quantized_topk(

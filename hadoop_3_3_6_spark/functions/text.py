@@ -495,8 +495,11 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         .cast("bigint")
         .alias("lp_micro"),
     )
+    # NO broadcast hint: distinct bigrams grow near-linearly with the
+    # corpus (unlike the unigram vocab) — a plain hash join lets AQE
+    # broadcast only when the score table actually is small
     per_doc = (
-        inst.join(F.broadcast(quant), "bg")
+        inst.join(quant, "bg")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp_micro").alias("logprob_micro"))
     )

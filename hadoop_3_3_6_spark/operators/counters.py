@@ -63,11 +63,25 @@ def audit_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     For cross-table checks (referential integrity), build the
     violation predicate with a join/anti-join upstream and audit the
     joined frame."""
-    aggs = [
-        F.count_if(~pred).alias(name) for name, pred in checks.items()
-    ] + [F.count(F.lit(1)).alias("_total")]
+    if not checks:
+        raise ValueError("audit_checks requires at least one check")
+    # generated internal aliases: user-supplied check names never touch
+    # SQL identifiers (a quote/backtick in a name must not parse), and
+    # cannot collide with the total column
+    keyed = {f"_chk{i}": (name, pred) for i, (name, pred) in enumerate(checks.items())}
+    aggs = [F.count_if(~pred).alias(k) for k, (_, pred) in keyed.items()] + [
+        F.count(F.lit(1)).alias("_audit_total")
+    ]
     row = df.agg(*aggs)
-    stack_args = ", ".join(f"'{name}', `{name}`" for name in checks)
-    return row.select(
-        F.expr(f"stack({len(checks)}, {stack_args}) as (check, n_bad)"), F.col("_total").alias("n_rows")
-    ).select("check", "n_rows", "n_bad", (F.col("n_bad") == 0).alias("passed"))
+    pairs = F.array(
+        *[
+            F.struct(F.lit(name).alias("check"), F.col(k).alias("n_bad"))
+            for k, (name, _) in keyed.items()
+        ]
+    )
+    return row.select(F.explode(pairs).alias("r"), F.col("_audit_total").alias("n_rows")).select(
+        F.col("r.check").alias("check"),
+        "n_rows",
+        F.col("r.n_bad").alias("n_bad"),
+        (F.col("r.n_bad") == 0).alias("passed"),
+    )

@@ -87,7 +87,9 @@ def skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
     from pyspark.sql.window import Window
 
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
-    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    # total derives from the key counts — one scan of the corpus, not
+    # two (the counts aggregate is tiny and exchange-reusable)
+    total = counts.agg(F.sum("n").alias("_total"))
     top = counts.orderBy(F.col("n").desc(), F.col(key_col).asc()).limit(top_n)
     w = Window.orderBy(F.col("n").desc(), F.col(key_col).asc())
     return (

@@ -52,6 +52,25 @@ from pyspark.sql.datasource import (
 _CRLF = b"\r\n"
 
 
+def _encode_record(r: dict, compress: bool) -> bytes:
+    """One WARC/1.0 record's bytes (optionally one gzip member)."""
+    body = r.get("payload", b"")
+    if isinstance(body, str):
+        body = body.encode("utf-8")
+    head = [b"WARC/1.0"]
+    head.append(b"WARC-Type: " + r["warc_type"].encode())
+    rid = r.get("record_id") or f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, r.get('target_uri', '') + r['warc_type'])}>"
+    head.append(b"WARC-Record-ID: " + rid.encode())
+    head.append(b"WARC-Date: " + r.get("date", "2020-01-01T00:00:00Z").encode())
+    if r.get("target_uri"):
+        head.append(b"WARC-Target-URI: " + r["target_uri"].encode())
+    if r.get("content_type"):
+        head.append(b"Content-Type: " + r["content_type"].encode())
+    head.append(b"Content-Length: " + str(len(body)).encode())
+    rec = _CRLF.join(head) + _CRLF + _CRLF + body + _CRLF + _CRLF
+    return gzip.compress(rec) if compress else rec
+
+
 def encode_warc(records: list[dict], compress: bool = False) -> bytes:
     """Serialize records to WARC/1.0 bytes (spec-conformant framing:
     header block, CRLF blank line, Content-Length block bytes, two
@@ -61,22 +80,35 @@ def encode_warc(records: list[dict], compress: bool = False) -> bytes:
     record — the standard .warc.gz layout."""
     out = io.BytesIO()
     for r in records:
-        body = r.get("payload", b"")
-        if isinstance(body, str):
-            body = body.encode("utf-8")
-        head = [b"WARC/1.0"]
-        head.append(b"WARC-Type: " + r["warc_type"].encode())
-        rid = r.get("record_id") or f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, r.get('target_uri', '') + r['warc_type'])}>"
-        head.append(b"WARC-Record-ID: " + rid.encode())
-        head.append(b"WARC-Date: " + r.get("date", "2020-01-01T00:00:00Z").encode())
-        if r.get("target_uri"):
-            head.append(b"WARC-Target-URI: " + r["target_uri"].encode())
-        if r.get("content_type"):
-            head.append(b"Content-Type: " + r["content_type"].encode())
-        head.append(b"Content-Length: " + str(len(body)).encode())
-        rec = _CRLF.join(head) + _CRLF + _CRLF + body + _CRLF + _CRLF
-        out.write(gzip.compress(rec) if compress else rec)
+        out.write(_encode_record(r, compress))
     return out.getvalue()
+
+
+def _row_to_record(d: dict) -> dict:
+    """Map a writer input row (asDict) to an encode record dict —
+    shared by the batch and streaming writers so their accepted
+    columns cannot diverge."""
+    rec = {"warc_type": d.get("warc_type", "resource"), "payload": d.get("payload") or b""}
+    for k in ("target_uri", "content_type", "record_id"):
+        if d.get(k):
+            rec[k] = d[k]
+    if d.get("warc_date"):
+        rec["date"] = d["warc_date"]
+    return rec
+
+
+def _write_partition(path: str, rows, compress: bool):
+    """Stream a partition's rows straight to ``path`` record by record
+    — never the whole segment (or the record dicts) in memory.
+    Returns the record count (0 = nothing written, file removed)."""
+    n = 0
+    with open(path, "wb") as f:
+        for row in rows:
+            f.write(_encode_record(_row_to_record(row.asDict()), compress))
+            n += 1
+    if n == 0:
+        os.remove(path)
+    return n
 
 
 def iter_warc_records(stream):
@@ -240,24 +272,11 @@ class WarcDataSourceWriter(DataSourceWriter):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        recs = []
-        for row in iterator:
-            d = row.asDict()
-            rec = {"warc_type": d.get("warc_type", "resource"), "payload": d.get("payload") or b""}
-            for k in ("target_uri", "content_type", "record_id"):
-                if d.get(k):
-                    rec[k] = d[k]
-            if d.get("warc_date"):
-                rec["date"] = d["warc_date"]
-            recs.append(rec)
         ext = ".warc.gz" if self.compress else ".warc"
-        name = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{ext}"
-        full = os.path.join(self.path, name)
-        if recs:
-            with open(full, "wb") as f:
-                f.write(encode_warc(recs, compress=self.compress))
-            return _WarcCommit(full, len(recs))
-        return _WarcCommit("", 0)  # empty partition: no file (LazyOutputFormat)
+        full = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{ext}")
+        n = _write_partition(full, iterator, self.compress)
+        # empty partition: no file (LazyOutputFormat)
+        return _WarcCommit(full if n else "", n)
 
     def commit(self, messages):
         kept = [m.path for m in messages if m and m.n]
@@ -290,21 +309,10 @@ class WarcStreamWriter(DataSourceStreamWriter):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        recs = []
-        for row in iterator:
-            d = row.asDict()
-            rec = {"warc_type": d.get("warc_type", "resource"), "payload": d.get("payload") or b""}
-            for k in ("target_uri", "content_type", "record_id"):
-                if d.get(k):
-                    rec[k] = d[k]
-            recs.append(rec)
-        if not recs:
-            return _WarcCommit("", 0)
         ext = ".warc.gz" if self.compress else ".warc"
         full = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{ext}")
-        with open(full, "wb") as f:
-            f.write(encode_warc(recs, compress=self.compress))
-        return _WarcCommit(full, len(recs))
+        n = _write_partition(full, iterator, self.compress)
+        return _WarcCommit(full if n else "", n)
 
     def commit(self, messages, batchId: int) -> None:
         kept = [os.path.basename(m.path) for m in messages if m and m.n]

@@ -158,20 +158,33 @@ def compact_files(
     The byte-size listing is driver-side metadata (like every file
     source's InMemoryFileIndex); the DATA moves executor-side through
     a round-robin repartition to ceil(total/target) files.  The
-    rewrite lands in a sibling temp dir then swaps in — crash before
-    the swap leaves the original intact (same recovery contract as
-    FileOutputCommitter v1's rename).  Returns {files_before,
-    files_after, bytes}."""
+    rewrite lands in a sibling temp dir then swaps in via two renames.
+    Crash recovery: a crash before the first rename leaves the
+    original untouched (the temp dir is simply garbage); a crash
+    between the renames leaves the data at ``<path>.compact.old`` and
+    the completed rewrite at ``<path>.compact.tmp`` — the next call
+    (or a reader finding ``path`` missing) restores ``.old`` back to
+    ``path`` first.  Stale ``.tmp``/``.old`` dirs from crashed runs
+    are cleaned up or restored on entry, so compaction never wedges.
+    Returns {files_before, files_after, bytes}."""
     import os
     import shutil
+
+    tmp = path.rstrip("/") + ".compact.tmp"
+    old = path.rstrip("/") + ".compact.old"
+    if os.path.isdir(old):
+        if os.path.isdir(path):
+            shutil.rmtree(old)  # previous run completed the swap; .old is garbage
+        else:
+            os.rename(old, path)  # previous run crashed mid-swap; restore
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # incomplete rewrite from a crashed run
 
     names = [n for n in os.listdir(path) if n.startswith("part-")]
     total = sum(os.path.getsize(os.path.join(path, n)) for n in names)
     n_out = max(1, -(-total // target_file_bytes))
     df = getattr(spark.read, fmt)(path)
-    tmp = path.rstrip("/") + ".compact.tmp"
     getattr(df.repartition(int(n_out)).write.mode("overwrite"), fmt)(tmp)
-    old = path.rstrip("/") + ".compact.old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

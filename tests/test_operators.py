@@ -459,3 +459,18 @@ def test_audit_checks_counts_violations(spark):
     assert out["v_positive"]["n_bad"] == 2
     assert out["s_in_domain"]["n_bad"] == 1
     assert all(r["n_rows"] == 4 for r in out.values())
+
+
+def test_audit_checks_hostile_names_and_empty(spark):
+    """Check names are labels, not SQL identifiers: quotes/backticks
+    must pass through; the empty dict is rejected loudly."""
+    from hadoop_3_3_6_spark.operators.counters import audit_checks
+
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    out = {r["check"]: r["n_bad"] for r in audit_checks(df, {
+        "it's a `weird` name": F.col("k").isNotNull(),
+        "_total": F.col("k").isNotNull(),
+    }).collect()}
+    assert out == {"it's a `weird` name": 1, "_total": 1}
+    with pytest.raises(ValueError, match="at least one"):
+        audit_checks(df, {})
