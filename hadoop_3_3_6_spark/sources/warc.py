@@ -41,6 +41,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
@@ -232,6 +233,9 @@ class WarcDataSource(DataSource):
     def streamWriter(self, schema, overwrite: bool) -> "WarcStreamWriter":
         return WarcStreamWriter(self.options)
 
+    def streamReader(self, schema) -> "WarcStreamReader":
+        return WarcStreamReader(self.options)
+
 
 def register_warc_source(spark) -> None:
     """Idempotently register the ``warc`` format on this session."""
@@ -323,3 +327,74 @@ class WarcStreamWriter(DataSourceStreamWriter):
         for m in messages:
             if m and m.path and os.path.exists(m.path):
                 os.remove(m.path)
+
+
+class WarcStreamReader(DataSourceStreamReader):
+    """DISTRIBUTED streaming WARC ingestion (the full
+    ``DataSourceStreamReader`` contract, one step up from the simple
+    driver-side reader in sources/streamsource.py): the driver only
+    LISTS the segment directory per micro-batch — offsets are
+    positions in the sorted file listing — and hands one
+    InputPartition per newly-arrived segment to the executors, where
+    the record parsing runs.  This is the continuous-crawl-ingestion
+    shape: segment files land in a directory (a crawler, a
+    distcp-style transfer), each micro-batch picks up exactly the new
+    ones, and a restarted query replays any uncommitted span from the
+    same deterministic listing (same recovery contract as Spark's
+    FileStreamSource, without its per-file metadata log: WARC
+    segments are immutable and sortable by name).
+
+    Files must arrive with monotonically sorting names (part-00001,
+    part-00002, … — what the WARC writers here produce); a file
+    sorting BEFORE an already-consumed name would be missed, exactly
+    like a backdated file under FileStreamSource's latestFirst=false
+    with cleanup."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc stream source requires a path")
+        self.record_types = None
+        types = options.get("record_types")
+        if types:
+            self.record_types = {t.strip() for t in types.split(",")}
+        self.metadata_only = str(options.get("metadata_only", "false")).lower() == "true"
+
+    def _listing(self):
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(
+            f for f in os.listdir(self.path) if f.endswith((".warc", ".warc.gz"))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n_files": len(self._listing())}
+
+    def partitions(self, start: dict, end: dict):
+        names = self._listing()[int(start["n_files"]) : int(end["n_files"])]
+        return [_WarcPartition(os.path.join(self.path, n)) for n in names]
+
+    def read(self, partition):
+        # executor-side: identical record parsing to the batch reader
+        opener = gzip.open if partition.path.endswith(".gz") else open
+        with opener(partition.path, "rb") as f:
+            for headers, block in iter_warc_records(f):
+                wtype = headers.get("warc-type", "")
+                if self.record_types is not None and wtype not in self.record_types:
+                    continue
+                yield (
+                    partition.path,
+                    headers.get("warc-record-id", ""),
+                    wtype,
+                    headers.get("warc-target-uri"),
+                    headers.get("warc-date", ""),
+                    headers.get("content-type"),
+                    len(block),
+                    None if self.metadata_only else block,
+                )
+
+    def commit(self, end: dict) -> None:
+        pass  # consumed files stay in place; retention is the producer's policy

@@ -167,3 +167,53 @@ def test_warc_stream_sink_writes_epochs(spark, tmp_path):
     assert {bytes(r.payload).decode() for r in rows} == {f"v{n}" for n in range(1200)}
     epochs = open(os.path.join(out, "_epochs")).read().strip().splitlines()
     assert len(epochs) >= 3  # 1200 rows / 400-row batches
+
+
+def test_warc_distributed_stream_reader_picks_up_new_segments(spark, tmp_path):
+    """Distributed streaming ingestion (full DataSourceStreamReader):
+    the driver lists the segment dir per micro-batch, executors parse
+    records; segments that arrive AFTER the stream starts are picked
+    up by later batches, every record exactly once."""
+    import time
+    import uuid as _uuid
+
+    register_warc_source(spark)
+    seg_dir = str(tmp_path / "segs")
+    import os
+
+    os.makedirs(seg_dir)
+    (tmp_path / "segs" / "part-00000.warc").write_bytes(encode_warc(_records(3)))
+
+    name = "wst" + _uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("warc")
+        .option("path", seg_dir)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            if spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c >= 6:
+                break
+            time.sleep(0.3)
+        # a new segment lands mid-stream
+        (tmp_path / "segs" / "part-00001.warc.gz").write_bytes(
+            encode_warc(_records(2, uri_prefix="http://late.example.com/doc/"), compress=True)
+        )
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            if spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c >= 10:
+                break
+            time.sleep(0.3)
+        rows = spark.sql(f"SELECT record_id, target_uri FROM {name}").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 10
+    assert len({(r.record_id, r.target_uri) for r in rows}) == 10  # exactly once
+    assert sum(1 for r in rows if "late.example.com" in (r.target_uri or "")) == 4
