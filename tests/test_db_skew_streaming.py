@@ -195,3 +195,44 @@ def test_foreach_batch_merge_maintains_materialized_view(spark, sf_dir, tmp_path
         .collect()
     }
     assert got == want
+
+
+def test_streaming_continuous_dedup_against_growing_index(spark, sf_dir, tmp_path):
+    """Continuous-crawl dedup: each micro-batch of documents dedups
+    against the persisted minhash band index at BATCH cost, then
+    appends its own novel docs' bands to the index — the 100 TB
+    ingestion loop (dedup a crawl increment against history without
+    re-hashing the corpus).  Batches that re-deliver earlier docs are
+    fully flagged as duplicates; the kept set stays exactly the
+    distinct corpus."""
+    import os
+
+    from hadoop_3_3_6_spark.functions.dedup import dedup_against_index, minhash_bands
+    from hadoop_3_3_6_spark.session import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text").limit(60).cache()
+    idx = str(tmp_path / "band_index")
+    kept_ids: set[int] = set()
+
+    # three increments: fresh docs, overlapping redelivery, pure replay
+    batches = [
+        docs.filter(F.col("doc_id") < 20),
+        docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 40)),
+        docs.filter(F.col("doc_id") < 40),
+    ]
+    for batch in batches:
+        if os.path.isdir(idx):
+            corpus_bands = spark.read.parquet(idx)
+            dup_pairs = dedup_against_index(batch, corpus_bands, "text", "doc_id")
+            dup_ids = {r.new_id for r in dup_pairs.select("new_id").distinct().collect()}
+        else:
+            dup_ids = set()
+        novel = batch.filter(~F.col("doc_id").isin(list(dup_ids) or [-1]))
+        minhash_bands(novel, "text", "doc_id").write.mode("append").parquet(idx)
+        kept_ids |= {r.doc_id for r in novel.select("doc_id").collect()}
+
+    # exactly-once keep decision: every doc <40 kept exactly once
+    # (identical re-deliveries always collide with their own index rows)
+    assert kept_ids == set(range(40)) & {r.doc_id for r in docs.collect()}
+    # and the index holds bands for exactly the kept docs
+    assert {r.doc_id for r in spark.read.parquet(idx).select("doc_id").distinct().collect()} == kept_ids
