@@ -406,3 +406,41 @@ def test_quantized_topk_recall_floor(spark, sf_dir):
         for r in quantized_topk(emb, "vec_id", "embedding", k=5, probes=probes).collect()
     }
     assert len(exact & quant) / len(exact) >= 0.9
+
+
+def test_cli_driver_list_run_explain(tmp_path):
+    """ExampleDriver parity surface: the module CLI lists programs,
+    runs one to a parquet output, and prints a plan — via real
+    subprocesses, like `hadoop jar examples.jar wordcount in out`."""
+    import os
+    import subprocess
+    import sys
+
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    ls = subprocess.run(
+        [sys.executable, "-m", "hadoop_3_3_6_spark", "list"],
+        capture_output=True, text=True, cwd=root, env=env, timeout=120,
+    )
+    assert ls.returncode == 0
+    assert "wordcount\toracle" in ls.stdout and "terasort_validate\trows-only" in ls.stdout
+
+    out = str(tmp_path / "wc")
+    run = subprocess.run(
+        [sys.executable, "-m", "hadoop_3_3_6_spark", "run", "wordcount",
+         "--sf-dir", "/root/testdata/sf0.001", "--out", out],
+        capture_output=True, text=True, cwd=root, env=env, timeout=300,
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    import pyarrow.parquet as pq
+    import glob as g
+
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in g.glob(out + "/part-*.parquet"))
+    assert n == 31  # wordcount rows at sf0.001 (driver-verified count)
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "hadoop_3_3_6_spark", "run", "wordcoun"],
+        capture_output=True, text=True, cwd=root, env=env, timeout=120,
+    )
+    assert bad.returncode == 2 and "did you mean" in bad.stderr
