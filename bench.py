@@ -108,6 +108,7 @@ HEADLINE = [
     "retention_cohorts",
     "audit_orders",
     "window_running_distinct",
+    "histogram_order_values",
 ]
 
 

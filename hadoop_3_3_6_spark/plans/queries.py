@@ -1852,6 +1852,36 @@ def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "histogram_order_values",
+    """
+    WITH s AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+    b AS (
+      SELECT least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19)::INT AS bucket
+      FROM orders, s)
+    SELECT bucket, count(*)::BIGINT AS n FROM b GROUP BY bucket
+    """,
+)
+def q_histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width numeric histogram (20 buckets over the observed
+    range): min/max stay in-plan as a broadcast scalar (no driver
+    action), binning is pure arithmetic, the final count is one
+    two-phase aggregate over at most 20 groups — the numeric twin of
+    the categorical value_histogram."""
+    orders = load_table(spark, "orders", sf_dir)
+    rng = orders.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20.0)),
+        F.lit(19),
+    ).cast("int")
+    return (
+        orders.crossJoin(F.broadcast(rng))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
     "window_running_distinct",
     """
     WITH flagged AS (

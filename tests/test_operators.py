@@ -474,3 +474,36 @@ def test_audit_checks_hostile_names_and_empty(spark):
     assert out == {"it's a `weird` name": 1, "_total": 1}
     with pytest.raises(ValueError, match="at least one"):
         audit_checks(df, {})
+
+
+def test_scd2_collapse_randomized_reference(spark):
+    """Seeded randomized equivalence against a plain-Python interval
+    builder over timelines with duplicate timestamps and repeated
+    attribute runs."""
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for key in range(6):
+        for seq in range(rng.integers(1, 12)):
+            rows.append((key, int(rng.integers(0, 50)), str(rng.choice(["a", "b", "c"])), seq))
+    from hadoop_3_3_6_spark.operators.joins import scd2_collapse
+
+    df = spark.createDataFrame(rows, "k long, ts long, attr string, tb long")
+    got = {
+        (r.k, r.version): (r.attr, r.valid_from, r.valid_to, r.is_current, r.n_rows)
+        for r in scd2_collapse(df, "k", "attr", "ts", "tb").collect()
+    }
+
+    want = {}
+    for key in {r[0] for r in rows}:
+        timeline = sorted((r for r in rows if r[0] == key), key=lambda r: (r[1], r[3]))
+        runs = []
+        for _, ts, attr, _tb in timeline:
+            if not runs or runs[-1][0] != attr:
+                runs.append([attr, ts, 0])
+            runs[-1][2] += 1
+        for v, (attr, start, n) in enumerate(runs, start=1):
+            nxt = runs[v][1] if v < len(runs) else None
+            want[(key, v)] = (attr, start, nxt, nxt is None, n)
+    assert got == want
