@@ -253,3 +253,39 @@ def test_compact_files_reduces_file_count_preserving_rows(spark, tmp_path):
     assert stats["files_before"] == 40
     assert after_parts == stats["files_after"] < 40
     assert sorted(r.id for r in spark.read.parquet(p).collect()) == before
+
+
+def test_versioned_table_time_travel_merge_and_vacuum(spark, tmp_path):
+    """Versioned tables: each MERGE publishes an immutable version,
+    readers time-travel by number or follow _latest, vacuum keeps the
+    newest N and never the pointed-to version."""
+    from hadoop_3_3_6_spark.operators.joins import merge_upsert
+    from hadoop_3_3_6_spark.sources.versions import (
+        latest_version,
+        read_version,
+        vacuum,
+        write_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double")
+    assert write_version(base, t) == 1
+
+    upd = spark.createDataFrame([(2, 99.0, False), (4, 40.0, False), (3, 0.0, True)],
+                                "k long, v double, dead boolean")
+    v2 = merge_upsert(read_version(spark, t), upd, on="k", tombstone_col="dead")
+    assert write_version(v2, t) == 2
+    assert write_version(read_version(spark, t).filter("k != 4"), t) == 3
+
+    assert latest_version(t) == 3
+    # time travel: v1 pristine, v2 shows the merge, latest the filter
+    assert {r.k: r.v for r in read_version(spark, t, 1).collect()} == {1: 10.0, 2: 20.0, 3: 30.0}
+    assert {r.k: r.v for r in read_version(spark, t, 2).collect()} == {1: 10.0, 2: 99.0, 4: 40.0}
+    assert {r.k: r.v for r in read_version(spark, t).collect()} == {1: 10.0, 2: 99.0}
+
+    assert vacuum(t, keep=1) == [1, 2]
+    assert {r.k for r in read_version(spark, t).collect()} == {1, 2}
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, t, 1)
