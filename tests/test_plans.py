@@ -346,3 +346,40 @@ def test_oracle_coverage_is_pinned():
         "bbp_pi_digits",
         "similarity_ivf_trained",
     }
+
+
+def test_funnel_has_no_full_stream_window(spark, sf_dir):
+    """The funnel is chained shrinking aggregates — a Window over the
+    whole event stream (the naive sessionize-then-scan form) must
+    never appear, and events scans prune to the 3 needed columns."""
+    plan = plan_of(spark, sf_dir, "funnel_view_click_purchase")
+    assert "Window" not in plan
+    import re
+
+    for schema in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in schema.split(",")}
+        assert cols <= {"user_id", "ts", "event_type"}, cols
+
+
+def test_merge_upsert_single_join(spark, sf_dir):
+    """MERGE applies all three arms in ONE full-outer join over the
+    merge key — no second join, no window, no distinct."""
+    plan = plan_of(spark, sf_dir, "merge_upsert_orders")
+    n_joins = plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count("ShuffledHashJoin")
+    assert n_joins == 1, plan[:2000]
+    assert "Window" not in plan
+
+
+def test_skew_profile_single_scan(spark, sf_dir):
+    """The corpus total derives from the key counts — profiling must
+    scan the input once, not twice."""
+    plan = plan_of(spark, sf_dir, "skew_profile_events")
+    assert plan.count("Scan parquet") <= 2  # formatted output: tree + detail of ONE scan
+
+
+def test_quantized_topk_integer_scoring(spark, sf_dir):
+    """Quantized similarity scores with bigint folds (scales cancel);
+    the embeddings scan appears for probe and corpus sides only."""
+    plan = plan_of(spark, sf_dir, "similarity_quantized_topk")
+    assert "bigint" in plan
+    assert "CartesianProduct" not in plan
