@@ -109,6 +109,7 @@ HEADLINE = [
     "audit_orders",
     "window_running_distinct",
     "histogram_order_values",
+    "pipeline_token_budget",
 ]
 
 

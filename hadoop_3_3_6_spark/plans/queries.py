@@ -1852,6 +1852,43 @@ def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipeline_token_budget",
+    """
+    WITH s AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(len(list_filter(string_split(text, ' '), w -> w <> '')))::BIGINT AS n_tokens
+      FROM documents GROUP BY source),
+    t AS (SELECT sum(pow(n_tokens, 0.5)) AS z FROM s)
+    SELECT source, n_docs, n_tokens,
+           round(pow(n_tokens, 0.5) / z, 6) AS weight,
+           round(least(4.0, 100000.0 * (pow(n_tokens, 0.5) / z) / n_tokens), 6) AS epochs
+    FROM s, t
+    """,
+)
+def q_pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture recipe: per-source token counts → α=0.5
+    temperature weights → epochs needed to fill a 100k-token budget,
+    capped at 4 epochs per source (the repetition ceiling).  This is
+    the planning query whose output drives temperature_sample /
+    pack_sequences; one aggregate + a 1-row scalar cross, all
+    closed-form arithmetic — exact oracle."""
+    docs = load_table(spark, "documents", sf_dir)
+    ntok = F.expr("size(filter(split(text, ' '), w -> w <> ''))")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(ntok).alias("n_tokens")
+    )
+    z = s.agg(F.sum(F.pow("n_tokens", F.lit(0.5))).alias("z"))
+    w = F.pow("n_tokens", F.lit(0.5)) / F.col("z")
+    return s.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(w, 6).alias("weight"),
+        F.round(F.least(F.lit(4.0), F.lit(100_000.0) * w / F.col("n_tokens")), 6).alias("epochs"),
+    )
+
+
+@_register(
     "histogram_order_values",
     """
     WITH s AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),

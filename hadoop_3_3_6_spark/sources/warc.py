@@ -112,11 +112,17 @@ def _write_partition(path: str, rows, compress: bool):
     return n
 
 
-def iter_warc_records(stream):
+def iter_warc_records(stream, permissive: bool = False):
     """Stream (headers, block) pairs from a WARC byte stream.  Headers
     come back lower-cased; the block is exactly Content-Length bytes.
     Tolerates leading blank lines between records (the two-CRLF record
-    separator)."""
+    separator).
+
+    ``permissive=True`` is the crawl-reality mode (the reader analogue
+    of SkipBadRecords / PERMISSIVE csv): a malformed record header, a
+    bad Content-Length, or a TRUNCATED final block (a crawler or
+    transfer died mid-record) ends the stream cleanly instead of
+    raising — complete records before the corruption are kept."""
     while True:
         line = stream.readline()
         if not line:
@@ -124,6 +130,8 @@ def iter_warc_records(stream):
         if line in (b"\r\n", b"\n"):
             continue
         if not line.strip().startswith(b"WARC/"):
+            if permissive:
+                return
             raise ValueError(f"not a WARC record header: {line[:40]!r}")
         headers: dict[str, str] = {}
         while True:
@@ -132,8 +140,17 @@ def iter_warc_records(stream):
                 break
             k, _, v = hl.decode("utf-8", "replace").partition(":")
             headers[k.strip().lower()] = v.strip()
-        n = int(headers.get("content-length", "0"))
+        try:
+            n = int(headers.get("content-length", "0"))
+        except ValueError:
+            if permissive:
+                return
+            raise
         block = stream.read(n)
+        if len(block) < n:
+            if permissive:
+                return  # truncated tail record: drop it, keep the rest
+            raise ValueError(f"truncated record: got {len(block)} of {n} bytes")
         yield headers, block
 
 
@@ -148,6 +165,7 @@ class WarcDataSourceReader(DataSourceReader):
         if not self.path:
             raise ValueError("warc source requires a path")
         self.metadata_only = str(options.get("metadata_only", "false")).lower() == "true"
+        self.permissive = str(options.get("permissive", "false")).lower() == "true"
         types = options.get("record_types")
         self.record_types = {t.strip() for t in types.split(",")} if types else None
         self._path_filters: list = []
@@ -195,7 +213,7 @@ class WarcDataSourceReader(DataSourceReader):
     def read(self, partition):
         opener = gzip.open if partition.path.endswith(".gz") else open
         with opener(partition.path, "rb") as f:
-            for headers, block in iter_warc_records(f):
+            for headers, block in iter_warc_records(f, permissive=self.permissive):
                 wtype = headers.get("warc-type", "")
                 if self.record_types is not None and wtype not in self.record_types:
                     continue
@@ -359,6 +377,7 @@ class WarcStreamReader(DataSourceStreamReader):
         if types:
             self.record_types = {t.strip() for t in types.split(",")}
         self.metadata_only = str(options.get("metadata_only", "false")).lower() == "true"
+        self.permissive = str(options.get("permissive", "false")).lower() == "true"
 
     def _listing(self):
         if not os.path.isdir(self.path):
@@ -381,7 +400,7 @@ class WarcStreamReader(DataSourceStreamReader):
         # executor-side: identical record parsing to the batch reader
         opener = gzip.open if partition.path.endswith(".gz") else open
         with opener(partition.path, "rb") as f:
-            for headers, block in iter_warc_records(f):
+            for headers, block in iter_warc_records(f, permissive=self.permissive):
                 wtype = headers.get("warc-type", "")
                 if self.record_types is not None and wtype not in self.record_types:
                     continue

@@ -217,3 +217,24 @@ def test_warc_distributed_stream_reader_picks_up_new_segments(spark, tmp_path):
     assert len(rows) == 10
     assert len({(r.record_id, r.target_uri) for r in rows}) == 10  # exactly once
     assert sum(1 for r in rows if "late.example.com" in (r.target_uri or "")) == 4
+
+
+def test_warc_permissive_tolerates_truncated_tail(spark, tmp_path):
+    """Crawl-reality mode: a segment whose final record was cut off
+    mid-transfer yields its complete records under permissive=true and
+    raises loudly in strict mode."""
+    import pytest
+
+    good = encode_warc(_records(3))
+    cut = encode_warc(
+        [{"warc_type": "response", "target_uri": "http://cut/0", "payload": "chopped body"}]
+    )[:-7]  # chop mid-block
+    p = tmp_path / "trunc.warc"
+    p.write_bytes(good + cut)
+
+    register_warc_source(spark)
+    ok = spark.read.format("warc").option("permissive", "true").load(str(p))
+    assert ok.count() == 6  # the 3 complete docs x (response+request)
+
+    with pytest.raises(Exception, match="truncated|WARC"):
+        spark.read.format("warc").load(str(p)).count()
