@@ -31,7 +31,12 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("query")
     runp.add_argument("--sf-dir", default=None, help="fixture dir (default $SPARK_GRAFT_SF_DIR or sf0.1)")
     runp.add_argument("--out", default=None, help="write the result here instead of printing")
-    runp.add_argument("--format", default="parquet", help="output format for --out (parquet/csv/json/orc)")
+    runp.add_argument(
+        "--format",
+        default="parquet",
+        choices=["parquet", "csv", "json", "orc", "text"],
+        help="output format for --out",
+    )
     runp.add_argument("--show", type=int, default=20, help="rows to print without --out")
 
     exp = sub.add_parser("explain", help="print a query's physical plan")

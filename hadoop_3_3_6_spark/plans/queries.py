@@ -1861,7 +1861,8 @@ def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT sum(pow(n_tokens, 0.5)) AS z FROM s)
     SELECT source, n_docs, n_tokens,
            round(pow(n_tokens, 0.5) / z, 6) AS weight,
-           round(least(4.0, 100000.0 * (pow(n_tokens, 0.5) / z) / n_tokens), 6) AS epochs
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE round(least(4.0, 100000.0 * (pow(n_tokens, 0.5) / z) / n_tokens), 6) END AS epochs
     FROM s, t
     """,
 )
@@ -1884,7 +1885,11 @@ def q_pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_tokens",
         F.round(w, 6).alias("weight"),
-        F.round(F.least(F.lit(4.0), F.lit(100_000.0) * w / F.col("n_tokens")), 6).alias("epochs"),
+        # zero-token source: 0/0 is NaN and least() treats NaN as the
+        # LARGEST double, which would report 4 full epochs of nothing
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(F.round(F.least(F.lit(4.0), F.lit(100_000.0) * w / F.col("n_tokens")), 6))
+        .alias("epochs"),
     )
 
 
@@ -1893,7 +1898,8 @@ def q_pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
     b AS (
-      SELECT least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19)::INT AS bucket
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE least(floor((o_totalprice - lo) / ((hi - lo) / 20.0)), 19) END::INT AS bucket
       FROM orders, s)
     SELECT bucket, count(*)::BIGINT AS n FROM b GROUP BY bucket
     """,
@@ -1906,10 +1912,18 @@ def q_histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     the categorical value_histogram."""
     orders = load_table(spark, "orders", sf_dir)
     rng = orders.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
-    bucket = F.least(
-        F.floor((F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20.0)),
-        F.lit(19),
-    ).cast("int")
+    # degenerate range (all values equal): everything lands in bucket 0
+    # — without the guard the division is 0/0 = NaN
+    bucket = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20.0)),
+                F.lit(19),
+            )
+        )
+        .cast("int")
+    )
     return (
         orders.crossJoin(F.broadcast(rng))
         .select(bucket.alias("bucket"))

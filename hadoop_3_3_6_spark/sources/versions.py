@@ -37,26 +37,35 @@ from pyspark.sql import DataFrame, SparkSession
 _V_RE = re.compile(r"^v=(\d{5})$")
 
 
-def _versions(path: str) -> list[int]:
+def _versions(path: str, committed_only: bool = False) -> list[int]:
     if not os.path.isdir(path):
         return []
     out = []
     for n in os.listdir(path):
         m = _V_RE.match(n)
-        if m:
+        if m and (not committed_only or _is_committed(os.path.join(path, n))):
             out.append(int(m.group(1)))
     return sorted(out)
 
 
+def _is_committed(vdir: str) -> bool:
+    """A version dir is committed when Spark's job-success marker is
+    present — a write that died mid-job leaves part files but no
+    _SUCCESS, and must never be a time-travel target."""
+    return os.path.isfile(os.path.join(vdir, "_SUCCESS"))
+
+
 def latest_version(path: str) -> int | None:
     """The committed version the ``_latest`` pointer names (None for a
-    fresh table).  Falls back to the highest complete version dir if
-    the pointer is missing (pre-crash state: data committed, pointer
-    flip lost — the write is then simply not yet published)."""
+    fresh table).  Falls back to the highest COMMITTED version dir if
+    the pointer is missing (pointer lost after commit — the data is
+    still published history; a committed-but-unpointed newest version
+    is simply the last successful write whose flip was lost)."""
     ptr = os.path.join(path, "_latest")
     if os.path.isfile(ptr):
         return int(open(ptr).read().strip())
-    return None
+    vs = _versions(path, committed_only=True)
+    return vs[-1] if vs else None
 
 
 def write_version(df: DataFrame, path: str) -> int:
@@ -64,6 +73,8 @@ def write_version(df: DataFrame, path: str) -> int:
     under ``v=NNNNN``, then atomically flip ``_latest`` (tmp file +
     rename).  Returns the new version number."""
     os.makedirs(path, exist_ok=True)
+    # next number from ALL version dirs (torn ones included — never
+    # reuse their number); a torn dir in the way is overwritten
     vs = _versions(path)
     nxt = (vs[-1] if vs else 0) + 1
     vdir = os.path.join(path, f"v={nxt:05d}")
@@ -76,22 +87,28 @@ def write_version(df: DataFrame, path: str) -> int:
 
 
 def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
-    """Scan one table version (default: the ``_latest`` pointer)."""
+    """Scan one table version (default: the ``_latest`` pointer).
+    Refuses torn (uncommitted) version dirs — a write that crashed
+    mid-job must never read as a partial snapshot."""
     v = version if version is not None else latest_version(path)
     if v is None:
         raise FileNotFoundError(f"no committed version in {path}")
     vdir = os.path.join(path, f"v={v:05d}")
     if not os.path.isdir(vdir):
         raise FileNotFoundError(f"version {v} not present in {path}")
+    if not _is_committed(vdir):
+        raise FileNotFoundError(f"version {v} in {path} is uncommitted (torn write)")
     return spark.read.parquet(vdir)
 
 
 def vacuum(path: str, keep: int = 3) -> list[int]:
-    """Drop all but the newest ``keep`` versions (never the one
-    ``_latest`` points at).  Returns the versions removed."""
+    """Drop all but the newest ``keep`` COMMITTED versions (never the
+    one ``_latest`` points at); torn dirs older than the newest kept
+    version are swept too.  Returns the versions removed."""
     cur = latest_version(path)
-    vs = _versions(path)
-    drop = [v for v in vs[:-keep] if v != cur] if keep > 0 else [v for v in vs if v != cur]
+    vs = _versions(path, committed_only=True)
+    keep_set = set(vs[-keep:]) if keep > 0 else set()
+    drop = [v for v in _versions(path) if v != cur and v not in keep_set]
     for v in drop:
         shutil.rmtree(os.path.join(path, f"v={v:05d}"), ignore_errors=True)
     return drop

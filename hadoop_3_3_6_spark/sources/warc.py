@@ -146,6 +146,12 @@ def iter_warc_records(stream, permissive: bool = False):
             if permissive:
                 return
             raise
+        if n < 0:
+            # a negative length would make read() slurp the rest of the
+            # segment into one garbage block and dodge the truncation check
+            if permissive:
+                return
+            raise ValueError(f"negative Content-Length: {n}")
         block = stream.read(n)
         if len(block) < n:
             if permissive:
@@ -157,6 +163,28 @@ def iter_warc_records(stream, permissive: bool = False):
 class _WarcPartition(InputPartition):
     def __init__(self, path: str):
         self.path = path
+
+
+def _read_segment(path: str, record_types, metadata_only: bool, permissive: bool):
+    """Executor-side record scan of one segment — the single parsing
+    path shared by the batch reader and the streaming reader (schema
+    and filter semantics cannot drift between them)."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        for headers, block in iter_warc_records(f, permissive=permissive):
+            wtype = headers.get("warc-type", "")
+            if record_types is not None and wtype not in record_types:
+                continue
+            yield (
+                path,
+                headers.get("warc-record-id", ""),
+                wtype,
+                headers.get("warc-target-uri"),
+                headers.get("warc-date", ""),
+                headers.get("content-type"),
+                len(block),
+                None if metadata_only else block,
+            )
 
 
 class WarcDataSourceReader(DataSourceReader):
@@ -211,22 +239,9 @@ class WarcDataSourceReader(DataSourceReader):
         return [_WarcPartition(p) for p in paths if self._keep(p)]
 
     def read(self, partition):
-        opener = gzip.open if partition.path.endswith(".gz") else open
-        with opener(partition.path, "rb") as f:
-            for headers, block in iter_warc_records(f, permissive=self.permissive):
-                wtype = headers.get("warc-type", "")
-                if self.record_types is not None and wtype not in self.record_types:
-                    continue
-                yield (
-                    partition.path,
-                    headers.get("warc-record-id", ""),
-                    wtype,
-                    headers.get("warc-target-uri"),
-                    headers.get("warc-date", ""),
-                    headers.get("content-type"),
-                    len(block),
-                    None if self.metadata_only else block,
-                )
+        return _read_segment(
+            partition.path, self.record_types, self.metadata_only, self.permissive
+        )
 
 
 class WarcDataSource(DataSource):
@@ -362,6 +377,12 @@ class WarcStreamReader(DataSourceStreamReader):
     FileStreamSource, without its per-file metadata log: WARC
     segments are immutable and sortable by name).
 
+    Offsets are the HIGH-WATER-MARK FILE NAME, not a count: a batch
+    covers the names in (start_name, end_name].  Names are stable
+    under producer deletions of already-consumed segments (the
+    retention policy ``commit`` invites) — a count-based offset would
+    shift under deletion and silently skip or re-read files.
+
     Files must arrive with monotonically sorting names (part-00001,
     part-00002, … — what the WARC writers here produce); a file
     sorting BEFORE an already-consumed name would be missed, exactly
@@ -387,33 +408,22 @@ class WarcStreamReader(DataSourceStreamReader):
         )
 
     def initialOffset(self) -> dict:
-        return {"n_files": 0}
+        return {"last": ""}
 
     def latestOffset(self) -> dict:
-        return {"n_files": len(self._listing())}
+        names = self._listing()
+        return {"last": names[-1] if names else ""}
 
     def partitions(self, start: dict, end: dict):
-        names = self._listing()[int(start["n_files"]) : int(end["n_files"])]
+        lo, hi = start.get("last", ""), end.get("last", "")
+        names = [n for n in self._listing() if lo < n <= hi]
         return [_WarcPartition(os.path.join(self.path, n)) for n in names]
 
     def read(self, partition):
-        # executor-side: identical record parsing to the batch reader
-        opener = gzip.open if partition.path.endswith(".gz") else open
-        with opener(partition.path, "rb") as f:
-            for headers, block in iter_warc_records(f, permissive=self.permissive):
-                wtype = headers.get("warc-type", "")
-                if self.record_types is not None and wtype not in self.record_types:
-                    continue
-                yield (
-                    partition.path,
-                    headers.get("warc-record-id", ""),
-                    wtype,
-                    headers.get("warc-target-uri"),
-                    headers.get("warc-date", ""),
-                    headers.get("content-type"),
-                    len(block),
-                    None if self.metadata_only else block,
-                )
+        # executor-side: the same record parsing as the batch reader
+        return _read_segment(
+            partition.path, self.record_types, self.metadata_only, self.permissive
+        )
 
     def commit(self, end: dict) -> None:
         pass  # consumed files stay in place; retention is the producer's policy

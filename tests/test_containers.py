@@ -289,3 +289,31 @@ def test_versioned_table_time_travel_merge_and_vacuum(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_version(spark, t, 1)
+
+
+def test_versioned_table_refuses_torn_writes(spark, tmp_path):
+    """A version dir without Spark's _SUCCESS marker (write died
+    mid-job) is never a read target, never the latest-fallback, and
+    its number is never reused."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from hadoop_3_3_6_spark.sources.versions import latest_version, read_version, write_version
+
+    t = str(tmp_path / "tbl")
+    write_version(spark.range(4), t)
+    # simulate a torn v2: parquet files but no _SUCCESS
+    write_version(spark.range(9), t)
+    os.remove(os.path.join(t, "v=00002", "_SUCCESS"))
+
+    with _pytest.raises(FileNotFoundError, match="uncommitted"):
+        read_version(spark, t, 2)
+    # pointer still names v2 (flip happened before we tore it) — but a
+    # LOST pointer must fall back to the highest COMMITTED version
+    os.remove(os.path.join(t, "_latest"))
+    assert latest_version(t) == 1
+    assert read_version(spark, t).count() == 4
+    # the torn number is not reused
+    assert write_version(spark.range(2), t) == 3

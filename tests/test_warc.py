@@ -238,3 +238,43 @@ def test_warc_permissive_tolerates_truncated_tail(spark, tmp_path):
 
     with pytest.raises(Exception, match="truncated|WARC"):
         spark.read.format("warc").load(str(p)).count()
+
+
+def test_warc_stream_offsets_survive_producer_deletion(spark, tmp_path):
+    """Offsets are high-water-mark file NAMES: deleting an
+    already-consumed segment must not shift which files a later batch
+    covers (a count-based offset would skip the next arrival)."""
+    import os
+    import time
+    import uuid as _uuid
+
+    register_warc_source(spark)
+    seg = tmp_path / "segs"
+    seg.mkdir()
+    (seg / "part-00000.warc").write_bytes(encode_warc(_records(2)))
+
+    name = "wdel" + _uuid.uuid4().hex[:8]
+    q = (
+        spark.readStream.format("warc").option("path", str(seg)).load()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        while time.time() < deadline and spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c < 4:
+            time.sleep(0.3)
+        # producer retention deletes the consumed segment, then two arrive
+        os.remove(seg / "part-00000.warc")
+        (seg / "part-00001.warc").write_bytes(encode_warc(_records(1, uri_prefix="http://a/")))
+        (seg / "part-00002.warc").write_bytes(encode_warc(_records(1, uri_prefix="http://b/")))
+        deadline = time.time() + 45
+        while time.time() < deadline and spark.sql(f"SELECT count(*) c FROM {name}").collect()[0].c < 8:
+            time.sleep(0.3)
+        rows = spark.sql(f"SELECT DISTINCT target_uri FROM {name}").collect()
+    finally:
+        q.stop()
+    uris = {r.target_uri for r in rows}
+    # BOTH post-deletion segments arrived (count offsets would drop one)
+    assert "http://a/0" in uris and "http://b/0" in uris
