@@ -110,6 +110,7 @@ HEADLINE = [
     "window_running_distinct",
     "histogram_order_values",
     "pipeline_token_budget",
+    "quantile_bins_lineitem",
 ]
 
 

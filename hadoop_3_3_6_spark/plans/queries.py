@@ -1852,6 +1852,41 @@ def q_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "quantile_bins_lineitem",
+    """
+    WITH t AS (SELECT quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS th FROM lineitem),
+    b AS (
+      SELECT len(list_filter(th, x -> l_quantity > x))::INT AS bucket, l_quantity
+      FROM lineitem, t)
+    SELECT bucket, count(*)::BIGINT AS n,
+           round(min(l_quantity), 6) AS lo, round(max(l_quantity), 6) AS hi
+    FROM b GROUP BY bucket
+    """,
+)
+def q_quantile_bins_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUAL-FREQUENCY binning (quartiles): exact interpolated
+    thresholds computed once and broadcast as a 1-row scalar, rows
+    binned by counting thresholds below the value (a 3-element HOF per
+    row) — the scale-correct form of ntile() without its
+    single-partition global sort.  Companion to the equi-width
+    histogram_order_values."""
+    li = load_table(spark, "lineitem", sf_dir)
+    th = li.agg(F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").alias("th"))
+    bucket = F.expr("size(filter(th, x -> l_quantity > x))").cast("int")
+    return (
+        li.select("l_quantity")
+        .crossJoin(F.broadcast(th))
+        .select(bucket.alias("bucket"), "l_quantity")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_quantity"), 6).alias("lo"),
+            F.round(F.max("l_quantity"), 6).alias("hi"),
+        )
+    )
+
+
+@_register(
     "pipeline_token_budget",
     """
     WITH s AS (

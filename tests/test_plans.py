@@ -256,6 +256,7 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "q22_global_sales_opportunity",
         "skew_profile_events",
         "histogram_order_values",
+        "quantile_bins_lineitem",
         "pipeline_token_budget",
         "text_tfidf_topk",
         "text_lm_score",
