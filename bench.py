@@ -1,6 +1,10 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE COMPACT JSON line on
+stdout — {"metric", "value", "unit", "sf", "queries": <top-10 slowest>,
+"anchors", ...} — sized to survive an output-tail capture (the full
+90+-query map overflowed the driver's capture in round 2 and recorded
+"parsed": null).  The complete per-query map goes to stderr AND to
+BENCH_full.json next to this file.
 
 Each query is forced end-to-end with a count()/collect() action after
 a shared-session warmup (JVM + parquet footer caches), mirroring how
@@ -111,6 +115,10 @@ HEADLINE = [
     "histogram_order_values",
     "pipeline_token_budget",
     "quantile_bins_lineitem",
+    # round-3 additions
+    "similarity_lsh_topk_fast",  # scale-default LSH path (portable mode keeps the oracle)
+    "dedup_clusters",
+    "pipeline_dedup_keep",
 ]
 
 
@@ -184,22 +192,33 @@ def main() -> None:
     # GB/node/min at 500 GB; ~0.97 at 100 TB).  2M × 100 B = 0.2 GB on
     # this single node -> GB/node/min computed directly for the judge.
     terasort_gb_per_node_min = round(0.2 / (timings["terasort_2m_records"] / 60.0), 2)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "anchors": {
-                    "terasort_gb_per_node_min": terasort_gb_per_node_min,
-                    "baseline_terasort_gb_per_node_min_500gb": 6.0,
-                    "baseline_terasort_gb_per_node_min_100tb": 0.97,
-                },
-            }
-        )
-    )
+    record = {
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "anchors": {
+            "terasort_gb_per_node_min": terasort_gb_per_node_min,
+            "baseline_terasort_gb_per_node_min_500gb": 6.0,
+            "baseline_terasort_gb_per_node_min_100tb": 0.97,
+        },
+    }
+    # full per-query map: stderr + a file next to this script (the
+    # round-2 driver could only capture a bounded stdout tail, so the
+    # 91-query one-liner came back "parsed": null)
+    print(json.dumps(record), file=sys.stderr)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(record, f, indent=1)
+            f.write("\n")
+    except OSError as e:  # read-only checkout: stderr copy still stands
+        print(f"# BENCH_full.json not written: {e}", file=sys.stderr)
+    # FINAL stdout line: compact — top-10 slowest queries only
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(json.dumps({**record, "queries": slowest, "queries_truncated_to": 10, "full_map": "BENCH_full.json"}))
     spark.stop()
 
 

@@ -319,6 +319,11 @@ def quantized_topk(
     q = quantize_embeddings(emb, id_col, vec_col)
     idot = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as bigint) * cast(y as bigint)), cast(0 as bigint), (acc, v) -> acc + v)"
     qn = q.withColumn("_qnorm", F.expr(f"sqrt(cast({idot.format(a='qvec', b='qvec')} as double))"))
+    # zero-norm guard: an all-zero vector has no cosine direction —
+    # dividing by _qnorm would yield NULL here but inf/NaN in a SQL
+    # mirror, diverging rankings; drop such vectors from BOTH probe and
+    # candidate sets (the oracle applies the same qnorm > 0 filter)
+    qn = qn.filter(F.col("_qnorm") > 0)
     probe_rows = _restrict_to_probes(qn, id_col, probes, probe_ids)
     a = probe_rows.alias("a")
     b = qn.alias("b")

@@ -54,6 +54,26 @@ from hadoop_3_3_6_spark.functions.text import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Rendered-corpus cache for the eager-by-contract ingestion queries
+# (wav/warc/avro): the synthetic corpus is a pure function of sf_dir,
+# so render ONCE per process and reuse — repeat constructions (bench
+# double-runs, explain-only calls) previously leaked one uncleaned
+# temp directory per invocation.
+_RENDER_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _rendered_dir(prefix: str, sf_dir: str, render) -> str:
+    """Return the cached rendered-corpus directory for (prefix, sf_dir),
+    invoking ``render(out_dir)`` exactly once per process."""
+    import tempfile
+
+    key = (prefix, sf_dir)
+    if key not in _RENDER_CACHE:
+        out = tempfile.mkdtemp(prefix=prefix)
+        render(out)
+        _RENDER_CACHE[key] = out
+    return _RENDER_CACHE[key]
+
 
 def _register(name: str, oracle: str | None = None):
     def deco(fn):
@@ -1238,6 +1258,25 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("similarity_lsh_topk_fast")  # rows-only: BLAS summation order != fold order near 0
+def q_similarity_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numpy-matmul bucket path of hyperplane LSH — the 100 TB scale
+    DEFAULT (one BLAS call per Arrow batch instead of num_tables ×
+    bits_per_table sequential JVM folds).  Same planes and pipeline as
+    ``similarity_lsh_topk``; benched under its own name so the fast
+    path keeps a regression axis while the portable mode keeps its
+    bit-exact DuckDB oracle.  No SQL oracle by design: vectorized
+    summation order can flip sign on near-zero projections, so bucket
+    assignment is not bit-reproducible across engines (recall is
+    tested in tests/test_tools.py instead)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 25).select("vec_id")
+    return lsh_bucketed_topk(
+        emb, "vec_id", "embedding", k=5, num_tables=8, bits_per_table=4, dim=64,
+        probes=probes, portable=False,
+    )
+
+
 _IVF_COS = "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 
 
@@ -1297,7 +1336,8 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE list_transform(e, x -> round(x / (list_max(list_transform(e, y -> abs(y))) / 127.0))::BIGINT)
              END AS qe
       FROM v),
-    n AS (SELECT vec_id, qe, sqrt(list_dot_product(qe, qe)) AS qnorm FROM q),
+    n AS (SELECT vec_id, qe, sqrt(list_dot_product(qe, qe)) AS qnorm FROM q
+          WHERE sqrt(list_dot_product(qe, qe)) > 0),
     scored AS (
       SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
              round(list_dot_product(a.qe, b.qe) / (a.qnorm * b.qnorm), 6) AS score
@@ -1580,29 +1620,31 @@ def q_multimodal_wav_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     file, header-only scan (metadata_only skips payload bytes).  File
     sizes/rates have closed forms in doc_id → exact oracle.  Eager by
     contract (renders its corpus when constructed, like
-    avro_roundtrip)."""
-    import tempfile
-
+    avro_roundtrip).  The rendered corpus is cached per (process,
+    sf_dir) — repeat constructions reuse the directory instead of
+    leaking a fresh temp dir each call."""
     from hadoop_3_3_6_spark.sources.pydatasource import register_wav_source
 
     register_wav_source(spark)
-    out = tempfile.mkdtemp(prefix="wavsrc_")
     docs = load_table(spark, "documents", sf_dir).select("doc_id").filter(F.col("doc_id") % 10 == 0)
 
-    def write_part(rows):
-        import numpy as np
+    def render(out: str) -> None:
+        def write_part(rows):
+            import numpy as np
 
-        from hadoop_3_3_6_spark.functions.multimodal import encode_wav
+            from hadoop_3_3_6_spark.functions.multimodal import encode_wav
 
-        for r in rows:
-            i = int(r.doc_id)
-            n, amp, half = 100 + i % 400, 1000 + i % 20000, 1 + i % 16
-            idx = np.arange(n)
-            s = np.where((idx // half) % 2 == 0, amp, -amp).astype(np.int16)
-            with open(f"{out}/{i}.wav", "wb") as f:
-                f.write(encode_wav(s, 8000))
+            for r in rows:
+                i = int(r.doc_id)
+                n, amp, half = 100 + i % 400, 1000 + i % 20000, 1 + i % 16
+                idx = np.arange(n)
+                s = np.where((idx // half) % 2 == 0, amp, -amp).astype(np.int16)
+                with open(f"{out}/{i}.wav", "wb") as f:
+                    f.write(encode_wav(s, 8000))
 
-    docs.foreachPartition(write_part)
+        docs.foreachPartition(write_part)
+
+    out = _rendered_dir("wavsrc_", sf_dir, render)
     src = spark.read.format("wavfiles").option("metadata_only", "true").load(out)
     return src.select(
         F.regexp_extract(F.element_at(F.split("path", "/"), -1), r"(\d+)", 1)
@@ -1698,14 +1740,15 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source.  The codec implements the public Avro 1.x spec and is
     conformance-tested against the Java DataFileReader in
     tests/test_avro.py.  Eager by contract (it performs its write when
-    constructed, like terasort_validate)."""
-    import tempfile
-
+    constructed, like terasort_validate).  The written container files
+    are cached per (process, sf_dir) — repeat constructions reuse the
+    directory instead of leaking a fresh temp dir each call."""
     from hadoop_3_3_6_spark.sources.avro_io import read_avro, write_avro
 
     nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name", "n_regionkey")
-    out = tempfile.mkdtemp(prefix="avro_roundtrip_")
-    write_avro(nation, out, codec="deflate")
+    out = _rendered_dir(
+        "avro_roundtrip_", sf_dir, lambda d: write_avro(nation, d, codec="deflate")
+    )
     return read_avro(spark, out)
 
 
@@ -2304,35 +2347,37 @@ def q_warc_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter applied inside the reader.  Record Content-Length has a
     closed form (UTF-8 byte length of text) → exact oracle.  Eager by
     contract (renders its corpus when constructed, like
-    multimodal_wav_source)."""
-    import tempfile
-
+    multimodal_wav_source).  The rendered corpus is cached per
+    (process, sf_dir) — repeat constructions reuse the directory
+    instead of leaking a fresh temp dir each call."""
     from hadoop_3_3_6_spark.sources.warc import register_warc_source
 
     register_warc_source(spark)
-    out = tempfile.mkdtemp(prefix="warcsrc_")
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text").filter(F.col("doc_id") % 10 == 1)
 
-    def write_part(rows):
-        from pyspark import TaskContext
+    def render(out: str) -> None:
+        def write_part(rows):
+            from pyspark import TaskContext
 
-        from hadoop_3_3_6_spark.sources.warc import encode_warc
+            from hadoop_3_3_6_spark.sources.warc import encode_warc
 
-        recs = [
-            {
-                "warc_type": "response",
-                "target_uri": f"http://example.com/doc/{int(r.doc_id)}",
-                "content_type": "text/plain",
-                "payload": r.text,
-            }
-            for r in rows
-        ]
-        if recs:
-            pid = TaskContext.get().partitionId()
-            with open(f"{out}/seg{pid:05d}.warc.gz", "wb") as f:
-                f.write(encode_warc(recs, compress=True))
+            recs = [
+                {
+                    "warc_type": "response",
+                    "target_uri": f"http://example.com/doc/{int(r.doc_id)}",
+                    "content_type": "text/plain",
+                    "payload": r.text,
+                }
+                for r in rows
+            ]
+            if recs:
+                pid = TaskContext.get().partitionId()
+                with open(f"{out}/seg{pid:05d}.warc.gz", "wb") as f:
+                    f.write(encode_warc(recs, compress=True))
 
-    docs.foreachPartition(write_part)
+        docs.foreachPartition(write_part)
+
+    out = _rendered_dir("warcsrc_", sf_dir, render)
     src = spark.read.format("warc").option("record_types", "response").option("metadata_only", "true").load(out)
     return src.select(
         F.regexp_extract("target_uri", r"(\d+)$", 1).cast("bigint").alias("doc_id"),
@@ -3420,7 +3465,8 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
                   FROM documents)),
            unnest(range(1, len(grams) + 1)) AS t(idx)),
-    dpc AS (SELECT shingle FROM inst GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2),
+    dpc AS (SELECT shingle FROM inst GROUP BY shingle
+            HAVING count(DISTINCT doc_id) BETWEEN 2 AND 1000),
     marked AS (SELECT i.doc_id, i.pos FROM inst i JOIN dpc USING (shingle)),
     runs AS (
       SELECT doc_id, min(pos) AS run_start, max(pos) AS last_pos
@@ -3438,11 +3484,19 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span extraction: contiguous runs of corpus-duplicated
     3-grams per document, merged with gaps-and-islands — the spans an
     exact-substring dedup pass would cut
-    (functions/dedup.duplicated_spans)."""
+    (functions/dedup.duplicated_spans).
+
+    Registered WITH the hot-shingle guard (``max_df=1000``, mirrored
+    exactly in the oracle's ``BETWEEN 2 AND 1000``): the guarded form
+    takes the inverted-index aggregate+join path whose probe join is
+    AQE-skew-splittable, instead of the unbounded per-shingle window a
+    runaway boilerplate shingle would pile onto one partition at scale
+    (reference skew concern: hadoop-mapreduce-client-core
+    .../lib/partition/InputSampler.java:97)."""
     from hadoop_3_3_6_spark.functions.dedup import duplicated_spans
 
     docs = load_table(spark, "documents", sf_dir)
-    return duplicated_spans(docs, "text", "doc_id", n=3)
+    return duplicated_spans(docs, "text", "doc_id", n=3, max_df=1000)
 
 
 @_register(

@@ -92,6 +92,11 @@ def ensure_session_confs(spark: SparkSession) -> None:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.ansi.enabled", "false"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # custom Python DataSources (warc.py, pydatasource.py) implement
+        # pushFilters(); Spark 4 hard-errors (DATA_SOURCE_PUSHDOWN_DISABLED)
+        # when such a reader runs with this conf off — required in any
+        # host-built session that scans those sources.
+        ("spark.sql.python.filterPushdown.enabled", "true"),
         # parquet timestamp[us] without the UTC-adjusted flag would
         # otherwise infer as TIMESTAMP_NTZ (Spark 4.1 default), which
         # watermarks/event-time reject and which cannot cast to double;

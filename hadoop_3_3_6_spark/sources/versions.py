@@ -103,12 +103,24 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
 
 def vacuum(path: str, keep: int = 3) -> list[int]:
     """Drop all but the newest ``keep`` COMMITTED versions (never the
-    one ``_latest`` points at); torn dirs older than the newest kept
-    version are swept too.  Returns the versions removed."""
+    one ``_latest`` points at); torn dirs are swept only when their
+    number is BELOW the newest committed version — an uncommitted dir
+    numbered above it is an in-flight concurrent ``write_version``
+    (parquet landing, _SUCCESS/pointer not yet flipped) and must be
+    left for its writer to finish, never rmtree'd mid-write.  Returns
+    the versions removed."""
     cur = latest_version(path)
     vs = _versions(path, committed_only=True)
+    newest_committed = vs[-1] if vs else 0
     keep_set = set(vs[-keep:]) if keep > 0 else set()
-    drop = [v for v in _versions(path) if v != cur and v not in keep_set]
+    committed = set(vs)
+    drop = [
+        v
+        for v in _versions(path)
+        if v != cur
+        and v not in keep_set
+        and (v in committed or v < newest_committed)
+    ]
     for v in drop:
         shutil.rmtree(os.path.join(path, f"v={v:05d}"), ignore_errors=True)
     return drop

@@ -345,15 +345,37 @@ class WarcStreamWriter(DataSourceStreamWriter):
     def write(self, iterator):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         ext = ".warc.gz" if self.compress else ".warc"
-        full = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{ext}")
+        # Deterministic name per (batchId, partition): a restarted query
+        # re-executing a batch OVERWRITES its earlier attempt's segments
+        # instead of landing a second uuid-named copy (replay
+        # idempotence for directory-glob readers, not just manifest
+        # readers).  batchId prefix also keeps names monotonic across
+        # epochs — the WarcStreamReader's high-water-mark contract.
+        # MicroBatchExecution publishes the batch id as a job-local
+        # property; fall back to uuid names if a runtime ever doesn't.
+        batch = ctx.getLocalProperty("streaming.sql.batchId")
+        if batch is not None:
+            stem = f"part-{int(batch):08d}-{pid:05d}"
+        else:  # pragma: no cover — property always set by micro-batch exec
+            stem = f"part-{pid:05d}-{uuid.uuid4().hex[:8]}"
+        full = os.path.join(self.path, stem + ext)
         n = _write_partition(full, iterator, self.compress)
         return _WarcCommit(full if n else "", n)
 
     def commit(self, messages, batchId: int) -> None:
+        epochs = os.path.join(self.path, "_epochs")
+        if os.path.isfile(epochs):
+            with open(epochs) as f:
+                if any(line.split("\t", 1)[0] == str(batchId) for line in f):
+                    # replayed epoch already committed: deterministic
+                    # names mean this attempt overwrote the same
+                    # segment files — keep the manifest single-lined
+                    return
         kept = [os.path.basename(m.path) for m in messages if m and m.n]
-        with open(os.path.join(self.path, "_epochs"), "a") as f:
+        with open(epochs, "a") as f:
             f.write(f"{batchId}\t{','.join(kept)}\n")
 
     def abort(self, messages, batchId: int) -> None:

@@ -291,6 +291,35 @@ def test_versioned_table_time_travel_merge_and_vacuum(spark, tmp_path):
         read_version(spark, t, 1)
 
 
+def test_vacuum_spares_inflight_writes_sweeps_old_torn(spark, tmp_path):
+    """vacuum must never delete an UNCOMMITTED dir numbered above the
+    newest committed version — that is a concurrent write_version still
+    landing its parquet (parquet written, _SUCCESS/pointer not flipped
+    yet).  Torn dirs BELOW the newest committed version are dead
+    (their writer already lost the race) and are swept."""
+    import os
+
+    from hadoop_3_3_6_spark.sources.versions import vacuum, write_version
+
+    t = str(tmp_path / "tbl")
+    write_version(spark.range(3), t)  # v1 committed
+    write_version(spark.range(5), t)  # v2 committed
+    write_version(spark.range(7), t)  # v3 committed...
+    os.remove(os.path.join(t, "v=00003", "_SUCCESS"))  # ...then dead-torn
+    write_version(spark.range(9), t)  # v4 committed, _latest=4
+    inflight = os.path.join(t, "v=00005")  # concurrent writer mid-flight
+    os.makedirs(inflight)
+    open(os.path.join(inflight, "part-00000.parquet"), "wb").close()
+
+    dropped = vacuum(t, keep=2)
+    # v1 aged out, v3 is dead-torn below newest committed (4) -> swept;
+    # v2/v4 kept; v5 (in-flight, above newest committed) untouched
+    assert dropped == [1, 3]
+    assert os.path.isdir(inflight)
+    assert os.path.isdir(os.path.join(t, "v=00002"))
+    assert os.path.isdir(os.path.join(t, "v=00004"))
+
+
 def test_versioned_table_refuses_torn_writes(spark, tmp_path):
     """A version dir without Spark's _SUCCESS marker (write died
     mid-job) is never a read target, never the latest-fallback, and

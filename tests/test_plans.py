@@ -323,7 +323,11 @@ def test_driver_rotation_invariants():
 
     names = list(QUERIES)
     verified = _driver_verified_names()
-    top = names[: min(50, len(names))]
+    unverified_oracle = [n for n in names if n in ORACLES and n not in verified]
+    # Only the first min(50, #unverified-with-oracle) slots are guaranteed
+    # to be unverified exact-oracle queries; once the backlog shrinks below
+    # the driver budget, later slots legally hold verified/no-oracle names.
+    top = names[: min(50, len(unverified_oracle))]
     assert all(n in ORACLES and n not in verified for n in top), [
         n for n in top if n not in ORACLES or n in verified
     ]
@@ -347,6 +351,7 @@ def test_oracle_coverage_is_pinned():
         "approx_quantiles_lineitem",
         "bbp_pi_digits",
         "similarity_ivf_trained",
+        "similarity_lsh_topk_fast",
     }
 
 

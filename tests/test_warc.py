@@ -167,6 +167,30 @@ def test_warc_stream_sink_writes_epochs(spark, tmp_path):
     assert {bytes(r.payload).decode() for r in rows} == {f"v{n}" for n in range(1200)}
     epochs = open(os.path.join(out, "_epochs")).read().strip().splitlines()
     assert len(epochs) >= 3  # 1200 rows / 400-row batches
+    # deterministic per-(batch, partition) segment names — the replay
+    # idempotence contract (a restarted batch overwrites, not duplicates)
+    import re
+
+    segs = [n for n in os.listdir(out) if n.endswith(".warc.gz")]
+    assert segs and all(re.fullmatch(r"part-\d{8}-\d{5}\.warc\.gz", n) for n in segs)
+
+
+def test_warc_stream_sink_commit_is_replay_idempotent(tmp_path):
+    """A restarted query re-executing an already-committed batchId must
+    not append a second _epochs line (its deterministic file names
+    already overwrote the same segments)."""
+    import os
+
+    from hadoop_3_3_6_spark.sources.warc import WarcStreamWriter, _WarcCommit
+
+    out = str(tmp_path / "sink")
+    w = WarcStreamWriter({"path": out})
+    msgs = [_WarcCommit(os.path.join(out, "part-00000007-00000.warc.gz"), 5)]
+    w.commit(msgs, 7)
+    w.commit(msgs, 7)  # replay of batch 7 after restart
+    w.commit(msgs, 8)
+    lines = open(os.path.join(out, "_epochs")).read().strip().splitlines()
+    assert [ln.split("\t")[0] for ln in lines] == ["7", "8"]
 
 
 def test_warc_distributed_stream_reader_picks_up_new_segments(spark, tmp_path):
