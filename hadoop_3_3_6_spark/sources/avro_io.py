@@ -41,6 +41,7 @@ import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceArrowWriter, WriterCommitMessage
 
 MAGIC = b"Obj\x01"
 
@@ -169,21 +170,11 @@ def _decode_value(buf: bytes, pos: int, avro_type):
     raise ValueError(f"unsupported Avro type {avro_type!r}")  # pragma: no cover
 
 
-def encode_container(rows: list[tuple], avro_schema: dict, codec: str = "null", sync_seed: str = "") -> bytes:
-    """Serialize rows as one single-block Avro Object Container File.
-    The sync marker is derived deterministically from ``sync_seed`` so
-    repeated writes are byte-identical (reproducible outputs)."""
+def encode_container_header(avro_schema: dict, codec: str, sync: bytes) -> bytes:
+    """Container-file header per the public spec: magic, metadata map
+    (schema + codec), 16-byte sync marker."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"codec {codec!r} unsupported (null/deflate)")
-    sync = hashlib.md5(f"spark-graft-avro:{sync_seed}".encode()).digest()
-    field_types = [f["type"] for f in avro_schema["fields"]]
-    body = io.BytesIO()
-    for row in rows:
-        for v, t in zip(row, field_types):
-            _encode_value(body, v, t)
-    payload = body.getvalue()
-    if codec == "deflate":
-        payload = zlib.compress(payload)[2:-4]  # raw deflate per spec (no zlib header/checksum)
     out = io.BytesIO()
     out.write(MAGIC)
     meta = {"avro.schema": json.dumps(avro_schema).encode(), "avro.codec": codec.encode()}
@@ -193,12 +184,37 @@ def encode_container(rows: list[tuple], avro_schema: dict, codec: str = "null", 
         _encode_value(out, v, "bytes")
     _zigzag_encode(out, 0)  # end of metadata map
     out.write(sync)
-    if rows:
-        _zigzag_encode(out, len(rows))
-        _zigzag_encode(out, len(payload))
-        out.write(payload)
-        out.write(sync)
     return out.getvalue()
+
+
+def encode_container_block(rows: list[tuple], field_types: list, codec: str, sync: bytes) -> bytes:
+    """One data block: row count, byte size, (optionally deflated)
+    payload, trailing sync marker."""
+    body = io.BytesIO()
+    for row in rows:
+        for v, t in zip(row, field_types):
+            _encode_value(body, v, t)
+    payload = body.getvalue()
+    if codec == "deflate":
+        payload = zlib.compress(payload)[2:-4]  # raw deflate per spec (no zlib header/checksum)
+    out = io.BytesIO()
+    _zigzag_encode(out, len(rows))
+    _zigzag_encode(out, len(payload))
+    out.write(payload)
+    out.write(sync)
+    return out.getvalue()
+
+
+def encode_container(rows: list[tuple], avro_schema: dict, codec: str = "null", sync_seed: str = "") -> bytes:
+    """Serialize rows as one single-block Avro Object Container File.
+    The sync marker is derived deterministically from ``sync_seed`` so
+    repeated writes are byte-identical (reproducible outputs)."""
+    sync = hashlib.md5(f"spark-graft-avro:{sync_seed}".encode()).digest()
+    field_types = [f["type"] for f in avro_schema["fields"]]
+    out = encode_container_header(avro_schema, codec, sync)
+    if rows:
+        out += encode_container_block(rows, field_types, codec, sync)
+    return out
 
 
 def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
@@ -249,25 +265,97 @@ def decode_container(data: bytes) -> tuple[dict, list[tuple]]:
 # --- Spark integration ---------------------------------------------------
 
 
+class _AvroCommit(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+class AvroArrowWriter(DataSourceArrowWriter):
+    """Arrow-batched Avro container sink: one multi-block container
+    file per partition (one block per Arrow batch — bounded memory,
+    unlike a buffer-the-partition single block), written executor-side
+    with no pickled RDD, via hidden temp + atomic rename to a
+    deterministic ``part-{pid:05d}.avro`` (task retries overwrite,
+    never duplicate).  Driver ``commit`` records the manifest;
+    ``abort`` sweeps the failed attempt."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("avrofile sink requires a path")
+        self.codec = options.get("codec", "null")
+        if self.codec not in ("null", "deflate"):
+            raise ValueError(f"codec {self.codec!r} unsupported (null/deflate)")
+        self.avro_schema = avro_schema_of(schema)
+        os.makedirs(self.path, exist_ok=True)
+        if overwrite:
+            for n in os.listdir(self.path):
+                if n.startswith("part-") or n == "_SUCCESS":
+                    os.remove(os.path.join(self.path, n))
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        final = os.path.join(self.path, f"part-{pid:05d}.avro")
+        tmp = os.path.join(self.path, f".part-{pid:05d}-{_uuid.uuid4().hex[:8]}.avro.tmp")
+        sync = hashlib.md5(f"spark-graft-avro:{self.path}:{pid}".encode()).digest()
+        field_types = [f["type"] for f in self.avro_schema["fields"]]
+        n = 0
+        with open(tmp, "wb") as f:
+            f.write(encode_container_header(self.avro_schema, self.codec, sync))
+            for batch in iterator:
+                rows = list(zip(*(batch.column(i).to_pylist() for i in range(batch.num_columns))))
+                if rows:
+                    f.write(encode_container_block(rows, field_types, self.codec, sync))
+                    n += len(rows)
+        if n == 0:  # LazyOutputFormat stance: no empty files
+            os.remove(tmp)
+            return _AvroCommit("", 0)
+        os.replace(tmp, final)
+        return _AvroCommit(final, n)
+
+    def commit(self, messages):
+        kept = [m.path for m in messages if m and m.n]
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write("\n".join(os.path.basename(p) for p in kept))
+
+    def abort(self, messages):
+        for m in messages:
+            if m and m.path and os.path.exists(m.path):
+                os.remove(m.path)
+        for name in os.listdir(self.path):
+            if name.startswith(".part-") and name.endswith(".tmp"):
+                os.remove(os.path.join(self.path, name))
+
+
+class AvroFileDataSource(DataSource):
+    """``avrofile`` format: Arrow-batched Avro container sink."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "avrofile"
+
+    def writer(self, schema, overwrite: bool) -> AvroArrowWriter:
+        return AvroArrowWriter(self.options, schema, overwrite)
+
+
+def register_avro_sink(spark) -> None:
+    """Idempotently register the ``avrofile`` format on this session."""
+    spark.dataSource.register(AvroFileDataSource)
+
+
 def write_avro(df: DataFrame, path: str, codec: str = "null") -> int:
     """Write ``df`` as a directory of Avro container files, one per
-    partition, encoded inside executors.  Returns files written."""
-    avro_schema = avro_schema_of(df.schema)
-    os.makedirs(path, exist_ok=True)
-    wrote = df.sparkSession.sparkContext.accumulator(0)
-
-    def write_partition(idx: int, rows):
-        buf = [tuple(r) for r in rows]
-        if not buf:
-            return iter(())  # LazyOutputFormat stance: no empty files
-        data = encode_container(buf, avro_schema, codec=codec, sync_seed=f"{path}:{idx}")
-        with open(os.path.join(path, f"part-{idx:05d}.avro"), "wb") as f:
-            f.write(data)
-        wrote.add(1)
-        return iter(())
-
-    df.rdd.mapPartitionsWithIndex(write_partition).count()
-    return wrote.value
+    partition, encoded inside executors over Arrow batches (the
+    ``avrofile`` DataSource sink above — no pickled RDD, proper
+    commit/abort protocol).  Returns files written."""
+    register_avro_sink(df.sparkSession)
+    df.write.format("avrofile").option("codec", codec).mode("overwrite").save(path)
+    return len([n for n in os.listdir(path) if n.startswith("part-") and n.endswith(".avro")])
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:

@@ -40,22 +40,31 @@ def write_sequence_file(df: DataFrame, path: str, codec: str | None = None) -> N
     """Write the first two columns as a SequenceFile (Writable-encoded,
     splittable, sync-marked — SequenceFile.Writer semantics).
 
-    NON-HOT-PATH legacy-compat sink: rows travel through a pickled
-    Python RDD (row-at-a-time via Py4J) because the Writable converters
-    only accept RDDs.  Use it to hand data to legacy Hadoop consumers;
-    the engine's canonical high-throughput container is Parquet (and
-    ``avro_io.write_avro`` for Avro exchange, which encodes in
-    executors without the per-row pickle hop).
+    Uncompressed output (the default) takes the Arrow-batched
+    ``seqfile`` DataSource sink (sources/seqfile.py): executor-side
+    encode over Arrow batches, one file per partition, no pickled
+    Python RDD anywhere — the hand-off-to-legacy-consumers path is now
+    also a legitimate bulk sink.  Conformance against the Java
+    SequenceFile.Reader is pinned in tests.
 
     ``codec``: short name like "gzip"/"bzip2" — the compression surface
     of SequenceFile.Writer (compression NONE/RECORD/BLOCK,
-    SequenceFile.java:240)."""
+    SequenceFile.java:240).  Codec output still routes through the
+    Writable-converter RDD path (the one consumer of the legacy hop);
+    the engine's canonical compressed container is Parquet."""
+    if codec is None:
+        from hadoop_3_3_6_spark.sources.seqfile import register_seqfile_sink
+
+        register_seqfile_sink(df.sparkSession)
+        k, v = df.columns[:2]
+        df.select(k, v).write.format("seqfile").mode("overwrite").save(path)
+        return
     codecs = {
         "gzip": "org.apache.hadoop.io.compress.GzipCodec",
         "bzip2": "org.apache.hadoop.io.compress.BZip2Codec",
         "deflate": "org.apache.hadoop.io.compress.DefaultCodec",
     }
-    cls = codecs.get(codec, codec) if codec else None
+    cls = codecs.get(codec, codec)
     k, v = df.columns[:2]
     df.select(k, v).rdd.map(tuple).saveAsSequenceFile(path, compressionCodecClass=cls)
 

@@ -33,6 +33,41 @@ def test_sequence_file_long_keys(spark, tmp_path):
     assert {tuple(r) for r in read_sequence_file(spark, path).collect()} == {(1, "a"), (2, "b")}
 
 
+def test_seqfile_arrow_sink_java_reader_conformance(spark, tmp_path):
+    """The Arrow-batched seqfile sink (sources/seqfile.py) writes the
+    public SEQ v6 format executor-side — files must come back
+    bit-correct through Hadoop's own Java SequenceFile.Reader
+    (sc.sequenceFile), including sync markers (files here are well past
+    the 2000-byte sync interval) and typed Writables."""
+    import os
+
+    df = spark.createDataFrame(
+        [(f"k{i}", f"value-{i}" * 20) for i in range(4000)], "key string, value string"
+    ).repartition(4)
+    out = str(tmp_path / "seqbig")
+    write_sequence_file(df, out)
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert [n for n in names if n.startswith("part-")] == [f"part-{i:05d}.seq" for i in range(4)]
+    got = dict(spark.sparkContext.sequenceFile(out).collect())
+    assert len(got) == 4000 and got["k7"] == "value-7" * 20
+
+    # typed: (bigint, binary) -> (LongWritable, BytesWritable)
+    df2 = spark.createDataFrame([(i, bytes([i % 256, 9])) for i in range(50)], "k bigint, v binary")
+    out2 = str(tmp_path / "seqtyped")
+    write_sequence_file(df2, out2)
+    got2 = {k: bytes(v) for k, v in spark.sparkContext.sequenceFile(out2).collect()}
+    assert got2 == {i: bytes([i % 256, 9]) for i in range(50)}
+
+
+def test_seqfile_sink_rejects_nulls(spark, tmp_path):
+    """Writables are not nullable — a null key/value must fail the
+    write loudly, not serialize garbage."""
+    df = spark.createDataFrame([("a", "1"), (None, "2")], "key string, value string")
+    with pytest.raises(Exception, match="[Nn]ullable|null"):
+        write_sequence_file(df.coalesce(1), str(tmp_path / "seqnull"))
+
+
 def test_bucketed_join_elides_shuffle(spark, tmp_path):
     """MapFile/CompositeInputFormat property: equi-join of co-bucketed
     sorted tables runs with NO Exchange in the plan."""
