@@ -119,6 +119,7 @@ HEADLINE = [
     "similarity_lsh_topk_fast",  # scale-default LSH path (portable mode keeps the oracle)
     "dedup_clusters",
     "pipeline_dedup_keep",
+    "fuzzy_join_titles",
 ]
 
 

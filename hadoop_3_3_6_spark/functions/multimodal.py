@@ -54,13 +54,19 @@ def binary_metadata(df: DataFrame, payload_col: str = "payload", id_col: str = "
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode a PPM (P6, maxval 255), uncompressed 24-bit BMP, or 8-bit
-    truecolor PNG payload to an (h, w, 3) uint8 RGB array (PNG alpha is
-    dropped).  Pure numpy + stdlib zlib; raises ValueError for any
-    other format (the caller falls back to the stub gate)."""
+    """Decode a PPM (P6, maxval 255), uncompressed 24-bit BMP, 8-bit
+    truecolor PNG, or baseline JPEG payload to an (h, w, 3) uint8 RGB
+    array (PNG alpha is dropped).  Pure numpy + stdlib zlib (JPEG via
+    the T.81 baseline codec in ``functions/jpeg.py``); raises
+    ValueError for any other format (the caller falls back to the stub
+    gate)."""
     if payload[:8] == _PNG_SIG:
         arr = decode_png(payload)
         return arr[:, :, :3].copy()
+    if payload[:2] == b"\xff\xd8":
+        from hadoop_3_3_6_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:2] == b"P6":
         # header: P6 <ws> width <ws> height <ws> maxval <single ws>, then raw RGB
         pos, fields = 2, []
@@ -393,12 +399,12 @@ def y4m_frame_luma(meta: dict, frame: bytes) -> np.ndarray:
 def decode_stub(payload: bytes, modality: str = "image", fake: bool = False) -> dict:
     """Decode one payload to typed metadata + an 8-dim feature.
 
-    Real path: PPM/BMP images decode via ``decode_image`` — the
-    feature is [per-channel mean (3), per-channel max (3), normalized
-    aspect terms (2)], all deterministic.  Other formats require codec
-    libraries not in this environment: ``fake=True`` substitutes a
-    digest-derived pseudo-feature with the same contract, else
-    NotImplementedError."""
+    Real path: PPM/BMP/PNG/baseline-JPEG images decode via
+    ``decode_image`` — the feature is [per-channel mean (3),
+    per-channel max (3), normalized aspect terms (2)].  Remaining
+    formats (MP3/MP4 audio/video) require codec libraries not in this
+    environment: ``fake=True`` substitutes a digest-derived
+    pseudo-feature with the same contract, else NotImplementedError."""
     if modality == "image":
         try:
             arr = decode_image(bytes(payload))
@@ -428,7 +434,7 @@ def decode_stub(payload: bytes, modality: str = "image", fake: bool = False) -> 
 
 
 def resize_stub(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
-    """Resize one image payload.  Real path: PPM/BMP decode →
+    """Resize one image payload.  Real path: PPM/BMP/PNG/JPEG decode →
     nearest-neighbor resize → re-encode in the same container format.
     Other formats: ``fake=True`` returns a deterministic digest-derived
     pseudo-thumbnail (same bytes-in/bytes-out contract), else
@@ -442,10 +448,14 @@ def resize_stub(payload: bytes, width: int, height: int, fake: bool = False) -> 
         small = resize_nearest(arr, width, height)
         if payload[:8] == _PNG_SIG:
             return encode_png(small)
+        if payload[:2] == b"\xff\xd8":
+            from hadoop_3_3_6_spark.functions.jpeg import encode_jpeg
+
+            return encode_jpeg(small)
         return encode_ppm(small) if payload[:2] == b"P6" else encode_bmp(small)
     if not fake:
         raise NotImplementedError(
-            "resize of non-PPM/BMP/PNG images requires PIL/opencv, not present in this environment"
+            "resize of non-PPM/BMP/PNG/JPEG images requires PIL/opencv, not present in this environment"
         )
     digest = hashlib.sha256(payload).digest()
     need = width * height

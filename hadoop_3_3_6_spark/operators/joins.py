@@ -323,3 +323,38 @@ def scd2_collapse(
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
         "n_rows",
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    block_left,
+    block_right,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy (edit-distance) join — the record-linkage /
+    approximate-match operator (the MapReduce-era pattern: a blocking
+    MR job emitting (block_key, record) then a reducer comparing pairs
+    within a block; same two-phase shape as the reference's
+    reduce-side tagged join, hadoop-datajoin
+    .../utils/join/DataJoinReducerBase.java:92).
+
+    ``block_left`` / ``block_right`` are Column expressions computing
+    the BLOCKING KEY (e.g. a prefix, a phonetic code, a length
+    bucket): the join equi-matches on the block first, then keeps
+    pairs with ``levenshtein(left_col, right_col) <= max_distance``.
+
+    Scale shape: the blocking key turns an all-pairs O(N*M) comparison
+    into a shuffle-by-block equi-join with pair work bounded by
+    sum(|block_l| x |block_r|) — pick blocks so the hottest key stays
+    small (the same skew discipline as every equi-join here; AQE
+    skew-split applies).  Levenshtein evaluates JVM-side inside the
+    join filter, no Python anywhere."""
+    l = left.withColumn("_blk", block_left)
+    r = right.withColumn("_blk", block_right)
+    pairs = l.join(r, "_blk").withColumn(
+        "edit_distance", F.levenshtein(F.col(left_col), F.col(right_col))
+    )
+    return pairs.filter(F.col("edit_distance") <= max_distance).drop("_blk")

@@ -4598,6 +4598,48 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "fuzzy_join_titles",
+    """
+    WITH t AS (SELECT doc_id,
+                      array_to_string((list_filter(string_split(text, ' '), w -> w <> ''))[1:4], ' ') AS title
+               FROM documents)
+    SELECT a.doc_id AS left_id, a.title AS left_title,
+           b.doc_id AS right_id, b.title AS right_title,
+           levenshtein(a.title, b.title)::INT AS edit_distance
+    FROM t a JOIN t b ON split_part(a.title, ' ', 1) = split_part(b.title, ' ', 1)
+         AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= 5
+    """,
+)
+def q_fuzzy_join_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join (operators/joins.fuzzy_join): document
+    titles (first 4 words) matched within same-first-word blocks at
+    edit distance <= 5 — the record-linkage / near-duplicate-title
+    operator.  Blocking bounds pair work to sum(|block|^2); the
+    levenshtein filter evaluates JVM-side inside the join."""
+    from hadoop_3_3_6_spark.operators.joins import fuzzy_join
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = "filter(split(text, ' '), w -> w <> '')"
+    title = F.expr(f"array_join(slice({words}, 1, 4), ' ')")
+    left = docs.select(F.col("doc_id").alias("left_id"), title.alias("left_title"))
+    right = docs.select(F.col("doc_id").alias("right_id"), title.alias("right_title"))
+    return (
+        fuzzy_join(
+            left,
+            right,
+            "left_title",
+            "right_title",
+            F.split_part(F.col("left_title"), F.lit(" "), F.lit(1)),
+            F.split_part(F.col("right_title"), F.lit(" "), F.lit(1)),
+            max_distance=5,
+        )
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "left_title", "right_id", "right_title", "edit_distance")
+    )
+
+
 # Pinned to the head of the front group: flagship custom operators and
 # the TPC-H suite — the driver must verify these regardless of how many
 # extension queries register after them.
@@ -4656,18 +4698,31 @@ def _driver_verified_names() -> set[str]:
     return names
 
 
+# Queries added AFTER a round's verified/unverified backlog formed:
+# held back behind the never-driver-checked backlog AND the rows-only
+# tier, so new registrations never displace queries still waiting for
+# their first exact driver check (they graduate automatically next
+# round once the backlog shrinks — the rotation self-heals).
+_DRIVER_HOLDBACK = [
+    "fuzzy_join_titles",
+]
+
+
 def _reorder_for_driver() -> None:
     verified = _driver_verified_names()
     deferred = set(_DRIVER_DEFERRED)
+    holdback = [n for n in _DRIVER_HOLDBACK if n in QUERIES and n not in verified]
+    held = set(holdback)
     priority = [n for n in _DRIVER_PRIORITY if n in QUERIES and n not in verified]
     front = priority + [
         n for n in QUERIES
-        if n not in verified and n not in deferred and n not in priority and n in ORACLES
+        if n not in verified and n not in deferred and n not in priority
+        and n not in held and n in ORACLES
     ]
     # no-oracle entries only ever earn a rows-only driver row; don't let
     # them burn budgeted slots ahead of exact-oracle checks.
     no_oracle = [n for n in QUERIES if n not in verified and n not in ORACLES]
-    mid = [n for n in _DRIVER_DEFERRED if n in QUERIES] + no_oracle
+    mid = [n for n in _DRIVER_DEFERRED if n in QUERIES] + no_oracle + holdback
     placed = set(front) | set(mid)
     back = [n for n in QUERIES if n not in placed]
     for registry in (QUERIES, ORACLES):

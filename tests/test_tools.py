@@ -444,3 +444,35 @@ def test_cli_driver_list_run_explain(tmp_path):
         capture_output=True, text=True, cwd=root, env=env, timeout=120,
     )
     assert bad.returncode == 2 and "did you mean" in bad.stderr
+
+
+def test_cloud_scheme_passthrough_via_hadoop_fs_registry(spark, tmp_path):
+    """Cloud-FS connector claim (SURVEY §2.1: s3a/abfs route through the
+    Hadoop FileSystem API): every read/write in this engine takes a URI
+    resolved by Hadoop's scheme->FileSystem registry, so a scheme with a
+    registered impl works with NO engine code changes.  Pin that with a
+    NON-file scheme end-to-end: a `viewfs://mockcluster/` mount table
+    (ViewFileSystem is the bundled registry client) routed onto a local
+    target — the same resolution path `fs.s3a.impl=S3AFileSystem` takes
+    when the hadoop-aws jar is present (reference:
+    hadoop-tools/hadoop-aws/.../S3AFileSystem.java:266)."""
+    import os
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set("fs.viewfs.mounttable.mockcluster.link./data", f"file://{tmp_path}")
+    try:
+        base = "viewfs://mockcluster/data/t"
+        df = spark.range(100).selectExpr("id", "id * 2 AS v")
+        df.write.mode("overwrite").parquet(base)
+        # the write materialized on the mount target through the scheme
+        assert any(n.endswith(".parquet") for n in os.listdir(f"{tmp_path}/t"))
+        back = spark.read.parquet(base)
+        assert back.count() == 100
+        assert {(r.id, r.v) for r in back.filter("id < 3").collect()} == {(0, 0), (1, 2), (2, 4)}
+        # the text surface rides the same registry
+        df.selectExpr("cast(id as string) AS s").write.mode("overwrite").text(
+            "viewfs://mockcluster/data/txt"
+        )
+        assert spark.read.text("viewfs://mockcluster/data/txt").count() == 100
+    finally:
+        hconf.unset("fs.viewfs.mounttable.mockcluster.link./data")
