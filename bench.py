@@ -120,6 +120,7 @@ HEADLINE = [
     "dedup_clusters",
     "pipeline_dedup_keep",
     "fuzzy_join_titles",
+    "multimodal_container_meta",
 ]
 
 

@@ -5,18 +5,22 @@ metadata, processed through Arrow-batched ``mapInPandas`` — the real
 Spark-side plumbing (schema, partitioning, batch shape) for a decode /
 feature-extract stage.
 
-Image decode is REAL for PPM (P6), BMP (24-bit uncompressed), and PNG
-(8-bit truecolor RGB/RGBA, stdlib-zlib inflate + spec defilter) —
-implemented in pure numpy (``decode_image`` / ``decode_png`` /
-``encode_ppm`` / ``encode_bmp`` / ``encode_png`` / ``resize_nearest``):
-byte-exact roundtrips, nearest-neighbor resize, no PIL/opencv needed.  Audio decode is REAL for RIFF/WAVE PCM (8/16-bit,
-any channel count) — ``decode_wav`` / ``encode_wav`` / ``audio_features``,
+Image decode is REAL for PPM (P6), BMP (24-bit uncompressed), PNG
+(8-bit truecolor RGB/RGBA, stdlib-zlib inflate + spec defilter), and
+baseline JPEG (pure-numpy ITU T.81 codec in ``functions/jpeg.py``) —
+``decode_image`` / ``decode_png`` / ``encode_ppm`` / ``encode_bmp`` /
+``encode_png`` / ``resize_nearest``: exact (or PSNR-tested lossy)
+roundtrips, nearest-neighbor resize, no PIL/opencv needed.  Audio
+decode is REAL for RIFF/WAVE PCM (8/16-bit, any channel count) —
+``decode_wav`` / ``encode_wav`` / ``audio_features``,
 conformance-tested against the stdlib ``wave`` writer.  Video decode
 is REAL for YUV4MPEG2 (C420/C444) — ``decode_y4m`` / ``encode_y4m``;
-``frame_sample_stub`` samples real y4m frames.  Only compressed-codec
-formats (JPEG/PNG/MP3/MP4) stay STUBBED behind ``fake=True`` /
-NotImplementedError — those genuinely require external codec libraries
-not in this environment.
+``frame_sample_stub`` samples real y4m frames.  MP3/MP4 METADATA
+extraction is REAL (``parse_mp3_metadata`` walks MPEG audio frame
+headers, ``parse_mp4_metadata`` walks ISO-BMFF boxes — the typed
+metadata a corpus-stats pass needs); only their full sample decode
+stays gated behind ``fake=True`` / NotImplementedError — that
+genuinely requires external codec libraries not in this environment.
 """
 
 from __future__ import annotations
@@ -537,3 +541,190 @@ def decode_features(
             )
 
     return df.mapInPandas(extract, schema=f"{id_col} bigint, width int, height int, feature array<double>")
+
+
+# --- lossy-container METADATA parsers (MP3 frame headers, MP4 boxes) ------
+
+_MP3_BITRATES_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_BITRATES_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def parse_mp3_metadata(payload: bytes) -> dict:
+    """Walk MPEG audio (Layer III) frame headers — the REAL metadata
+    path for MP3 corpora (public ISO/IEC 11172-3 header layout): skips
+    a leading ID3v2 tag (synchsafe size), then reads each 4-byte frame
+    header for version/bitrate/samplerate/channel mode and steps by
+    the computed frame length.  Full sample decode (hybrid filterbank)
+    stays gated; a corpus-stats pass only needs this.
+
+    Returns {sample_rate, channels, n_frames, duration_ms,
+    bitrate_kbps (average), vbr}.  Raises ValueError if no valid frame
+    sync is found."""
+    data = bytes(payload)
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+        pos = 10 + size
+    n_frames = 0
+    total_samples = 0
+    sample_rate = None
+    channels = None
+    bitrates = []
+    while pos + 4 <= len(data):
+        b0, b1, b2, b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if n_frames:
+                break  # trailing junk / ID3v1 tag after last frame
+            pos += 1
+            continue
+        version = (b1 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 0x3  # 1 = Layer III
+        if version == 1 or layer != 1:
+            if n_frames:
+                break
+            pos += 1
+            continue
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            if n_frames:
+                break
+            pos += 1
+            continue
+        padding = (b2 >> 1) & 0x1
+        mode = (b3 >> 6) & 0x3
+        rate = _MP3_RATES[version][sr_idx]
+        kbps = (_MP3_BITRATES_V1_L3 if version == 3 else _MP3_BITRATES_V2_L3)[br_idx]
+        spf = 1152 if version == 3 else 576  # samples per L3 frame
+        frame_len = (spf // 8) * kbps * 1000 // rate + padding
+        if frame_len <= 4:
+            break
+        n_frames += 1
+        total_samples += spf
+        sample_rate = rate
+        channels = 1 if mode == 3 else 2
+        bitrates.append(kbps)
+        pos += frame_len
+    if not n_frames:
+        raise ValueError("no MPEG audio frame sync found")
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "duration_ms": int(round(total_samples * 1000.0 / sample_rate)),
+        "bitrate_kbps": int(round(sum(bitrates) / len(bitrates))),
+        "vbr": len(set(bitrates)) > 1,
+    }
+
+
+def parse_mp4_metadata(payload: bytes) -> dict:
+    """Walk the ISO-BMFF (MP4/MOV) box tree — the REAL metadata path
+    for MP4 corpora (public ISO/IEC 14496-12 box layout): ftyp brand,
+    mvhd timescale/duration, per-trak handler type + tkhd dimensions.
+    Full sample decode (H.264 et al) stays gated; corpus stats,
+    routing and dedup only need this.
+
+    Returns {brand, duration_ms, tracks: [{type, width, height}]}.
+    Raises ValueError on a non-BMFF payload."""
+    data = bytes(payload)
+
+    def boxes(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", data, pos)
+            btype = data[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                (size,) = struct.unpack_from(">Q", data, pos + 8)
+                hdr = 16
+            elif size == 0:
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("malformed BMFF box")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    top = list(boxes(0, len(data)))
+    if not top or top[0][0] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no ftyp)")
+    brand = data[top[0][1] : top[0][1] + 4].decode("ascii", "replace")
+    out = {"brand": brand, "duration_ms": 0, "tracks": []}
+    for btype, b0, b1 in top:
+        if btype != b"moov":
+            continue
+        for mtype, m0, m1 in boxes(b0, b1):
+            if mtype == b"mvhd":
+                ver = data[m0]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", data, m0 + 20)
+                else:
+                    ts, dur = struct.unpack_from(">II", data, m0 + 12)
+                out["duration_ms"] = int(dur * 1000 // ts) if ts else 0
+            elif mtype == b"trak":
+                track = {"type": "", "width": 0, "height": 0}
+                for ttype, t0, t1 in boxes(m0, m1):
+                    if ttype == b"tkhd":
+                        ver = data[t0]
+                        off = t1 - 8  # width/height: last 8 bytes, 16.16 fixed
+                        w_fx, h_fx = struct.unpack_from(">II", data, off)
+                        track["width"] = w_fx >> 16
+                        track["height"] = h_fx >> 16
+                    elif ttype == b"mdia":
+                        for dtype, d0, d1 in boxes(t0, t1):
+                            if dtype == b"hdlr":
+                                track["type"] = data[d0 + 8 : d0 + 12].decode("ascii", "replace")
+                out["tracks"].append(track)
+    return out
+
+
+def media_metadata(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id", fmt_col: str | None = None
+) -> DataFrame:
+    """Distributed lossy-container metadata scan: mapInPandas over
+    binary payloads, dispatching on magic bytes to the MP3 frame-header
+    walk or the MP4 box walk (images/WAV route through their full
+    decoders elsewhere).  Unparseable payloads yield ok=false rows
+    (SkipBadRecords stance), never task failures."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("fmt", "ok", "duration_ms", "sample_rate", "channels", "width", "height", "detail")}
+            for b in pdf[payload_col]:
+                b = bytes(b)
+                try:
+                    if b[4:8] == b"ftyp":
+                        m = parse_mp4_metadata(b)
+                        v = next((t for t in m["tracks"] if t["type"] == "vide"), None)
+                        rows["fmt"].append("mp4")
+                        rows["ok"].append(True)
+                        rows["duration_ms"].append(m["duration_ms"])
+                        rows["sample_rate"].append(0)
+                        rows["channels"].append(0)
+                        rows["width"].append(v["width"] if v else 0)
+                        rows["height"].append(v["height"] if v else 0)
+                        rows["detail"].append(m["brand"])
+                    else:
+                        m = parse_mp3_metadata(b)
+                        rows["fmt"].append("mp3")
+                        rows["ok"].append(True)
+                        rows["duration_ms"].append(m["duration_ms"])
+                        rows["sample_rate"].append(m["sample_rate"])
+                        rows["channels"].append(m["channels"])
+                        rows["width"].append(0)
+                        rows["height"].append(0)
+                        rows["detail"].append(f"{m['bitrate_kbps']}kbps{' vbr' if m['vbr'] else ''}")
+                except (ValueError, IndexError, struct.error):
+                    for k, v in (("fmt", "unknown"), ("ok", False), ("duration_ms", 0),
+                                 ("sample_rate", 0), ("channels", 0), ("width", 0),
+                                 ("height", 0), ("detail", "")):
+                        rows[k].append(v)
+            yield pd.DataFrame({id_col: pdf[id_col], **rows})
+
+    return df.mapInPandas(
+        extract,
+        schema=(
+            f"{id_col} bigint, fmt string, ok boolean, duration_ms bigint, "
+            "sample_rate int, channels int, width int, height int, detail string"
+        ),
+    )

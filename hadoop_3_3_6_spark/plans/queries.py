@@ -4640,6 +4640,66 @@ def q_fuzzy_join_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "multimodal_container_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'mp4' END AS fmt,
+           CASE WHEN doc_id % 2 = 0
+                THEN round((3 + doc_id % 5) * 1152 * 1000.0 / 44100)::BIGINT
+                ELSE (1000 + doc_id % 7000)::BIGINT END AS duration_ms,
+           CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 0 END AS sample_rate,
+           CASE WHEN doc_id % 2 = 0 THEN 0 ELSE (16 * (1 + doc_id % 40))::INT END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN 0 ELSE (16 * (1 + doc_id % 30))::INT END AS height
+    FROM documents
+    """,
+)
+def q_multimodal_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-container METADATA scan (functions/multimodal.
+    parse_mp3_metadata / parse_mp4_metadata): per document a real MP3
+    frame sequence (even ids) or ISO-BMFF box tree (odd ids) is
+    rendered with doc_id-derived parameters in one mapInPandas stage,
+    then the distributed ``media_metadata`` walk extracts typed
+    metadata — frame math and box fields have closed forms in doc_id,
+    so the oracle is exact.  The corpus-stats shape for audio/video
+    crawls where full decode is neither needed nor possible."""
+    import struct as _struct
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+
+    from hadoop_3_3_6_spark.functions.multimodal import media_metadata
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def render(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        # MPEG-1 Layer III, 128 kbps, 44.1 kHz, no padding: 417-byte frames
+        frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(144 * 128000 // 44100 - 4)
+
+        def b(btype: bytes, payload: bytes) -> bytes:
+            return _struct.pack(">I", 8 + len(payload)) + btype + payload
+
+        out = []
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    payloads.append(frame * (3 + i % 5))
+                else:
+                    mvhd = b(b"mvhd", bytes(4) + bytes(8) + _struct.pack(">II", 1000, 1000 + i % 7000) + bytes(80))
+                    tkhd = b(b"tkhd", bytes(4) + bytes(72) + _struct.pack(
+                        ">II", (16 * (1 + i % 40)) << 16, (16 * (1 + i % 30)) << 16))
+                    hdlr = b(b"hdlr", bytes(8) + b"vide" + bytes(14))
+                    trak = b(b"trak", tkhd + b(b"mdia", hdlr))
+                    payloads.append(b(b"ftyp", b"mp42" + bytes(4)) + b(b"moov", mvhd + trak))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(render, schema="doc_id bigint, payload binary")
+    meta = media_metadata(blobs, "payload", "doc_id")
+    return meta.select("doc_id", "fmt", "duration_ms", "sample_rate", "width", "height")
+
+
 # Pinned to the head of the front group: flagship custom operators and
 # the TPC-H suite — the driver must verify these regardless of how many
 # extension queries register after them.
@@ -4705,6 +4765,7 @@ def _driver_verified_names() -> set[str]:
 # round once the backlog shrinks — the rotation self-heals).
 _DRIVER_HOLDBACK = [
     "fuzzy_join_titles",
+    "multimodal_container_meta",
 ]
 
 

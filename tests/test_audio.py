@@ -154,3 +154,94 @@ def test_audio_features_distributed(spark):
     assert (rows[1].n_samples, rows[1].peak, rows[1].zero_crossings) == (4, 5, 3)
     assert (rows[2].peak, rows[2].zero_crossings) == (0, 0)
     assert rows[0].sample_rate == 8000 and rows[0].n_channels == 1
+
+
+def _mp3_frame(version=3, kbps_idx=9, sr_idx=0, padding=0, mode=0):
+    """Hand-built MPEG-1 Layer III frame (header per ISO 11172-3):
+    sync, version, layer-III, bitrate/samplerate indices, mode."""
+    b1 = 0xE0 | (version << 3) | (1 << 1) | 1  # sync-low, version, layer III, no CRC
+    b2 = (kbps_idx << 4) | (sr_idx << 2) | (padding << 1)
+    b3 = mode << 6
+    from hadoop_3_3_6_spark.functions.multimodal import _MP3_BITRATES_V1_L3, _MP3_RATES
+
+    kbps = _MP3_BITRATES_V1_L3[kbps_idx]
+    rate = _MP3_RATES[version][sr_idx]
+    length = 144 * kbps * 1000 // rate + padding
+    return bytes([0xFF, b1, b2, b3]) + bytes(length - 4)
+
+
+def test_mp3_metadata_frame_walk():
+    """MP3 frame-header walk: ID3v2 skip, frame count, duration,
+    average bitrate, VBR flag, channel mode."""
+    from hadoop_3_3_6_spark.functions.multimodal import parse_mp3_metadata
+
+    frames = _mp3_frame(kbps_idx=9) * 1 + _mp3_frame(kbps_idx=11) + _mp3_frame(kbps_idx=9, mode=3)
+    id3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 17]) + bytes(17)  # synchsafe size 17
+    meta = parse_mp3_metadata(id3 + frames)
+    assert meta["n_frames"] == 3
+    assert meta["sample_rate"] == 44100
+    # 3 frames x 1152 samples at 44100 Hz
+    assert meta["duration_ms"] == round(3 * 1152 * 1000 / 44100)
+    assert meta["vbr"] is True  # 128/160/128 mix
+    assert meta["channels"] == 1  # last frame mode 3 = mono
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_mp3_metadata(b"\x00" * 64)
+
+
+def test_mp4_metadata_box_walk():
+    """ISO-BMFF box walk: ftyp brand, mvhd duration, video trak dims,
+    handler types."""
+    import struct
+
+    from hadoop_3_3_6_spark.functions.multimodal import parse_mp4_metadata
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    mvhd = box(b"mvhd", bytes(4) + bytes(8) + struct.pack(">II", 1000, 5500) + bytes(80))
+    tkhd = box(b"tkhd", bytes(4) + bytes(72) + struct.pack(">II", 640 << 16, 360 << 16))
+    hdlr = box(b"hdlr", bytes(8) + b"vide" + bytes(14))
+    trak_v = box(b"trak", tkhd + box(b"mdia", hdlr))
+    hdlr_a = box(b"hdlr", bytes(8) + b"soun" + bytes(14))
+    trak_a = box(b"trak", box(b"tkhd", bytes(4) + bytes(72) + struct.pack(">II", 0, 0)) + box(b"mdia", hdlr_a))
+    payload = ftyp + box(b"moov", mvhd + trak_v + trak_a)
+
+    meta = parse_mp4_metadata(payload)
+    assert meta["brand"] == "isom"
+    assert meta["duration_ms"] == 5500
+    assert {t["type"] for t in meta["tracks"]} == {"vide", "soun"}
+    vid = next(t for t in meta["tracks"] if t["type"] == "vide")
+    assert (vid["width"], vid["height"]) == (640, 360)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_mp4_metadata(b"RIFF" + bytes(32))
+
+
+def test_media_metadata_distributed_scan(spark):
+    """The distributed lossy-container metadata stage: mp3 + mp4 +
+    garbage payloads in one frame — typed rows out, ok=false for the
+    unparseable one (SkipBadRecords stance)."""
+    import struct
+
+    from hadoop_3_3_6_spark.functions.multimodal import media_metadata
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    mp4 = (
+        box(b"ftyp", b"mp42" + bytes(4))
+        + box(b"moov", box(b"mvhd", bytes(4) + bytes(8) + struct.pack(">II", 600, 1200) + bytes(80)))
+    )
+    mp3 = _mp3_frame() * 5
+    rows = [(1, mp3), (2, mp4), (3, b"not media at all")]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary").repartition(2)
+    got = {r.doc_id: r for r in media_metadata(df, "payload", "doc_id").collect()}
+    assert got[1].fmt == "mp3" and got[1].ok and got[1].sample_rate == 44100
+    assert got[2].fmt == "mp4" and got[2].ok and got[2].duration_ms == 2000
+    assert got[3].ok is False and got[3].fmt == "unknown"
