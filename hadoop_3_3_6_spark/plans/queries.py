@@ -4625,19 +4625,16 @@ def q_fuzzy_join_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     title = F.expr(f"array_join(slice({words}, 1, 4), ' ')")
     left = docs.select(F.col("doc_id").alias("left_id"), title.alias("left_title"))
     right = docs.select(F.col("doc_id").alias("right_id"), title.alias("right_title"))
-    return (
-        fuzzy_join(
-            left,
-            right,
-            "left_title",
-            "right_title",
-            F.split_part(F.col("left_title"), F.lit(" "), F.lit(1)),
-            F.split_part(F.col("right_title"), F.lit(" "), F.lit(1)),
-            max_distance=5,
-        )
-        .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "left_title", "right_id", "right_title", "edit_distance")
-    )
+    return fuzzy_join(
+        left,
+        right,
+        "left_title",
+        "right_title",
+        F.split_part(F.col("left_title"), F.lit(" "), F.lit(1)),
+        F.split_part(F.col("right_title"), F.lit(" "), F.lit(1)),
+        max_distance=5,
+        pair_filter=F.col("left_id") < F.col("right_id"),
+    ).select("left_id", "left_title", "right_id", "right_title", "edit_distance")
 
 
 @_register(

@@ -71,3 +71,27 @@ def test_jobcontrol_topological_order(n, data):
     for i, ds in deps.items():
         for d in ds:
             assert pos[d] < pos[i]
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.sampled_from(["444", "420"]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_never_crashes_and_preserves_shape(h, w, sub, seed):
+    """Property: ANY image size × subsampling mode encodes to a valid
+    marker stream and decodes back to the exact original shape (pad
+    internally, crop on output) with plausible pixel values."""
+    import numpy as np
+
+    from hadoop_3_3_6_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    data = encode_jpeg(img, quality=90, subsampling=sub)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    back = decode_jpeg(data)
+    assert back.shape == (h, w, 3)
+    assert back.dtype == np.uint8
