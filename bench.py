@@ -121,6 +121,7 @@ HEADLINE = [
     "pipeline_dedup_keep",
     "fuzzy_join_titles",
     "multimodal_container_meta",
+    "seqfile_roundtrip",
 ]
 
 

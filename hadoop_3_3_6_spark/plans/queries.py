@@ -4638,6 +4638,29 @@ def q_fuzzy_join_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "seqfile_roundtrip",
+    # BIGINT: the Java reader surfaces LongWritable keys and toDF
+    # infers long — pin the oracle to the same width
+    "SELECT n_nationkey::BIGINT AS key, n_name AS value FROM nation",
+)
+def q_seqfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SequenceFile exchange through the Arrow-batched ``seqfile``
+    sink (sources/seqfile.py; reference writer:
+    hadoop-common .../io/SequenceFile.java:847): the nation table is
+    written as (LongWritable, Text) SequenceFiles encoded
+    executor-side, then read back through Hadoop's own Java
+    SequenceFile.Reader (``sc.sequenceFile``) — rows must be
+    value-identical to the source.  Eager by contract (performs its
+    write when constructed, like avro_roundtrip); the written dir is
+    cached per (process, sf_dir)."""
+    from hadoop_3_3_6_spark.sources.containers import read_sequence_file, write_sequence_file
+
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    out = _rendered_dir("seqfile_roundtrip_", sf_dir, lambda d: write_sequence_file(nation, d))
+    return read_sequence_file(spark, out)
+
+
+@_register(
     "multimodal_container_meta",
     """
     SELECT doc_id,
@@ -4762,6 +4785,7 @@ def _driver_verified_names() -> set[str]:
 # round once the backlog shrinks — the rotation self-heals).
 _DRIVER_HOLDBACK = [
     "fuzzy_join_titles",
+    "seqfile_roundtrip",
     "multimodal_container_meta",
 ]
 
