@@ -41,7 +41,13 @@ import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceArrowWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 MAGIC = b"Obj\x01"
 
@@ -332,12 +338,176 @@ class AvroArrowWriter(DataSourceArrowWriter):
                 os.remove(os.path.join(self.path, name))
 
 
+def parse_container_header(data: bytes) -> tuple[dict, str, bytes, int]:
+    """Parse a container header prefix → (schema, codec, sync,
+    header_length).  header_length is the file offset of the first
+    data block."""
+    if data[:4] != MAGIC:
+        raise ValueError("not an Avro container file")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        count, pos = _zigzag_decode(data, pos)
+        if count == 0:
+            break
+        if count < 0:  # block with byte-size prefix (spec allows)
+            count = -count
+            _, pos = _zigzag_decode(data, pos)
+        for _ in range(count):
+            k, pos = _decode_value(data, pos, "string")
+            v, pos = _decode_value(data, pos, "bytes")
+            meta[k] = v
+    sync = data[pos : pos + 16]
+    return json.loads(meta["avro.schema"]), meta.get("avro.codec", b"null").decode(), sync, pos + 16
+
+
+def _avro_files(path: str) -> list[str]:
+    import glob as _glob
+
+    hits = sorted(_glob.glob(os.path.join(path, "*.avro")) if os.path.isdir(path) else _glob.glob(path))
+    if not hits:
+        raise FileNotFoundError(f"no avro files under {path!r}")
+    return hits
+
+
+_ARROW_OF = {
+    "boolean": "bool_",
+    "int": "int32",
+    "long": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+    "bytes": "binary",
+}
+
+
+class _AvroSplit(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+class AvroReader(DataSourceReader):
+    """SPLIT-capable distributed Avro container reader — the
+    sync-marker splitter the Hadoop DataFileReader uses
+    (``DataFileReader.sync(position)`` semantics): each InputPartition
+    is a byte range of one file; a reader whose range starts mid-file
+    scans forward from ``start - 16`` for the 16-byte sync marker and
+    owns every block whose offset lies in [start, end).  A multi-GB
+    container therefore fans out across executors instead of landing
+    on one (the round-2 documented trade-off, now closed).  Sync-value
+    collision inside block payloads has the same 2^-128 odds the Java
+    reader accepts.  Blocks decode straight to Arrow RecordBatches —
+    no per-row pickling."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("avrofile source requires a path")
+        self.split_size = int(options.get("split_size", 32 * 1024 * 1024))
+
+    def partitions(self):
+        parts = []
+        for p in _avro_files(self.path):
+            size = os.path.getsize(p)
+            start = 0
+            while True:
+                parts.append(_AvroSplit(p, start, min(start + self.split_size, size)))
+                start += self.split_size
+                if start >= size:
+                    break
+        return parts
+
+    def read(self, partition):
+        import pyarrow as pa
+
+        with open(partition.path, "rb") as f:
+            head = f.read(1 << 20)
+            schema, codec, sync, hlen = parse_container_header(head)
+            field_types = [fld["type"] for fld in schema["fields"]]
+            names = [fld["name"] for fld in schema["fields"]]
+            pa_types = []
+            for t in field_types:
+                base = next(x for x in t if x != "null") if isinstance(t, list) else t
+                pa_types.append(getattr(pa, _ARROW_OF[base])())
+
+            if partition.start <= hlen:
+                pos = hlen
+            else:
+                pos = self._sync_forward(f, sync, max(partition.start - 16, hlen))
+                if pos is None:
+                    return
+            f.seek(pos)
+            buf = b""
+            while pos < partition.end:
+                # block frame: count varint, size varint, payload, sync
+                while len(buf) < 20:
+                    more = f.read(1 << 16)
+                    if not more:
+                        break
+                    buf += more
+                if not buf:
+                    break
+                count, off = _zigzag_decode(buf, 0)
+                size, off = _zigzag_decode(buf, off)
+                need = off + size + 16
+                while len(buf) < need:
+                    more = f.read(max(need - len(buf), 1 << 16))
+                    if not more:
+                        raise ValueError(f"truncated Avro block in {partition.path}")
+                    buf += more
+                block = buf[off : off + size]
+                if buf[off + size : need] != sync:
+                    raise ValueError(f"sync marker mismatch in {partition.path}")
+                if codec == "deflate":
+                    block = zlib.decompress(block, wbits=-15)
+                cols: list[list] = [[] for _ in names]
+                bpos = 0
+                for _ in range(count):
+                    for ci, t in enumerate(field_types):
+                        v, bpos = _decode_value(block, bpos, t)
+                        cols[ci].append(v)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(c, type=tp) for c, tp in zip(cols, pa_types)], names=names
+                )
+                pos += need
+                buf = buf[need:]
+
+    @staticmethod
+    def _sync_forward(f, sync: bytes, scan_from: int) -> int | None:
+        """File offset just past the first sync marker whose start
+        offset is >= scan_from (None if no further marker)."""
+        f.seek(scan_from)
+        carry = b""
+        base = scan_from
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                return None
+            data = carry + chunk
+            hit = data.find(sync)
+            if hit != -1:
+                return base - len(carry) + hit + 16
+            carry = data[-15:]
+            base += len(chunk)
+
+
 class AvroFileDataSource(DataSource):
-    """``avrofile`` format: Arrow-batched Avro container sink."""
+    """``avrofile`` format: Arrow-batched Avro container sink + the
+    split-capable distributed reader."""
 
     @classmethod
     def name(cls) -> str:
         return "avrofile"
+
+    def schema(self) -> str:
+        with open(_avro_files(self.options.get("path"))[0], "rb") as f:
+            schema, _, _, _ = parse_container_header(f.read(1 << 20))
+        return spark_schema_of(schema)
+
+    def reader(self, schema) -> AvroReader:
+        return AvroReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> AvroArrowWriter:
         return AvroArrowWriter(self.options, schema, overwrite)
@@ -358,51 +528,17 @@ def write_avro(df: DataFrame, path: str, codec: str = "null") -> int:
     return len([n for n in os.listdir(path) if n.startswith("part-") and n.endswith(".avro")])
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Read a directory/glob of Avro container files as a DataFrame.
-    Schema comes from one header peek (driver, O(bytes of one header));
-    record decode runs distributed in mapInPandas over binaryFile."""
-    import glob as _glob
-
-    candidates = sorted(_glob.glob(os.path.join(path, "*.avro")) or _glob.glob(path))
-    if not candidates:
-        raise FileNotFoundError(f"no avro files under {path!r}")
-    with open(candidates[0], "rb") as f:
-        header = f.read(1 << 20)
-    schema = json.loads(_header_schema(header))
-    ddl = spark_schema_of(schema)
-    colnames = [f["name"] for f in schema["fields"]]
-
-    def decode(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            out: dict[str, list] = {c: [] for c in colnames}
-            for blob in pdf["content"]:
-                _, rows = decode_container(bytes(blob))
-                for row in rows:
-                    for c, v in zip(colnames, row):
-                        out[c].append(v)
-            yield pd.DataFrame(out, columns=colnames)
-
-    files = spark.read.format("binaryFile").load(os.path.join(path, "*.avro") if os.path.isdir(path) else path)
-    return files.select("content").mapInPandas(decode, schema=ddl)
+def read_avro(spark: SparkSession, path: str, split_size: int | None = None) -> DataFrame:
+    """Read a directory/glob of Avro container files as a DataFrame
+    through the split-capable ``avrofile`` reader: schema from one
+    driver-side header peek, then one InputPartition per ~32 MB byte
+    range per file (sync-marker alignment), blocks decoded straight to
+    Arrow batches on executors.  A multi-GB container fans out instead
+    of landing on one task."""
+    register_avro_sink(spark)
+    reader = spark.read.format("avrofile")
+    if split_size is not None:
+        reader = reader.option("split_size", str(split_size))
+    return reader.load(path)
 
 
-def _header_schema(data: bytes) -> bytes:
-    """Extract avro.schema from a container header without decoding
-    blocks (used when only a prefix of the file was read)."""
-    pos = 4
-    meta: dict[str, bytes] = {}
-    while True:
-        count, pos = _zigzag_decode(data, pos)
-        if count == 0:
-            break
-        if count < 0:
-            count = -count
-            _, pos = _zigzag_decode(data, pos)
-        for _ in range(count):
-            k, pos = _decode_value(data, pos, "string")
-            v, pos = _decode_value(data, pos, "bytes")
-            meta[k] = v
-    return meta["avro.schema"]

@@ -131,3 +131,35 @@ def test_container_roundtrip_property():
                     assert gv == rv
 
     roundtrip()
+
+
+def test_avro_reader_splits_large_container_exactly_once(spark, tmp_path):
+    """The sync-marker splitter: one large multi-block container read
+    with a tiny split_size must fan out into many byte-range
+    partitions and still return every record exactly once, for both
+    codecs (DataFileReader.sync semantics: a split owns blocks whose
+    offset falls inside [start, end))."""
+    from hadoop_3_3_6_spark.sources.avro_io import read_avro, register_avro_sink, write_avro
+
+    for codec in ("null", "deflate"):
+        out = str(tmp_path / f"big_{codec}")
+        df = spark.range(20000).selectExpr(
+            "id", "concat('payload-', id, '-', repeat('x', 40)) AS s"
+        ).coalesce(1)  # ONE container file, many Arrow-batch blocks
+        write_avro(df, out, codec=codec)
+        import os
+
+        files = [n for n in os.listdir(out) if n.endswith(".avro")]
+        assert len(files) == 1
+        size = os.path.getsize(os.path.join(out, files[0]))
+        assert size > 64 * 1024  # big enough to split meaningfully
+
+        back = read_avro(spark, out, split_size=16 * 1024)
+        n_parts = back.rdd.getNumPartitions()
+        assert n_parts >= size // (16 * 1024), (n_parts, size)
+        rows = back.collect()
+        assert len(rows) == 20000
+        ids = {r.id for r in rows}
+        assert ids == set(range(20000))
+        sample = next(r for r in rows if r.id == 12345)
+        assert sample.s == "payload-12345-" + "x" * 40
