@@ -507,3 +507,50 @@ def test_scd2_collapse_randomized_reference(spark):
             nxt = runs[v][1] if v < len(runs) else None
             want[(key, v)] = (attr, start, nxt, nxt is None, n)
     assert got == want
+
+
+def test_fuzzy_join_matches_python_reference(spark):
+    """fuzzy_join vs a straight DP levenshtein reference: same pairs,
+    same distances, within-block only, threshold exact (the -1 rows
+    from the banded JVM levenshtein must be filtered, never surface)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_3_6_spark.operators.joins import fuzzy_join
+
+    names = [
+        (1, "martha stone"), (2, "marhta stone"), (3, "martin stone"),
+        (4, "bob iron"), (5, "rob iron"), (6, "bobby ironman"),
+        (7, "zed"), (8, "martha stonework"),
+    ]
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[n]
+
+    blk = lambda s: s[0]  # block on first letter
+    expect = {
+        (a_id, b_id): lev(a, b)
+        for a_id, a in names
+        for b_id, b in names
+        if a_id < b_id and blk(a) == blk(b) and lev(a, b) <= 3
+    }
+
+    left = spark.createDataFrame(names, "left_id long, left_name string")
+    right = spark.createDataFrame(names, "right_id long, right_name string")
+    got = {
+        (r.left_id, r.right_id): r.edit_distance
+        for r in fuzzy_join(
+            left, right, "left_name", "right_name",
+            F.substring("left_name", 1, 1), F.substring("right_name", 1, 1),
+            max_distance=3,
+            pair_filter=F.col("left_id") < F.col("right_id"),
+        ).collect()
+    }
+    assert got == expect
+    assert all(d >= 0 for d in got.values())
