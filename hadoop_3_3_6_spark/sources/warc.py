@@ -310,10 +310,18 @@ class WarcDataSourceWriter(DataSourceWriter):
 
         pid = TaskContext.get().partitionId()
         ext = ".warc.gz" if self.compress else ".warc"
-        full = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}{ext}")
-        n = _write_partition(full, iterator, self.compress)
-        # empty partition: no file (LazyOutputFormat)
-        return _WarcCommit(full if n else "", n)
+        # hidden temp + atomic rename to a DETERMINISTIC name: a
+        # retried/speculative task overwrites its earlier attempt
+        # instead of leaving a second uuid-named copy for glob readers
+        # (same protocol as the seqfile/avrofile sinks)
+        final = os.path.join(self.path, f"part-{pid:05d}{ext}")
+        tmp = os.path.join(self.path, f".part-{pid:05d}-{uuid.uuid4().hex[:8]}{ext}.tmp")
+        n = _write_partition(tmp, iterator, self.compress)
+        if not n:
+            # empty partition: no file (LazyOutputFormat)
+            return _WarcCommit("", 0)
+        os.replace(tmp, final)
+        return _WarcCommit(final, n)
 
     def commit(self, messages):
         kept = [m.path for m in messages if m and m.n]
@@ -324,6 +332,9 @@ class WarcDataSourceWriter(DataSourceWriter):
         for m in messages:
             if m and m.path and os.path.exists(m.path):
                 os.remove(m.path)
+        for name in os.listdir(self.path):
+            if name.startswith(".part-") and name.endswith(".tmp"):
+                os.remove(os.path.join(self.path, name))
 
 
 class WarcStreamWriter(DataSourceStreamWriter):
