@@ -122,6 +122,7 @@ HEADLINE = [
     "fuzzy_join_titles",
     "multimodal_container_meta",
     "seqfile_roundtrip",
+    "dedup_minhash_fast",  # scale-default MinHash path (portable mode keeps the oracle)
 ]
 
 

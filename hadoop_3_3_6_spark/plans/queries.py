@@ -1054,6 +1054,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(docs, "text", "doc_id", n=3, num_perm=32, bands=8, portable=True)
 
 
+@_register("dedup_minhash_fast")  # rows-only: xxhash64 signatures aren't SQL-reproducible
+def q_dedup_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The xxhash64 fast path of MinHash+LSH — the 100 TB scale
+    DEFAULT (built-in JVM hash per shingle instead of the md5-ring
+    portable hashing that buys the bit-exact oracle).  Benched under
+    its own name so the default path keeps a regression axis, same
+    treatment as ``similarity_lsh_topk_fast``; recall vs exact jaccard
+    is tested in tests/test_text_ops.py."""
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_candidate_pairs(docs, "text", "doc_id", n=3, num_perm=32, bands=8, portable=False)
+
+
 @_register(
     "dedup_incremental",
     _minhash_oracle(
@@ -4787,6 +4799,7 @@ _DRIVER_HOLDBACK = [
     "fuzzy_join_titles",
     "seqfile_roundtrip",
     "multimodal_container_meta",
+    "dedup_minhash_fast",
 ]
 
 

@@ -358,6 +358,7 @@ def test_oracle_coverage_is_pinned():
         "bbp_pi_digits",
         "similarity_ivf_trained",
         "similarity_lsh_topk_fast",
+        "dedup_minhash_fast",
     }
 
 
