@@ -163,3 +163,16 @@ def test_avro_reader_splits_large_container_exactly_once(spark, tmp_path):
         assert ids == set(range(20000))
         sample = next(r for r in rows if r.id == 12345)
         assert sample.s == "payload-12345-" + "x" * 40
+
+
+def test_avro_reader_single_split_small_file(spark, tmp_path):
+    """A file smaller than split_size gets exactly one partition (no
+    degenerate empty splits) and reads identically."""
+    from hadoop_3_3_6_spark.sources.avro_io import read_avro, write_avro
+
+    out = str(tmp_path / "small")
+    df = spark.range(50).selectExpr("id", "concat('v', id) AS s").coalesce(1)
+    write_avro(df, out)
+    back = read_avro(spark, out)  # default 32 MB split ≫ file size
+    assert back.rdd.getNumPartitions() == 1
+    assert {(r.id, r.s) for r in back.collect()} == {(i, f"v{i}") for i in range(50)}

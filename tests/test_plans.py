@@ -397,3 +397,25 @@ def test_quantized_topk_integer_scoring(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "similarity_quantized_topk")
     assert "bigint" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rendered_corpus_dir_is_cached_per_process():
+    """The eager ingestion queries (wav/warc/avro/seqfile) must reuse
+    ONE rendered temp dir per (prefix, sf_dir) — a fresh mkdtemp per
+    construction (the round-2 behavior) leaked a directory every
+    bench double-run and explain call."""
+    from hadoop_3_3_6_spark.plans.queries import _RENDER_CACHE, _rendered_dir
+
+    calls = []
+    d1 = _rendered_dir("cache_probe_", "/fake/sfX", lambda d: calls.append(d))
+    d2 = _rendered_dir("cache_probe_", "/fake/sfX", lambda d: calls.append(d))
+    d3 = _rendered_dir("cache_probe_", "/fake/sfY", lambda d: calls.append(d))
+    try:
+        assert d1 == d2 and len(calls) == 2  # one render per distinct key
+        assert d3 != d1
+    finally:
+        import os
+        import shutil
+
+        for key in [("cache_probe_", "/fake/sfX"), ("cache_probe_", "/fake/sfY")]:
+            shutil.rmtree(_RENDER_CACHE.pop(key), ignore_errors=True)
