@@ -391,12 +391,13 @@ def duplicated_span_fraction(
         # the skew guard needs the true distinct-doc count; repartition
         # by shingle FIRST so the countDistinct runs COMPLETE-mode on
         # the pre-partitioned stream (one exchange, no distinct-expand
-        # double shuffle — measured ~1.7x vs the plain agg+join form)
-        # with constant per-key memory, unlike the unbounded window.
-        # Catalyst column-prunes each exchange materialization (the
-        # agg side ships 2 columns), AQE broadcasts the filtered dup
-        # set when small, and at scale the shingle layout is already
-        # SMJ-ready with skew-split applying to the probe join.
+        # double shuffle) with constant per-key memory, unlike the
+        # unbounded window, and the probe join stays
+        # AQE-skew-splittable.  (Unlike duplicated_spans, the trailing
+        # re-join with ``df`` re-aliases one side of the shared
+        # lineage, so the exchange-reuse pin used there cannot apply —
+        # the corpus is tokenized under each materialization; at 0.1s
+        # benched this op is far from the cost frontier.)
         ex = inst.repartition("shingle")
         docs_per = ex.groupBy("shingle").agg(F.countDistinct(id_col).alias("n_docs"))
         docs_per = docs_per.filter(F.col("n_docs") <= max_df)
@@ -472,15 +473,24 @@ def duplicated_spans(
     if max_df is not None:
         # repartition by shingle first: the countDistinct then runs
         # COMPLETE-mode on the pre-partitioned stream (one exchange,
-        # no distinct-expand double shuffle — measured ~1.7x vs the
-        # plain agg+join form) with constant per-key memory and the
-        # probe join stays AQE-skew-splittable — the two properties
-        # the unbounded window form lacks under a runaway boilerplate
-        # shingle.  Catalyst column-prunes each exchange
-        # materialization (the agg side ships (shingle, id) only).
+        # no distinct-expand double shuffle) with constant per-key
+        # memory and the probe join stays AQE-skew-splittable — the
+        # two properties the unbounded window form lacks under a
+        # runaway boilerplate shingle.  max(pos) + the always-true
+        # filter is the exchange-REUSE PIN (see
+        # duplicated_span_fraction): it keeps the partial-distinct
+        # rewrite from mutating the agg side's exchange subtree, so
+        # both consumers share ONE shuffle stage (ReusedExchange,
+        # plan-asserted) and the corpus is scanned/tokenized/exploded
+        # exactly once — measured ~1.3x on top of the ~1.7x the
+        # complete-mode form already gave.
         ex = inst.repartition("shingle")
-        docs_per = ex.groupBy("shingle").agg(F.countDistinct(id_col).alias("n_docs"))
-        dup = docs_per.filter((F.col("n_docs") <= max_df) & (F.col("n_docs") >= 2))
+        docs_per = ex.groupBy("shingle").agg(
+            F.countDistinct(id_col).alias("n_docs"), F.max("pos").alias("_mp")
+        )
+        dup = docs_per.filter(
+            (F.col("n_docs") <= max_df) & (F.col("n_docs") >= 2) & (F.col("_mp") >= 0)
+        )
         marked = ex.join(dup.select("shingle"), "shingle").select(id_col, "pos")
     else:
         ws = Window.partitionBy("shingle")

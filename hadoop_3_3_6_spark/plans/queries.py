@@ -3852,7 +3852,8 @@ def q_text_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ELSE []::VARCHAR[] END AS grams
             FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
                   FROM documents))),
-    dpc AS (SELECT shingle, count(DISTINCT doc_id) AS n_docs FROM inst GROUP BY shingle),
+    dpc AS (SELECT shingle, count(DISTINCT doc_id) AS n_docs FROM inst GROUP BY shingle
+            HAVING count(DISTINCT doc_id) <= 1000),
     per_doc AS (
       SELECT i.doc_id, count(*)::BIGINT AS total_shingles,
              sum(CASE WHEN p.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_shingles
@@ -3870,11 +3871,19 @@ def q_text_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level duplicated-span fraction per document — the
     shingle-granularity exact-substring-dedup signal (inverted-index
-    join, never all-pairs; functions/dedup.duplicated_span_fraction)."""
+    join, never all-pairs; functions/dedup.duplicated_span_fraction).
+
+    Registered WITH the hot-shingle guard (``max_df=1000``, mirrored
+    in the oracle's ``HAVING <= 1000``), same rationale as
+    ``dedup_spans``: instances of shingles hotter than the cap drop
+    out of both the duplicated and total counts, the per-shingle
+    aggregate streams complete-mode over one reused exchange
+    (plan-asserted), and no unbounded shingle window exists to pile a
+    runaway boilerplate shingle onto one partition."""
     from hadoop_3_3_6_spark.functions.dedup import duplicated_span_fraction
 
     docs = load_table(spark, "documents", sf_dir)
-    return duplicated_span_fraction(docs, "text", "doc_id", n=3)
+    return duplicated_span_fraction(docs, "text", "doc_id", n=3, max_df=1000)
 
 
 @_register(
