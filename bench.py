@@ -123,6 +123,9 @@ HEADLINE = [
     "multimodal_container_meta",
     "seqfile_roundtrip",
     "dedup_minhash_fast",  # scale-default MinHash path (portable mode keeps the oracle)
+    "sketch_cms_custkey",
+    "sketch_bloom_prefilter",
+    "pipeline_sample_per_group",
 ]
 
 

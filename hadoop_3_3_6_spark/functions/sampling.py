@@ -188,3 +188,37 @@ def global_shuffle(
         .withColumn("pos", F.row_number().over(w))
         .drop("_skey")
     )
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    n: int = 20,
+    salt: str = "reservoir",
+) -> DataFrame:
+    """Deterministic fixed-size per-group sample ("reservoir" in the
+    hash-ordered sense): within each group keep the ``n`` rows with the
+    smallest salted hash of their id — a stable, engine-reproducible
+    stand-in for random reservoir sampling (same distributional intent,
+    MRC-era analogue: InputSampler's fixed-count splits sampler,
+    MRC/lib/partition/InputSampler.java:97).  Adds ``sample_rank``
+    (1-based hash order within the group).
+
+    Scale shape: rank over a NARROW projection (group, hash, id) —
+    the shuffle carries three columns, not the full rows — then the
+    winners (<= groups * n rows, small by construction) broadcast-join
+    back to recover full rows, so the wide table itself never
+    shuffles."""
+    from pyspark.sql.window import Window
+
+    key = portable_hash_expr(f"concat('{salt}:', cast({id_col} as string))")
+    w = Window.partitionBy(group_col).orderBy(F.col("_skey").asc(), F.col(id_col).asc())
+    winners = (
+        df.select(group_col, id_col)
+        .withColumn("_skey", F.expr(key))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+        .select(id_col, "sample_rank")
+    )
+    return df.join(F.broadcast(winners), id_col)

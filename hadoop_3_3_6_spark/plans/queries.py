@@ -4741,6 +4741,136 @@ def q_multimodal_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("doc_id", "fmt", "duration_ms", "sample_rate", "width", "height")
 
 
+_SKETCH_H = (
+    "(('0x' || substr(md5(concat('{salt}', cast({r} as varchar), "
+    "':', cast({k} as varchar))), 1, 15))::BIGINT)"
+)
+
+
+@_register(
+    "sketch_cms_custkey",
+    f"""
+    WITH cells AS (
+      SELECT r, {_SKETCH_H.format(salt='cms', r='r', k='o_custkey')} % 64 AS bucket,
+             count(*) AS cnt
+      FROM orders CROSS JOIN range(4) t(r) GROUP BY 1, 2),
+    probes AS (
+      SELECT DISTINCT o_custkey, r,
+             {_SKETCH_H.format(salt='cms', r='r', k='o_custkey')} % 64 AS bucket
+      FROM orders CROSS JOIN range(4) t(r)),
+    est AS (
+      SELECT o_custkey, min(coalesce(cnt, 0)) AS cms_est
+      FROM probes LEFT JOIN cells USING (r, bucket) GROUP BY 1),
+    truth AS (SELECT o_custkey, count(*) AS exact_cnt FROM orders GROUP BY 1)
+    SELECT t.o_custkey, t.exact_cnt, e.cms_est
+    FROM truth t JOIN est e USING (o_custkey)
+    """,
+)
+def q_sketch_cms_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (functions/sketch.py —
+    the bounded-memory generalization of the aggregate framework's
+    per-key summaries, MRC/lib/aggregate/ValueHistogram.java:36):
+    orders fan out to a 4x64 counter grid (map-side partials collapse
+    each partition to <= 256 cells before the shuffle), then every
+    distinct customer key probes its 4 cells and takes the MIN — an
+    estimate that can only overestimate, by an amount bounded by the
+    width.  Output (o_custkey, exact_cnt, cms_est); the exact count
+    rides alongside so the query doubles as the sketch's error audit.
+    Portable hashing makes the collision pattern engine-reproducible:
+    the oracle is exact."""
+    from hadoop_3_3_6_spark.functions.sketch import cms_lookup, count_min_sketch
+
+    orders = load_table(spark, "orders", sf_dir)
+    cms = count_min_sketch(orders, "o_custkey", depth=4, width=64)
+    est = cms_lookup(cms, orders, "o_custkey", depth=4, width=64)
+    truth = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return truth.join(est, "o_custkey").select("o_custkey", "exact_cnt", "cms_est")
+
+
+@_register(
+    "sketch_bloom_prefilter",
+    f"""
+    WITH build AS (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5),
+    pos AS (
+      SELECT DISTINCT {_SKETCH_H.format(salt='bloom', r='r', k='s_suppkey')} % 1024 AS p
+      FROM build CROSS JOIN range(3) t(r)),
+    passed AS (
+      SELECT l_suppkey FROM lineitem WHERE NOT EXISTS (
+        SELECT 1 FROM range(3) t(r)
+        WHERE {_SKETCH_H.format(salt='bloom', r='t.r', k='l_suppkey')} % 1024
+              NOT IN (SELECT p FROM pos)))
+    SELECT count(*)::BIGINT AS bloom_pass,
+           coalesce(sum(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM build)
+                             THEN 1 ELSE 0 END), 0)::BIGINT AS true_matches,
+           (count(*) - coalesce(sum(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM build)
+                                         THEN 1 ELSE 0 END), 0))::BIGINT AS false_positives
+    FROM passed
+    """,
+)
+def q_sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pre-filtering (functions/sketch.py — the
+    explicit form of Spark's runtime row-level bloom filtering on
+    shuffle joins): the build side's key set (suppliers in nations
+    0-4) aggregates IN-PLAN to a 1024-bit mask carried as one
+    array<bigint> row, the mask broadcasts, and the lineitem probe
+    side is filtered by a pure k=3-bit-probe expression — no join, no
+    shuffle of the probe table.  Output is the filter's audit row:
+    (bloom_pass, true_matches, false_positives); false positives are
+    deterministic under portable hashing, so the oracle is exact
+    including the sketch's error."""
+    from hadoop_3_3_6_spark.functions.sketch import bloom_prefilter
+
+    supplier = load_table(spark, "supplier", sf_dir)
+    build = supplier.filter(F.col("s_nationkey") < 5).select("s_suppkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_suppkey")
+    passed = bloom_prefilter(li, "l_suppkey", build, "s_suppkey", num_bits=1024, num_hashes=3)
+    marked = build.distinct().withColumn("_m", F.lit(1))
+    return (
+        passed.join(F.broadcast(marked), passed.l_suppkey == marked.s_suppkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("bloom_pass"),
+            F.coalesce(F.sum(F.when(F.col("_m").isNotNull(), 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias("true_matches"),
+        )
+        .select(
+            "bloom_pass",
+            "true_matches",
+            (F.col("bloom_pass") - F.col("true_matches")).alias("false_positives"),
+        )
+    )
+
+
+@_register(
+    "pipeline_sample_per_group",
+    """
+    SELECT event_type, event_id, user_id, sample_rank FROM (
+      SELECT event_type, event_id, user_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY ('0x' || substr(md5(concat('reservoir:',
+                         cast(event_id as varchar))), 1, 15))::BIGINT ASC,
+                        event_id ASC) AS sample_rank
+      FROM events)
+    WHERE sample_rank <= 20
+    """,
+)
+def q_pipeline_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-group sampling
+    (sampling.reservoir_per_group; reference analogue: InputSampler's
+    fixed-count sampler, MRC/lib/partition/InputSampler.java:97): 20
+    events per event_type, ranked by salted portable hash of the id.
+    The rank window runs over a NARROW (group, hash, id) projection
+    and only the <= groups*20 winners broadcast-join back to recover
+    full rows — the wide table never shuffles."""
+    from hadoop_3_3_6_spark.functions.sampling import reservoir_per_group
+
+    events = load_table(spark, "events", sf_dir)
+    return reservoir_per_group(events, "event_type", "event_id", n=20).select(
+        "event_type", "event_id", "user_id", "sample_rank"
+    )
+
+
 # Pinned to the head of the front group: flagship custom operators and
 # the TPC-H suite — the driver must verify these regardless of how many
 # extension queries register after them.
@@ -4809,6 +4939,9 @@ _DRIVER_HOLDBACK = [
     "seqfile_roundtrip",
     "multimodal_container_meta",
     "dedup_minhash_fast",
+    "sketch_cms_custkey",
+    "sketch_bloom_prefilter",
+    "pipeline_sample_per_group",
 ]
 
 

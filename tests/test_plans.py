@@ -260,6 +260,9 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "text_lm_score",
         "pipeline_temperature_mix",
         "pipeline_pretraining_e2e",
+        # 1-row broadcast bloom-mask cross: the probe-side filter IS
+        # the semantics (no equi-key exists for a bitmask row)
+        "sketch_bloom_prefilter",
     }
     offenders = {}
     for name in QUERIES:

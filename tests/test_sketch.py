@@ -1,0 +1,106 @@
+"""Sketch tier: count-min sketch and bloom pre-filter invariants
+(functions/sketch.py) plus the deterministic per-group reservoir
+sample (functions/sampling.reservoir_per_group).  The exact-oracle
+parity of the registered queries is covered by test_oracle_parity;
+these tests pin the sketch-theoretic guarantees and plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_3_3_6_spark.functions.sampling import reservoir_per_group
+from hadoop_3_3_6_spark.functions.sketch import (
+    bloom_build,
+    bloom_might_contain,
+    bloom_prefilter,
+    cms_lookup,
+    count_min_sketch,
+)
+from hadoop_3_3_6_spark.session import load_table
+
+DEPTH, WIDTH = 4, 32
+
+
+def test_cms_never_underestimates_and_rows_conserve_mass(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    total = ev.count()
+    cms = count_min_sketch(ev, "event_type", depth=DEPTH, width=WIDTH)
+    cells = cms.collect()
+    assert len(cells) <= DEPTH * WIDTH
+    # each sketch row sees every input row exactly once
+    per_row = {}
+    for c in cells:
+        per_row[c.r] = per_row.get(c.r, 0) + c.cnt
+    assert per_row == {r: total for r in range(DEPTH)}
+    est = cms_lookup(cms, ev, "event_type", depth=DEPTH, width=WIDTH)
+    truth = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact"))
+    joined = est.join(truth, "event_type").collect()
+    assert len(joined) == truth.count()
+    assert all(r.cms_est >= r.exact for r in joined)
+
+
+def test_cms_unknown_key_estimates_from_collisions_only(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    cms = count_min_sketch(ev, "event_type", depth=DEPTH, width=WIDTH)
+    ghost = spark.createDataFrame([("never_seen_event_xyz",)], "event_type string")
+    [row] = cms_lookup(cms, ghost, "event_type", depth=DEPTH, width=WIDTH).collect()
+    # an absent key's estimate is pure collision mass: bounded by the
+    # heaviest cell, and >= 0 (0 exactly when some cell is empty)
+    assert 0 <= row.cms_est <= max(c.cnt for c in cms.collect())
+
+
+def test_bloom_no_false_negatives_and_deterministic(spark, sf_dir):
+    supplier = load_table(spark, "supplier", sf_dir)
+    build = supplier.filter(F.col("s_nationkey") < 5).select("s_suppkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_suppkey")
+    passed = bloom_prefilter(li, "l_suppkey", build, "s_suppkey", num_bits=1024, num_hashes=3)
+    # no false negatives: every row whose key IS in build must pass
+    true_rows = li.join(build.distinct(), li.l_suppkey == build.s_suppkey, "left_semi")
+    assert passed.join(
+        build.distinct(), passed.l_suppkey == build.s_suppkey, "left_semi"
+    ).count() == true_rows.count()
+    # deterministic: same mask, same survivors on a re-run
+    again = bloom_prefilter(li, "l_suppkey", build, "s_suppkey", num_bits=1024, num_hashes=3)
+    assert again.count() == passed.count()
+
+
+def test_bloom_probe_side_is_pure_filter(spark, sf_dir):
+    """The probe table must be filtered in place: no equi-join operator
+    anywhere in the plan (the only join is the 1-row mask broadcast
+    cross), so the probe side contributes zero shuffle exchanges."""
+    supplier = load_table(spark, "supplier", sf_dir)
+    build = supplier.filter(F.col("s_nationkey") < 5).select("s_suppkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_suppkey")
+    passed = bloom_prefilter(li, "l_suppkey", build, "s_suppkey", num_bits=1024, num_hashes=3)
+    plan = passed._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row mask ride-along
+
+
+def test_bloom_mask_width(spark, sf_dir):
+    supplier = load_table(spark, "supplier", sf_dir)
+    build = supplier.filter(F.col("s_nationkey") < 5).select("s_suppkey")
+    [row] = bloom_build(build, "s_suppkey", num_bits=1024, num_hashes=3).collect()
+    assert len(row.bloom) == 1024 // 64
+    set_bits = sum(bin(w & (2**64 - 1)).count("1") for w in row.bloom)
+    n_keys = build.distinct().count()
+    assert 0 < set_bits <= 3 * n_keys
+    # membership expression agrees with the python-side bitmask
+    probe = build.crossJoin(F.broadcast(spark.createDataFrame([(row.bloom,)], "bloom array<bigint>")))
+    assert probe.filter(bloom_might_contain("s_suppkey", 1024, 3)).count() == build.count()
+
+
+def test_reservoir_per_group_size_and_stability(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    samp = reservoir_per_group(ev, "event_type", "event_id", n=7)
+    sizes = {r.event_type: r.cnt for r in samp.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    totals = {r.event_type: r.cnt for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for g, n in sizes.items():
+        assert n == min(7, totals[g])
+    # group isolation: dropping every OTHER group leaves a group's
+    # sample unchanged (a row's fate depends only on its own group)
+    one = ev.filter(F.col("event_type") == "click")
+    solo = reservoir_per_group(one, "event_type", "event_id", n=7)
+    assert sorted(r.event_id for r in solo.select("event_id").collect()) == sorted(
+        r.event_id for r in samp.filter(F.col("event_type") == "click").select("event_id").collect()
+    )
