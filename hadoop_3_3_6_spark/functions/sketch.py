@@ -16,17 +16,21 @@ tier (HLL++/approx quantiles/approx_top_k, plans/queries.py):
   per-key summaries; CMS is the bounded-SKETCH generalization.)
 - bloom filter: k bit positions per key in an m-bit mask, aggregated
   IN-PLAN to one array<bigint> word row and broadcast; the probe side
-  is then a pure filter expression (k element_at lookups per row — no
-  join, no shuffle of the probe table).  This is the explicit form of
-  the runtime row-level filtering Spark's own
+  is then a pure filter expression (k bit probes per row — no join,
+  no shuffle of the probe table).  This is the explicit form of the
+  runtime row-level filtering Spark's own
   spark.sql.optimizer.runtime.bloomFilter applies to shuffle joins
   (public conf), with portable hashing so false positives are
   engine-reproducible and the whole pipeline gets an EXACT oracle.
 
-Unlike a real deployment (xxhash64, Spark's BloomFilterAggregate),
-everything here defaults to the portable ring so DuckDB computes
-bit-identical sketches; the hash is swappable per call site.  All
-expressions are built-in Column/HOF code — zero Python UDFs.
+Both use the Kirsch–Mitzenmacher double-hashing construction: ONE base
+hash per key, split into (h1, h2) halves, with the i-th hash function
+h1 + i*h2.  That matters for the portable ring — md5 measured ~13x the
+cost of xxhash64 per evaluation (string concat + hex + base conversion),
+so computing k independent md5s per probe row dominated the whole
+query; KM pays for one.  ``portable=False`` flips the base hash to
+xxhash64 for the 100 TB path (same plan shape, no cross-engine oracle).
+All expressions are built-in Column/HOF code — zero Python UDFs.
 """
 
 from __future__ import annotations
@@ -36,14 +40,28 @@ from pyspark.sql import functions as F
 
 from hadoop_3_3_6_spark.functions.dedup import portable_hash_expr
 
+#: low 30 bits / high 30 bits of the 60-bit base hash feed the
+#: Kirsch–Mitzenmacher pair (h2 forced odd so it never degenerates).
+_H1_MASK = (1 << 30) - 1
 
-def _cell_hash(key_expr: str, row_expr: str, salt: str) -> str:
-    """Portable hash of (salt, row index, key) — one independent hash
-    function per sketch row, derived by salting a single base hash
-    (the standard Kirsch-Mitzenmacher-style construction, done here by
-    prefixing the row index into the hashed string)."""
-    salted = f"concat('{salt}', cast({row_expr} as string), ':', cast({key_expr} as string))"
-    return portable_hash_expr(salted)
+
+def _base_hash(key_expr: str, salt: str, portable: bool) -> str:
+    salted = f"concat('{salt}:', cast({key_expr} as string))"
+    if portable:
+        return portable_hash_expr(salted)
+    # xxhash64 can be negative; shift into non-negative 60-bit range so
+    # the % positions stay non-negative like the portable ring's.
+    return f"(abs(xxhash64({salted})) % {1 << 60})"
+
+
+def _km_pos(h_expr: str, i_expr: str, modulus: int) -> str:
+    """Position of the i-th KM hash function: (h1 + i*h2) % modulus,
+    h1/h2 the low/high halves of the base hash (h2 | 1 keeps the step
+    odd, so distinct i give distinct position sequences)."""
+    return (
+        f"((({h_expr} & {_H1_MASK}) + ({i_expr}) * ((({h_expr} >> 30) & {_H1_MASK}) | 1)) "
+        f"% {modulus})"
+    )
 
 
 def count_min_sketch(
@@ -52,24 +70,23 @@ def count_min_sketch(
     depth: int = 4,
     width: int = 256,
     salt: str = "cms",
+    portable: bool = True,
 ) -> DataFrame:
     """Build a count-min sketch over ``key_col``: returns the non-empty
     cells as (r, bucket, cnt) with r in [0, depth) and bucket in
     [0, width).
 
-    Plan shape: each input row fans out to ``depth`` (r, bucket) pairs
-    via an inline sequence (narrow), then ONE hash aggregation.
-    Map-side partial aggregation collapses every partition to at most
-    depth*width cells before the shuffle, so shuffle volume is bounded
-    by the sketch size times the partition count — independent of the
-    input row count.  The result is at most depth*width rows:
-    broadcastable by construction."""
-    pairs = df.select(
-        F.expr(f"explode(sequence(0, {depth - 1})) as r",),
-        F.col(key_col).alias("_k"),
-    ).select(
-        "r",
-        F.expr(f"{_cell_hash('_k', 'r', salt)} % {width}").alias("bucket"),
+    Plan shape: one base hash per input row, fanned out to ``depth``
+    (r, bucket) pairs via an inline sequence (narrow), then ONE hash
+    aggregation.  Map-side partial aggregation collapses every
+    partition to at most depth*width cells before the shuffle, so
+    shuffle volume is bounded by the sketch size times the partition
+    count — independent of the input row count.  The result is at most
+    depth*width rows: broadcastable by construction."""
+    pairs = (
+        df.select(F.expr(_base_hash(key_col, salt, portable)).alias("_h"))
+        .select("_h", F.expr(f"explode(sequence(0, {depth - 1})) as r"))
+        .select("r", F.expr(_km_pos("_h", "r", width)).alias("bucket"))
     )
     return pairs.groupBy("r", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -81,35 +98,27 @@ def cms_lookup(
     depth: int = 4,
     width: int = 256,
     salt: str = "cms",
+    portable: bool = True,
 ) -> DataFrame:
     """Point-estimate frequencies for ``keys`` against a sketch built
-    by :func:`count_min_sketch` (same depth/width/salt).  Returns
+    by :func:`count_min_sketch` (same depth/width/salt/hash).  Returns
     (key_col, cms_est).
 
     The sketch is broadcast (<= depth*width rows); each probe key fans
     out to its depth cells, left-joins the sketch (a missing cell means
     a 0 counter), and takes the MIN — so the probe table never
     shuffles beyond the final per-key min aggregation over depth rows."""
-    probes = keys.select(F.col(key_col)).distinct().select(
-        F.col(key_col),
-        F.expr(f"explode(sequence(0, {depth - 1})) as r"),
-    ).select(
-        key_col,
-        "r",
-        F.expr(f"{_cell_hash(key_col, 'r', salt)} % {width}").alias("bucket"),
+    probes = (
+        keys.select(F.col(key_col))
+        .distinct()
+        .select(key_col, F.expr(_base_hash(key_col, salt, portable)).alias("_h"))
+        .select(key_col, "_h", F.expr(f"explode(sequence(0, {depth - 1})) as r"))
+        .select(key_col, "r", F.expr(_km_pos("_h", "r", width)).alias("bucket"))
     )
     return (
         probes.join(F.broadcast(cms), ["r", "bucket"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
-    )
-
-
-def bloom_positions_expr(key_expr: str, num_bits: int, num_hashes: int, salt: str = "bloom") -> str:
-    """Array of the ``num_hashes`` bit positions for a key (SQL expr)."""
-    return (
-        f"transform(sequence(0, {num_hashes - 1}), "
-        f"h -> {_cell_hash(key_expr, 'h', salt)} % {num_bits})"
     )
 
 
@@ -119,6 +128,7 @@ def bloom_build(
     num_bits: int = 2048,
     num_hashes: int = 3,
     salt: str = "bloom",
+    portable: bool = True,
 ) -> DataFrame:
     """Aggregate the build side's bloom bitmask IN-PLAN: one row with
     ``bloom`` = array<bigint> of ceil(num_bits/64) words.  No driver
@@ -126,9 +136,12 @@ def bloom_build(
     be cross-joined (broadcast) into the probe plan, mirroring how
     Spark's runtime bloom filter rides the exchange."""
     words = (num_bits + 63) // 64
-    pos = df.select(
-        F.explode(F.expr(bloom_positions_expr(key_col, num_bits, num_hashes, salt))).alias("p")
-    ).distinct()
+    pos = (
+        df.select(F.expr(_base_hash(key_col, salt, portable)).alias("_h"))
+        .select(F.expr(f"explode(sequence(0, {num_hashes - 1})) as i"), "_h")
+        .select(F.expr(_km_pos("_h", "i", num_bits)).alias("p"))
+        .distinct()
+    )
     # Fold the (<= num_bits) distinct positions into the word array.
     return pos.agg(
         F.expr(
@@ -139,17 +152,35 @@ def bloom_build(
     )
 
 
-def bloom_might_contain(key_expr: str, num_bits: int, num_hashes: int, salt: str = "bloom") -> Column:
+def bloom_might_contain(
+    key_expr: str,
+    num_bits: int,
+    num_hashes: int,
+    salt: str = "bloom",
+    portable: bool = True,
+    h_expr: str | None = None,
+) -> Column:
     """Membership test against a ``bloom`` word-array column (from
     :func:`bloom_build`, available via cross-joined broadcast): true
-    iff ALL k positions are set.  Pure expression — k element_at bit
-    probes per row, no join, so the probe table is filtered in place
-    inside whatever scan stage it already runs."""
-    probe = (
-        f"forall({bloom_positions_expr(key_expr, num_bits, num_hashes, salt)}, "
-        f"p -> (shiftright(element_at(bloom, cast(p / 64 as int) + 1), cast(p % 64 as int)) & 1) = 1)"
-    )
-    return F.expr(probe)
+    iff ALL k positions are set.  Pure expression — k bit probes per
+    row off ONE base hash, no join, so the probe table is filtered in
+    place inside whatever scan stage it already runs.
+
+    The probes are UNROLLED into ANDed scalar predicates rather than a
+    forall(transform(...)) fold: higher-order functions are interpreted
+    (no whole-stage codegen) and measured ~4x slower on a 600k-row
+    probe.  Pass ``h_expr`` (e.g. a projected column holding the base
+    hash) to pin single evaluation of the hash; otherwise codegen
+    subexpression elimination is relied on to collapse the repeats."""
+    h = h_expr or _base_hash(key_expr, salt, portable)
+    probes = []
+    for i in range(num_hashes):
+        pos = _km_pos(h, str(i), num_bits)
+        probes.append(
+            f"((shiftright(element_at(bloom, cast({pos} / 64 as int) + 1), "
+            f"cast({pos} % 64 as int)) & 1) = 1)"
+        )
+    return F.expr(" AND ".join(probes))
 
 
 def bloom_prefilter(
@@ -160,6 +191,7 @@ def bloom_prefilter(
     num_bits: int = 2048,
     num_hashes: int = 3,
     salt: str = "bloom",
+    portable: bool = True,
 ) -> DataFrame:
     """Filter ``probe`` down to rows whose key MIGHT be in ``build``
     (no false negatives; false-positive rate set by num_bits/num_hashes
@@ -167,14 +199,35 @@ def bloom_prefilter(
     before a shuffle join whose build side is too big to broadcast but
     whose KEY SET sketches into num_bits — the probe side drops
     non-matching rows at the scan, shrinking the shuffle by the join's
-    selectivity."""
-    mask = bloom_build(build, build_key_col, num_bits, num_hashes, salt)
-    return probe.crossJoin(F.broadcast(mask)).filter(
-        bloom_might_contain(key_col, num_bits, num_hashes, salt)
-    ).drop("bloom")
+    selectivity.
+
+    Plan care: the base hash is projected once per row (``_bh``)
+    BEFORE the mask joins in, so it evaluates inside the probe scan's
+    WholeStageCodegen span and reaches the (interpreted) broadcast
+    join condition as a plain attribute.  Filtering after a crossJoin
+    of the 1-row mask lets the optimizer inline the bit probes into
+    the BroadcastNestedLoopJoin condition — that's fine for the cheap
+    shift/mask arithmetic, but without the pre-projected ``_bh`` it
+    re-derives the md5 base hash per conjunct (6 interpreted md5s per
+    probe row — measured ~3x slower)."""
+    mask = bloom_build(build, build_key_col, num_bits, num_hashes, salt, portable)
+    return (
+        probe.withColumn("_bh", F.expr(_base_hash(key_col, salt, portable)))
+        .crossJoin(F.broadcast(mask))
+        .filter(bloom_might_contain(key_col, num_bits, num_hashes, salt, portable, h_expr="_bh"))
+        .drop("bloom", "_bh")
+    )
 
 
-def oracle_cell_hash_sql(key_sql: str, row_sql: str, salt: str) -> str:
-    """DuckDB mirror of :func:`_cell_hash` (same md5 ring)."""
-    salted = f"concat('{salt}', cast({row_sql} as varchar), ':', cast({key_sql} as varchar))"
+def oracle_base_hash_sql(key_sql: str, salt: str) -> str:
+    """DuckDB mirror of the portable base hash."""
+    salted = f"concat('{salt}:', cast({key_sql} as varchar))"
     return f"(('0x' || substr(md5({salted}), 1, 15))::BIGINT)"
+
+
+def oracle_km_pos_sql(h_sql: str, i_sql: str, modulus: int) -> str:
+    """DuckDB mirror of :func:`_km_pos` (same &, >>, | semantics)."""
+    return (
+        f"((({h_sql} & {_H1_MASK}) + ({i_sql}) * ((({h_sql} >> 30) & {_H1_MASK}) | 1)) "
+        f"% {modulus})"
+    )

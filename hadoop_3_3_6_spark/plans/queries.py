@@ -4741,22 +4741,24 @@ def q_multimodal_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("doc_id", "fmt", "duration_ms", "sample_rate", "width", "height")
 
 
-_SKETCH_H = (
-    "(('0x' || substr(md5(concat('{salt}', cast({r} as varchar), "
-    "':', cast({k} as varchar))), 1, 15))::BIGINT)"
-)
+# KM double hashing, mirrored from functions/sketch.py: one 60-bit
+# md5-ring base hash per key; the i-th position is (h1 + i*h2) % m.
+def _sketch_oracle_pos(key_sql: str, salt: str, i_sql: str, modulus: int) -> str:
+    from hadoop_3_3_6_spark.functions.sketch import oracle_base_hash_sql, oracle_km_pos_sql
+
+    return oracle_km_pos_sql(oracle_base_hash_sql(key_sql, salt), i_sql, modulus)
 
 
 @_register(
     "sketch_cms_custkey",
     f"""
     WITH cells AS (
-      SELECT r, {_SKETCH_H.format(salt='cms', r='r', k='o_custkey')} % 64 AS bucket,
+      SELECT r, {_sketch_oracle_pos('o_custkey', 'cms', 'r', 64)} AS bucket,
              count(*) AS cnt
       FROM orders CROSS JOIN range(4) t(r) GROUP BY 1, 2),
     probes AS (
       SELECT DISTINCT o_custkey, r,
-             {_SKETCH_H.format(salt='cms', r='r', k='o_custkey')} % 64 AS bucket
+             {_sketch_oracle_pos('o_custkey', 'cms', 'r', 64)} AS bucket
       FROM orders CROSS JOIN range(4) t(r)),
     est AS (
       SELECT o_custkey, min(coalesce(cnt, 0)) AS cms_est
@@ -4792,12 +4794,12 @@ def q_sketch_cms_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH build AS (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5),
     pos AS (
-      SELECT DISTINCT {_SKETCH_H.format(salt='bloom', r='r', k='s_suppkey')} % 1024 AS p
+      SELECT DISTINCT {_sketch_oracle_pos('s_suppkey', 'bloom', 'r', 1024)} AS p
       FROM build CROSS JOIN range(3) t(r)),
     passed AS (
       SELECT l_suppkey FROM lineitem WHERE NOT EXISTS (
         SELECT 1 FROM range(3) t(r)
-        WHERE {_SKETCH_H.format(salt='bloom', r='t.r', k='l_suppkey')} % 1024
+        WHERE {_sketch_oracle_pos('l_suppkey', 'bloom', 't.r', 1024)}
               NOT IN (SELECT p FROM pos)))
     SELECT count(*)::BIGINT AS bloom_pass,
            coalesce(sum(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM build)
