@@ -125,6 +125,7 @@ HEADLINE = [
     "dedup_minhash_fast",  # scale-default MinHash path (portable mode keeps the oracle)
     "sketch_cms_custkey",
     "sketch_bloom_prefilter",
+    "sketch_hll_vocab",
     "pipeline_sample_per_group",
 ]
 

@@ -231,3 +231,63 @@ def oracle_km_pos_sql(h_sql: str, i_sql: str, modulus: int) -> str:
         f"((({h_sql} & {_H1_MASK}) + ({i_sql}) * ((({h_sql} >> 30) & {_H1_MASK}) | 1)) "
         f"% {modulus})"
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    p: int = 8,
+    salt: str = "hll",
+    portable: bool = True,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """HyperLogLog register build: per group (optional) and bucket in
+    [0, 2^p), the max rank = 1 + leading zeros of the base hash's
+    suffix — the MERGEABLE state of the cardinality sketch (merge =
+    max per bucket, :func:`hll_merge`), which is what a 100 TB
+    pipeline stores per partition/day and folds WITHOUT rescanning.
+    Spark's own approx_count_distinct is the fused form of this; the
+    explicit registers exist for cross-run/cross-source merge and for
+    engine-reproducibility (rank uses integer bit-length via bin(),
+    never floating log2, so DuckDB mirrors it bit-for-bit).
+
+    Output: (group_cols..., bucket, register); empty buckets are
+    absent (a consumer treats missing as register 0).  At most
+    groups * 2^p rows — broadcastable by construction."""
+    group_cols = group_cols or []
+    m = 1 << p
+    max_rank = 61 - p  # 60-bit hash: (60-p)-bit suffix, rank in [1, 61-p]
+    h = _base_hash(key_col, salt, portable)
+    w = f"({h} >> {p})"
+    rank = f"(case when {w} = 0 then {max_rank} else {max_rank} - length(bin({w})) end)"
+    rows = df.select(
+        *group_cols,
+        F.expr(f"({h} & {m - 1})").alias("bucket"),
+        F.expr(rank).cast("int").alias("_rank"),
+    )
+    return rows.groupBy(*group_cols, "bucket").agg(F.max("_rank").alias("register"))
+
+
+def hll_merge(regs: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge HLL register sets (max per bucket) — union of the sketched
+    multisets.  ``group_cols`` keeps per-group sketches; [] folds
+    everything into one."""
+    group_cols = group_cols or []
+    return regs.groupBy(*group_cols, "bucket").agg(F.max("register").alias("register"))
+
+
+def hll_estimate(registers: dict[int, int], p: int = 8) -> float:
+    """Finish the cardinality estimate from a collected register dict
+    (raw HLL harmonic mean + small-range linear counting).  Driver-side
+    math over 2^p integers — NOT part of any query plan; exposed so
+    tests/consumers can turn register state into a number."""
+    import math
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -registers.get(b, 0) for b in range(m))
+    est = alpha * m * m / s
+    zeros = m - len([b for b in registers if registers.get(b, 0) > 0])
+    if est <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return est

@@ -4873,6 +4873,55 @@ def q_pipeline_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_ORACLE_H = (
+    "(('0x' || substr(md5(concat('hll:', cast(w as varchar))), 1, 15))::BIGINT)"
+)
+
+
+@_register(
+    "sketch_hll_vocab",
+    f"""
+    WITH words AS (
+      SELECT source, w FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''),
+    rb AS (
+      SELECT source,
+             ({_HLL_ORACLE_H} & 255) AS bucket,
+             CASE WHEN ({_HLL_ORACLE_H} >> 8) = 0 THEN 53
+                  ELSE 53 - length(bin({_HLL_ORACLE_H} >> 8)) END::INT AS rank
+      FROM words),
+    regs AS (SELECT source, bucket, max(rank) AS register FROM rb GROUP BY 1, 2)
+    SELECT source, bucket, register FROM regs
+    UNION ALL
+    SELECT '__ALL__' AS source, bucket, max(register) AS register
+    FROM regs GROUP BY bucket
+    """,
+)
+def q_sketch_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register build + merge (functions/sketch.py): the
+    per-source vocabulary-cardinality sketch over document words
+    (p=8, 256 buckets), plus the '__ALL__' row set produced by MERGING
+    the per-source registers (max per bucket) — never by rescanning.
+    This is the mergeable state behind approx_count_distinct, exposed
+    because the merge IS the 100 TB pattern: per-partition/day register
+    sets fold associatively into any rollup.  Rank uses integer
+    bit-length (bin()), not floating log2, so the register values are
+    engine-exact and the oracle checks them bit-for-bit."""
+    from hadoop_3_3_6_spark.functions.sketch import hll_merge, hll_registers
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        "source",
+        F.explode(F.expr("filter(split(text, ' '), w -> w <> '')")).alias("w"),
+    )
+    regs = hll_registers(words, "w", p=8, group_cols=["source"])
+    merged = hll_merge(regs).select(
+        F.lit("__ALL__").alias("source"), "bucket", "register"
+    )
+    return regs.select("source", "bucket", "register").unionAll(merged)
+
+
 # Pinned to the head of the front group: flagship custom operators and
 # the TPC-H suite — the driver must verify these regardless of how many
 # extension queries register after them.
@@ -4943,6 +4992,7 @@ _DRIVER_HOLDBACK = [
     "dedup_minhash_fast",
     "sketch_cms_custkey",
     "sketch_bloom_prefilter",
+    "sketch_hll_vocab",
     "pipeline_sample_per_group",
 ]
 

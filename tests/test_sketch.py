@@ -104,3 +104,30 @@ def test_reservoir_per_group_size_and_stability(spark, sf_dir):
     assert sorted(r.event_id for r in solo.select("event_id").collect()) == sorted(
         r.event_id for r in samp.filter(F.col("event_type") == "click").select("event_id").collect()
     )
+
+
+def test_hll_registers_merge_and_estimate(spark, sf_dir):
+    from hadoop_3_3_6_spark.functions.sketch import hll_estimate, hll_merge, hll_registers
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        "source", F.explode(F.expr("filter(split(text, ' '), w -> w <> '')")).alias("w")
+    )
+    regs = hll_registers(words, "w", p=8, group_cols=["source"])
+    rows = regs.collect()
+    assert all(0 <= r.bucket < 256 and 1 <= r.register <= 53 for r in rows)
+    # merged register = max over the per-source registers, per bucket
+    merged = {r.bucket: r.register for r in hll_merge(regs).collect()}
+    expect = {}
+    for r in rows:
+        expect[r.bucket] = max(expect.get(r.bucket, 0), r.register)
+    assert merged == expect
+    # the completed estimate lands within HLL's expected error band
+    # (p=8 -> ~6.5% std error; allow 4 sigma)
+    true_n = words.select("w").distinct().count()
+    est = hll_estimate(merged, p=8)
+    assert abs(est - true_n) / true_n < 0.26
+    # merge-at-any-granularity: registers built per source then merged
+    # equal registers built globally in one pass
+    global_regs = {r.bucket: r.register for r in hll_registers(words, "w", p=8).collect()}
+    assert global_regs == merged
