@@ -127,6 +127,8 @@ HEADLINE = [
     "sketch_bloom_prefilter",
     "sketch_hll_vocab",
     "pipeline_sample_per_group",
+    "topk_events_per_type",
+    "table_diff_orders",
 ]
 
 

@@ -98,3 +98,41 @@ def skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .select(key_col, "n", "share", "rank")
     )
+
+
+def topk_per_group_salted(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    tiebreak_col: str,
+    num_salts: int = 16,
+    ascending: bool = False,
+) -> DataFrame:
+    """Skew-safe exact per-group top-k in two phases.
+
+    A single ``row_number() over (partition by group order by v)``
+    sorts every row of a group in ONE task — the per-group analogue of
+    the hot-reducer problem (MRC/mapreduce/Partitioner.java:45).  Here
+    stage 1 ranks within (group, salt) — a hot group's rows spread
+    over ``num_salts`` tasks, each keeping only its local top-k — and
+    stage 2 ranks the <= k * num_salts survivors per group.  The
+    result is EXACT for any salt assignment (each salt's local top-k
+    is a superset of its contribution to the global top-k), provided
+    (order_col, tiebreak_col) is a total order within the group; the
+    salt is a deterministic hash of the tiebreak so re-runs and
+    speculative retries agree row-by-row.  Adds ``rank`` (1..k)."""
+    from pyspark.sql.window import Window
+
+    direction = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    order = [direction, F.col(tiebreak_col).asc()]
+    salt = F.expr(f"abs(xxhash64(cast({tiebreak_col} as string))) % {num_salts}")
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order)
+    survivors = (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_salt", "_r1")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
+    return survivors.withColumn("rank", F.row_number().over(w2)).filter(F.col("rank") <= k)

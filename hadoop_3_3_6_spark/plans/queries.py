@@ -37,6 +37,7 @@ from hadoop_3_3_6_spark.functions.dedup import (
     exact_dedup,
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
+    portable_hash_expr,
     simhash,
 )
 from hadoop_3_3_6_spark.functions.similarity import (
@@ -4922,6 +4923,79 @@ def q_sketch_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regs.select("source", "bucket", "register").unionAll(merged)
 
 
+@_register(
+    "topk_events_per_type",
+    """
+    SELECT event_type, event_id, value, rank FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rank
+      FROM events)
+    WHERE rank <= 10
+    """,
+)
+def q_topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe exact per-group top-k (skew.topk_per_group_salted —
+    the per-group analogue of the hot-reducer problem the reference
+    answers with custom Partitioners, MRC/mapreduce/Partitioner.java:45):
+    top 10 events by value per event_type via two phases — local top-k
+    within (group, salt) spreads a hot group over 16 tasks, then only
+    the <= k*16 survivors rank globally.  Exact for any salt
+    assignment; result identical to the single-window oracle."""
+    from hadoop_3_3_6_spark.operators.skew import topk_per_group_salted
+
+    events = load_table(spark, "events", sf_dir)
+    return topk_per_group_salted(
+        events, ["event_type"], "value", k=10, tiebreak_col="event_id"
+    ).select("event_type", "event_id", "value", "rank")
+
+
+_DIFF_H = "(('0x' || substr(md5(cast(o_orderkey as varchar)), 1, 15))::BIGINT)"
+
+
+@_register(
+    "table_diff_orders",
+    f"""
+    WITH h AS (SELECT o_orderkey, {_DIFF_H} AS h FROM orders)
+    SELECT o_orderkey, 'removed' AS diff_status FROM h WHERE h % 97 = 0
+    UNION ALL
+    SELECT o_orderkey, 'changed' FROM h WHERE h % 97 <> 0 AND h % 89 = 1
+    UNION ALL
+    SELECT -o_orderkey - 1, 'added' FROM h WHERE h % 101 = 2
+    """,
+)
+def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level table reconciliation (tools.table_diff — DistCpSync's
+    snapshot-diff, hadoop-tools/.../DistCpSync.java:1, at row
+    granularity): orders vs a deterministically mutated replica (~1%
+    rows removed, ~1% changed, ~1% added, hash-decided).  Phase 1
+    certifies equal buckets by bit_xor digest and prunes them; only
+    mismatched buckets' rows reach the classifying full-outer join —
+    the audit-a-replica-without-shipping-it shape."""
+    from hadoop_3_3_6_spark.sources.tools import table_diff
+
+    orders = load_table(spark, "orders", sf_dir)
+    h = F.expr(portable_hash_expr("cast(o_orderkey as string)"))
+    withh = orders.withColumn("_h", h)
+    kept = (
+        withh.filter(F.col("_h") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.col("o_totalprice") + F.when(F.col("_h") % 89 == 1, F.lit(10.0)).otherwise(F.lit(0.0)),
+        )
+        .drop("_h")
+    )
+    added = (
+        withh.filter(F.col("_h") % 101 == 2)
+        .drop("_h")
+        .withColumn("o_orderkey", -F.col("o_orderkey") - 1)
+    )
+    b = kept.unionByName(added)
+    return table_diff(
+        orders, b, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    ).select("o_orderkey", "diff_status")
+
+
 # Pinned to the head of the front group: flagship custom operators and
 # the TPC-H suite — the driver must verify these regardless of how many
 # extension queries register after them.
@@ -4994,6 +5068,8 @@ _DRIVER_HOLDBACK = [
     "sketch_bloom_prefilter",
     "sketch_hll_vocab",
     "pipeline_sample_per_group",
+    "topk_events_per_type",
+    "table_diff_orders",
 ]
 
 

@@ -265,3 +265,83 @@ def dist_ch(
         min(num_partitions, len(paths))
     ).foreachPartition(apply_partition)
     return changed.value
+
+
+def table_diff(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Row-level table reconciliation — DistCpSync's snapshot-diff
+    (hadoop-tools/hadoop-distcp/.../DistCpSync.java:1) brought to row
+    granularity, the way a 100 TB pipeline audits a replica against
+    its source without shipping either table.
+
+    Phase 1 (cheap, always runs): each side reduces to ``num_buckets``
+    digests — rows bucket by key hash, and a bucket's digest is the
+    bit_xor of its row digests (xxhash64 over key + compare columns),
+    so the digest is order-independent, constant-size, and computed
+    with map-side partial aggregation (shuffle volume = buckets x
+    partitions, independent of row count).  Equal-digest buckets are
+    certified equal and PRUNED — for mostly-identical tables that
+    eliminates almost all row movement.  (XOR digests collide when a
+    bucket's symmetric difference xors to zero — ~2^-64 per bucket;
+    the acceptable-audit trade, same class as DistCp's size+checksum
+    skip criterion.)
+
+    Phase 2 touches only rows whose bucket mismatched: both sides are
+    filtered by a broadcast of the (small) mismatched-bucket list,
+    then a full outer join on the keys classifies each row as
+    ``added`` (only in b), ``removed`` (only in a), or ``changed``
+    (both, differing compare columns).  Returns (key_cols...,
+    diff_status)."""
+    all_cols = key_cols + compare_cols
+    row_digest = F.expr(
+        "xxhash64(" + ", ".join(f"cast({c} as string)" for c in all_cols) + ")"
+    )
+    bucket = F.expr(
+        "abs(xxhash64(" + ", ".join(f"cast({c} as string)" for c in key_cols) + f")) % {num_buckets}"
+    )
+
+    def digests(df: DataFrame) -> DataFrame:
+        return (
+            df.select(bucket.alias("bucket"), row_digest.alias("_d"))
+            .groupBy("bucket")
+            .agg(F.expr("bit_xor(_d)").alias("digest"), F.count(F.lit(1)).alias("n"))
+        )
+
+    da, db = digests(a), digests(b)
+    mismatched = (
+        da.join(db, "bucket", "full_outer")
+        .filter(
+            ~(da["digest"].eqNullSafe(db["digest"]) & da["n"].eqNullSafe(db["n"]))
+        )
+        .select("bucket")
+    )
+
+    def pruned(df: DataFrame) -> DataFrame:
+        return df.withColumn("_bucket", bucket).join(
+            F.broadcast(mismatched), F.col("_bucket") == mismatched["bucket"], "left_semi"
+        )
+
+    pa = pruned(a).select(*[F.col(c).alias(f"_a_{c}") for c in all_cols])
+    pb = pruned(b).select(*[F.col(c).alias(f"_b_{c}") for c in all_cols])
+    cond = [pa[f"_a_{c}"].eqNullSafe(pb[f"_b_{c}"]) for c in key_cols]
+    joined = pa.join(pb, cond, "full_outer")
+    a_key, b_key = f"_a_{key_cols[0]}", f"_b_{key_cols[0]}"
+    same_payload = F.lit(True)
+    for c in compare_cols:
+        same_payload = same_payload & joined[f"_a_{c}"].eqNullSafe(joined[f"_b_{c}"])
+    status = (
+        F.when(joined[a_key].isNull(), F.lit("added"))
+        .when(joined[b_key].isNull(), F.lit("removed"))
+        .when(~same_payload, F.lit("changed"))
+    )
+    out_keys = [
+        F.coalesce(joined[f"_a_{c}"], joined[f"_b_{c}"]).alias(c) for c in key_cols
+    ]
+    return joined.select(*out_keys, status.alias("diff_status")).filter(
+        F.col("diff_status").isNotNull()
+    )

@@ -1,0 +1,69 @@
+"""Skew-safe per-group top-k (operators/skew.topk_per_group_salted)
+and row-level table reconciliation (sources/tools.table_diff).
+Registered-query parity is covered in test_oracle_parity; these pin
+exactness under ties, the empty-diff identity, and bucket pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_3_3_6_spark.operators.skew import topk_per_group_salted
+from hadoop_3_3_6_spark.session import load_table
+from hadoop_3_3_6_spark.sources.tools import table_diff
+
+
+def test_topk_salted_equals_single_window_with_ties(spark):
+    # heavy ties: value has only 3 distinct levels, so the k boundary
+    # cuts through tie groups — the tiebreak column must decide
+    # identically in both forms
+    rows = [(i % 4, i % 3, i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "g int, v int, id int")
+    got = topk_per_group_salted(df, ["g"], "v", k=5, tiebreak_col="id", num_salts=8)
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id").asc())
+    want = df.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_topk_salted_ascending(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    got = topk_per_group_salted(
+        ev, ["event_type"], "value", k=3, tiebreak_col="event_id", ascending=True
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    want = ev.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+    assert sorted((r.event_type, r.event_id, r.rank) for r in got.collect()) == sorted(
+        (r.event_type, r.event_id, r.rank) for r in want.collect()
+    )
+
+
+def test_table_diff_identical_tables_is_empty(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    diff = table_diff(orders, orders, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+    assert diff.count() == 0
+
+
+def test_table_diff_classifies_and_prunes(spark, sf_dir):
+    orders = load_table(spark, "orders", sf_dir)
+    # one removed, one changed, one added — everything else untouched
+    rm_key, ch_key = [r.o_orderkey for r in orders.select("o_orderkey").orderBy("o_orderkey").limit(2).collect()]
+    b = (
+        orders.filter(F.col("o_orderkey") != rm_key)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") == ch_key, F.col("o_totalprice") + 1).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+    )
+    added = orders.limit(1).withColumn("o_orderkey", F.lit(-42).cast("bigint"))
+    diff = table_diff(orders, b.unionByName(added), ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+    got = {(r.o_orderkey, r.diff_status) for r in diff.collect()}
+    assert got == {(rm_key, "removed"), (ch_key, "changed"), (-42, "added")}
+
+
+def test_table_diff_null_safe_keys_and_payload(spark):
+    a = spark.createDataFrame([(1, "x"), (2, None), (3, "z")], "k int, v string")
+    b = spark.createDataFrame([(1, "x"), (2, None), (3, "w")], "k int, v string")
+    diff = table_diff(a, b, ["k"], ["v"])
+    assert [(r.k, r.diff_status) for r in diff.collect()] == [(3, "changed")]
