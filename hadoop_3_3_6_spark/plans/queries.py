@@ -4950,46 +4950,35 @@ def q_topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "event_id", "value", "rank")
 
 
-_DIFF_H = "(('0x' || substr(md5(cast(o_orderkey as varchar)), 1, 15))::BIGINT)"
-
-
 @_register(
     "table_diff_orders",
-    f"""
-    WITH h AS (SELECT o_orderkey, {_DIFF_H} AS h FROM orders)
-    SELECT o_orderkey, 'removed' AS diff_status FROM h WHERE h % 97 = 0
+    """
+    SELECT o_orderkey, 'removed' AS diff_status FROM orders WHERE o_orderkey % 97 = 0
     UNION ALL
-    SELECT o_orderkey, 'changed' FROM h WHERE h % 97 <> 0 AND h % 89 = 1
+    SELECT o_orderkey, 'changed' FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 = 1
     UNION ALL
-    SELECT -o_orderkey - 1, 'added' FROM h WHERE h % 101 = 2
+    SELECT -o_orderkey - 1, 'added' FROM orders WHERE o_orderkey % 101 = 2
     """,
 )
 def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level table reconciliation (tools.table_diff — DistCpSync's
     snapshot-diff, hadoop-tools/.../DistCpSync.java:1, at row
     granularity): orders vs a deterministically mutated replica (~1%
-    rows removed, ~1% changed, ~1% added, hash-decided).  Phase 1
+    rows removed, ~1% changed, ~1% added, decided by key modulo —
+    hash-free so the fixture mutation costs nothing across the diff's
+    multiple scans; the diff's own digests are xxhash64).  Phase 1
     certifies equal buckets by bit_xor digest and prunes them; only
     mismatched buckets' rows reach the classifying full-outer join —
     the audit-a-replica-without-shipping-it shape."""
     from hadoop_3_3_6_spark.sources.tools import table_diff
 
     orders = load_table(spark, "orders", sf_dir)
-    h = F.expr(portable_hash_expr("cast(o_orderkey as string)"))
-    withh = orders.withColumn("_h", h)
-    kept = (
-        withh.filter(F.col("_h") % 97 != 0)
-        .withColumn(
-            "o_totalprice",
-            F.col("o_totalprice") + F.when(F.col("_h") % 89 == 1, F.lit(10.0)).otherwise(F.lit(0.0)),
-        )
-        .drop("_h")
+    k = F.col("o_orderkey")
+    kept = orders.filter(k % 97 != 0).withColumn(
+        "o_totalprice",
+        F.col("o_totalprice") + F.when(k % 89 == 1, F.lit(10.0)).otherwise(F.lit(0.0)),
     )
-    added = (
-        withh.filter(F.col("_h") % 101 == 2)
-        .drop("_h")
-        .withColumn("o_orderkey", -F.col("o_orderkey") - 1)
-    )
+    added = orders.filter(k % 101 == 2).withColumn("o_orderkey", -k - 1)
     b = kept.unionByName(added)
     return table_diff(
         orders, b, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
