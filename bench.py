@@ -129,6 +129,7 @@ HEADLINE = [
     "pipeline_sample_per_group",
     "topk_events_per_type",
     "table_diff_orders",
+    "streaming_stream_stream_left_join",
 ]
 
 

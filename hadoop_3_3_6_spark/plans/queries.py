@@ -4985,6 +4985,40 @@ def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "diff_status")
 
 
+@_register(
+    "streaming_stream_stream_left_join",
+    """
+    WITH c AS (SELECT user_id, ts AS click_ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id AS p_user_id, ts AS purchase_ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least((SELECT max(click_ts) FROM c), (SELECT max(purchase_ts) FROM p)) - INTERVAL 1 HOUR AS w),
+    pairs AS (SELECT c.user_id, c.click_id, p.purchase_id FROM c JOIN p
+              ON c.user_id = p.p_user_id AND p.purchase_ts > c.click_ts
+             AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE),
+    expired AS (SELECT c.user_id, c.click_id, NULL AS purchase_id FROM c, wm
+                WHERE c.click_ts + INTERVAL 30 MINUTE < wm.w
+                  AND NOT EXISTS (SELECT 1 FROM p WHERE p.p_user_id = c.user_id
+                                  AND p.purchase_ts > c.click_ts
+                                  AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE))
+    SELECT user_id, count(purchase_id)::BIGINT AS n_pairs,
+           coalesce(sum(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END), 0)::BIGINT AS n_expired
+    FROM (SELECT * FROM pairs UNION ALL SELECT * FROM expired) GROUP BY user_id
+    """,
+)
+def q_streaming_ss_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with watermark-driven
+    null emission (streaming/windows.py — the state-eviction semantics
+    the reference's batch model cannot express): clicks unmatched when
+    the global watermark (min across both streams, -1h delay) passes
+    their 30-minute window emit a null match.  The availableNow
+    replay's final no-data micro-batch pins the cutoff at
+    min(max click_ts, max purchase_ts) - 1h, which the oracle models
+    exactly (strict <: Spark evicts when the watermark strictly
+    exceeds the window end)."""
+    from hadoop_3_3_6_spark.streaming.windows import streaming_stream_stream_left_join
+
+    return streaming_stream_stream_left_join(spark, sf_dir)
+
+
 # Pinned to the head of the front group: flagship custom operators and
 # the TPC-H suite — the driver must verify these regardless of how many
 # extension queries register after them.
@@ -5059,6 +5093,7 @@ _DRIVER_HOLDBACK = [
     "pipeline_sample_per_group",
     "topk_events_per_type",
     "table_diff_orders",
+    "streaming_stream_stream_left_join",
 ]
 
 

@@ -280,3 +280,49 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "click_id", "purchase_id")
     out = run_stream_to_batch(joined, output_mode="append")
     return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click joined to
+    purchases of the same user in the following 30 minutes; clicks
+    still unmatched when the global watermark passes their join window
+    emit a null-match row — the state-eviction semantics batch outer
+    joins don't have.  Under availableNow replay the final no-data
+    micro-batch advances the watermark to max(event time) - delay
+    (min across both streams), so exactly the clicks whose window
+    closed before that cutoff emit null matches: deterministic, hence
+    oracle-checkable.  Returns per-user (n_pairs, n_expired)."""
+    clicks = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        on=F.expr(
+            """
+            user_id = p_user_id AND
+            purchase_ts > click_ts AND
+            purchase_ts <= click_ts + interval 30 minutes
+            """
+        ),
+        how="leftOuter",
+    ).select("user_id", "click_id", "purchase_id")
+    out = run_stream_to_batch(joined, output_mode="append")
+    return out.groupBy("user_id").agg(
+        F.count("purchase_id").alias("n_pairs"),
+        F.sum(F.when(F.col("purchase_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_expired"),
+    )
