@@ -49,9 +49,10 @@ def _base_hash(key_expr: str, salt: str, portable: bool) -> str:
     salted = f"concat('{salt}:', cast({key_expr} as string))"
     if portable:
         return portable_hash_expr(salted)
-    # xxhash64 can be negative; shift into non-negative 60-bit range so
-    # the % positions stay non-negative like the portable ring's.
-    return f"(abs(xxhash64({salted})) % {1 << 60})"
+    # xxhash64 can be negative (and abs(Long.MIN_VALUE) is still
+    # negative); mask into the non-negative 60-bit range so the %
+    # positions stay non-negative like the portable ring's.
+    return f"(xxhash64({salted}) & {(1 << 60) - 1})"
 
 
 def _km_pos(h_expr: str, i_expr: str, modulus: int) -> str:

@@ -126,7 +126,9 @@ def topk_per_group_salted(
 
     direction = F.col(order_col).asc() if ascending else F.col(order_col).desc()
     order = [direction, F.col(tiebreak_col).asc()]
-    salt = F.expr(f"abs(xxhash64(cast({tiebreak_col} as string))) % {num_salts}")
+    # & mask (not abs): abs(Long.MIN_VALUE) stays negative; a negative
+    # salt is harmless for partitioning but keep the range clean anyway
+    salt = F.expr(f"(xxhash64(cast({tiebreak_col} as string)) & 1073741823) % {num_salts}")
     w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order)
     survivors = (
         df.withColumn("_salt", salt)

@@ -302,7 +302,9 @@ def table_diff(
         "xxhash64(" + ", ".join(f"cast({c} as string)" for c in all_cols) + ")"
     )
     bucket = F.expr(
-        "abs(xxhash64(" + ", ".join(f"cast({c} as string)" for c in key_cols) + f")) % {num_buckets}"
+        # & mask (not abs): abs(Long.MIN_VALUE) is still negative, and a
+        # negative bucket would silently never match the mismatch list
+        "(xxhash64(" + ", ".join(f"cast({c} as string)" for c in key_cols) + f") & 1152921504606846975) % {num_buckets}"
     )
 
     def digests(df: DataFrame) -> DataFrame:
