@@ -16,6 +16,11 @@ ROWS_ONLY_NAMES = sorted(set(QUERIES) - set(ORACLES))
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_match(spark, duck, sf_dir, name):
+    if name == "storage_file_profile" and not sf_dir.rstrip("/").endswith("sf0.01"):
+        # its oracle must name a physical path (DuckDB filename-aware
+        # scan, no view involved) and the driver contract pins sf0.01;
+        # at any other SF the comparison is meaningless, not broken
+        pytest.skip("storage_file_profile oracle is pinned to the driver's sf0.01")
     spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
     oracle_pdf = duck.execute(ORACLES[name]).df()
     assert_frames_match(spark_pdf, oracle_pdf, name)
