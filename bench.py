@@ -130,6 +130,7 @@ HEADLINE = [
     "topk_events_per_type",
     "table_diff_orders",
     "streaming_stream_stream_left_join",
+    "sketch_bloom_prefilter_fast",  # scale-default xxhash64 path (portable keeps the oracle)
 ]
 
 

@@ -4985,6 +4985,40 @@ def q_table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "diff_status")
 
 
+@_register("sketch_bloom_prefilter_fast")  # rows-only: xxhash64 mask isn't SQL-reproducible
+def q_sketch_bloom_prefilter_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-default bloom pre-filter (portable=False → xxhash64 base
+    hash, ~13x cheaper per evaluation than the md5 ring): same plan as
+    sketch_bloom_prefilter — in-plan mask aggregate, broadcast, pure
+    probe-side filter — benched under its own name so the default path
+    keeps a regression axis while the portable query keeps the exact
+    oracle.  Self-check: no false negatives (true_matches equals the
+    semi-join count), asserted in tests."""
+    from hadoop_3_3_6_spark.functions.sketch import bloom_prefilter
+
+    supplier = load_table(spark, "supplier", sf_dir)
+    build = supplier.filter(F.col("s_nationkey") < 5).select("s_suppkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_suppkey")
+    passed = bloom_prefilter(
+        li, "l_suppkey", build, "s_suppkey", num_bits=1024, num_hashes=3, portable=False
+    )
+    marked = build.distinct().withColumn("_m", F.lit(1))
+    return (
+        passed.join(F.broadcast(marked), passed.l_suppkey == marked.s_suppkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("bloom_pass"),
+            F.coalesce(F.sum(F.when(F.col("_m").isNotNull(), 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias("true_matches"),
+        )
+        .select(
+            "bloom_pass",
+            "true_matches",
+            (F.col("bloom_pass") - F.col("true_matches")).alias("false_positives"),
+        )
+    )
+
+
 @_register(
     "streaming_stream_stream_left_join",
     """
@@ -5094,6 +5128,7 @@ _DRIVER_HOLDBACK = [
     "topk_events_per_type",
     "table_diff_orders",
     "streaming_stream_stream_left_join",
+    "sketch_bloom_prefilter_fast",
 ]
 
 

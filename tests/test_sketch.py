@@ -131,3 +131,15 @@ def test_hll_registers_merge_and_estimate(spark, sf_dir):
     # equal registers built globally in one pass
     global_regs = {r.bucket: r.register for r in hll_registers(words, "w", p=8).collect()}
     assert global_regs == merged
+
+
+def test_bloom_fast_path_no_false_negatives(spark, sf_dir):
+    from hadoop_3_3_6_spark.plans.queries import QUERIES
+
+    [row] = QUERIES["sketch_bloom_prefilter_fast"](spark, sf_dir).collect()
+    supplier = load_table(spark, "supplier", sf_dir)
+    build = supplier.filter(F.col("s_nationkey") < 5).select("s_suppkey").distinct()
+    li = load_table(spark, "lineitem", sf_dir).select("l_suppkey")
+    true_rows = li.join(build, li.l_suppkey == build.s_suppkey, "left_semi").count()
+    assert row.true_matches == true_rows
+    assert row.bloom_pass >= row.true_matches and row.false_positives >= 0
