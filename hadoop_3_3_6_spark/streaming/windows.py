@@ -42,18 +42,40 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def run_stream_to_batch(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_stream_to_batch(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Run a streaming plan to exhaustion (availableNow) into a memory
-    sink and return the final table as a batch DataFrame."""
+    sink and return the final table as a batch DataFrame.
+
+    ``state_partitions`` pins spark.sql.shuffle.partitions for THE
+    QUERY START only (restored after termination).  A streaming query
+    freezes its state-partition count into the checkpoint at first
+    run, so this is a real per-query deployment decision, not a local
+    tweak: each state partition carries its own state store (a
+    stream-stream join keeps four per partition), and per-store
+    overhead dominates when partitions far exceed state volume —
+    measured 2.7x on the outer-join drain at local scale.  Sequential
+    use only (the conf is session-scoped while the query starts)."""
+    spark = stream_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
     name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        if state_partitions is not None:
+            spark.conf.set(key, str(state_partitions))
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, prev)
     return stream_df.sparkSession.table(name)
 
 
@@ -278,7 +300,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         how="inner",
     ).select("user_id", "click_id", "purchase_id")
-    out = run_stream_to_batch(joined, output_mode="append")
+    out = run_stream_to_batch(joined, output_mode="append", state_partitions=8)
     return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
@@ -319,7 +341,7 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
         ),
         how="leftOuter",
     ).select("user_id", "click_id", "purchase_id")
-    out = run_stream_to_batch(joined, output_mode="append")
+    out = run_stream_to_batch(joined, output_mode="append", state_partitions=8)
     return out.groupBy("user_id").agg(
         F.count("purchase_id").alias("n_pairs"),
         F.sum(F.when(F.col("purchase_id").isNull(), 1).otherwise(0))
