@@ -263,7 +263,30 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         # 1-row broadcast bloom-mask cross: the probe-side filter IS
         # the semantics (no equi-key exists for a bitmask row)
         "sketch_bloom_prefilter",
+        "sketch_bloom_prefilter_fast",
     }
+    # Arrow-batched Python stages are allowed only where Python IS the
+    # semantics (multimodal codecs, secondary-sort carry, pandas UDAF,
+    # UDTF, hadoop-streaming pipe); row-at-a-time BatchEvalPython is
+    # never allowed anywhere.
+    allowed_python = {
+        "secondarysort",
+        "udaf_weighted_price",
+        "udtf_expand_orders",
+        "pipe_wordcount",
+        "multimodal_decode",
+        "multimodal_meta",
+        "multimodal_audio",
+        "multimodal_video",
+        "multimodal_container_meta",
+        "multimodal_wav_source",  # Python DataSource scan
+        "warc_source_scan",
+        "avro_roundtrip",
+        "seqfile_roundtrip",
+        "bbp_pi_digits",  # per-digit BBP arithmetic (reference example parity)
+        "similarity_lsh_topk_fast",  # numpy-matmul pandas UDF IS the fast path
+    }
+    python_nodes = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "PythonDataSource")
     offenders = {}
     for name in QUERIES:
         plan = plan_of(spark, sf_dir, name)
@@ -271,6 +294,10 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
             offenders[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and name not in allowed_nlj:
             offenders[name] = "BroadcastNestedLoopJoin"
+        if "BatchEvalPython" in plan:
+            offenders[name] = "BatchEvalPython (row-at-a-time Python UDF)"
+        elif name not in allowed_python and any(n in plan for n in python_nodes):
+            offenders[name] = next(n for n in python_nodes if n in plan)
     assert not offenders, offenders
 
 
