@@ -387,6 +387,7 @@ def test_oracle_coverage_is_pinned():
         "similarity_ivf_trained",
         "similarity_lsh_topk_fast",
         "dedup_minhash_fast",
+        "sketch_bloom_prefilter_fast",
     }
 
 
