@@ -67,3 +67,49 @@ def test_table_diff_null_safe_keys_and_payload(spark):
     b = spark.createDataFrame([(1, "x"), (2, None), (3, "w")], "k int, v string")
     diff = table_diff(a, b, ["k"], ["v"])
     assert [(r.k, r.diff_status) for r in diff.collect()] == [(3, "changed")]
+
+
+def test_topk_randomized_python_reference(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    rows = [
+        (int(g), int(v), int(i))
+        for i, (g, v) in enumerate(zip(rng.integers(0, 6, 500), rng.integers(0, 20, 500)))
+    ]
+    df = spark.createDataFrame(rows, "g long, v long, id long")
+    got = sorted((r.g, r.id, r.rank) for r in topk_per_group_salted(df, ["g"], "v", k=4, tiebreak_col="id", num_salts=5).collect())
+    want = []
+    by_g = {}
+    for g, v, i in rows:
+        by_g.setdefault(g, []).append((v, i))
+    for g, vs in by_g.items():
+        for rank, (v, i) in enumerate(sorted(vs, key=lambda t: (-t[0], t[1]))[:4], 1):
+            want.append((g, i, rank))
+    assert got == sorted(want)
+
+
+def test_table_diff_randomized_python_reference(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(19)
+    a_rows = {int(k): int(v) for k, v in zip(rng.choice(300, 150, replace=False), rng.integers(0, 50, 150))}
+    b_rows = dict(a_rows)
+    removed = list(a_rows)[:10]
+    for k in removed:
+        del b_rows[k]
+    changed = list(b_rows)[:12]
+    for k in changed:
+        b_rows[k] = b_rows[k] + 1000
+    added = [int(k) for k in rng.choice(500, 8, replace=False) + 1000]
+    for k in added:
+        b_rows[k] = 1
+    a = spark.createDataFrame(list(a_rows.items()), "k long, v long")
+    b = spark.createDataFrame(list(b_rows.items()), "k long, v long")
+    got = {(r.k, r.diff_status) for r in table_diff(a, b, ["k"], ["v"], num_buckets=32).collect()}
+    want = (
+        {(k, "removed") for k in removed}
+        | {(k, "changed") for k in changed}
+        | {(k, "added") for k in added}
+    )
+    assert got == want

@@ -143,3 +143,78 @@ def test_bloom_fast_path_no_false_negatives(spark, sf_dir):
     true_rows = li.join(build, li.l_suppkey == build.s_suppkey, "left_semi").count()
     assert row.true_matches == true_rows
     assert row.bloom_pass >= row.true_matches and row.false_positives >= 0
+
+
+# --- seeded randomized references: the ENTIRE portable pipeline
+# (md5 ring -> KM positions -> sketch state) mirrored in pure Python.
+
+def _py_hash(key, salt):
+    import hashlib
+
+    h = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:15]
+    return int(h, 16)
+
+
+def _py_km_pos(h, i, m):
+    h1 = h & ((1 << 30) - 1)
+    h2 = ((h >> 30) & ((1 << 30) - 1)) | 1
+    return (h1 + i * h2) % m
+
+
+def test_cms_randomized_python_reference(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    keys = [f"k{int(x)}" for x in rng.integers(0, 40, 300)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    cms = count_min_sketch(df, "key", depth=3, width=16)
+    got = {(r.r, r.bucket): r.cnt for r in cms.collect()}
+    want = {}
+    for k in keys:
+        h = _py_hash(k, "cms")
+        for r in range(3):
+            cell = (r, _py_km_pos(h, r, 16))
+            want[cell] = want.get(cell, 0) + 1
+    assert got == want
+    est = {r.key: r.cms_est for r in cms_lookup(cms, df, "key", depth=3, width=16).collect()}
+    for k in set(keys):
+        h = _py_hash(k, "cms")
+        assert est[k] == min(want.get((r, _py_km_pos(h, r, 16)), 0) for r in range(3))
+
+
+def test_bloom_randomized_python_reference(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    build_keys = sorted({int(x) for x in rng.integers(0, 500, 60)})
+    probe_keys = sorted({int(x) for x in rng.integers(0, 1000, 400)})
+    build = spark.createDataFrame([(k,) for k in build_keys], "k long")
+    probe = spark.createDataFrame([(k,) for k in probe_keys], "k long")
+    got = sorted(r.k for r in bloom_prefilter(probe, "k", build, "k", num_bits=256, num_hashes=3).collect())
+    bits = set()
+    for k in build_keys:
+        h = _py_hash(k, "bloom")
+        bits.update(_py_km_pos(h, i, 256) for i in range(3))
+    want = [
+        k for k in probe_keys
+        if all(_py_km_pos(_py_hash(k, "bloom"), i, 256) in bits for i in range(3))
+    ]
+    assert got == want
+
+
+def test_hll_randomized_python_reference(spark):
+    import numpy as np
+
+    from hadoop_3_3_6_spark.functions.sketch import hll_registers
+
+    rng = np.random.default_rng(13)
+    keys = [f"w{int(x)}" for x in rng.integers(0, 5000, 800)]
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    got = {r.bucket: r.register for r in hll_registers(df, "key", p=8).collect()}
+    want = {}
+    for k in set(keys):
+        h = _py_hash(k, "hll")
+        bucket, w = h & 255, h >> 8
+        rank = 53 - w.bit_length() if w else 53
+        want[bucket] = max(want.get(bucket, 0), rank)
+    assert got == want
