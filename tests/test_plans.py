@@ -494,3 +494,16 @@ def test_topk_per_group_two_phase_shuffles(spark, sf_dir):
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     keyed = ["_salt" in e for e in exchanges]
     assert any(keyed) and not all(keyed), exchanges  # one salted, one group-only
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """The other half of the AQE insurance policy (skew split is
+    pinned above): a shuffle whose 32 configured partitions carry
+    trivially small data must be coalesced at runtime — at 100 TB the
+    same mechanism right-sizes reducer counts per stage instead of
+    inheriting one global spark.sql.shuffle.partitions."""
+    df = spark.range(100_000).groupBy((F.col("id") % 7).alias("k")).count()
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "AQEShuffleRead coalesced" in plan, plan
