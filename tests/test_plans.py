@@ -507,3 +507,31 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "AQEShuffleRead coalesced" in plan, plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """Dynamic partition pruning — the 100 TB star-join mechanism
+    (prune fact partitions at RUNTIME from the broadcast dim's filter
+    results, the analogue of pushing the dim filter into
+    FileInputFormat.listStatus): a selectively-filtered dim joined on
+    the fact's partition column must inject a dynamicpruning
+    subquery into the fact scan's PartitionFilters."""
+    import shutil
+    import tempfile
+
+    from hadoop_3_3_6_spark.session import load_table
+
+    d = tempfile.mkdtemp(prefix="dpp_")
+    try:
+        li = load_table(spark, "lineitem", sf_dir)
+        li.write.mode("overwrite").partitionBy("l_returnflag").parquet(d)
+        fact = spark.read.parquet(d)
+        dim = spark.createDataFrame(
+            [("A", 1), ("N", 2), ("R", 3)], "flag string, tag int"
+        ).filter(F.col("tag") == 1)
+        j = fact.join(dim, fact.l_returnflag == dim.flag).groupBy("flag").count()
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:3000]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
