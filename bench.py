@@ -131,6 +131,7 @@ HEADLINE = [
     "table_diff_orders",
     "streaming_stream_stream_left_join",
     "sketch_bloom_prefilter_fast",  # scale-default xxhash64 path (portable keeps the oracle)
+    "jobcontrol_word_pipeline",
 ]
 
 

@@ -5053,6 +5053,77 @@ def q_streaming_ss_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_stream_stream_left_join(spark, sf_dir)
 
 
+@_register(
+    "jobcontrol_word_pipeline",
+    f"""
+    WITH w AS ({_WORDS_SQL})
+    SELECT count(DISTINCT word)::BIGINT AS distinct_words,
+           count(*)::BIGINT AS total_occurrences,
+           coalesce(sum(CASE WHEN length(word) >= 6 THEN 1 ELSE 0 END), 0)::BIGINT AS long_occurrences
+    FROM w
+    """,
+)
+def q_jobcontrol_word_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JobControl DAG end-to-end (plans/jobcontrol.py; reference
+    MRC/mapreduce/lib/jobcontrol/JobControl.java:57): a four-job DAG
+    across a MATERIALIZING boundary — job A tokenizes documents and
+    writes per-word counts to parquet (the cross-action step chained
+    MR jobs needed JobControl for), jobs B and C read A's output for
+    long-word and total statistics, job D (deps B, C) combines them.
+    Eager by contract (job A writes when constructed; the output dir
+    is cached per (process, sf_dir)); the returned frame is job D's —
+    lazily reading A's materialized table."""
+    from hadoop_3_3_6_spark.plans.jobcontrol import ControlledJob, JobControl
+
+    docs = load_table(spark, "documents", sf_dir)
+
+    def job_a(out: str) -> None:
+        counts = (
+            token_counter(docs, "text", out_col="word", sep=" ")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        counts.write.mode("overwrite").parquet(out)
+
+    out = _rendered_dir("jobcontrol_counts_", sf_dir, job_a)
+
+    jc = JobControl()
+    jc.add_job(ControlledJob("counts", lambda deps: spark.read.parquet(out)))
+    jc.add_job(
+        ControlledJob(
+            "long_words",
+            lambda deps: deps["counts"]
+            .filter(F.length("word") >= 6)
+            .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("long_occurrences")),
+            deps=["counts"],
+        )
+    )
+    jc.add_job(
+        ControlledJob(
+            "totals",
+            lambda deps: deps["counts"].agg(
+                F.count(F.lit(1)).alias("distinct_words"),
+                F.sum("cnt").cast("bigint").alias("total_occurrences"),
+            ),
+            deps=["counts"],
+        )
+    )
+    jc.add_job(
+        ControlledJob(
+            "combine",
+            lambda deps: deps["totals"].crossJoin(F.broadcast(deps["long_words"])).select(
+                "distinct_words", "total_occurrences", "long_occurrences"
+            ),
+            deps=["long_words", "totals"],
+        )
+    )
+    jobs = jc.run()
+    assert all(j.state.value == "SUCCESS" for j in jobs.values()), {
+        n: j.state.value for n, j in jobs.items()
+    }
+    return jobs["combine"].result
+
+
 # Pinned to the head of the front group: flagship custom operators and
 # the TPC-H suite — the driver must verify these regardless of how many
 # extension queries register after them.
@@ -5129,6 +5200,7 @@ _DRIVER_HOLDBACK = [
     "table_diff_orders",
     "streaming_stream_stream_left_join",
     "sketch_bloom_prefilter_fast",
+    "jobcontrol_word_pipeline",
 ]
 
 

@@ -316,7 +316,7 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
         if name.startswith("streaming_")
         or name in {"terasort_validate", "pipe_wordcount", "avro_roundtrip", "dedup_clusters",
                     "similarity_ivf_trained", "multimodal_wav_source", "pipeline_dedup_keep",
-                    "warc_source_scan", "seqfile_roundtrip"}
+                    "warc_source_scan", "seqfile_roundtrip", "jobcontrol_word_pipeline"}
     }
     lazy = [n for n in QUERIES if n not in eager_by_contract]
     # Warm pass: pays the one-time parquet schema-inference jobs that
