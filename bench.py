@@ -132,6 +132,7 @@ HEADLINE = [
     "streaming_stream_stream_left_join",
     "sketch_bloom_prefilter_fast",  # scale-default xxhash64 path (portable keeps the oracle)
     "jobcontrol_word_pipeline",
+    "profile_orders_columns",
 ]
 
 

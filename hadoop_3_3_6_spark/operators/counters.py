@@ -85,3 +85,38 @@ def audit_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
         F.col("r.n_bad").alias("n_bad"),
         (F.col("r.n_bad") == 0).alias("passed"),
     )
+
+
+def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Single-pass per-column profile — the ANALYZE TABLE / dataset
+    health report feeding null-rate alerts, join-key selection, and
+    dictionary-encoding decisions: per column (n_nulls, n_distinct,
+    min_value, max_value), all columns in ONE aggregate over one scan
+    (a profile crossing the wire is a few values per partition
+    regardless of table size; approx tier: swap count(distinct) for
+    approx_count_distinct at 100 TB where exact distinct forces a
+    per-column expand).  min/max render as strings so heterogeneous
+    column types stack into one long-form result.
+
+    Reference analogue: the counters every MR job aggregated per task
+    (MRC/mapreduce/TaskCounter.java) generalized to per-column data
+    statistics.  Returns (column, n_nulls, n_distinct, min_value,
+    max_value)."""
+    cols = cols or [f.name for f in df.schema.fields]
+    aggs = []
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs += [
+            F.count_if(col.isNull()).alias(f"_n{i}"),
+            F.count_distinct(col).alias(f"_d{i}"),
+            F.min(col).cast("string").alias(f"_lo{i}"),
+            F.max(col).cast("string").alias(f"_hi{i}"),
+        ]
+    row = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', struct(_n{i} as n_nulls, _d{i} as n_distinct, _lo{i} as min_value, _hi{i} as max_value)"
+        for i, c in enumerate(cols)
+    )
+    return row.select(
+        F.expr(f"explode(map({stacked}))").alias("column", "s")
+    ).select("column", "s.n_nulls", "s.n_distinct", "s.min_value", "s.max_value")

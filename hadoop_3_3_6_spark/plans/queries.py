@@ -5124,6 +5124,34 @@ def q_jobcontrol_word_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs["combine"].result
 
 
+@_register(
+    "profile_orders_columns",
+    """
+    WITH p AS (
+      SELECT * FROM (VALUES
+        ('o_orderkey',      (SELECT count(*) FILTER (o_orderkey IS NULL) FROM orders),      (SELECT count(DISTINCT o_orderkey) FROM orders),      (SELECT min(o_orderkey)::VARCHAR FROM orders),      (SELECT max(o_orderkey)::VARCHAR FROM orders)),
+        ('o_custkey',       (SELECT count(*) FILTER (o_custkey IS NULL) FROM orders),       (SELECT count(DISTINCT o_custkey) FROM orders),       (SELECT min(o_custkey)::VARCHAR FROM orders),       (SELECT max(o_custkey)::VARCHAR FROM orders)),
+        ('o_orderstatus',   (SELECT count(*) FILTER (o_orderstatus IS NULL) FROM orders),   (SELECT count(DISTINCT o_orderstatus) FROM orders),   (SELECT min(o_orderstatus) FROM orders),              (SELECT max(o_orderstatus) FROM orders)),
+        ('o_orderpriority', (SELECT count(*) FILTER (o_orderpriority IS NULL) FROM orders), (SELECT count(DISTINCT o_orderpriority) FROM orders), (SELECT min(o_orderpriority) FROM orders),            (SELECT max(o_orderpriority) FROM orders))
+      ) t(col_name, n_nulls, n_distinct, min_value, max_value))
+    SELECT col_name AS "column", n_nulls::BIGINT AS n_nulls, n_distinct::BIGINT AS n_distinct,
+           min_value, max_value FROM p
+    """,
+)
+def q_profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiling (counters.column_profile — the
+    ANALYZE-TABLE health report; reference analogue: per-task counter
+    aggregation, MRC/mapreduce/TaskCounter.java, generalized to data
+    statistics): null counts, distinct counts, min/max per column in
+    ONE aggregate over one scan of orders."""
+    from hadoop_3_3_6_spark.operators.counters import column_profile
+
+    orders = load_table(spark, "orders", sf_dir)
+    return column_profile(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
 # Pinned to the head of the front group: flagship custom operators and
 # the TPC-H suite — the driver must verify these regardless of how many
 # extension queries register after them.
@@ -5201,6 +5229,7 @@ _DRIVER_HOLDBACK = [
     "streaming_stream_stream_left_join",
     "sketch_bloom_prefilter_fast",
     "jobcontrol_word_pipeline",
+    "profile_orders_columns",
 ]
 
 
