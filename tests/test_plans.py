@@ -264,6 +264,8 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         # the semantics (no equi-key exists for a bitmask row)
         "sketch_bloom_prefilter",
         "sketch_bloom_prefilter_fast",
+        # combine job: 1-row totals x 1-row long-word stats
+        "jobcontrol_word_pipeline",
     }
     # Arrow-batched Python stages are allowed only where Python IS the
     # semantics (multimodal codecs, secondary-sort carry, pandas UDAF,
