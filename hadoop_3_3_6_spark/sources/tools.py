@@ -71,19 +71,53 @@ def _meta_listing(spark: SparkSession, glob: str, base: str) -> DataFrame:
     )
 
 
+def _fs_for(path: str):
+    """Resolve (pyarrow FileSystem, inner path) for a path or URI —
+    the executor-side filesystem abstraction (Hadoop FileSystem.get
+    analogue): plain paths and file: URIs land on LocalFileSystem;
+    s3://, hdfs://, gs:// route to the matching pyarrow binding where
+    its native libs are present (same deployment contract as the
+    reference's fs.*.impl registry)."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    if path.startswith("file:"):
+        return pafs.LocalFileSystem(), path[len("file:"):]
+    return pafs.LocalFileSystem(), path
+
+
+def _stream_copy(src: str, dst: str, chunk: int = 4 * 1024 * 1024) -> None:
+    """Stream one file between (possibly different) filesystems in
+    constant memory — bytes never enter a Spark row."""
+    import posixpath
+
+    src_fs, src_path = _fs_for(src)
+    dst_fs, dst_path = _fs_for(dst)
+    parent = posixpath.dirname(dst_path)
+    if parent:
+        dst_fs.create_dir(parent, recursive=True)
+    with src_fs.open_input_stream(src_path) as r, dst_fs.open_output_stream(dst_path) as w:
+        while True:
+            buf = r.read(chunk)
+            if not buf:
+                break
+            w.write(buf)
+
+
 def _copy_listing(listing: DataFrame, dst_dir: str) -> int:
     """Execute a (rel, src) copy listing: streamed file-to-file copies
-    inside executors (CopyMapper analogue) — bytes never enter a Spark
-    row, so multi-GB files copy in constant memory."""
+    inside executors (CopyMapper analogue) through the pyarrow
+    filesystem layer — multi-GB files copy in constant memory, and
+    src/dst may live on different filesystems (the cross-cluster /
+    cluster-to-object-store DistCp shape)."""
     copied = listing.sparkSession.sparkContext.accumulator(0)
 
     def copy_partition(rows):
-        import shutil
+        import posixpath
 
         for row in rows:
-            dst = os.path.join(dst_dir, row["rel"])
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.copyfile(row["src"], dst)
+            _stream_copy(row["src"], posixpath.join(dst_dir, row["rel"]))
             copied.add(1)
 
     listing.select("rel", "src").foreachPartition(copy_partition)
@@ -94,7 +128,16 @@ def dist_copy(spark: SparkSession, src_glob: str, dst_dir: str, update: bool = F
     """Parallel copy of files matching ``src_glob`` into ``dst_dir``,
     preserving paths relative to the glob base.  Returns number of
     files copied.  Listing and byte movement are both distributed;
-    nothing is collected on the driver."""
+    nothing is collected on the driver.  ``dst_dir`` may be a file:
+    URI (normalized here) or any pyarrow-supported filesystem URI —
+    bytes route through :func:`_fs_for` on executors; the -update
+    re-listing of a non-local destination additionally needs the
+    scheme's Hadoop jars for the metadata scan (same contract as
+    DistCp's)."""
+    if dst_dir.startswith("file://"):
+        dst_dir = dst_dir[len("file://"):]
+    elif dst_dir.startswith("file:"):
+        dst_dir = dst_dir[len("file:"):]
     src = _meta_listing(spark, src_glob, _glob_base(src_glob))
     if update and os.path.isdir(dst_dir) and any(os.scandir(dst_dir)):
         dst = _meta_listing(spark, dst_dir, dst_dir).select(
@@ -106,7 +149,8 @@ def dist_copy(spark: SparkSession, src_glob: str, dst_dir: str, update: bool = F
             .filter(F.col("_dst_length").isNull() | (F.col("_dst_length") != F.col("length")))
             .drop("_dst_length")
         )
-    os.makedirs(dst_dir, exist_ok=True)
+    if "://" not in dst_dir:
+        os.makedirs(dst_dir, exist_ok=True)
     return _copy_listing(src, dst_dir)
 
 

@@ -476,3 +476,44 @@ def test_cloud_scheme_passthrough_via_hadoop_fs_registry(spark, tmp_path):
         assert spark.read.text("viewfs://mockcluster/data/txt").count() == 100
     finally:
         hconf.unset("fs.viewfs.mounttable.mockcluster.link./data")
+
+
+def test_fs_for_resolves_uris_and_plain_paths(tmp_path):
+    from pyarrow import fs as pafs
+
+    from hadoop_3_3_6_spark.sources.tools import _fs_for
+
+    for p, want_path in [
+        (str(tmp_path / "a"), str(tmp_path / "a")),
+        (f"file:{tmp_path}/b", f"{tmp_path}/b"),
+        (f"file://{tmp_path}/c", f"{tmp_path}/c"),
+    ]:
+        fs, inner = _fs_for(p)
+        assert isinstance(fs, pafs.LocalFileSystem)
+        assert inner == want_path
+
+
+def test_stream_copy_across_uri_and_plain(tmp_path):
+    from hadoop_3_3_6_spark.sources.tools import _stream_copy
+
+    src = tmp_path / "deep" / "src.bin"
+    src.parent.mkdir()
+    payload = bytes(range(256)) * 5000  # > 1 chunk boundary exercised via small chunk
+    src.write_bytes(payload)
+    dst = tmp_path / "out" / "nested" / "dst.bin"
+    _stream_copy(f"file://{src}", str(dst), chunk=64 * 1024)
+    assert dst.read_bytes() == payload
+
+
+def test_dist_copy_accepts_file_uri_destination(spark, tmp_path):
+    from hadoop_3_3_6_spark.sources.tools import dist_copy
+
+    srcd = tmp_path / "cpsrc"
+    srcd.mkdir()
+    for i in range(4):
+        (srcd / f"f{i}.txt").write_text(f"payload-{i}")
+    dstd = tmp_path / "cpdst"
+    n = dist_copy(spark, str(srcd) + "/*", f"file://{dstd}")
+    assert n == 4
+    assert sorted(p.name for p in dstd.iterdir()) == [f"f{i}.txt" for i in range(4)]
+    assert (dstd / "f2.txt").read_text() == "payload-2"
