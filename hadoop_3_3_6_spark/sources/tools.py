@@ -228,14 +228,23 @@ def unarchive_files(spark: SparkSession, archive_path: str, dst_dir: str, path_f
     arch = spark.read.parquet(archive_path)
     if path_filter:
         arch = arch.filter(F.col("path").rlike(path_filter))
-    os.makedirs(dst_dir, exist_ok=True)
+    if dst_dir.startswith("file://"):
+        dst_dir = dst_dir[len("file://"):]
+    elif dst_dir.startswith("file:"):
+        dst_dir = dst_dir[len("file:"):]
+    if "://" not in dst_dir:
+        os.makedirs(dst_dir, exist_ok=True)
     restored = spark.sparkContext.accumulator(0)
 
     def write_partition(rows):
+        import posixpath
+
         for row in rows:
-            dst = os.path.join(dst_dir, row["rel"])
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            with open(dst, "wb") as f:
+            dst_fs, dst = _fs_for(posixpath.join(dst_dir, row["rel"]))
+            parent = posixpath.dirname(dst)
+            if parent:
+                dst_fs.create_dir(parent, recursive=True)
+            with dst_fs.open_output_stream(dst) as f:
                 f.write(bytes(row["content"]))
             restored.add(1)
 
