@@ -133,6 +133,8 @@ HEADLINE = [
     "sketch_bloom_prefilter_fast",  # scale-default xxhash64 path (portable keeps the oracle)
     "jobcontrol_word_pipeline",
     "profile_orders_columns",
+    "timeseries_gapfill_hourly",
+    "paths_user_journeys",
 ]
 
 

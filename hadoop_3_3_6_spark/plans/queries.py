@@ -5152,6 +5152,125 @@ def q_profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "timeseries_gapfill_hourly",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_start,
+             count(*)::BIGINT AS n_events, round(sum(value), 4) AS value_sum
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT event_type, min(hour_start) AS lo, max(hour_start) AS hi
+      FROM hourly GROUP BY 1),
+    spine AS (
+      SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds b),
+    joined AS (
+      SELECT s.event_type, s.hour_start,
+             coalesce(h.n_events, 0)::BIGINT AS n_events,
+             h.value_sum AS observed_sum
+      FROM spine s LEFT JOIN hourly h USING (event_type, hour_start))
+    SELECT event_type, hour_start, n_events,
+           coalesce(observed_sum,
+                    last_value(observed_sum IGNORE NULLS) OVER (
+                      PARTITION BY event_type ORDER BY hour_start
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS value_sum_ffill,
+           (observed_sum IS NULL) AS gap_filled
+    FROM joined
+    """,
+)
+def q_timeseries_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + forward fill (the warehouse resample
+    operator: dashboards and training-feature pipelines need DENSE
+    per-key series, but event tables only have rows where something
+    happened): aggregate events to per-type hourly buckets, generate
+    each type's full hour spine IN-PLAN via sequence() (no driver
+    loop; spine length = (max-min)/1h per key), left-join observations
+    back, and forward-fill the value column with last(ignorenulls)
+    over the per-key time order.  Missing hours appear with
+    n_events=0, carried value_sum, gap_filled=true — exact oracle via
+    DuckDB's generate_series + IGNORE NULLS window."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("observed_sum"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour_start").alias("lo"), F.max("hour_start").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour_start"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hour_start"], "left")
+    w = Window.partitionBy("event_type").orderBy("hour_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "event_type",
+        "hour_start",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce(
+            F.col("observed_sum"), F.last("observed_sum", ignorenulls=True).over(w)
+        ).alias("value_sum_ffill"),
+        F.col("observed_sum").isNull().alias("gap_filled"),
+    )
+
+
+@_register(
+    "paths_user_journeys",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    capped AS (SELECT * FROM ranked WHERE rn <= 20),
+    tri AS (
+      SELECT a.user_id, a.event_type || '>' || b.event_type || '>' || c.event_type AS journey
+      FROM capped a
+      JOIN capped b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+      JOIN capped c ON a.user_id = c.user_id AND c.rn = a.rn + 2)
+    SELECT journey, count(*)::BIGINT AS n_occurrences,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM tri GROUP BY 1
+    """,
+)
+def q_paths_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis (the product-analytics journey report
+    behind funnel discovery): each user's first 20 events (event-time
+    order, id tiebreak — the cap bounds per-user state at 100 TB)
+    collapse into an ordered type path, every 3-step sliding window of
+    the path becomes a journey string, and journeys aggregate to
+    occurrence + distinct-user counts.  The path is built as ONE
+    per-user array (sort_array over a collected struct — no self-join),
+    trigrams via an inline sequence transform; the oracle takes the
+    equivalent rn self-join route."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    capped = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+    paths = capped.groupBy("user_id").agg(
+        F.expr("transform(sort_array(collect_list(struct(rn, event_type))), x -> x.event_type)").alias("path")
+    )
+    tri = paths.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "case when size(path) >= 3 then "
+                "transform(sequence(1, size(path) - 2), i -> "
+                "concat(element_at(path, i), '>', element_at(path, i + 1), '>', element_at(path, i + 2))) "
+                "else array() end"
+            )
+        ).alias("journey"),
+    )
+    return tri.groupBy("journey").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
 # Pinned to the head of the front group: flagship custom operators and
 # the TPC-H suite — the driver must verify these regardless of how many
 # extension queries register after them.
@@ -5230,6 +5349,8 @@ _DRIVER_HOLDBACK = [
     "sketch_bloom_prefilter_fast",
     "jobcontrol_word_pipeline",
     "profile_orders_columns",
+    "timeseries_gapfill_hourly",
+    "paths_user_journeys",
 ]
 
 
