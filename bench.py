@@ -135,6 +135,7 @@ HEADLINE = [
     "profile_orders_columns",
     "timeseries_gapfill_hourly",
     "paths_user_journeys",
+    "timeseries_interpolate_hourly",
 ]
 
 

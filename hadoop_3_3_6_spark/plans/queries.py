@@ -5271,6 +5271,103 @@ def q_paths_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "timeseries_interpolate_hourly",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_start,
+             round(sum(value), 4) AS observed
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, min(hour_start) AS lo, max(hour_start) AS hi FROM hourly GROUP BY 1),
+    spine AS (
+      SELECT b.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds b),
+    j AS (
+      SELECT s.event_type, s.hour_start, h.observed,
+             epoch(s.hour_start)::BIGINT // 3600 AS pos
+      FROM spine s LEFT JOIN hourly h USING (event_type, hour_start)),
+    ctx AS (
+      SELECT *,
+             last_value(observed IGNORE NULLS) OVER w_back AS prev_v,
+             last_value(CASE WHEN observed IS NOT NULL THEN pos END IGNORE NULLS) OVER w_back AS prev_p,
+             first_value(observed IGNORE NULLS) OVER w_fwd AS next_v,
+             first_value(CASE WHEN observed IS NOT NULL THEN pos END IGNORE NULLS) OVER w_fwd AS next_p
+      FROM j
+      WINDOW w_back AS (PARTITION BY event_type ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_fwd AS (PARTITION BY event_type ORDER BY pos ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, hour_start,
+           round(CASE
+             WHEN observed IS NOT NULL THEN observed
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v) * (pos - prev_p) / (next_p - prev_p)
+           END, 4) AS value_interp,
+           (observed IS NULL) AS interpolated
+    FROM ctx
+    """,
+)
+def q_timeseries_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the dense hour spine (the resample
+    companion to timeseries_gapfill_hourly's forward fill): each gap
+    hour takes prev + (next-prev) * elapsed/gap_length, edges fall
+    back to the nearest observation.  Positions are integer hour
+    indexes so the interpolation fraction is exact rational arithmetic
+    over identical operands in both engines (one IEEE division +
+    round(4) → bit-identical oracle).  Both directional context
+    frames share one (partition, order) spec, so Catalyst fuses them
+    into a SINGLE Window operator — one hash exchange, one sort, no
+    second shuffle for the forward pass."""
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.round(F.sum("value"), 4).alias("observed"))
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour_start").alias("lo"), F.max("hour_start").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour_start"),
+        )
+    )
+    j = spine.join(hourly, ["event_type", "hour_start"], "left").withColumn(
+        "pos", (F.unix_timestamp("hour_start") / 3600).cast("bigint")
+    )
+    w_back = Window.partitionBy("event_type").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_fwd = Window.partitionBy("event_type").orderBy("pos").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_pos = F.when(F.col("observed").isNotNull(), F.col("pos"))
+    ctx = j.select(
+        "event_type",
+        "hour_start",
+        "observed",
+        "pos",
+        F.last("observed", ignorenulls=True).over(w_back).alias("prev_v"),
+        F.last(obs_pos, ignorenulls=True).over(w_back).alias("prev_p"),
+        F.first("observed", ignorenulls=True).over(w_fwd).alias("next_v"),
+        F.first(obs_pos, ignorenulls=True).over(w_fwd).alias("next_p"),
+    )
+    interp = (
+        F.when(F.col("observed").isNotNull(), F.col("observed"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (F.col("pos") - F.col("prev_p"))
+            / (F.col("next_p") - F.col("prev_p"))
+        )
+    )
+    return ctx.select(
+        "event_type",
+        "hour_start",
+        F.round(interp, 4).alias("value_interp"),
+        F.col("observed").isNull().alias("interpolated"),
+    )
+
+
 # Pinned to the head of the front group: flagship custom operators and
 # the TPC-H suite — the driver must verify these regardless of how many
 # extension queries register after them.
@@ -5351,6 +5448,7 @@ _DRIVER_HOLDBACK = [
     "profile_orders_columns",
     "timeseries_gapfill_hourly",
     "paths_user_journeys",
+    "timeseries_interpolate_hourly",
 ]
 
 
