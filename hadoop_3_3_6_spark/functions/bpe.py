@@ -1,0 +1,188 @@
+"""Byte-pair-encoding tokenizer TRAINING on a document corpus
+(north-star extension; SURVEY.md §7.2 M6 — the step beyond the
+BPE-ish regex token counting in functions/text.py: learning the merge
+table itself, the way a pretraining pipeline derives its tokenizer
+from a corpus sample).
+
+Algorithm (the public BPE formulation — Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units"):
+start from character symbols per word (word-boundary marker on the
+last symbol), repeatedly count adjacent symbol pairs weighted by word
+frequency, and merge the most frequent pair; the ordered merge list
+IS the tokenizer.
+
+Distribution shape: the corpus-sized work — tokenizing documents and
+counting word frequencies — is one distributed pass (explode + count,
+map-side partials).  Training then operates on the DISTINCT-WORD
+frequency table (vocabulary-sized, not corpus-sized — the classic BPE
+trick): per iteration, adjacent pairs explode out of the symbol
+arrays JVM-side and aggregate to one argmax row (count desc, pair
+lexicographic tiebreak → deterministic), and the chosen merge is
+applied to the symbol arrays in an Arrow-batched mapInPandas stage
+(stateful adjacent-pair rewriting is genuinely iterative per word —
+the allowlisted Python-is-the-semantics tier).  Driver traffic per
+iteration is ONE row (the argmax), like IVF's k-row centroid collect;
+lineage is truncated per iteration with localCheckpoint, as in
+connected_components.
+
+No SQL oracle (iterative argmax isn't SQL-expressible) — exactness is
+pinned by a pure-Python reference BPE over the same word frequencies
+(tests/test_bpe.py), and the registered query is rows-only with a
+self-check row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: last symbol of each word carries the end-of-word marker so merges
+#: never cross word boundaries (standard BPE formulation).
+EOW = "</w>"
+
+
+def _word_freqs(df: DataFrame, text_col: str, sample_cap_words: int | None) -> DataFrame:
+    """Distributed word-frequency table: (word, freq).  The corpus
+    never passes this point — everything after is vocabulary-sized."""
+    words = df.select(
+        F.explode(F.expr(f"filter(split({text_col}, ' '), w -> w <> '')")).alias("word")
+    )
+    freqs = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    if sample_cap_words is not None:
+        # deterministic cap: keep the most frequent words (freq desc,
+        # word asc tiebreak) — at 100 TB, train on the head of the
+        # distribution, which is what dominates pair counts anyway
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(F.col("freq").desc(), F.col("word").asc())
+        freqs = (
+            freqs.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= sample_cap_words)
+            .drop("_r")
+        )
+    return freqs
+
+
+def _initial_symbols(freqs: DataFrame) -> DataFrame:
+    """(word, freq, syms): character symbols with the EOW marker
+    appended to the last character."""
+    return freqs.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(split(word, ''), (c, i) -> "
+            f"case when i = length(word) - 1 then concat(c, '{EOW}') else c end)"
+        ).alias("syms"),
+    )
+
+
+def _pair_counts(symbols: DataFrame) -> DataFrame:
+    """Adjacent-pair counts weighted by word frequency — JVM-side
+    explode over zip(syms, tail(syms)), partial-aggregated."""
+    pairs = symbols.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "case when size(syms) >= 2 then "
+                "transform(sequence(1, size(syms) - 1), i -> "
+                "struct(element_at(syms, i) as left, element_at(syms, i + 1) as right)) "
+                "else array() end"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.left", "p.right").agg(F.sum("freq").alias("pair_count"))
+
+
+def _apply_merge(symbols: DataFrame, left: str, right: str) -> DataFrame:
+    """Rewrite every symbol array replacing adjacent (left, right)
+    with the merged symbol — Arrow-batched, leftmost-first within a
+    word (the standard greedy application)."""
+    schema = symbols.schema
+
+    def rewrite(batches):
+        for pdf in batches:
+            out = []
+            for syms in pdf["syms"]:
+                syms = list(syms)
+                i, res = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            pdf = pdf.copy()
+            pdf["syms"] = out
+            yield pdf
+
+    return symbols.mapInPandas(rewrite, schema=schema)
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 30,
+    sample_cap_words: int | None = 4000,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges from the corpus; returns the
+    merge table as a (rank, left, right, merged, pair_count) batch
+    DataFrame (created from the collected ranks — one tiny row per
+    iteration crossed the driver, nothing corpus-sized).
+
+    Stops early if no pair occurs at least twice (merging singletons
+    is noise).  Deterministic: argmax ties break on (left, right)
+    lexicographic order, and the word-frequency cap keeps the most
+    frequent words with a word-order tiebreak."""
+    spark = df.sparkSession
+    freqs = _word_freqs(df, text_col, sample_cap_words)
+    symbols = _initial_symbols(freqs).localCheckpoint()
+    merges = []
+    for rank in range(num_merges):
+        top = (
+            _pair_counts(symbols)
+            .orderBy(F.col("pair_count").desc(), F.col("left").asc(), F.col("right").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pair_count"] < 2:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], int(top[0]["pair_count"])
+        merges.append((rank, left, right, left + right, cnt))
+        symbols = _apply_merge(symbols, left, right).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    )
+
+
+def reference_bpe(word_freqs: dict[str, int], num_merges: int) -> list[tuple[str, str, int]]:
+    """Pure-Python reference of the same algorithm (test cross-check):
+    returns [(left, right, pair_count), ...] in merge order."""
+    syms = {
+        w: [c if i < len(w) - 1 else c + EOW for i, c in enumerate(w)]
+        for w in word_freqs
+    }
+    out: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, ss in syms.items():
+            for a, b in zip(ss, ss[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_freqs[w]
+        if not counts:
+            break
+        (left, right), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        out.append((left, right, cnt))
+        for w, ss in syms.items():
+            i, res = 0, []
+            while i < len(ss):
+                if i + 1 < len(ss) and ss[i] == left and ss[i + 1] == right:
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(ss[i])
+                    i += 1
+            syms[w] = res
+    return out

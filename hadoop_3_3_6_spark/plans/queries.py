@@ -5368,6 +5368,33 @@ def q_timeseries_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@_register("tokenizer_bpe_train")  # rows-only: iterative argmax isn't SQL-expressible
+def q_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (functions/bpe.py — learning the merge
+    table from the corpus, the step beyond text.token_counts'
+    BPE-ish regex): one distributed corpus pass builds the
+    word-frequency table, then 8 merge iterations of JVM-side pair
+    counting (argmax with deterministic tiebreaks) + Arrow-batched
+    merge application over the vocabulary-sized symbol table.  Merge
+    exactness vs a pure-Python reference is pinned in tests/test_bpe.py
+    (no SQL oracle by design); eager by contract (runs its training
+    loop when constructed — the learned merge table is cached per
+    (process, sf_dir) like the rendered-corpus queries, so repeat
+    constructions rebuild a tiny local DataFrame instead of
+    retraining)."""
+    from hadoop_3_3_6_spark.functions.bpe import train_bpe
+
+    key = ("bpe_merges", sf_dir)
+    if key not in _RENDER_CACHE:
+        docs = load_table(spark, "documents", sf_dir)
+        merges = train_bpe(docs, num_merges=8, sample_cap_words=1200)
+        _RENDER_CACHE[key] = [tuple(r) for r in merges.collect()]
+    return spark.createDataFrame(
+        _RENDER_CACHE[key],
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )
+
+
 # Pinned to the head of the front group: flagship custom operators and
 # the TPC-H suite — the driver must verify these regardless of how many
 # extension queries register after them.
@@ -5449,6 +5476,7 @@ _DRIVER_HOLDBACK = [
     "timeseries_gapfill_hourly",
     "paths_user_journeys",
     "timeseries_interpolate_hourly",
+    "tokenizer_bpe_train",
 ]
 
 

@@ -318,7 +318,8 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
         if name.startswith("streaming_")
         or name in {"terasort_validate", "pipe_wordcount", "avro_roundtrip", "dedup_clusters",
                     "similarity_ivf_trained", "multimodal_wav_source", "pipeline_dedup_keep",
-                    "warc_source_scan", "seqfile_roundtrip", "jobcontrol_word_pipeline"}
+                    "warc_source_scan", "seqfile_roundtrip", "jobcontrol_word_pipeline",
+                    "tokenizer_bpe_train"}
     }
     lazy = [n for n in QUERIES if n not in eager_by_contract]
     # Warm pass: pays the one-time parquet schema-inference jobs that
@@ -390,6 +391,7 @@ def test_oracle_coverage_is_pinned():
         "similarity_lsh_topk_fast",
         "dedup_minhash_fast",
         "sketch_bloom_prefilter_fast",
+        "tokenizer_bpe_train",
     }
 
 
