@@ -186,3 +186,55 @@ def reference_bpe(word_freqs: dict[str, int], num_merges: int) -> list[tuple[str
                     i += 1
             syms[w] = res
     return out
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a learned merge table: per document the
+    subword token count and the character count (their ratio is the
+    compression the tokenizer buys).  The merge list (vocabulary-sized,
+    learned by :func:`train_bpe`) ships to executors inside the
+    closure — the DistributedCache/broadcast role; encoding itself is
+    one Arrow-batched pass, no shuffle."""
+    ordered = list(merges)
+
+    def encode(batches):
+        import pandas as pd
+
+        def word_tokens(word: str) -> int:
+            syms = [c if i < len(word) - 1 else c + EOW for i, c in enumerate(word)]
+            for left, right in ordered:
+                i, res = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                        res.append(left + right)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            return len(syms)
+
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            counts, chars = [], []
+            for text in pdf[text_col]:
+                words = [w for w in (text or "").split(" ") if w]
+                n = 0
+                for w in words:
+                    if w not in cache:
+                        cache[w] = word_tokens(w)
+                    n += cache[w]
+                counts.append(n)
+                chars.append(sum(len(w) for w in words))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "bpe_tokens": counts, "n_chars": chars}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        encode, schema=f"{id_col} bigint, bpe_tokens bigint, n_chars bigint"
+    )

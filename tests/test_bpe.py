@@ -54,3 +54,33 @@ def test_word_freq_cap_is_deterministic(spark):
     a = {r.word: r.freq for r in _word_freqs(df, "text", 5).collect()}
     b = {r.word: r.freq for r in _word_freqs(df, "text", 5).collect()}
     assert a == b and len(a) == 5
+
+
+def test_apply_bpe_matches_python_reference(spark):
+    from hadoop_3_3_6_spark.functions.bpe import apply_bpe
+
+    from pyspark.sql import functions as F
+
+    df = _corpus(spark).withColumn("doc_id", F.monotonically_increasing_id())
+    wf = {r.word: r.freq for r in _word_freqs(df, "text", None).collect()}
+    merges = [(l, r) for l, r, _ in reference_bpe(wf, 10)]
+    got = {r.doc_id: (r.bpe_tokens, r.n_chars) for r in apply_bpe(df, merges).collect()}
+
+    def ref_word(word):
+        syms = [c if i < len(word) - 1 else c + EOW for i, c in enumerate(word)]
+        for left, right in merges:
+            i, res = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(left + right); i += 2
+                else:
+                    res.append(syms[i]); i += 1
+            syms = res
+        return len(syms)
+
+    for row in df.select("doc_id", "text").collect():
+        words = [w for w in row.text.split(" ") if w]
+        want = (sum(ref_word(w) for w in words), sum(len(w) for w in words))
+        assert got[row.doc_id] == want
+    # merges compress: token count strictly below character count
+    assert all(t < c for t, c in got.values())
