@@ -218,3 +218,40 @@ def test_hll_randomized_python_reference(spark):
         rank = 53 - w.bit_length() if w else 53
         want[bucket] = max(want.get(bucket, 0), rank)
     assert got == want
+
+
+def test_streaming_hll_register_maintenance(spark, sf_dir, tmp_path):
+    """Sketch x streaming composition: per-micro-batch HLL registers
+    fold into a persisted register table via foreachBatch, and the
+    final state equals the one-shot batch registers EXACTLY — the
+    mergeability law (max per bucket) holds under any micro-batch
+    split, which is what lets a 100 TB pipeline maintain cardinality
+    state incrementally instead of rescanning."""
+    from hadoop_3_3_6_spark.functions.sketch import hll_merge, hll_registers
+
+    ev = load_table(spark, "events", sf_dir).select("user_id")
+    src = tmp_path / "hll_src"
+    ev.repartition(3).write.parquet(str(src))
+    state = str(tmp_path / "hll_state")
+
+    def fold_batch(batch_df, batch_id):
+        regs = hll_registers(batch_df, "user_id", p=6)
+        import os
+
+        if os.path.isdir(state):
+            regs = spark.read.parquet(state).unionByName(regs)
+        merged = hll_merge(regs).toPandas()  # <= 64 rows
+        spark.createDataFrame(merged).write.mode("overwrite").parquet(state)
+
+    q = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+        .writeStream.foreachBatch(fold_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.bucket: r.register for r in spark.read.parquet(state).collect()}
+    want = {r.bucket: r.register for r in hll_registers(ev, "user_id", p=6).collect()}
+    assert got == want
