@@ -255,3 +255,38 @@ def test_streaming_hll_register_maintenance(spark, sf_dir, tmp_path):
     got = {r.bucket: r.register for r in spark.read.parquet(state).collect()}
     want = {r.bucket: r.register for r in hll_registers(ev, "user_id", p=6).collect()}
     assert got == want
+
+
+def test_cms_cells_are_additive_across_splits(spark, sf_dir):
+    """CMS merge law: cell counts ADD — building per-split sketches
+    and summing cells equals the one-shot sketch (the incremental /
+    map-side form of the same bounded grid)."""
+    ev = load_table(spark, "events", sf_dir)
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    cms_a = count_min_sketch(a, "event_type", depth=DEPTH, width=WIDTH)
+    cms_b = count_min_sketch(b, "event_type", depth=DEPTH, width=WIDTH)
+    merged = {
+        (r.r, r.bucket): r.cnt
+        for r in cms_a.unionByName(cms_b)
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    want = {
+        (r.r, r.bucket): r.cnt
+        for r in count_min_sketch(ev, "event_type", depth=DEPTH, width=WIDTH).collect()
+    }
+    assert merged == want
+
+
+def test_bloom_masks_or_compose(spark, sf_dir):
+    """Bloom merge law: the mask of a union is the bitwise OR of the
+    masks — per-partition/day masks fold without re-hashing."""
+    supplier = load_table(spark, "supplier", sf_dir)
+    a = supplier.filter(F.col("s_suppkey") % 2 == 0).select("s_suppkey")
+    b = supplier.filter(F.col("s_suppkey") % 2 == 1).select("s_suppkey")
+    [ra] = bloom_build(a, "s_suppkey", num_bits=512, num_hashes=3).collect()
+    [rb] = bloom_build(b, "s_suppkey", num_bits=512, num_hashes=3).collect()
+    [rf] = bloom_build(supplier.select("s_suppkey"), "s_suppkey", num_bits=512, num_hashes=3).collect()
+    assert [x | y for x, y in zip(ra.bloom, rb.bloom)] == list(rf.bloom)
