@@ -290,3 +290,16 @@ def test_bloom_masks_or_compose(spark, sf_dir):
     [rb] = bloom_build(b, "s_suppkey", num_bits=512, num_hashes=3).collect()
     [rf] = bloom_build(supplier.select("s_suppkey"), "s_suppkey", num_bits=512, num_hashes=3).collect()
     assert [x | y for x, y in zip(ra.bloom, rb.bloom)] == list(rf.bloom)
+
+
+def test_hll_estimate_both_ranges(spark):
+    """hll_estimate must hold its error band in BOTH regimes: the
+    small-range linear-counting path (empty buckets present) and the
+    raw harmonic path (cardinality >> bucket count)."""
+    from hadoop_3_3_6_spark.functions.sketch import hll_estimate, hll_registers
+
+    for n in (150, 30_000):  # 150 << 2.5*256; 30k >> 2.5*256
+        df = spark.range(n).selectExpr("concat('key', id) as k")
+        regs = {r.bucket: r.register for r in hll_registers(df, "k", p=8).collect()}
+        est = hll_estimate(regs, p=8)
+        assert abs(est - n) / n < 0.26, (n, est)
