@@ -3557,7 +3557,9 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 15))::BIGINT AS skey,
                    ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 15))::BIGINT % 32 AS block
             FROM mixed))
-    SELECT doc_id, n_tokens, block, (start // 256) AS bin_id, (start % 256) AS start_offset
+    SELECT doc_id, n_tokens, block,
+           (start // 256)::BIGINT AS bin_id,
+           (start % 256)::BIGINT AS start_offset
     FROM packed
     """,
 )
@@ -3648,8 +3650,8 @@ def q_pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_pack_sequences",
     """
     SELECT doc_id, n_tokens, block,
-           (start // 256) AS bin_id,
-           (start % 256) AS start_offset
+           (start // 256)::BIGINT AS bin_id,
+           (start % 256)::BIGINT AS start_offset
     FROM (SELECT doc_id, n_tokens, block,
                  coalesce(sum(n_tokens) OVER (PARTITION BY block ORDER BY skey, doc_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
@@ -4417,7 +4419,9 @@ _ROUND1_DRIVER_VERIFIED = [
     "sessionize_events", "streaming_tumbling_counts", "streaming_dedup",
     "streaming_session_window", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash", "dedup_simhash", "similarity_topk",
-    "embedding_neardup", "similarity_lsh_topk", "similarity_ivf_topk",
+    # similarity_lsh_topk deliberately absent: its only driver row (r1)
+    # was rows-only and predates its exact oracle — it must re-rotate.
+    "embedding_neardup", "similarity_ivf_topk",
     "text_token_counts", "text_langid", "text_quality",
     "text_fingerprint", "multimodal_meta", "aggregatewordcount",
 ]
@@ -5446,9 +5450,14 @@ def _driver_verified_names() -> set[str]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            # hash-green, or a rows-only row for a deliberately
-            # oracle-less query — both already consumed a driver slot.
-            if row.get("hash_match") or row.get("err") == "no_oracle":
+            # hash-green, or a rows-only row for a query that is STILL
+            # oracle-less — both already consumed a driver slot.  A
+            # rows-only row for a query that has since gained an exact
+            # oracle (e.g. similarity_lsh_topk's r1 row) is stale: the
+            # query must rotate forward for a real hash check.
+            if row.get("hash_match") or (
+                row.get("err") == "no_oracle" and name not in ORACLES
+            ):
                 names.add(name)
     return names
 
@@ -5456,27 +5465,11 @@ def _driver_verified_names() -> set[str]:
 # Queries added AFTER a round's verified/unverified backlog formed:
 # held back behind the never-driver-checked backlog AND the rows-only
 # tier, so new registrations never displace queries still waiting for
-# their first exact driver check (they graduate automatically next
-# round once the backlog shrinks — the rotation self-heals).
+# their first exact driver check.  Round-4 policy: the round-3 names
+# graduated (they ARE the backlog now and ride at the very front);
+# only queries newly registered THIS round belong here.
 _DRIVER_HOLDBACK = [
-    "fuzzy_join_titles",
-    "seqfile_roundtrip",
-    "multimodal_container_meta",
-    "dedup_minhash_fast",
-    "sketch_cms_custkey",
-    "sketch_bloom_prefilter",
-    "sketch_hll_vocab",
-    "pipeline_sample_per_group",
-    "topk_events_per_type",
-    "table_diff_orders",
-    "streaming_stream_stream_left_join",
-    "sketch_bloom_prefilter_fast",
-    "jobcontrol_word_pipeline",
-    "profile_orders_columns",
-    "timeseries_gapfill_hourly",
-    "paths_user_journeys",
-    "timeseries_interpolate_hourly",
-    "tokenizer_bpe_train",
+    "randomwriter",
 ]
 
 

@@ -31,7 +31,22 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
     b = canonicalize(oracle_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+        a_float = pd.api.types.is_float_dtype(av)
+        b_float = pd.api.types.is_float_dtype(bv)
+        a_int = pd.api.types.is_integer_dtype(av)
+        b_int = pd.api.types.is_integer_dtype(bv)
+        # The driver hashes raw values, so an int64 Spark column vs a
+        # float64 oracle column (e.g. DuckDB HUGEINT window-sum math
+        # decaying to DOUBLE) is a REAL mismatch.  Don't paper over it
+        # with a float coercion — that leniency hid an oracle-type bug
+        # in round 3 (pipeline_pack_sequences).
+        if (a_float and b_int) or (a_int and b_float):
+            raise AssertionError(
+                f"{name}: column {c!r} dtype mismatch: spark={av.dtype} "
+                f"oracle={bv.dtype} (int vs float — the driver's value "
+                f"hash will differ; cast the oracle SQL)"
+            )
+        if a_float or b_float:
             av = av.astype("float64")
             bv = bv.astype("float64")
             mism = ~((av == bv) | (av.isna() & bv.isna()))
