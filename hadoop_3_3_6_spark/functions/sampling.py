@@ -209,9 +209,15 @@ def reservoir_per_group(
     the shuffle carries three columns, not the full rows — then the
     winners (<= groups * n rows, small by construction) broadcast-join
     back to recover full rows, so the wide table itself never
-    shuffles."""
+    shuffles.  The join-back is on (group, id) so ids only need to be
+    unique WITHIN a group, not globally; a pre-existing ``sample_rank``
+    column would collide with the output and is rejected."""
     from pyspark.sql.window import Window
 
+    if "sample_rank" in df.columns:
+        raise ValueError(
+            "reservoir_per_group adds a 'sample_rank' column; input already has one"
+        )
     key = portable_hash_expr(f"concat('{salt}:', cast({id_col} as string))")
     w = Window.partitionBy(group_col).orderBy(F.col("_skey").asc(), F.col(id_col).asc())
     winners = (
@@ -219,6 +225,6 @@ def reservoir_per_group(
         .withColumn("_skey", F.expr(key))
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n)
-        .select(id_col, "sample_rank")
+        .select(group_col, id_col, "sample_rank")
     )
-    return df.join(F.broadcast(winners), id_col)
+    return df.join(F.broadcast(winners), [group_col, id_col])

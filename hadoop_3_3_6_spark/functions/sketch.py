@@ -160,6 +160,7 @@ def bloom_might_contain(
     salt: str = "bloom",
     portable: bool = True,
     h_expr: str | None = None,
+    mask_col: str = "bloom",
 ) -> Column:
     """Membership test against a ``bloom`` word-array column (from
     :func:`bloom_build`, available via cross-joined broadcast): true
@@ -178,7 +179,7 @@ def bloom_might_contain(
     for i in range(num_hashes):
         pos = _km_pos(h, str(i), num_bits)
         probes.append(
-            f"((shiftright(element_at(bloom, cast({pos} / 64 as int) + 1), "
+            f"((shiftright(element_at({mask_col}, cast({pos} / 64 as int) + 1), "
             f"cast({pos} % 64 as int)) & 1) = 1)"
         )
     return F.expr(" AND ".join(probes))
@@ -210,13 +211,28 @@ def bloom_prefilter(
     the BroadcastNestedLoopJoin condition — that's fine for the cheap
     shift/mask arithmetic, but without the pre-projected ``_bh`` it
     re-derives the md5 base hash per conjunct (6 interpreted md5s per
-    probe row — measured ~3x slower)."""
-    mask = bloom_build(build, build_key_col, num_bits, num_hashes, salt, portable)
+    probe row — measured ~3x slower).
+
+    Working columns use a reserved ``__bloom_*`` prefix so a probe
+    table that legitimately has a ``bloom`` or ``_bh`` column passes
+    through untouched; only the (pathological) reserved names
+    themselves are rejected."""
+    clash = {"__bloom_mask", "__bloom_bh"} & set(probe.columns)
+    if clash:
+        raise ValueError(f"probe columns collide with bloom_prefilter internals: {sorted(clash)}")
+    mask = bloom_build(build, build_key_col, num_bits, num_hashes, salt, portable).select(
+        F.col("bloom").alias("__bloom_mask")
+    )
     return (
-        probe.withColumn("_bh", F.expr(_base_hash(key_col, salt, portable)))
+        probe.withColumn("__bloom_bh", F.expr(_base_hash(key_col, salt, portable)))
         .crossJoin(F.broadcast(mask))
-        .filter(bloom_might_contain(key_col, num_bits, num_hashes, salt, portable, h_expr="_bh"))
-        .drop("bloom", "_bh")
+        .filter(
+            bloom_might_contain(
+                key_col, num_bits, num_hashes, salt, portable,
+                h_expr="__bloom_bh", mask_col="__bloom_mask",
+            )
+        )
+        .drop("__bloom_mask", "__bloom_bh")
     )
 
 

@@ -87,28 +87,38 @@ def audit_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     )
 
 
-def column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def column_profile(df: DataFrame, cols: list[str] | None = None, exact: bool = False) -> DataFrame:
     """Single-pass per-column profile — the ANALYZE TABLE / dataset
     health report feeding null-rate alerts, join-key selection, and
     dictionary-encoding decisions: per column (n_nulls, n_distinct,
     min_value, max_value), all columns in ONE aggregate over one scan
     (a profile crossing the wire is a few values per partition
-    regardless of table size; approx tier: swap count(distinct) for
-    approx_count_distinct at 100 TB where exact distinct forces a
-    per-column expand).  min/max render as strings so heterogeneous
-    column types stack into one long-form result.
+    regardless of table size).  min/max render as strings so
+    heterogeneous column types stack into one long-form result.
+
+    ``n_distinct`` is HyperLogLog-approximate by DEFAULT
+    (``approx_count_distinct``, rsd 0.01): N exact count(distinct) in
+    one aggregate force Catalyst's Expand — a ×4N row multiplication
+    of the full scan — which is the wrong default for an ANALYZE-tier
+    op at 100 TB.  Pass ``exact=True`` for audit-grade exact distinct
+    counts (the per-column expand is then accepted knowingly).
 
     Reference analogue: the counters every MR job aggregated per task
     (MRC/mapreduce/TaskCounter.java) generalized to per-column data
     statistics.  Returns (column, n_nulls, n_distinct, min_value,
     max_value)."""
     cols = cols or [f.name for f in df.schema.fields]
+    distinct = (
+        (lambda c: F.count_distinct(c))
+        if exact
+        else (lambda c: F.approx_count_distinct(c, rsd=0.01))
+    )
     aggs = []
     for i, c in enumerate(cols):
         col = F.col(c)
         aggs += [
             F.count_if(col.isNull()).alias(f"_n{i}"),
-            F.count_distinct(col).alias(f"_d{i}"),
+            distinct(col).alias(f"_d{i}"),
             F.min(col).cast("string").alias(f"_lo{i}"),
             F.max(col).cast("string").alias(f"_hi{i}"),
         ]

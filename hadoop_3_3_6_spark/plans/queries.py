@@ -2633,6 +2633,24 @@ def q_randomtextwriter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_text(spark, 1000, words_per_row=20, seed=42)
 
 
+@_register(
+    "randomwriter",
+    """
+    SELECT substr(sha256('k42:' || id::VARCHAR), 1, 10) AS key,
+           substr(repeat(sha256('v42:' || id::VARCHAR), 2), 1, 90) AS value
+    FROM generate_series(0, 999) AS t(id)
+    """,
+)
+def q_randomwriter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RandomWriter (MRX/RandomWriter.java:78): seeded-hash KV records —
+    the binary-payload sibling of randomtextwriter.  sha256-derived
+    payloads are reproducible on any cluster layout and bit-identical
+    in the DuckDB oracle (both engines agree on sha256 hex)."""
+    from hadoop_3_3_6_spark.sources.tools import random_kv
+
+    return random_kv(spark, 1000, key_bytes=10, value_bytes=90, seed=42)
+
+
 @_register("approx_distinct_suppliers")  # sketch-based: tolerance-checked in tests
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++): the scale path for UniqValueCount
@@ -5147,12 +5165,15 @@ def q_profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANALYZE-TABLE health report; reference analogue: per-task counter
     aggregation, MRC/mapreduce/TaskCounter.java, generalized to data
     statistics): null counts, distinct counts, min/max per column in
-    ONE aggregate over one scan of orders."""
+    ONE aggregate over one scan of orders.  ``exact=True`` here because
+    the oracle compares exact distinct counts; the operator DEFAULT is
+    the approx (HLL) tier, whose plan has no Expand — the 100-TB
+    posture, asserted in tests/test_plans.py."""
     from hadoop_3_3_6_spark.operators.counters import column_profile
 
     orders = load_table(spark, "orders", sf_dir)
     return column_profile(
-        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"], exact=True
     )
 
 

@@ -124,6 +124,35 @@ def _copy_listing(listing: DataFrame, dst_dir: str) -> int:
     return copied.value
 
 
+def _dst_listing(spark: SparkSession, dst_dir: str) -> DataFrame | None:
+    """(rel, _dst_length) listing of an -update destination, or None if
+    it is empty/absent.  Local directories use the distributed
+    binaryFile metadata scan; non-local URIs (s3://, hdfs://, ...) are
+    listed through the pyarrow filesystem — status-only, no bytes — so
+    ``-update`` stays incremental cross-filesystem instead of silently
+    degrading to a full recopy when ``os.path.isdir`` can't see the
+    destination."""
+    if "://" not in dst_dir:
+        if not (os.path.isdir(dst_dir) and any(os.scandir(dst_dir))):
+            return None
+        return _meta_listing(spark, dst_dir, dst_dir).select(
+            "rel", F.col("length").alias("_dst_length")
+        )
+    from pyarrow import fs as pafs
+
+    fs, inner = _fs_for(dst_dir)
+    infos = fs.get_file_info(pafs.FileSelector(inner, recursive=True, allow_not_found=True))
+    base = inner.rstrip("/")
+    rows = [
+        (i.path[len(base) + 1 :], int(i.size))
+        for i in infos
+        if i.type == pafs.FileType.File
+    ]
+    if not rows:
+        return None
+    return spark.createDataFrame(rows, "rel string, _dst_length bigint")
+
+
 def dist_copy(spark: SparkSession, src_glob: str, dst_dir: str, update: bool = False) -> int:
     """Parallel copy of files matching ``src_glob`` into ``dst_dir``,
     preserving paths relative to the glob base.  Returns number of
@@ -139,16 +168,15 @@ def dist_copy(spark: SparkSession, src_glob: str, dst_dir: str, update: bool = F
     elif dst_dir.startswith("file:"):
         dst_dir = dst_dir[len("file:"):]
     src = _meta_listing(spark, src_glob, _glob_base(src_glob))
-    if update and os.path.isdir(dst_dir) and any(os.scandir(dst_dir)):
-        dst = _meta_listing(spark, dst_dir, dst_dir).select(
-            "rel", F.col("length").alias("_dst_length")
-        )
-        # -update skip criterion: same relative path AND same size
-        src = (
-            src.join(dst, on="rel", how="left")
-            .filter(F.col("_dst_length").isNull() | (F.col("_dst_length") != F.col("length")))
-            .drop("_dst_length")
-        )
+    if update:
+        dst = _dst_listing(spark, dst_dir)
+        if dst is not None:
+            # -update skip criterion: same relative path AND same size
+            src = (
+                src.join(dst, on="rel", how="left")
+                .filter(F.col("_dst_length").isNull() | (F.col("_dst_length") != F.col("length")))
+                .drop("_dst_length")
+            )
     if "://" not in dst_dir:
         os.makedirs(dst_dir, exist_ok=True)
     return _copy_listing(src, dst_dir)
@@ -256,11 +284,15 @@ _WORDLIST_SIZE = 1000
 
 
 def random_kv(spark: SparkSession, num_rows: int, key_bytes: int = 10, value_bytes: int = 90, seed: int = 42) -> DataFrame:
-    """RandomWriter: deterministic pseudo-random binary-ish KV records."""
+    """RandomWriter: deterministic pseudo-random binary-ish KV records.
+    Payloads derive from sha256 of the (seed, row-id) pair — no RNG
+    state, identical on any cluster layout, and exactly reproducible in
+    the DuckDB oracle (sha256 exists on both engines; the value tiles a
+    64-hex digest up to ``value_bytes``)."""
     return spark.range(num_rows).select(
         F.substring(F.sha2(F.concat(F.lit(f"k{seed}:"), F.col("id").cast("string")), 256), 1, key_bytes).alias("key"),
         F.substring(
-            F.repeat(F.sha2(F.concat(F.lit(f"v{seed}:"), F.col("id").cast("string")), 512), (value_bytes // 128) + 1),
+            F.repeat(F.sha2(F.concat(F.lit(f"v{seed}:"), F.col("id").cast("string")), 256), (value_bytes // 64) + 1),
             1,
             value_bytes,
         ).alias("value"),
@@ -351,9 +383,16 @@ def table_diff(
     (both, differing compare columns).  Returns (key_cols...,
     diff_status)."""
     all_cols = key_cols + compare_cols
-    row_digest = F.expr(
-        "xxhash64(" + ", ".join(f"cast({c} as string)" for c in all_cols) + ")"
+    # xxhash64 silently SKIPS null arguments, so a bare multi-arg hash
+    # would give identical digests to rows whose values swap between
+    # columns via a null swap (a=(k,'v',NULL) vs b=(k,NULL,'v')) — a
+    # systematic false negative, not the ~2^-64 collision.  Make null
+    # position digest-relevant: every column contributes a non-null
+    # (value, is-null) pair.
+    digest_args = ", ".join(
+        f"coalesce(cast({c} as string), ''), cast({c} is null as int)" for c in all_cols
     )
+    row_digest = F.expr(f"xxhash64({digest_args})")
     bucket = F.expr(
         # & mask (not abs): abs(Long.MIN_VALUE) is still negative, and a
         # negative bucket would silently never match the mismatch list

@@ -42,11 +42,42 @@ def named_outputs(df: DataFrame, outputs: dict[str, tuple], base_path: str, fmt:
         df.unpersist()
 
 
-def multiple_outputs(df: DataFrame, path: str, route_col: str, fmt: str = "parquet") -> None:
+def multiple_outputs(
+    df: DataFrame,
+    path: str,
+    route_col,
+    fmt: str = "parquet",
+    route_name: str = "route",
+) -> None:
     """MultipleOutputs: per-record routing to named outputs — a
     partitioned write; each distinct route value becomes
-    ``{path}/{route_col}={v}/``.  Single pass, no per-route job."""
-    writer = df.write.mode("overwrite").partitionBy(route_col)
+    ``{path}/{route}={v}/``.  Single pass, no per-route job.
+
+    ``route_col`` may be a column NAME, any Column EXPRESSION, or a
+    LIST of either — the reference's per-record arbitrary
+    ``baseOutputPath`` (MRC/mapreduce/lib/output/MultipleOutputs.java:
+    474, write(k, v, baseOutputPath)) is a record-derived route string,
+    so an expression computing each path segment routes records to
+    fully dynamic destinations while staying ONE distributed
+    partitioned write; a list of route expressions yields nested
+    directories (``{path}/route=a/route_1=b/...``), the analogue of a
+    multi-segment baseOutputPath.  (Partition values are escaped by the
+    writer, so a '/' inside one route VALUE does not nest — use a
+    second route expression for that.)  Expression routes materialize
+    as ``route_name`` (suffixed ``_1``, ``_2``, ... beyond the first)
+    and the data columns are unchanged."""
+    routes = route_col if isinstance(route_col, (list, tuple)) else [route_col]
+    names: list[str] = []
+    for i, r in enumerate(routes):
+        if isinstance(r, str):
+            names.append(r)
+            continue
+        name = route_name if i == 0 else f"{route_name}_{i}"
+        if name in df.columns:
+            raise ValueError(f"route_name {name!r} collides with a data column")
+        df = df.withColumn(name, r)
+        names.append(name)
+    writer = df.write.mode("overwrite").partitionBy(*names)
     getattr(writer, fmt)(path)
 
 

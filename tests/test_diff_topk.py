@@ -69,6 +69,17 @@ def test_table_diff_null_safe_keys_and_payload(spark):
     assert [(r.k, r.diff_status) for r in diff.collect()] == [(3, "changed")]
 
 
+def test_table_diff_detects_null_column_swap(spark):
+    """Regression: multi-arg xxhash64 skips NULL arguments, so a value
+    moving between columns via a null swap used to produce identical
+    row digests and the changed row vanished from the diff.  Null
+    position is now digest-relevant."""
+    a = spark.createDataFrame([(1, "v", None), (2, "p", "q")], "k int, c1 string, c2 string")
+    b = spark.createDataFrame([(1, None, "v"), (2, "p", "q")], "k int, c1 string, c2 string")
+    got = {(r.k, r.diff_status) for r in table_diff(a, b, ["k"], ["c1", "c2"]).collect()}
+    assert got == {(1, "changed")}
+
+
 def test_topk_randomized_python_reference(spark):
     import numpy as np
 

@@ -115,6 +115,32 @@ def test_multiple_outputs(spark, tmp_path):
     assert back.filter("route = 'r1'").count() == 2
 
 
+def test_multiple_outputs_expression_route(spark, tmp_path):
+    """Per-record arbitrary baseOutputPath (MultipleOutputs.java:474):
+    a record-derived route EXPRESSION plus a second segment expression
+    yields nested dynamic directories from one partitioned write."""
+    df = spark.createDataFrame(
+        [("a", 2023, 1), ("b", 2023, 9), ("c", 2024, 3)], "v string, yr int, n int"
+    )
+    out = str(tmp_path / "dyn")
+    multiple_outputs(
+        df,
+        out,
+        [F.concat(F.lit("y"), F.col("yr").cast("string")), F.when(F.col("n") < 5, "small").otherwise("large")],
+        route_name="seg",
+    )
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("seg="))
+    assert dirs == ["seg=y2023", "seg=y2024"]
+    nested = sorted(os.listdir(os.path.join(out, "seg=y2023")))
+    assert [d for d in nested if d.startswith("seg_1=")] == ["seg_1=large", "seg_1=small"]
+    back = spark.read.parquet(out)
+    assert {(r.v, r.seg, r.seg_1) for r in back.collect()} == {
+        ("a", "y2023", "small"),
+        ("b", "y2023", "large"),
+        ("c", "y2024", "small"),
+    }
+
+
 def test_counters_observe(spark):
     df = spark.range(100).withColumn("v", F.col("id") % 10)
     counted, obs = with_counters(df, {"records": F.count(F.lit(1)), "zeros": F.count_if(F.col("v") == 0)})

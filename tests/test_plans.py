@@ -432,6 +432,28 @@ def test_quantized_topk_integer_scoring(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_column_profile_default_has_no_expand(spark, sf_dir):
+    """column_profile's DEFAULT is the approx (HLL) n_distinct tier:
+    N exact count(distinct) in one aggregate force an Expand (×4N row
+    multiplication of the full scan) — wrong default at 100 TB.  Exact
+    stays available by opt-in (the driver query pins exact=True so its
+    oracle stands)."""
+    from hadoop_3_3_6_spark.operators.counters import column_profile
+    from hadoop_3_3_6_spark.plans.queries import load_table
+
+    orders = load_table(spark, "orders", sf_dir)
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    default_plan = (
+        column_profile(orders, cols)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in default_plan
+    assert "approx_count_distinct" in default_plan
+    exact_plan = (
+        column_profile(orders, cols, exact=True)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan  # the documented exact-tier trade
+
+
 def test_rendered_corpus_dir_is_cached_per_process():
     """The eager ingestion queries (wav/warc/avro/seqfile) must reuse
     ONE rendered temp dir per (prefix, sf_dir) — a fresh mkdtemp per

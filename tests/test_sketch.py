@@ -202,6 +202,21 @@ def test_bloom_randomized_python_reference(spark):
     assert got == want
 
 
+def test_bloom_prefilter_tolerates_user_bloom_column(spark):
+    """A probe table that legitimately owns a ``bloom`` (or ``_bh``)
+    column must survive the prefilter untouched — the internals use a
+    reserved ``__bloom_*`` namespace."""
+    build = spark.createDataFrame([(1,), (2,)], "k long")
+    probe = spark.createDataFrame(
+        [(1, "keep-me", 7), (2, "and-me", 8), (99, "drop-me", 9)],
+        "k long, bloom string, _bh long",
+    )
+    rows = {r.k: (r.bloom, r._bh) for r in bloom_prefilter(probe, "k", build, "k", num_bits=256, num_hashes=3).collect()}
+    assert set(rows) >= {1, 2}  # no false negatives; 99 may false-positive
+    assert rows[1] == ("keep-me", 7) and rows[2] == ("and-me", 8)
+    assert set(probe.columns) == {"k", "bloom", "_bh"}
+
+
 def test_hll_randomized_python_reference(spark):
     import numpy as np
 
