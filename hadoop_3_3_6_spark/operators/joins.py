@@ -334,6 +334,7 @@ def fuzzy_join(
     block_right,
     max_distance: int = 2,
     pair_filter=None,
+    distinct_values: bool = True,
 ) -> DataFrame:
     """Blocked fuzzy (edit-distance) join — the record-linkage /
     approximate-match operator (the MapReduce-era pattern: a blocking
@@ -363,7 +364,34 @@ def fuzzy_join(
     -1 above the threshold — exact for every kept pair).  Together
     these prune/shrink the per-pair DP cost, the dominant term,
     without changing the result (measured ~2x on the registered
-    query)."""
+    query).
+
+    ``distinct_values`` (default True — the 100 TB posture): run the
+    quadratic compare over DISTINCT (block, value) pairs only, then
+    expand matches back to rows with two linear equi-joins.  Pair work
+    drops from sum(|block_l| x |block_r|) ROWS to distinct VALUES —
+    decisive on duplicate-heavy corpora, where repeated titles
+    otherwise grow cliques and the row-level compare grows
+    QUADRATICALLY in the duplication factor (the round-4 sf1 spotcheck
+    measured 16.7x time at 10x rows with 2x title duplication; the
+    distinct form restores linear scaling).  Results are identical:
+    ``pair_filter`` references row-level columns, so it applies after
+    the expansion in this mode."""
+    if distinct_values and left_col != right_col:
+        l = left.withColumn("_blk", block_left)
+        r = right.withColumn("_blk", block_right)
+        dl = l.select("_blk", left_col).distinct()
+        dr = r.select("_blk", right_col).distinct()
+        cand = dl.join(dr, "_blk").filter(
+            F.abs(F.length(F.col(left_col)) - F.length(F.col(right_col))) <= max_distance
+        )
+        cand = cand.withColumn(
+            "edit_distance", F.levenshtein(F.col(left_col), F.col(right_col), max_distance)
+        ).filter(F.col("edit_distance") >= 0)
+        out = l.join(cand, ["_blk", left_col]).join(r, ["_blk", right_col])
+        if pair_filter is not None:
+            out = out.filter(pair_filter)
+        return out.drop("_blk")
     l = left.withColumn("_blk", block_left)
     r = right.withColumn("_blk", block_right)
     pairs = l.join(r, "_blk")

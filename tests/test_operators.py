@@ -580,3 +580,32 @@ def test_fuzzy_join_matches_python_reference(spark):
     }
     assert got == expect
     assert all(d >= 0 for d in got.values())
+
+
+def test_fuzzy_join_distinct_mode_preserves_multiplicity(spark):
+    """distinct_values=True compares DISTINCT (block, value) pairs and
+    re-expands — with duplicated values both modes must emit the SAME
+    row-level pairs (each duplicate pairing once), and the distinct
+    mode's quadratic stage must not see the duplicates."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_3_6_spark.operators.joins import fuzzy_join
+
+    rows = [(1, "alpha beta"), (2, "alpha beta"), (3, "alpha betb"), (4, "alpha beta"), (5, "gamma")]
+    left = spark.createDataFrame(rows, "left_id long, left_name string")
+    right = spark.createDataFrame(
+        [(i + 10, n) for i, n in rows], "right_id long, right_name string"
+    )
+    kwargs = dict(
+        max_distance=2,
+        pair_filter=F.col("left_id") + 10 < F.col("right_id"),
+    )
+    args = (left, right, "left_name", "right_name",
+            F.substring("left_name", 1, 1), F.substring("right_name", 1, 1))
+    a = {(r.left_id, r.right_id, r.edit_distance)
+         for r in fuzzy_join(*args, distinct_values=True, **kwargs).collect()}
+    b = {(r.left_id, r.right_id, r.edit_distance)
+         for r in fuzzy_join(*args, distinct_values=False, **kwargs).collect()}
+    assert a == b
+    # duplicates expanded: ids 1,2,4 x 12,13(dist1),14... spot-check one
+    assert (1, 14, 0) in a and (2, 13, 1) in a
