@@ -195,6 +195,31 @@ def main() -> None:
         spark.range(1).count()
     timings["mrbench_identity_latency"] = round((time.perf_counter() - lat0) / runs, 3)
 
+    # TestDFSIO analogue (BASELINE.md third suite): sequential write
+    # then full read-back of the fact table through the storage layer
+    # (snappy parquet), the reference's -write/-read variants.
+    import shutil
+    import tempfile
+
+    dfsio_dir = tempfile.mkdtemp(prefix="dfsio_")
+    try:
+        li = load_table(spark, "lineitem", SF_DIR)
+        w_best = r_best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            li.write.mode("overwrite").parquet(dfsio_dir + "/out")
+            w = time.perf_counter() - t0
+            w_best = w if w_best is None else min(w_best, w)
+            t0 = time.perf_counter()
+            spark.read.parquet(dfsio_dir + "/out").write.format("noop").mode("overwrite").save()
+            r = time.perf_counter() - t0
+            r_best = r if r_best is None else min(r_best, r)
+        timings["dfsio_write"] = round(w_best, 3)
+        timings["dfsio_read"] = round(r_best, 3)
+        print(f"# dfsio write/read: {timings['dfsio_write']:.3f}s / {timings['dfsio_read']:.3f}s", file=sys.stderr)
+    finally:
+        shutil.rmtree(dfsio_dir, ignore_errors=True)
+
     # TeraSort-analogue throughput: generate + total-order sort + write
     # 2M 100-byte records (~200 MB), the reference's headline benchmark
     # (BASELINE.md TeraSuite).
@@ -209,30 +234,7 @@ def main() -> None:
     timings["terasort_2m_records"] = round(best, 3)
     print(f"# terasort_2m_records: {timings['terasort_2m_records']:.3f}s", file=sys.stderr)
 
-    # TestDFSIO analogue (BASELINE.md third suite): sequential write
-    # then full read-back of the fact table through the storage layer
-    # (snappy parquet), the reference's -write/-read variants.
-    import shutil
-    import tempfile
 
-    dfsio_dir = tempfile.mkdtemp(prefix="dfsio_")
-    try:
-        li = load_table(spark, "lineitem", SF_DIR)
-        w_best = r_best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            li.write.mode("overwrite").parquet(dfsio_dir + "/out")
-            w = time.perf_counter() - t0
-            w_best = w if w_best is None else min(w_best, w)
-            t0 = time.perf_counter()
-            spark.read.parquet(dfsio_dir + "/out").write.format("noop").mode("overwrite").save()
-            r = time.perf_counter() - t0
-            r_best = r if r_best is None else min(r_best, r)
-        timings["dfsio_write"] = round(w_best, 3)
-        timings["dfsio_read"] = round(r_best, 3)
-        print(f"# dfsio write/read: {timings['dfsio_write']:.3f}s / {timings['dfsio_read']:.3f}s", file=sys.stderr)
-    finally:
-        shutil.rmtree(dfsio_dir, ignore_errors=True)
 
     spark.stop()
 

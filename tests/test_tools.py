@@ -40,6 +40,23 @@ def test_dist_copy(spark, src_files, tmp_path):
     assert (dst / "f0.bin").read_bytes() == b"changed!"
 
 
+def test_dst_listing_uses_pyarrow_for_uri_destinations(spark, tmp_path):
+    """Regression: -update used to gate its destination listing on
+    os.path.isdir, silently degrading any URI destination to a full
+    recopy.  The pyarrow-FS branch (taken for every '://' URI) must
+    produce the same (rel, _dst_length) listing the local branch does."""
+    from hadoop_3_3_6_spark.sources.tools import _dst_listing
+
+    d = tmp_path / "remote"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.bin").write_bytes(b"x" * 10)
+    (d / "sub" / "b.bin").write_bytes(b"y" * 20)
+    got = {(r.rel, r._dst_length) for r in _dst_listing(spark, f"file://{d}").collect()}
+    assert got == {("a.bin", 10), ("sub/b.bin", 20)}
+    # absent URI destination -> None (full copy), not an exception
+    assert _dst_listing(spark, f"file://{tmp_path}/nope") is None
+
+
 def test_archive_roundtrip(spark, src_files, tmp_path):
     arch = str(tmp_path / "arch.parquet")
     archive_files(spark, str(src_files / "*.bin"), arch)
