@@ -5761,6 +5761,38 @@ def q_keyfield_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "archive_restore_scan",
+    "SELECT n_nationkey::VARCHAR AS key, n_name AS value FROM nation",
+)
+def q_archive_restore_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HadoopArchives pack → restore → scan (hadoop-tools/
+    hadoop-archives/.../HadoopArchives.java:83): 25 per-nation small
+    files packed into one indexed parquet archive (the .har role with
+    pushdown lookup replacing the index file), restored byte-for-byte
+    to their relative paths, and the restored tree scanned back as
+    key<TAB>value records.  The 25-row dim collect in the render is
+    bounded by construction."""
+    from hadoop_3_3_6_spark.sources.readers import read_key_value_text
+    from hadoop_3_3_6_spark.sources.tools import archive_files, unarchive_files
+
+    nation = load_table(spark, "nation", sf_dir)
+
+    def render(d: str) -> None:
+        import os
+
+        src = f"{d}/src"
+        os.makedirs(src, exist_ok=True)
+        for r in nation.select("n_nationkey", "n_name").collect():
+            with open(f"{src}/n{r.n_nationkey}.txt", "w") as f:
+                f.write(f"{r.n_nationkey}\t{r.n_name}\n")
+        archive_files(spark, f"{src}/*.txt", f"{d}/archive")
+        unarchive_files(spark, f"{d}/archive", f"{d}/restored")
+
+    out = _rendered_dir("archive_", sf_dir, render)
+    return read_key_value_text(spark, f"{out}/restored")
+
+
 # Pinned to the head of the front group: flagship custom operators and
 # the TPC-H suite — the driver must verify these regardless of how many
 # extension queries register after them.
@@ -5844,6 +5876,7 @@ _DRIVER_HOLDBACK = [
     "zorder_orders_scan",
     "routed_outputs_scan",
     "keyfield_topk_orders",
+    "archive_restore_scan",
 ]
 
 

@@ -137,6 +137,37 @@ def write_zordered(
     )
 
 
+def write_bloom_indexed(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    expected_ndv: int | None = None,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """BloomMapFile analogue (hadoop-common .../io/BloomMapFile.java:53
+    — MapFile plus a per-file bloom filter so a missing key skips the
+    index seek entirely): a parquet write with ROW-GROUP BLOOM FILTERS
+    on ``bloom_cols`` (parquet-mr's ``parquet.bloom.filter.enabled#col``
+    options ride the writer job's Hadoop conf), optionally sorted so
+    min/max stats prune ranges and the bloom prunes point probes that
+    fall inside a range.
+
+    At 100 TB the read path is: partition/bucket pruning → row-group
+    min/max → row-group bloom — a point lookup on a miss touches
+    footers only, the exact skip BloomMapFile bought.  ``expected_ndv``
+    sizes the filter (parquet.bloom.filter.expected.ndv#col); the
+    default dynamic sizing is fine when cardinality per row group is
+    unknown."""
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    writer = df.write.mode("overwrite")
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        if expected_ndv is not None:
+            writer = writer.option(f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv))
+    writer.parquet(path)
+
+
 def write_non_empty(df: DataFrame, path: str, fmt: str = "parquet") -> int:
     """LazyOutputFormat analogue (MRC/mapreduce/lib/output/
     LazyOutputFormat.java:42): only partitions that actually produced

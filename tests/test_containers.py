@@ -381,3 +381,26 @@ def test_versioned_table_refuses_torn_writes(spark, tmp_path):
     assert read_version(spark, t).count() == 4
     # the torn number is not reused
     assert write_version(spark.range(2), t) == 3
+
+
+def test_bloom_indexed_write_adds_filters_and_roundtrips(spark, sf_dir, tmp_path):
+    """BloomMapFile analogue (io/BloomMapFile.java:53): parquet row-group
+    bloom filters on the key column.  The filter bytes must actually
+    land in the files (size delta vs a plain write of identical data)
+    and the data must be untouched."""
+    import glob
+    import os
+
+    from hadoop_3_3_6_spark.session import load_table
+    from hadoop_3_3_6_spark.sources.writers import write_bloom_indexed
+
+    cust = load_table(spark, "customer", sf_dir).repartition(2)
+    bloom_dir, plain_dir = str(tmp_path / "bloom"), str(tmp_path / "plain")
+    write_bloom_indexed(cust, bloom_dir, ["c_custkey"], expected_ndv=5000)
+    cust.write.mode("overwrite").parquet(plain_dir)
+    bloom_bytes = sum(os.path.getsize(f) for f in glob.glob(f"{bloom_dir}/part-*"))
+    plain_bytes = sum(os.path.getsize(f) for f in glob.glob(f"{plain_dir}/part-*"))
+    assert bloom_bytes > plain_bytes + 1024, (bloom_bytes, plain_bytes)
+    back = spark.read.parquet(bloom_dir)
+    assert back.count() == cust.count()
+    assert back.filter("c_custkey = 7").count() == cust.filter("c_custkey = 7").count()
