@@ -353,19 +353,37 @@ def _ensure_sf1(spark) -> None:
                 {k: F.col(k) + F.col("_copy") * offset for k in key_cols}
             )
             if t == "documents":
-                # Vowel-rotate each copy's text (identity for copy 0):
+                # Vowel-permute each copy's text (identity for copy 0):
                 # within-copy near-duplicate structure is preserved
                 # EXACTLY (the same substitution hits both members of a
                 # pair), while cross-copy shingle overlap collapses —
-                # without this, 10 verbatim copies make every dedup
-                # clique 10x larger and pair work grows QUADRATICALLY,
-                # an artifact of the synthesis rather than the engine.
-                rots = ["aeiou", "eioua", "iouae", "ouaei", "uaeio"]
+                # without this, verbatim copies make every dedup clique
+                # larger and pair work grows QUADRATICALLY, an artifact
+                # of the synthesis rather than the engine.  10 DISTINCT
+                # permutations (5 rotations + 5 reversed rotations), one
+                # per copy — a 5-cycle alone would leave copies c and
+                # c+5 byte-identical.
+                rots = [
+                    "aeiou", "eioua", "iouae", "ouaei", "uaeio",
+                    "uoiea", "oieau", "ieauo", "eauoi", "auoie",
+                ]
                 arr = ",".join(f"'{r}'" for r in rots)
                 scaled = scaled.withColumn(
                     "text",
                     F.expr(
-                        f"translate(text, 'aeiou', element_at(array({arr}), cast(_copy % 5 as int) + 1))"
+                        f"translate(text, 'aeiou', element_at(array({arr}), cast(_copy % 10 as int) + 1))"
+                    ),
+                )
+            if t == "embeddings":
+                # Nudge each copy's vectors (identity for copy 0) so the
+                # 10x corpus is not 10 exact clones of every point —
+                # clone sets inflate ANN bucket candidate counts and
+                # near-dup cliques beyond what a real 10x corpus shows.
+                scaled = scaled.withColumn(
+                    "embedding",
+                    F.expr(
+                        "transform(embedding, (x, i) -> CASE WHEN i = 0 "
+                        "THEN cast(x + _copy * 0.003 as float) ELSE x END)"
                     ),
                 )
             scaled.drop("_copy").write.mode("overwrite").parquet(out)

@@ -225,6 +225,10 @@ def reservoir_per_group(
         .withColumn("_skey", F.expr(key))
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n)
-        .select(group_col, id_col, "sample_rank")
+        # NULL is a legitimate group (Window.partitionBy ranks it), so
+        # the join-back must be null-SAFE — a plain equi-join on the
+        # group column would silently drop the whole NULL group.
+        .select(F.col(group_col).alias("_rpg_g"), F.col(id_col).alias("_rpg_i"), "sample_rank")
     )
-    return df.join(F.broadcast(winners), [group_col, id_col])
+    cond = df[group_col].eqNullSafe(winners["_rpg_g"]) & df[id_col].eqNullSafe(winners["_rpg_i"])
+    return df.join(F.broadcast(winners), cond).drop("_rpg_g", "_rpg_i")

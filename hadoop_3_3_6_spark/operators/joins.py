@@ -376,8 +376,18 @@ def fuzzy_join(
     measured 16.7x time at 10x rows with 2x title duplication; the
     distinct form restores linear scaling).  Results are identical:
     ``pair_filter`` references row-level columns, so it applies after
-    the expansion in this mode."""
-    if distinct_values and left_col != right_col:
+    the expansion in this mode.
+
+    ``left_col`` and ``right_col`` must be DISTINCT names (alias one
+    side): equal names make every post-join column reference ambiguous
+    anyway, and silently falling back to the quadratic row path would
+    betray the distinct_values promise — that case fails fast."""
+    if left_col == right_col:
+        raise ValueError(
+            f"fuzzy_join requires distinct value-column names (both sides "
+            f"are {left_col!r}); alias one side, e.g. withColumnRenamed"
+        )
+    if distinct_values:
         l = left.withColumn("_blk", block_left)
         r = right.withColumn("_blk", block_right)
         dl = l.select("_blk", left_col).distinct()

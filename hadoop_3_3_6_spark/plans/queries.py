@@ -5537,8 +5537,12 @@ def q_mapfile_lookup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     token = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
     name = f"mapfile_customer_{token}"
+    # Unlike the other _RENDER_CACHE entries (session-independent disk
+    # paths), a saved table registration lives in the SESSION catalog —
+    # re-create it whenever the current session can't see it (e.g. a
+    # later per-chunk bench session in the same process).
     key = ("mapfile_customer_table", sf_dir)
-    if key not in _RENDER_CACHE:
+    if key not in _RENDER_CACHE or not spark.catalog.tableExists(name):
         cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_name", "c_acctbal")
         bucketed_table(cust, name, ["c_custkey"], num_buckets=8)
         _RENDER_CACHE[key] = name

@@ -56,8 +56,12 @@ def _glob_base(src_glob: str) -> str:
 def _meta_listing(spark: SparkSession, glob: str, base: str) -> DataFrame:
     """Distributed metadata listing: (rel, src, length, mtime) rows.
     The binaryFile source with content pruned reads only file status —
-    the listing scales out instead of walking on the driver."""
-    prefix_len = len("file:" + base.rstrip(os.sep)) + 2  # +2: 1-based substring past the '/'
+    the listing scales out instead of walking on the driver.  ``base``
+    may be a plain local path (listed by Spark as ``file:/...``) or a
+    scheme URI (listed verbatim) — ``rel`` is computed against the
+    form the file source actually reports."""
+    listed_base = base.rstrip("/") if "://" in base else "file:" + base.rstrip(os.sep)
+    prefix_len = len(listed_base) + 2  # +2: 1-based substring past the '/'
     return (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true" if _GLOB_CHARS[0] not in glob else "false")
@@ -126,18 +130,39 @@ def _copy_listing(listing: DataFrame, dst_dir: str) -> int:
 
 def _dst_listing(spark: SparkSession, dst_dir: str) -> DataFrame | None:
     """(rel, _dst_length) listing of an -update destination, or None if
-    it is empty/absent.  Local directories use the distributed
-    binaryFile metadata scan; non-local URIs (s3://, hdfs://, ...) are
-    listed through the pyarrow filesystem — status-only, no bytes — so
-    ``-update`` stays incremental cross-filesystem instead of silently
-    degrading to a full recopy when ``os.path.isdir`` can't see the
-    destination."""
+    it is empty/absent — so ``-update`` stays incremental
+    cross-filesystem instead of silently degrading to a full recopy
+    when ``os.path.isdir`` can't see the destination.
+
+    Local directories and any URI whose scheme has Hadoop jars on the
+    classpath use the DISTRIBUTED binaryFile metadata scan (the same
+    scale-out listing as the source side — millions of destination
+    files never materialize on the driver).  If the scheme can't be
+    resolved by the file source, fall back to a driver-side pyarrow
+    walk — bounded use only; at large destination counts deploy the
+    scheme's Hadoop binding so the distributed path applies."""
+    if dst_dir.startswith("file://"):
+        dst_dir = dst_dir[len("file://"):] or "/"
+    elif dst_dir.startswith("file:"):
+        dst_dir = dst_dir[len("file:"):]
     if "://" not in dst_dir:
         if not (os.path.isdir(dst_dir) and any(os.scandir(dst_dir))):
             return None
         return _meta_listing(spark, dst_dir, dst_dir).select(
             "rel", F.col("length").alias("_dst_length")
         )
+    try:
+        return _meta_listing(spark, dst_dir, dst_dir).select(
+            "rel", F.col("length").alias("_dst_length")
+        )
+    except Exception:
+        return _dst_listing_pyarrow(spark, dst_dir)
+
+
+def _dst_listing_pyarrow(spark: SparkSession, dst_dir: str) -> DataFrame | None:
+    """Driver-side pyarrow fallback for :func:`_dst_listing` — bounded
+    use: every FileInfo materializes on the driver, so it exists only
+    for schemes the Spark file source can't resolve (no Hadoop jars)."""
     from pyarrow import fs as pafs
 
     fs, inner = _fs_for(dst_dir)

@@ -106,6 +106,22 @@ def test_reservoir_per_group_size_and_stability(spark, sf_dir):
     )
 
 
+def test_reservoir_per_group_keeps_null_group(spark):
+    """NULL is a legitimate group: Window.partitionBy ranks it, so the
+    join-back must be null-safe — a plain equi-join on the group column
+    silently dropped the whole NULL group (round-4 regression catch)."""
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (None, 3), ("g", 4), ("g", 5)],
+        "grp string, id int",
+    )
+    out = reservoir_per_group(df, "grp", "id", n=2)
+    by_group = {}
+    for r in out.collect():
+        by_group.setdefault(r.grp, []).append(r.id)
+    assert len(by_group.get(None, [])) == 2
+    assert len(by_group.get("g", [])) == 2
+
+
 def test_hll_registers_merge_and_estimate(spark, sf_dir):
     from hadoop_3_3_6_spark.functions.sketch import hll_estimate, hll_merge, hll_registers
 

@@ -40,19 +40,24 @@ def test_dist_copy(spark, src_files, tmp_path):
     assert (dst / "f0.bin").read_bytes() == b"changed!"
 
 
-def test_dst_listing_uses_pyarrow_for_uri_destinations(spark, tmp_path):
+def test_dst_listing_handles_uri_destinations(spark, tmp_path):
     """Regression: -update used to gate its destination listing on
     os.path.isdir, silently degrading any URI destination to a full
-    recopy.  The pyarrow-FS branch (taken for every '://' URI) must
-    produce the same (rel, _dst_length) listing the local branch does."""
-    from hadoop_3_3_6_spark.sources.tools import _dst_listing
+    recopy.  URI destinations list distributedly when the scheme
+    resolves (file: normalizes to the local branch), and the bounded
+    driver-side pyarrow fallback must produce the identical
+    (rel, _dst_length) listing for schemes the file source can't."""
+    from hadoop_3_3_6_spark.sources.tools import _dst_listing, _dst_listing_pyarrow
 
     d = tmp_path / "remote"
     (d / "sub").mkdir(parents=True)
     (d / "a.bin").write_bytes(b"x" * 10)
     (d / "sub" / "b.bin").write_bytes(b"y" * 20)
+    want = {("a.bin", 10), ("sub/b.bin", 20)}
     got = {(r.rel, r._dst_length) for r in _dst_listing(spark, f"file://{d}").collect()}
-    assert got == {("a.bin", 10), ("sub/b.bin", 20)}
+    assert got == want
+    fb = {(r.rel, r._dst_length) for r in _dst_listing_pyarrow(spark, f"file://{d}").collect()}
+    assert fb == want
     # absent URI destination -> None (full copy), not an exception
     assert _dst_listing(spark, f"file://{tmp_path}/nope") is None
 
