@@ -318,6 +318,14 @@ SF1_QUERIES = [
     "dedup_minhash",
     "q18_large_orders",
     "sort",
+    # one per remaining expensive-plan family: range join, window
+    # sessionization, inverted-index text scoring, full-outer merge,
+    # semi-join decontamination
+    "interval_join_shipments",
+    "sessionize_events",
+    "text_tfidf_topk",
+    "merge_upsert_orders",
+    "pipeline_contamination",
 ]
 _SF1_SCALED = {"orders", "lineitem", "events", "documents", "embeddings", "part"}
 _SF1_KEYS = {
