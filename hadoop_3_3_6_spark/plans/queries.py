@@ -5447,6 +5447,25 @@ def q_kv_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_lines_scan",
+    "SELECT n_nationkey::VARCHAR || chr(9) || n_name AS line FROM nation",
+)
+def q_text_lines_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextInputFormat (MRC/mapreduce/lib/input/TextInputFormat.java:42):
+    one row per line over the rendered nation text files (shared with
+    kv_text_scan's render) — the raw line scan every streaming job
+    started from."""
+    from hadoop_3_3_6_spark.sources.readers import read_text_lines
+    from hadoop_3_3_6_spark.sources.writers import write_key_value_text
+
+    nation = load_table(spark, "nation", sf_dir)
+    out = _rendered_dir(
+        "kvtext_", sf_dir, lambda d: write_key_value_text(nation, d, key="n_nationkey", value="n_name")
+    )
+    return read_text_lines(spark, out)
+
+
+@_register(
     "xml_records_scan",
     "SELECT n_nationkey::BIGINT AS n_nationkey, n_name FROM nation",
 )
@@ -5869,6 +5888,7 @@ def _driver_verified_names() -> set[str]:
 _DRIVER_HOLDBACK = [
     "randomwriter",
     "kv_text_scan",
+    "text_lines_scan",
     "xml_records_scan",
     "fixedlen_scan",
     "seqfile_filter_percent",
