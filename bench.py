@@ -226,7 +226,7 @@ def main() -> None:
     from hadoop_3_3_6_spark.sources.terasort import teragen, terasort
 
     best = None
-    for _ in range(2):
+    for _ in range(3):  # min-of-3: this is the headline baseline anchor
         t0 = time.perf_counter()
         terasort(teragen(spark, 2_000_000, partitions=32)).write.mode("overwrite").format("noop").save()
         dt = time.perf_counter() - t0

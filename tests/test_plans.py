@@ -441,6 +441,21 @@ def test_quantized_topk_integer_scoring(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_fuzzy_join_compares_distinct_values(spark, sf_dir):
+    """The fuzzy join's quadratic compare must run over DISTINCT
+    (block, value) pairs (distinct_values default): the plan carries
+    aggregate (distinct) nodes on BOTH inputs of the levenshtein join,
+    and the row-level expansion joins come after.  A silent fallback to
+    the row-level pairing would reintroduce quadratic growth in the
+    duplication factor (the sf1-spotcheck blowup)."""
+    plan = plan_of(spark, sf_dir, "fuzzy_join_titles")
+    assert "levenshtein" in plan
+    import re
+
+    distincts = re.findall(r"HashAggregate\(keys=\[_blk", plan)
+    assert len(distincts) >= 2, plan  # partial+final per side, >= 2 total
+
+
 def test_column_profile_default_has_no_expand(spark, sf_dir):
     """column_profile's DEFAULT is the approx (HLL) n_distinct tier:
     N exact count(distinct) in one aggregate force an Expand (×4N row
