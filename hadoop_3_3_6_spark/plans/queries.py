@@ -5785,6 +5785,67 @@ def q_keyfield_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "db_range_split_scan",
+    f"""
+    SELECT count(*)::BIGINT AS n_rows, sum(o_orderkey)::BIGINT AS key_sum,
+           cast(sum({_dec('o_totalprice')}) as double) AS price_sum
+    FROM orders WHERE o_orderkey < 5000
+    """,
+)
+def q_db_range_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataDrivenDBInputFormat value-range split scan (MRC/mapreduce/
+    lib/db/DataDrivenDBInputFormat.java:61): an orders subset written
+    to an embedded Derby database (DBOutputFormat, batched INSERT per
+    partition), then read back through 4 WHERE-range partitions
+    (IntegerSplitter strategy) and re-aggregated — the values must
+    survive the JDBC round trip exactly."""
+    from hadoop_3_3_6_spark.sources.db import jdbc_read_partitioned, jdbc_write
+
+    orders = load_table(spark, "orders", sf_dir)
+
+    def render(d: str) -> None:
+        sub = orders.filter(F.col("o_orderkey") < 5000).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        jdbc_write(sub, f"jdbc:derby:{d}/db;create=true", "orders_sub")
+
+    out = _rendered_dir("derbydb_", sf_dir, render)
+    back = jdbc_read_partitioned(
+        spark, f"jdbc:derby:{out}/db", "orders_sub", "o_orderkey", 1, 5000, 4
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(F.expr(_dec("o_totalprice"))).cast("double").alias("price_sum"),
+    )
+
+
+@_register(
+    "codec_gzip_scan",
+    "SELECT n_nationkey::VARCHAR || chr(9) || n_name AS line FROM nation",
+)
+def q_codec_gzip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec scan (the reference's CompressionCodecFactory
+    auto-detection by extension, hadoop-common .../io/compress/
+    CompressionCodecFactory.java:66): nation lines written as .gz text
+    and read back through the same transparent codec detection the
+    file source applies at 100 TB (gzip = non-splittable whole-file
+    streams, one per task — the documented trade vs splittable
+    bz2/zstd containers)."""
+    from hadoop_3_3_6_spark.sources.readers import read_text_lines
+
+    nation = load_table(spark, "nation", sf_dir)
+
+    def render(d: str) -> None:
+        nation.select(
+            F.concat_ws("\t", F.col("n_nationkey").cast("string"), "n_name").alias("value")
+        ).write.mode("overwrite").option("compression", "gzip").text(d + "/gz")
+
+    out = _rendered_dir("gztext_", sf_dir, render)
+    return read_text_lines(spark, f"{out}/gz")
+
+
+@_register(
     "archive_restore_scan",
     "SELECT n_nationkey::VARCHAR AS key, n_name AS value FROM nation",
 )
@@ -5901,6 +5962,8 @@ _DRIVER_HOLDBACK = [
     "routed_outputs_scan",
     "keyfield_topk_orders",
     "archive_restore_scan",
+    "db_range_split_scan",
+    "codec_gzip_scan",
 ]
 
 
