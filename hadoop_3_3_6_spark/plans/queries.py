@@ -5978,10 +5978,12 @@ def _reorder_for_driver() -> None:
         if n not in verified and n not in deferred and n not in priority
         and n not in held and n in ORACLES
     ]
-    # no-oracle entries only ever earn a rows-only driver row; don't let
-    # them burn budgeted slots ahead of exact-oracle checks.
+    # Mid-tier priority maximizes exact-green coverage per budget slot:
+    # (1) held-back NEW exact-oracle queries (first hash check),
+    # (2) no-oracle entries (first rows-only row — weaker, so after),
+    # (3) deferred verified names (re-confirmation only).
     no_oracle = [n for n in QUERIES if n not in verified and n not in ORACLES]
-    mid = [n for n in _DRIVER_DEFERRED if n in QUERIES] + no_oracle + holdback
+    mid = holdback + no_oracle + [n for n in _DRIVER_DEFERRED if n in QUERIES]
     placed = set(front) | set(mid)
     back = [n for n in QUERIES if n not in placed]
     for registry in (QUERIES, ORACLES):
