@@ -124,3 +124,48 @@ def test_table_diff_randomized_python_reference(spark):
         | {(k, "added") for k in added}
     )
     assert got == want
+
+
+def test_table_diff_randomized_with_nulls(spark):
+    """Randomized two-nullable-column reconciliation: python reference
+    with null-aware equality — guards the (value, is-null) digest
+    encoding against every random mix of null placements, including
+    cross-column null swaps."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+
+    def gen(n):
+        rows = {}
+        for k in rng.choice(400, n, replace=False):
+            c1 = None if rng.random() < 0.3 else int(rng.integers(0, 5))
+            c2 = None if rng.random() < 0.3 else int(rng.integers(0, 5))
+            rows[int(k)] = (c1, c2)
+        return rows
+
+    a_rows = gen(200)
+    b_rows = dict(a_rows)
+    ks = list(a_rows)
+    for k in ks[:15]:
+        del b_rows[k]  # removed
+    for k in ks[20:45]:  # perturb (may coincide with original -> no diff)
+        c1, c2 = b_rows[k]
+        if rng.random() < 0.5:
+            b_rows[k] = (c2, c1)  # null/value swap across columns
+        else:
+            b_rows[k] = (None if rng.random() < 0.4 else int(rng.integers(0, 5)), c2)
+    for k in range(1000, 1010):
+        b_rows[k] = (1, None)  # added
+
+    a = spark.createDataFrame([(k, *v) for k, v in a_rows.items()], "k long, c1 int, c2 int")
+    b = spark.createDataFrame([(k, *v) for k, v in b_rows.items()], "k long, c1 int, c2 int")
+    got = {(r.k, r.diff_status) for r in table_diff(a, b, ["k"], ["c1", "c2"], num_buckets=16).collect()}
+    want = set()
+    for k in set(a_rows) | set(b_rows):
+        if k not in b_rows:
+            want.add((k, "removed"))
+        elif k not in a_rows:
+            want.add((k, "added"))
+        elif a_rows[k] != b_rows[k]:
+            want.add((k, "changed"))
+    assert got == want
