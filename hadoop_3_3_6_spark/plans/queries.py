@@ -2912,7 +2912,18 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # === M7 (cont.): BBP digits (the 'bbp' compute example) ==================
 
 
-@_register("bbp_pi_digits")  # compute-only demo; digits asserted in tests
+@_register(
+    "bbp_pi_digits",
+    # pi's hexadecimal expansion is a universal constant — the exact
+    # oracle is the published digit table (3.243F6A8885A3...), same
+    # ground truth the reference's own TestBbp pins.
+    """
+    SELECT position::BIGINT AS position, hex_digit::INT AS hex_digit
+    FROM (VALUES (0, 2), (1, 4), (2, 3), (3, 15), (4, 6), (5, 10),
+                 (6, 8), (7, 8), (8, 8), (9, 5), (10, 10), (11, 3))
+         t(position, hex_digit)
+    """,
+)
 def q_bbp_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BBP (MRX/pi/DistBbp.java / BaileyBorweinPlouffe.java): compute
     hexadecimal digits of pi at arbitrary positions independently —

@@ -395,7 +395,6 @@ def test_oracle_coverage_is_pinned():
         "terasort_validate",
         "approx_distinct_suppliers",
         "approx_quantiles_lineitem",
-        "bbp_pi_digits",
         "similarity_ivf_trained",
         "similarity_lsh_topk_fast",
         "dedup_minhash_fast",
