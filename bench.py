@@ -149,7 +149,7 @@ HEADLINE = [
 CHUNK = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "40"))
 
 
-def _fresh_session(app_name: str):
+def _fresh_session(app_name: str, warm_dir: str | None = None):
     from hadoop_3_3_6_spark.session import get_spark
 
     spark = get_spark(app_name)
@@ -158,8 +158,20 @@ def _fresh_session(app_name: str):
     from hadoop_3_3_6_spark.session import TABLE_NAMES, load_table
 
     for t in TABLE_NAMES:
-        load_table(spark, t, SF_DIR).count()
+        load_table(spark, t, warm_dir or SF_DIR).count()
     return spark
+
+
+def _min_of(reps: int, run) -> float:
+    """Best of ``reps`` timed executions of ``run()`` — damps
+    scheduler/GC noise the same way for queries and anchors."""
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def main() -> None:
@@ -173,18 +185,13 @@ def main() -> None:
         spark = _fresh_session(f"bench-chunk{ci}")
         for name in chunk:
             fn = QUERIES[name]
-            best = None
-            for _ in range(2):  # min of 2: damp scheduler/GC noise
-                t0 = time.perf_counter()
-                df = fn(spark, SF_DIR)
-                n = df.count()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+            counts: list[int] = []
+            best = _min_of(2, lambda: counts.append(fn(spark, SF_DIR).count()))
             timings[name] = round(best, 3)
-            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            print(f"# {name}: {timings[name]:.3f}s ({counts[-1]} rows)", file=sys.stderr)
         spark.stop()
 
-    # anchors in their own fresh session, min-of-2 like the queries
+    # anchors in their own fresh session, min-of-N like the queries
     spark = _fresh_session("bench-anchors")
 
     # MRBench analogue (BASELINE.md): avg latency of a minimal job —
@@ -204,18 +211,10 @@ def main() -> None:
     dfsio_dir = tempfile.mkdtemp(prefix="dfsio_")
     try:
         li = load_table(spark, "lineitem", SF_DIR)
-        w_best = r_best = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            li.write.mode("overwrite").parquet(dfsio_dir + "/out")
-            w = time.perf_counter() - t0
-            w_best = w if w_best is None else min(w_best, w)
-            t0 = time.perf_counter()
-            spark.read.parquet(dfsio_dir + "/out").write.format("noop").mode("overwrite").save()
-            r = time.perf_counter() - t0
-            r_best = r if r_best is None else min(r_best, r)
-        timings["dfsio_write"] = round(w_best, 3)
-        timings["dfsio_read"] = round(r_best, 3)
+        timings["dfsio_write"] = round(_min_of(3, lambda: li.write.mode("overwrite").parquet(dfsio_dir + "/out")), 3)
+        timings["dfsio_read"] = round(
+            _min_of(3, lambda: spark.read.parquet(dfsio_dir + "/out").write.format("noop").mode("overwrite").save()), 3
+        )
         print(f"# dfsio write/read: {timings['dfsio_write']:.3f}s / {timings['dfsio_read']:.3f}s", file=sys.stderr)
     finally:
         shutil.rmtree(dfsio_dir, ignore_errors=True)
@@ -225,13 +224,10 @@ def main() -> None:
     # (BASELINE.md TeraSuite).
     from hadoop_3_3_6_spark.sources.terasort import teragen, terasort
 
-    best = None
-    for _ in range(3):  # min-of-3: this is the headline baseline anchor
-        t0 = time.perf_counter()
-        terasort(teragen(spark, 2_000_000, partitions=32)).write.mode("overwrite").format("noop").save()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    timings["terasort_2m_records"] = round(best, 3)
+    # min-of-3: this is the headline baseline anchor
+    timings["terasort_2m_records"] = round(
+        _min_of(3, lambda: terasort(teragen(spark, 2_000_000, partitions=32)).write.mode("overwrite").format("noop").save()), 3
+    )
     print(f"# terasort_2m_records: {timings['terasort_2m_records']:.3f}s", file=sys.stderr)
 
 
@@ -408,22 +404,12 @@ def _sf1_spotcheck(sf01_timings: dict[str, float]) -> dict[str, dict]:
     _ensure_sf1(spark)
     spark.stop()
 
-    from hadoop_3_3_6_spark.session import TABLE_NAMES, get_spark, load_table
-
-    spark = get_spark("bench-sf1")
-    spark.sparkContext.setLogLevel("ERROR")
-    for t in TABLE_NAMES:
-        load_table(spark, t, SF1_DIR).count()
+    spark = _fresh_session("bench-sf1", warm_dir=SF1_DIR)
     out: dict[str, dict] = {}
     for name in SF1_QUERIES:
         if name not in QUERIES or name not in sf01_timings:
             continue
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            QUERIES[name](spark, SF1_DIR).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+        best = _min_of(2, lambda: QUERIES[name](spark, SF1_DIR).count())
         ratio = best / max(sf01_timings[name], 1e-9)
         out[name] = {"sf1_sec": round(best, 3), "ratio_vs_sf0.1": round(ratio, 2)}
         print(f"# sf1 {name}: {best:.3f}s ({ratio:.1f}x of sf0.1)", file=sys.stderr)

@@ -387,30 +387,25 @@ def fuzzy_join(
             f"fuzzy_join requires distinct value-column names (both sides "
             f"are {left_col!r}); alias one side, e.g. withColumnRenamed"
         )
+    l = left.withColumn("_blk", block_left)
+    r = right.withColumn("_blk", block_right)
+    len_bound = F.abs(F.length(F.col(left_col)) - F.length(F.col(right_col))) <= max_distance
+    distance = F.levenshtein(F.col(left_col), F.col(right_col), max_distance)
     if distinct_values:
-        l = left.withColumn("_blk", block_left)
-        r = right.withColumn("_blk", block_right)
         dl = l.select("_blk", left_col).distinct()
         dr = r.select("_blk", right_col).distinct()
-        cand = dl.join(dr, "_blk").filter(
-            F.abs(F.length(F.col(left_col)) - F.length(F.col(right_col))) <= max_distance
+        cand = (
+            dl.join(dr, "_blk")
+            .filter(len_bound)
+            .withColumn("edit_distance", distance)
+            .filter(F.col("edit_distance") >= 0)
         )
-        cand = cand.withColumn(
-            "edit_distance", F.levenshtein(F.col(left_col), F.col(right_col), max_distance)
-        ).filter(F.col("edit_distance") >= 0)
         out = l.join(cand, ["_blk", left_col]).join(r, ["_blk", right_col])
         if pair_filter is not None:
             out = out.filter(pair_filter)
         return out.drop("_blk")
-    l = left.withColumn("_blk", block_left)
-    r = right.withColumn("_blk", block_right)
     pairs = l.join(r, "_blk")
     if pair_filter is not None:
         pairs = pairs.filter(pair_filter)
-    pairs = pairs.filter(
-        F.abs(F.length(F.col(left_col)) - F.length(F.col(right_col))) <= max_distance
-    )
-    pairs = pairs.withColumn(
-        "edit_distance", F.levenshtein(F.col(left_col), F.col(right_col), max_distance)
-    )
+    pairs = pairs.filter(len_bound).withColumn("edit_distance", distance)
     return pairs.filter(F.col("edit_distance") >= 0).drop("_blk")

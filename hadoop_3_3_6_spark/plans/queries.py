@@ -5438,6 +5438,17 @@ def q_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # other ingestion queries.
 
 
+def _kvtext_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Rendered nation key<TAB>value text dir, shared by the
+    KV-reader and raw-line-reader rows (one render, two scans)."""
+    from hadoop_3_3_6_spark.sources.writers import write_key_value_text
+
+    nation = load_table(spark, "nation", sf_dir)
+    return _rendered_dir(
+        "kvtext_", sf_dir, lambda d: write_key_value_text(nation, d, key="n_nationkey", value="n_name")
+    )
+
+
 @_register(
     "kv_text_scan",
     "SELECT n_nationkey::VARCHAR AS key, n_name AS value FROM nation",
@@ -5448,13 +5459,8 @@ def q_kv_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     written as key<TAB>value lines, read back split on the FIRST
     separator.  Eager render, cached per (process, sf_dir)."""
     from hadoop_3_3_6_spark.sources.readers import read_key_value_text
-    from hadoop_3_3_6_spark.sources.writers import write_key_value_text
 
-    nation = load_table(spark, "nation", sf_dir)
-    out = _rendered_dir(
-        "kvtext_", sf_dir, lambda d: write_key_value_text(nation, d, key="n_nationkey", value="n_name")
-    )
-    return read_key_value_text(spark, out)
+    return read_key_value_text(spark, _kvtext_dir(spark, sf_dir))
 
 
 @_register(
@@ -5467,13 +5473,8 @@ def q_text_lines_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     kv_text_scan's render) — the raw line scan every streaming job
     started from."""
     from hadoop_3_3_6_spark.sources.readers import read_text_lines
-    from hadoop_3_3_6_spark.sources.writers import write_key_value_text
 
-    nation = load_table(spark, "nation", sf_dir)
-    out = _rendered_dir(
-        "kvtext_", sf_dir, lambda d: write_key_value_text(nation, d, key="n_nationkey", value="n_name")
-    )
-    return read_text_lines(spark, out)
+    return read_text_lines(spark, _kvtext_dir(spark, sf_dir))
 
 
 @_register(
