@@ -180,6 +180,7 @@ def main() -> None:
     from hadoop_3_3_6_spark.session import load_table
 
     timings: dict[str, float] = {}
+    result_rows: dict[str, int] = {}
     chunks = [HEADLINE[i : i + CHUNK] for i in range(0, len(HEADLINE), CHUNK)]
     for ci, chunk in enumerate(chunks):
         spark = _fresh_session(f"bench-chunk{ci}")
@@ -188,6 +189,7 @@ def main() -> None:
             counts: list[int] = []
             best = _min_of(2, lambda: counts.append(fn(spark, SF_DIR).count()))
             timings[name] = round(best, 3)
+            result_rows[name] = counts[-1]
             print(f"# {name}: {timings[name]:.3f}s ({counts[-1]} rows)", file=sys.stderr)
         spark.stop()
 
@@ -244,7 +246,7 @@ def main() -> None:
     sf1_spotcheck: dict[str, dict] = {}
     if os.environ.get("SPARK_GRAFT_SF1_SPOTCHECK", "1") != "0" and SF_DIR.rstrip("/").endswith("sf0.1"):
         try:
-            sf1_spotcheck = _sf1_spotcheck(timings)
+            sf1_spotcheck = _sf1_spotcheck(timings, result_rows)
         except Exception as e:  # never fail the bench on the stretch tier
             print(f"# sf1 spotcheck skipped: {e}", file=sys.stderr)
 
@@ -322,39 +324,70 @@ SF1_QUERIES = [
     "text_tfidf_topk",
     "merge_upsert_orders",
     "pipeline_contamination",
+    # round-5 additions — the 5 heaviest families not yet spotchecked:
+    # applyInPandas grouped sort, micro-batch streaming agg, file-layout
+    # profiling, bucket-digest table diff, in-plan bloom build+probe
+    "secondarysort",
+    "streaming_tumbling_counts",
+    "storage_file_profile",
+    "table_diff_orders",
+    "sketch_bloom_prefilter",
 ]
 _SF1_SCALED = {"orders", "lineitem", "events", "documents", "embeddings", "part"}
+# Each scaled table's columns map to the OFFSET-SOURCE table whose key
+# range defines the shift: a table's own key uses its own range; a
+# foreign key into another scaled table uses THAT table's range, so
+# copy c's lineitems reference copy c's orders and copy c's parts —
+# FK integrity holds inside the synthesized tier and fact-fact joins
+# (orders-lineitem, part-lineitem) keep their real fan-out.  FKs into
+# the unscaled dims (customer, supplier) stay unchanged by design:
+# each dim row gains 10x fan-in, the expected shape of a 10x corpus
+# over a fixed dimension universe.
 _SF1_KEYS = {
-    "orders": ["o_orderkey"],
-    "lineitem": ["l_orderkey"],
-    "events": ["event_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
-    "part": ["p_partkey"],
+    "orders": {"o_orderkey": "orders"},
+    "lineitem": {"l_orderkey": "orders", "l_partkey": "part"},
+    "events": {"event_id": "events"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+    "part": {"p_partkey": "part"},
+}
+# Key column whose max defines each offset-source table's range.
+_SF1_RANGE_KEY = {
+    "orders": "o_orderkey",
+    "part": "p_partkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
 }
 
 
 def _ensure_sf1(spark) -> None:
     """Synthesize sf1 (10x sf0.1) once per machine: fact tables are 10
-    key-offset copies (ids stay unique; foreign keys into the unscaled
-    dims unchanged, so join fan-outs are preserved); dims copy as-is."""
+    key-offset copies (ids stay unique; FKs into other scaled tables
+    shifted by the REFERENCED table's range so copy-c facts join
+    copy-c parents; FKs into the unscaled dims unchanged, so dim
+    fan-in scales 10x as a real 10x corpus would); dims copy as-is."""
     from pyspark.sql import functions as F
 
     from hadoop_3_3_6_spark.session import TABLE_NAMES, load_table
 
-    marker = os.path.join(SF1_DIR, "_SUCCESS_ALL")
+    # v2: l_partkey/l_orderkey now shift by the referenced table's
+    # offset — rebuild any pre-FK-fix cache.
+    marker = os.path.join(SF1_DIR, "_SUCCESS_ALL_v2")
     if os.path.exists(marker):
         return
     os.makedirs(SF1_DIR, exist_ok=True)
+    offsets = {
+        t: load_table(spark, t, SF_DIR).agg(F.max(k)).collect()[0][0] + 1
+        for t, k in _SF1_RANGE_KEY.items()
+    }
     for t in TABLE_NAMES:
         df = load_table(spark, t, SF_DIR)
         out = os.path.join(SF1_DIR, f"{t}.parquet")
         if t in _SF1_SCALED:
-            key_cols = _SF1_KEYS[t]
-            offset = df.agg(F.max(key_cols[0])).collect()[0][0] + 1
             copies = df.crossJoin(spark.range(10).select(F.col("id").alias("_copy")))
             scaled = copies.withColumns(
-                {k: F.col(k) + F.col("_copy") * offset for k in key_cols}
+                {k: F.col(k) + F.col("_copy") * offsets[src] for k, src in _SF1_KEYS[t].items()}
             )
             if t == "documents":
                 # Vowel-permute each copy's text (identity for copy 0):
@@ -397,7 +430,9 @@ def _ensure_sf1(spark) -> None:
         f.write("ok\n")
 
 
-def _sf1_spotcheck(sf01_timings: dict[str, float]) -> dict[str, dict]:
+def _sf1_spotcheck(
+    sf01_timings: dict[str, float], sf01_rows: dict[str, int]
+) -> dict[str, dict]:
     from hadoop_3_3_6_spark.plans.queries import QUERIES
 
     spark = _fresh_session("bench-sf1gen")
@@ -409,10 +444,22 @@ def _sf1_spotcheck(sf01_timings: dict[str, float]) -> dict[str, dict]:
     for name in SF1_QUERIES:
         if name not in QUERIES or name not in sf01_timings:
             continue
-        best = _min_of(2, lambda: QUERIES[name](spark, SF1_DIR).count())
+        counts: list[int] = []
+        best = _min_of(2, lambda: counts.append(QUERIES[name](spark, SF1_DIR).count()))
         ratio = best / max(sf01_timings[name], 1e-9)
-        out[name] = {"sf1_sec": round(best, 3), "ratio_vs_sf0.1": round(ratio, 2)}
-        print(f"# sf1 {name}: {best:.3f}s ({ratio:.1f}x of sf0.1)", file=sys.stderr)
+        rec = {"sf1_sec": round(best, 3), "ratio_vs_sf0.1": round(ratio, 2)}
+        # Output-row growth separates "the answer got bigger" from
+        # "the compare work got super-linear" when a time ratio lands
+        # above ~12x (e.g. fuzzy_join's duplicate-pair growth).
+        if name in sf01_rows:
+            rec["sf1_rows"] = counts[-1]
+            rec["rows_ratio"] = round(counts[-1] / max(sf01_rows[name], 1), 2)
+        out[name] = rec
+        print(
+            f"# sf1 {name}: {best:.3f}s ({ratio:.1f}x of sf0.1, "
+            f"rows x{rec.get('rows_ratio', '?')})",
+            file=sys.stderr,
+        )
     spark.stop()
     return out
 

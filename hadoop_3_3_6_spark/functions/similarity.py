@@ -99,7 +99,12 @@ def cosine_topk_bruteforce(
 def cosine_pairs_above(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.9
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: exact cosine over id_a < id_b."""
+    """Embedding near-duplicate pairs: exact cosine over id_a < id_b.
+
+    ALL-PAIRS — O(n^2) pair work; keep for bounded corpora (a probe
+    batch, a single cluster) only.  The registered near-dup query uses
+    :func:`cosine_pairs_above_blocked`, which blocks the pair join on
+    an IVF cluster assignment so pair work is sum(|cluster|^2)."""
     a = with_norm(emb, vec_col).alias("a")
     b = with_norm(emb, vec_col).alias("b")
     score = F.expr(f"{_dot(f'a.{vec_col}', f'b.{vec_col}')} / (a._norm * b._norm)")
@@ -111,6 +116,63 @@ def cosine_pairs_above(
             F.round(score, 6).alias("score"),
         )
         .filter(F.col("score") >= threshold)
+    )
+
+
+def cosine_pairs_above_blocked(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    num_probes: int = 2,
+) -> DataFrame:
+    """Embedding near-duplicate pairs, cluster-blocked (the SemDeDup
+    candidate-generation shape, Abbas et al. 2023, plus IVF
+    multi-probe): assign every vector to its ``num_probes`` nearest
+    centroids, then compare pairs ONLY when they share a cell.
+
+    Returns (id_a, id_b, cluster_id, score) — cluster_id is the
+    smallest shared cell, one output row per pair regardless of how
+    many cells it shares.  Multi-probe is the recall lever: boundary
+    pairs split across neighboring cells still meet in each other's
+    second-choice cell.
+
+    Scale shape: the assignment stage is corpus x broadcast(k) — ONE
+    bounded broadcast nested loop, linear in the corpus — and the pair
+    stage is a self EQUI-join on cluster_id, so pair work is
+    sum(|cell|^2) over num_probes x corpus assignment rows, never
+    corpus^2.  At 100 TB train k ~ sqrt(N) centroids
+    (train_kmeans_centroids) to bound cell sizes; the default
+    deterministic id<k seeding keeps the whole op oracle-exact."""
+    assigned = assign_clusters(emb, id_col, vec_col, num_centroids, centroids, num_probes)
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("_id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("_id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    score = F.round(F.expr(f"{_dot('_va', '_vb')} / (_na * _nb)"), 6)
+    return (
+        a.join(b, on="cluster_id")
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .select(
+            F.col("_id_a").alias("id_a"),
+            F.col("_id_b").alias("id_b"),
+            F.col("cluster_id"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+        .groupBy("id_a", "id_b", "score")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .select("id_a", "id_b", "cluster_id", "score")
     )
 
 
@@ -347,6 +409,65 @@ def quantized_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def assign_clusters(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    centroids: DataFrame | None = None,
+    num_probes: int = 1,
+) -> DataFrame:
+    """IVF-style nearest-centroid assignment, shared by semdedup and
+    the blocked near-dup pair join: one row per (corpus vector,
+    assigned cell) — (``id_col``, ``vec_col``, _norm, cluster_id);
+    exactly one row per vector at the default ``num_probes=1``,
+    ``num_probes`` rows for multi-probe blocking (the standard IVF
+    recall lever: a pair is compared if any assigned cell is shared).
+
+    ``centroids`` (cent_id, cvec) uses trained centroids; the default
+    takes the ``num_centroids`` lowest-id corpus vectors — a
+    deterministic, engine-independent seeding every SQL oracle can
+    mirror.  Scale shape: k centroids broadcast (a few KB), cosine via
+    a sequential fold, ``max_by`` (or a bounded k-element sorted slice
+    for multi-probe) partial combine — the corpus never shuffles on
+    the tiny cent_id key; ties broken toward the lower cent_id to stay
+    oracle-exact."""
+    if centroids is not None:
+        cents = centroids.select("cent_id", F.col("cvec").cast("array<double>").alias("cvec"))
+    else:
+        cents = emb.filter(F.col(id_col) < num_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+        )
+    cents = cents.withColumn("_cnorm", F.expr(f"sqrt({_dot('cvec', 'cvec')})"))
+    v = with_norm(emb, vec_col)
+    cscore = F.round(F.expr(f"{_dot(vec_col, 'cvec')} / (_norm * _cnorm)"), 6)
+    vc = v.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), F.col(vec_col), F.col("_norm"), F.col("cent_id"), cscore.alias("cscore")
+    )
+    if num_probes == 1:
+        return vc.groupBy(id_col).agg(
+            F.max_by("cent_id", F.struct(F.col("cscore"), (-F.col("cent_id")).alias("_nc"))).alias("cluster_id"),
+            F.first(vec_col).alias(vec_col),
+            F.first("_norm").alias("_norm"),
+        )
+    # Multi-probe: keep the num_probes best cells per vector.  The
+    # k-element collect_list is bounded by the centroid count (not the
+    # corpus), sorted by (-cscore, cent_id) — identical ordering to
+    # the oracle's ORDER BY cscore DESC, cent_id.
+    picked = vc.groupBy(id_col).agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct((-F.col("cscore")).alias("_nc"), F.col("cent_id")))),
+            1,
+            num_probes,
+        ).alias("_cells"),
+        F.first(vec_col).alias(vec_col),
+        F.first("_norm").alias("_norm"),
+    )
+    return picked.select(
+        id_col, vec_col, "_norm", F.explode(F.col("_cells.cent_id")).alias("cluster_id")
+    )
+
+
 def semdedup(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -373,23 +494,7 @@ def semdedup(
     cluster sizes; default centroids (id < num_centroids) are the
     deterministic oracle-reproducible seeding, same as ivf_topk.
     """
-    if centroids is not None:
-        cents = centroids.select("cent_id", F.col("cvec").cast("array<double>").alias("cvec"))
-    else:
-        cents = emb.filter(F.col(id_col) < num_centroids).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
-        )
-    cents = cents.withColumn("_cnorm", F.expr(f"sqrt({_dot('cvec', 'cvec')})"))
-    v = with_norm(emb, vec_col)
-    cscore = F.round(F.expr(f"{_dot(vec_col, 'cvec')} / (_norm * _cnorm)"), 6)
-    vc = v.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col), F.col(vec_col), F.col("_norm"), F.col("cent_id"), cscore.alias("cscore")
-    )
-    assigned = vc.groupBy(id_col).agg(
-        F.max_by("cent_id", F.struct(F.col("cscore"), (-F.col("cent_id")).alias("_nc"))).alias("cluster_id"),
-        F.first(vec_col).alias(vec_col),
-        F.first("_norm").alias("_norm"),
-    )
+    assigned = assign_clusters(emb, id_col, vec_col, num_centroids, centroids)
     a = assigned.select(
         F.col("cluster_id"),
         F.col(id_col).alias("_id_a"),

@@ -41,10 +41,15 @@ from hadoop_3_3_6_spark.functions.dedup import (
     simhash,
 )
 from hadoop_3_3_6_spark.functions.similarity import (
-    cosine_pairs_above,
+    cosine_pairs_above_blocked,
     cosine_topk_bruteforce,
     lsh_bucketed_topk,
 )
+
+# DuckDB cosine between two DOUBLE[] expressions, rounded to 1e-6 —
+# the oracle-side mirror of functions/similarity._dot's sequential
+# fold; shared by every embedding-space oracle below.
+_IVF_COS = "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 from hadoop_3_3_6_spark.functions.text import (
     doc_fingerprint,
     language_id,
@@ -1204,18 +1209,44 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "embedding_neardup",
-    """
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS score
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE round(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.45
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 16),
+    vc AS (
+      SELECT v.vec_id, c.cent_id, {_IVF_COS.format(a="v.e", b="c.ce")} AS cscore
+      FROM v CROSS JOIN c),
+    asg AS (
+      SELECT vec_id, cent_id AS cluster_id FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn
+        FROM vc) WHERE rn <= 2),
+    av AS (SELECT a.vec_id, a.cluster_id, v.e FROM asg a JOIN v ON v.vec_id = a.vec_id),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster_id,
+             {_IVF_COS.format(a="a.e", b="b.e")} AS score
+      FROM av a JOIN av b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {_IVF_COS.format(a="a.e", b="b.e")} >= 0.45)
+    SELECT id_a, id_b, min(cluster_id)::BIGINT AS cluster_id, score
+    FROM pairs GROUP BY id_a, id_b, score
     """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (score >= 0.95)."""
+    """Embedding-cosine near-duplicate pairs (score >= 0.45),
+    CLUSTER-BLOCKED (SemDeDup candidate generation, Abbas et al. 2023,
+    with IVF multi-probe nprobe=2; deterministic vec_id<16 centroid
+    seeding shared with dedup_semantic / similarity_ivf_topk): pairs
+    are compared only when they share one of their two nearest
+    centroid cells, so the pair join carries a cluster_id EQUI-key —
+    sum(|cell|^2) pair work, never corpus^2.  The oracle mirrors the
+    blocking exactly; blocked-vs-all-pairs agreement within shared
+    cells plus the recall floor are pinned in
+    tests/test_tools.py::test_blocked_neardup_matches_all_pairs_within_cluster.
+    The all-pairs exact form survives as
+    functions/similarity.cosine_pairs_above for bounded corpora."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return cosine_pairs_above(emb, "vec_id", "embedding", threshold=0.45)
+    return cosine_pairs_above_blocked(
+        emb, "vec_id", "embedding", threshold=0.45, num_centroids=16, num_probes=2
+    )
 
 
 def _lsh_oracle(num_tables: int = 8, bits_per_table: int = 4, dim: int = 64, k: int = 5) -> str:
@@ -1288,9 +1319,6 @@ def q_similarity_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", k=5, num_tables=8, bits_per_table=4, dim=64,
         probes=probes, portable=False,
     )
-
-
-_IVF_COS = "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 
 
 @_register(
@@ -4181,10 +4209,16 @@ def q_sql_interface_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch): the scale path for
     WordMedian-class queries at 100 TB — sketches merge across
-    partitions, no global sort.  Exactness bound checked in tests."""
+    partitions, no global sort.  Exactness bound checked in tests.
+    Scalar p25/p50/p75 columns (not one array<double>) so the driver's
+    rows-only canonicalizer — a pandas sort over all columns — never
+    sees an unhashable ndarray cell."""
     li = load_table(spark, "lineitem", sf_dir)
+    q = F.expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)")
     return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)").alias("approx_q"),
+        F.element_at(q, 1).alias("p25"),
+        F.element_at(q, 2).alias("p50"),
+        F.element_at(q, 3).alias("p75"),
         F.expr("cast(percentile(l_extendedprice, 0.5) as double)").alias("exact_median"),
     )
 
@@ -5541,11 +5575,15 @@ def q_fixedlen_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_seqfile_filter_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SequenceFileInputFilter.PercentFilter / MD5Filter (MRC/mapreduce/
-    lib/input/SequenceFileInputFilter.java:154,203): deterministic
-    MD5(key)-mod sampling applied to the SequenceFile scan — reuses the
+    """SequenceFileInputFilter.MD5Filter (MRC/mapreduce/lib/input/
+    SequenceFileInputFilter.java:203): deterministic MD5(key)-mod
+    sampling applied to the SequenceFile scan — reuses the
     seqfile_roundtrip rendered container, so this row also re-exercises
-    the Java-reader path."""
+    the Java-reader path.  The reference's PercentFilter (:154) is
+    record-ordinal (accept every f-th record, stateful per split) —
+    non-deterministic under a parallel scan, so it is NOT reproduced;
+    MD5Filter's hash form is the distributed-engine equivalent and the
+    oracle mirrors it exactly."""
     from hadoop_3_3_6_spark.sources.containers import read_sequence_file, write_sequence_file
     from hadoop_3_3_6_spark.sources.readers import sample_filter_percent
 
@@ -5769,7 +5807,7 @@ def q_routed_outputs_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "keyfield_topk_orders",
     """
-    SELECT o_orderkey, o_totalprice AS price, o_orderpriority AS priority
+    SELECT o_orderkey, cast(o_totalprice as double) AS price, o_orderpriority AS priority
     FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 100
     """,
 )
@@ -5918,20 +5956,25 @@ _DRIVER_PRIORITY = [
 ]
 
 
-def _driver_verified_names() -> set[str]:
-    """Names with a green (or rows-only) row in ANY recorded driver
-    correctness round — read from CORRECTNESS_r*.json at the repo root
-    so the rotation self-heals every round: whatever the driver has
-    already verified automatically yields its budgeted slot to queries
-    it has not.  Falls back to the hardcoded round-1 list when no
-    files are readable (e.g. the package runs outside the repo)."""
+def _driver_verified_rounds() -> dict[str, int]:
+    """Name -> LATEST round with a counting driver row (green hash, or
+    a rows-only row for a query that is still oracle-less) — read from
+    CORRECTNESS_r*.json at the repo root so the rotation self-heals
+    every round: whatever the driver has already verified yields its
+    budgeted slot to queries it has not, and once everything is green
+    the OLDEST verdicts re-rotate first so no green row goes stale.
+    Falls back to the hardcoded round-1 list when no files are
+    readable (e.g. the package runs outside the repo)."""
     import glob
     import json
+    import re as _re
     from pathlib import Path
 
-    names = set(_ROUND1_DRIVER_VERIFIED)
+    rounds = {n: 1 for n in _ROUND1_DRIVER_VERIFIED}
     root = Path(__file__).resolve().parent.parent.parent
     for p in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(p) as f:
                 data = json.load(f)
@@ -5948,8 +5991,12 @@ def _driver_verified_names() -> set[str]:
             if row.get("hash_match") or (
                 row.get("err") == "no_oracle" and name not in ORACLES
             ):
-                names.add(name)
-    return names
+                rounds[name] = max(rounds.get(name, 0), rnd)
+    return rounds
+
+
+def _driver_verified_names() -> set[str]:
+    return set(_driver_verified_rounds())
 
 
 # Queries added AFTER a round's verified/unverified backlog formed:
@@ -5978,9 +6025,20 @@ _DRIVER_HOLDBACK = [
     "codec_gzip_scan",
 ]
 
+# Queries whose IMPLEMENTATION or ORACLE materially changed this round:
+# their old green rows verify the old form, so they jump the queue for
+# an immediate re-check of the new form (round-5 policy; clear on
+# graduation like _DRIVER_HOLDBACK).
+_DRIVER_RECHECK = [
+    "embedding_neardup",    # r5: all-pairs -> cluster-blocked pair join
+    "keyfield_topk_orders", # r5: oracle price cast decimal -> double
+    "xml_records_scan",     # r5: exact-tag open pattern in the reader
+]
+
 
 def _reorder_for_driver() -> None:
-    verified = _driver_verified_names()
+    verified_rounds = _driver_verified_rounds()
+    verified = set(verified_rounds)
     deferred = set(_DRIVER_DEFERRED)
     holdback = [n for n in _DRIVER_HOLDBACK if n in QUERIES and n not in verified]
     held = set(holdback)
@@ -5990,14 +6048,27 @@ def _reorder_for_driver() -> None:
         if n not in verified and n not in deferred and n not in priority
         and n not in held and n in ORACLES
     ]
+    recheck = [n for n in _DRIVER_RECHECK if n in QUERIES and n not in front]
     # Mid-tier priority maximizes exact-green coverage per budget slot:
-    # (1) held-back NEW exact-oracle queries (first hash check),
-    # (2) no-oracle entries (first rows-only row — weaker, so after),
-    # (3) deferred verified names (re-confirmation only).
-    no_oracle = [n for n in QUERIES if n not in verified and n not in ORACLES]
-    mid = holdback + no_oracle + [n for n in _DRIVER_DEFERRED if n in QUERIES]
+    # (1) materially-changed queries needing a fresh verdict,
+    # (2) held-back NEW exact-oracle queries (first hash check),
+    # (3) no-oracle entries (first rows-only row — weaker, so after),
+    # (4) deferred unverified names (explicitly pushed back).
+    no_oracle = [
+        n for n in QUERIES
+        if n not in verified and n not in ORACLES and n not in recheck
+    ]
+    mid = recheck + holdback + no_oracle + [
+        n for n in _DRIVER_DEFERRED if n in QUERIES and n not in verified
+    ]
     placed = set(front) | set(mid)
-    back = [n for n in QUERIES if n not in placed]
+    # Everything verified re-confirms OLDEST green verdict first, so a
+    # ~50-slot round keeps every standing verdict at most a few rounds
+    # stale; ties keep registration order (stable sort).
+    back = sorted(
+        (n for n in QUERIES if n not in placed),
+        key=lambda n: verified_rounds.get(n, 0),
+    )
     for registry in (QUERIES, ORACLES):
         snapshot = dict(registry)
         registry.clear()

@@ -115,7 +115,11 @@ def read_xml_records(spark: SparkSession, path: str, tag: str) -> DataFrame:
     files = spark.read.text(path, wholetext=True)
     # Column-literal pattern (not SQL-string interpolation): a tag with
     # regex-special or quote characters can't break out of the expression.
-    pattern = f"(?s)<{re.escape(tag)}[^>]*>.*?</{re.escape(tag)}>"
+    # The open-tag must be the EXACT tag name — bare `<tag>` or an
+    # attribute-bearing `<tag ...>` — never a prefix-extension like
+    # <nations> matching tag "nation" (`[^>]*` alone would absorb the
+    # trailing 's' and glue a wrapper element onto the first record).
+    pattern = f"(?s)<{re.escape(tag)}(\\s[^>]*)?>.*?</{re.escape(tag)}>"
     return files.select(
         F.explode(F.regexp_extract_all(F.col("value"), F.lit(pattern), F.lit(0))).alias("record")
     )

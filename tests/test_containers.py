@@ -105,6 +105,17 @@ def test_xml_records(spark, tmp_path):
     assert out == ["<rec id='1'>alpha\nbeta</rec>", "<rec id='2'>gamma</rec>"]
 
 
+def test_xml_records_prefix_extension_tag(spark, tmp_path):
+    """A wrapper tag that is a prefix-extension of the record tag
+    (<recs> around <rec>) must NOT be absorbed into a record span —
+    the open-tag pattern only matches the exact tag name, bare or
+    attribute-bearing."""
+    p = tmp_path / "wrapped.xml"
+    p.write_text("<recs>\n<rec>one</rec>\n<rec a='b'>two</rec>\n</recs>")
+    out = sorted(r["record"] for r in read_xml_records(spark, str(p), "rec").collect())
+    assert out == ["<rec a='b'>two</rec>", "<rec>one</rec>"]
+
+
 def test_jobcontrol_dag_and_failure(spark):
     jc = JobControl()
     jc.add_job(ControlledJob("gen", lambda deps: spark.range(10).count()))

@@ -202,6 +202,22 @@ def test_interval_join_is_equi(spark, sf_dir):
         assert node not in plan
 
 
+def test_embedding_neardup_pair_join_is_equi_keyed(spark, sf_dir):
+    """The near-dup pair join is blocked on the cluster assignment:
+    exactly one equi-join on cluster_id (SortMergeJoin or
+    ShuffledHashJoin over the assigned corpus) and the ONLY
+    nested-loop node is the bounded corpus x broadcast(16-centroid)
+    assignment stage — pair work is sum(|cluster|^2), never
+    corpus^2."""
+    plan = plan_of(spark, sf_dir, "embedding_neardup")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # 2 assignment stages (a/b sides)
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan and "cluster_id" in plan
+    )), plan
+    assert "cluster_id" in plan
+
+
 def test_runtime_bloom_filter_reduces_fact_scan(spark, sf_dir):
     """Catalyst's runtime bloom-filter injection: a selective dim-side
     filter materializes a bloom filter that pre-filters the fact side
@@ -246,6 +262,10 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
     tf_idf's 1-row scalar-subquery crosses)."""
     allowed_nlj = {
         "similarity_topk",
+        # neardup's ONLY remaining NLJ is the bounded corpus x
+        # broadcast(16 centroids) assignment stage — the pair join
+        # itself is equi-keyed on cluster_id (asserted in
+        # test_embedding_neardup_pair_join_is_equi_keyed)
         "embedding_neardup",
         "similarity_ivf_topk",
         "similarity_ivf_trained",

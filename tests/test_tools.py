@@ -228,8 +228,8 @@ def test_approx_quantiles_tolerance(spark, sf_dir):
     from hadoop_3_3_6_spark.plans.queries import QUERIES
 
     for r in QUERIES["approx_quantiles_lineitem"](spark, sf_dir).collect():
-        approx_median = r["approx_q"][1]
-        rel = abs(approx_median - r["exact_median"]) / r["exact_median"]
+        assert r["p25"] <= r["p50"] <= r["p75"]
+        rel = abs(r["p50"] - r["exact_median"]) / r["exact_median"]
         assert rel < 0.02, f"{r['l_returnflag']}: rel err {rel:.4f}"
 
 
@@ -428,6 +428,44 @@ def test_quantized_topk_recall_floor(spark, sf_dir):
         for r in quantized_topk(emb, "vec_id", "embedding", k=5, probes=probes).collect()
     }
     assert len(exact & quant) / len(exact) >= 0.9
+
+
+def test_blocked_neardup_matches_all_pairs_within_cluster(spark, sf_dir):
+    """The cluster-blocked near-dup join must return EXACTLY the
+    all-pairs result restricted to cell-sharing pairs — blocking
+    changes which pairs are compared, never a compared pair's score —
+    and, with nprobe=2 multi-probe, keep recall >= 0.5 even on this
+    weak-similarity synthetic corpus (real near-dup thresholds land
+    higher and recall with them)."""
+    from collections import defaultdict
+
+    from hadoop_3_3_6_spark.functions.similarity import (
+        assign_clusters,
+        cosine_pairs_above,
+        cosine_pairs_above_blocked,
+    )
+    from hadoop_3_3_6_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    blocked = {
+        (r.id_a, r.id_b): r.score
+        for r in cosine_pairs_above_blocked(
+            emb, "vec_id", "embedding", threshold=0.45, num_probes=2
+        ).collect()
+    }
+    all_pairs = {
+        (r.id_a, r.id_b): r.score
+        for r in cosine_pairs_above(emb, "vec_id", "embedding", threshold=0.45).collect()
+    }
+    cells = defaultdict(set)
+    for r in assign_clusters(emb, "vec_id", "embedding", num_probes=2).collect():
+        cells[r["vec_id"]].add(r.cluster_id)
+    expected = {
+        pair: s for pair, s in all_pairs.items() if cells[pair[0]] & cells[pair[1]]
+    }
+    assert blocked == expected
+    if all_pairs:
+        assert len(blocked) / len(all_pairs) >= 0.5
 
 
 def test_cli_driver_list_run_explain(tmp_path):
