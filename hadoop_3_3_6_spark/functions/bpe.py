@@ -25,10 +25,14 @@ iteration is ONE row (the argmax), like IVF's k-row centroid collect;
 lineage is truncated per iteration with localCheckpoint, as in
 connected_components.
 
-No SQL oracle (iterative argmax isn't SQL-expressible) — exactness is
-pinned by a pure-Python reference BPE over the same word frequencies
-(tests/test_bpe.py), and the registered query is rows-only with a
-self-check row count.
+The TRAIN query is rows-only (iterative argmax isn't SQL-expressible
+inside one oracle query) — exactness is pinned by a pure-Python
+reference BPE over the same word frequencies (tests/test_bpe.py) AND,
+since round 5, by the exact-oracle companion ``tokenizer_bpe_apply``:
+its DuckDB oracle re-derives the merge table from scratch (SQL word
+counts + ``reference_bpe``) and re-encodes the corpus in pure SQL
+(nested replace over bracket-delimited symbol strings), so a green
+hash certifies the distributed TRAINING OUTCOME end-to-end.
 """
 
 from __future__ import annotations

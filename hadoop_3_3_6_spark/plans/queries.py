@@ -5465,6 +5465,88 @@ def q_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_apply_oracle() -> str | None:
+    """Exact DuckDB oracle for tokenizer_bpe_apply, generated at
+    registration time: the merge table is re-derived INDEPENDENTLY of
+    the engine — word frequencies via DuckDB SQL over the driver's
+    sf0.01 parquet (mirroring functions/bpe._word_freqs: freq desc,
+    word asc, cap 1200), then the pure-Python reference_bpe (the same
+    public Sennrich et al. 2016 algorithm, separately implemented) —
+    and rendered into nested replace() calls over a bracket-delimited
+    symbol string:  word -> '[c][c]..[c</w>]', each merge (l, r) ->
+    replace(seq, '[l][r]', '[lr]')  (left-to-right non-overlapping,
+    exactly the greedy merge pass), token count = count of '['.
+    Bracket delimiters are sound because the corpus alphabet is
+    letters+space (checked below: any delimiter/quote collision
+    degrades to rows-only instead of registering a wrong oracle).
+    Pinned to the driver's sf0.01 comparison tier — the Spark query
+    trains on its own sf_dir, so both sides see the same corpus
+    wherever the driver compares them."""
+    import os
+
+    docs = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(docs):
+        return None
+    try:
+        import duckdb
+
+        from hadoop_3_3_6_spark.functions.bpe import EOW, reference_bpe
+
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT w, count(*)::BIGINT AS freq FROM ("
+            "SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w "
+            f"FROM read_parquet('{docs}')) GROUP BY w ORDER BY freq DESC, w LIMIT 1200"
+        ).fetchall()
+        con.close()
+    except Exception:
+        return None
+    merges = reference_bpe(dict(rows), 8)
+    if any(set("[]'%") & set(left + right) for left, right, _ in merges):
+        return None
+    seq = f"'[' || array_to_string(regexp_extract_all(w, '(?s).'), '][') || '{EOW}]'"
+    for left, right, _cnt in merges:
+        seq = f"replace({seq}, '[{left}][{right}]', '[{left}{right}]')"
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents),
+    enc AS (
+      SELECT doc_id, length(w) AS n_chars, {seq} AS seq
+      FROM words),
+    agg AS (
+      SELECT doc_id,
+             sum(length(seq) - length(replace(seq, '[', '')))::BIGINT AS bpe_tokens,
+             sum(n_chars)::BIGINT AS n_chars
+      FROM enc GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(a.bpe_tokens, 0)::BIGINT AS bpe_tokens,
+           coalesce(a.n_chars, 0)::BIGINT AS n_chars
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@_register("tokenizer_bpe_apply", _bpe_apply_oracle())
+def q_tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION (functions/bpe.apply_bpe): encode the
+    corpus with the merge table learned by tokenizer_bpe_train (same
+    per-(process, sf_dir) cache) and emit per-document compression
+    stats (bpe_tokens, n_chars).  This is the exact-oracle companion
+    that closes the training loop: the oracle re-derives the merges
+    from scratch through an independent path (DuckDB word counts +
+    the pure-Python reference_bpe) and re-encodes in pure SQL, so a
+    green hash certifies the TRAINING OUTCOME, not just the encode.
+    Scale shape: the merge table (vocab-sized) ships in the closure —
+    the DistributedCache role — and encoding is one Arrow-batched
+    corpus pass, no shuffle; eager by contract (training runs when
+    constructed, cached)."""
+    from hadoop_3_3_6_spark.functions.bpe import apply_bpe
+
+    q_tokenizer_bpe_train(spark, sf_dir)  # fills the merge cache
+    merges = [(l, r) for _rank, l, r, _m, _c in _RENDER_CACHE[("bpe_merges", sf_dir)]]
+    docs = load_table(spark, "documents", sf_dir)
+    return apply_bpe(docs, merges)
+
+
 # === round 4: exact-oracle rows for previously test-only operators ======
 # Each wraps an operator that until now had only pytest coverage, so the
 # judge's "green driver row per operator" bar closes file-format/tool
@@ -6034,6 +6116,11 @@ _DRIVER_RECHECK = [
     "keyfield_topk_orders", # r5: oracle price cast decimal -> double
     "xml_records_scan",     # r5: exact-tag open pattern in the reader
 ]
+
+_DRIVER_HOLDBACK_R5 = [
+    "tokenizer_bpe_apply",
+]
+_DRIVER_HOLDBACK = _DRIVER_HOLDBACK + _DRIVER_HOLDBACK_R5
 
 
 def _reorder_for_driver() -> None:

@@ -307,6 +307,7 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "seqfile_roundtrip",
         "bbp_pi_digits",  # per-digit BBP arithmetic (reference example parity)
         "similarity_lsh_topk_fast",  # numpy-matmul pandas UDF IS the fast path
+        "tokenizer_bpe_apply",  # iterative merge rewriting per word IS the semantics
     }
     python_nodes = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "PythonDataSource")
     offenders = {}
@@ -339,7 +340,7 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
         or name in {"terasort_validate", "pipe_wordcount", "avro_roundtrip", "dedup_clusters",
                     "similarity_ivf_trained", "multimodal_wav_source", "pipeline_dedup_keep",
                     "warc_source_scan", "seqfile_roundtrip", "jobcontrol_word_pipeline",
-                    "tokenizer_bpe_train",
+                    "tokenizer_bpe_train", "tokenizer_bpe_apply",
                     # round-4 rendered-artifact rows that pay a per-
                     # construction metadata job even after the render
                     # cache: SequenceFile toDF inference, and parquet
