@@ -232,6 +232,14 @@ def main() -> None:
     )
     print(f"# terasort_2m_records: {timings['terasort_2m_records']:.3f}s", file=sys.stderr)
 
+    # One 10x point (20M records, ~2 GB, min-of-1): sanity-checks that
+    # the GB/node/min headline off the 2M sweet spot isn't a
+    # small-data artifact — the rate should land within ~2x.
+    timings["terasort_20m_records"] = round(
+        _min_of(1, lambda: terasort(teragen(spark, 20_000_000, partitions=64)).write.mode("overwrite").format("noop").save()), 3
+    )
+    print(f"# terasort_20m_records: {timings['terasort_20m_records']:.3f}s", file=sys.stderr)
+
 
 
     spark.stop()
@@ -278,6 +286,9 @@ def main() -> None:
         "n_queries": len(timings),
         "anchors": {
             "terasort_gb_per_node_min": terasort_gb_per_node_min,
+            "terasort_20m_gb_per_node_min": round(
+                2.0 / (timings["terasort_20m_records"] / 60.0), 2
+            ),
             "baseline_terasort_gb_per_node_min_500gb": 6.0,
             "baseline_terasort_gb_per_node_min_100tb": 0.97,
             "cpu_probe_sec": cpu_probe,
