@@ -136,6 +136,9 @@ HEADLINE = [
     "timeseries_gapfill_hourly",
     "paths_user_journeys",
     "timeseries_interpolate_hourly",
+    # round-5 additions
+    "embedding_neardup",  # now the cluster-blocked form
+    "tokenizer_bpe_apply",
 ]
 
 
@@ -285,6 +288,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
         "anchors": {
+            # headline normalized by the CPU probe: cross-round deltas
+            # in this ratio are engine changes, not sandbox speed
+            "headline_per_cpu_probe": round(total / max(cpu_probe, 1e-9), 1),
             "terasort_gb_per_node_min": terasort_gb_per_node_min,
             "terasort_20m_gb_per_node_min": round(
                 2.0 / (timings["terasort_20m_records"] / 60.0), 2
@@ -343,6 +349,9 @@ SF1_QUERIES = [
     "storage_file_profile",
     "table_diff_orders",
     "sketch_bloom_prefilter",
+    # round-5: the re-registered cluster-blocked pair join must show
+    # bounded growth at 10x corpus (cells grow linearly, nprobe fixed)
+    "embedding_neardup",
 ]
 _SF1_SCALED = {"orders", "lineitem", "events", "documents", "embeddings", "part"}
 # Each scaled table's columns map to the OFFSET-SOURCE table whose key
@@ -383,8 +392,15 @@ def _ensure_sf1(spark) -> None:
     from hadoop_3_3_6_spark.session import TABLE_NAMES, load_table
 
     # v2: l_partkey/l_orderkey now shift by the referenced table's
-    # offset — rebuild any pre-FK-fix cache.
-    marker = os.path.join(SF1_DIR, "_SUCCESS_ALL_v2")
+    # offset.  v3: scaled tables repartition(32) before write — the
+    # crossJoin(broadcast(range(10))) otherwise collapses to ~1
+    # partition and writes ONE 10x-sized file, making every sf1 scan
+    # single-task (the r5 spotcheck measured storage_file_profile at
+    # 27x purely from lost scan parallelism).  A real 10x table has
+    # ~10x the files, not 10x the file size.  v4: embeddings copies
+    # rotate components instead of nudging dim 0 (cross-copy clone
+    # cliques otherwise dominate near-dup output).
+    marker = os.path.join(SF1_DIR, "_SUCCESS_ALL_v4")
     if os.path.exists(marker):
         return
     os.makedirs(SF1_DIR, exist_ok=True)
@@ -423,18 +439,25 @@ def _ensure_sf1(spark) -> None:
                     ),
                 )
             if t == "embeddings":
-                # Nudge each copy's vectors (identity for copy 0) so the
-                # 10x corpus is not 10 exact clones of every point —
-                # clone sets inflate ANN bucket candidate counts and
-                # near-dup cliques beyond what a real 10x corpus shows.
+                # Rotate each copy's components by the copy index
+                # (identity for copy 0).  The previous dim-0 nudge
+                # (+0.003*copy) prevented EXACT clones but left
+                # cross-copy cosines ~1.0, so every base vector's 10
+                # copies formed a true near-dup clique — the r5
+                # spotcheck measured embedding_neardup output rows
+                # x1283 at 10x corpus, pure synthesis artifact.  A
+                # rotation keeps norms and within-copy geometry exactly
+                # (same permutation applied to both members of any
+                # within-copy pair) while cross-copy cosines drop to
+                # the random-overlap level a real 10x corpus shows.
                 scaled = scaled.withColumn(
                     "embedding",
                     F.expr(
-                        "transform(embedding, (x, i) -> CASE WHEN i = 0 "
-                        "THEN cast(x + _copy * 0.003 as float) ELSE x END)"
+                        "transform(sequence(0, size(embedding) - 1), i -> "
+                        "element_at(embedding, cast((i + _copy) % size(embedding) as int) + 1))"
                     ),
                 )
-            scaled.drop("_copy").write.mode("overwrite").parquet(out)
+            scaled.drop("_copy").repartition(32).write.mode("overwrite").parquet(out)
         else:
             df.write.mode("overwrite").parquet(out)
     with open(marker, "w") as f:

@@ -124,7 +124,7 @@ def cosine_pairs_above_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    num_centroids: int = 16,
+    num_centroids: int | None = None,
     centroids: DataFrame | None = None,
     num_probes: int = 2,
 ) -> DataFrame:
@@ -143,9 +143,12 @@ def cosine_pairs_above_blocked(
     bounded broadcast nested loop, linear in the corpus — and the pair
     stage is a self EQUI-join on cluster_id, so pair work is
     sum(|cell|^2) over num_probes x corpus assignment rows, never
-    corpus^2.  At 100 TB train k ~ sqrt(N) centroids
-    (train_kmeans_centroids) to bound cell sizes; the default
-    deterministic id<k seeding keeps the whole op oracle-exact."""
+    corpus^2.  The default ``num_centroids=None`` sizes k =
+    ceil(sqrt(N)) in-plan, so pair work grows ~N^1.5 as the corpus
+    grows with no tuning (any FIXED k is quadratic: N^2/k — the r5
+    sf1 spotcheck measured exactly that before this default); swap in
+    trained centroids (train_kmeans_centroids) when cluster balance
+    matters more than oracle reproducibility."""
     assigned = assign_clusters(emb, id_col, vec_col, num_centroids, centroids, num_probes)
     a = assigned.select(
         F.col("cluster_id"),
@@ -413,7 +416,7 @@ def assign_clusters(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_centroids: int = 16,
+    num_centroids: int | None = 16,
     centroids: DataFrame | None = None,
     num_probes: int = 1,
 ) -> DataFrame:
@@ -427,17 +430,27 @@ def assign_clusters(
     ``centroids`` (cent_id, cvec) uses trained centroids; the default
     takes the ``num_centroids`` lowest-id corpus vectors — a
     deterministic, engine-independent seeding every SQL oracle can
-    mirror.  Scale shape: k centroids broadcast (a few KB), cosine via
-    a sequential fold, ``max_by`` (or a bounded k-element sorted slice
-    for multi-probe) partial combine — the corpus never shuffles on
-    the tiny cent_id key; ties broken toward the lower cent_id to stay
+    mirror.  ``num_centroids=None`` picks k = ceil(sqrt(N)) IN-PLAN
+    (a 1-row count aggregate broadcast into the centroid filter — no
+    driver action): cell sizes then track N/sqrt(N) and within-cell
+    pair work grows ~N^1.5 instead of the quadratic N²/k of any FIXED
+    k — the right default for corpora whose size the query author
+    doesn't know, and exactly mirrorable in SQL via a scalar subquery
+    ``WHERE id < (SELECT ceil(sqrt(count(*))) FROM v)``.  Scale
+    shape: k centroids broadcast (a few KB), cosine via a sequential
+    fold, ``max_by`` (or a bounded k-element sorted slice for
+    multi-probe) partial combine — the corpus never shuffles on the
+    tiny cent_id key; ties broken toward the lower cent_id to stay
     oracle-exact."""
     if centroids is not None:
         cents = centroids.select("cent_id", F.col("cvec").cast("array<double>").alias("cvec"))
     else:
-        cents = emb.filter(F.col(id_col) < num_centroids).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
-        )
+        if num_centroids is None:
+            k = emb.agg(F.ceil(F.sqrt(F.count(F.lit(1)))).alias("_k"))
+            pool = emb.crossJoin(F.broadcast(k)).filter(F.col(id_col) < F.col("_k"))
+        else:
+            pool = emb.filter(F.col(id_col) < num_centroids)
+        cents = pool.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
     cents = cents.withColumn("_cnorm", F.expr(f"sqrt({_dot('cvec', 'cvec')})"))
     v = with_norm(emb, vec_col)
     cscore = F.round(F.expr(f"{_dot(vec_col, 'cvec')} / (_norm * _cnorm)"), 6)

@@ -1211,7 +1211,8 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_neardup",
     f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 16),
+    c AS (SELECT vec_id AS cent_id, e AS ce FROM v
+          WHERE vec_id < (SELECT ceil(sqrt(count(*))) FROM v)),
     vc AS (
       SELECT v.vec_id, c.cent_id, {_IVF_COS.format(a="v.e", b="c.ce")} AS cscore
       FROM v CROSS JOIN c),
@@ -1233,20 +1234,20 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (score >= 0.45),
     CLUSTER-BLOCKED (SemDeDup candidate generation, Abbas et al. 2023,
-    with IVF multi-probe nprobe=2; deterministic vec_id<16 centroid
-    seeding shared with dedup_semantic / similarity_ivf_topk): pairs
-    are compared only when they share one of their two nearest
-    centroid cells, so the pair join carries a cluster_id EQUI-key —
-    sum(|cell|^2) pair work, never corpus^2.  The oracle mirrors the
-    blocking exactly; blocked-vs-all-pairs agreement within shared
-    cells plus the recall floor are pinned in
+    with IVF multi-probe nprobe=2): pairs are compared only when they
+    share one of their two nearest centroid cells, so the pair join
+    carries a cluster_id EQUI-key.  k is sized ceil(sqrt(N)) IN-PLAN
+    (1-row count broadcast into the centroid filter; the oracle's
+    scalar subquery computes the identical k), so pair work grows
+    ~N^1.5 with the corpus — the r5 sf1 spotcheck measured the fixed-k
+    form at N^2/k (55s at 10x corpus) vs 6.7s with adaptive k.  The
+    oracle mirrors the blocking exactly; blocked-vs-all-pairs
+    agreement within shared cells plus the recall floor are pinned in
     tests/test_tools.py::test_blocked_neardup_matches_all_pairs_within_cluster.
     The all-pairs exact form survives as
     functions/similarity.cosine_pairs_above for bounded corpora."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return cosine_pairs_above_blocked(
-        emb, "vec_id", "embedding", threshold=0.45, num_centroids=16, num_probes=2
-    )
+    return cosine_pairs_above_blocked(emb, "vec_id", "embedding", threshold=0.45, num_probes=2)
 
 
 def _lsh_oracle(num_tables: int = 8, bits_per_table: int = 4, dim: int = 64, k: int = 5) -> str:

@@ -211,7 +211,11 @@ def test_embedding_neardup_pair_join_is_equi_keyed(spark, sf_dir):
     corpus^2."""
     plan = plan_of(spark, sf_dir, "embedding_neardup")
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 2  # 2 assignment stages (a/b sides)
+    # Per assignment subtree (a/b sides): one 1-row broadcast of the
+    # in-plan k = ceil(sqrt(N)) scalar into the centroid filter, plus
+    # the corpus x broadcast(k centroids) scoring cross — 4 bounded
+    # BNLJs total, all with a broadcast side of <= k rows.
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
         "BroadcastHashJoin" in plan and "cluster_id" in plan
     )), plan

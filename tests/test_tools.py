@@ -458,7 +458,9 @@ def test_blocked_neardup_matches_all_pairs_within_cluster(spark, sf_dir):
         for r in cosine_pairs_above(emb, "vec_id", "embedding", threshold=0.45).collect()
     }
     cells = defaultdict(set)
-    for r in assign_clusters(emb, "vec_id", "embedding", num_probes=2).collect():
+    for r in assign_clusters(
+        emb, "vec_id", "embedding", num_centroids=None, num_probes=2
+    ).collect():
         cells[r["vec_id"]].add(r.cluster_id)
     expected = {
         pair: s for pair, s in all_pairs.items() if cells[pair[0]] & cells[pair[1]]
