@@ -6,10 +6,21 @@ stdout — {"metric", "value", "unit", "sf", "queries": <top-10 slowest>,
 "parsed": null).  The complete per-query map goes to stderr AND to
 BENCH_full.json next to this file.
 
-Each query is forced end-to-end with a count()/collect() action after
-a shared-session warmup (JVM + parquet footer caches), mirroring how
-the reference benchmarked full jobs (MRBench latency / TeraSort
-throughput; BASELINE.md).
+Each query is forced end-to-end with a NOOP WRITE action (every column
+materialized, nothing prunable) after a shared-session warmup (JVM +
+parquet footer caches), mirroring how the reference benchmarked full
+jobs (MRBench latency / TeraSort throughput; BASELINE.md).
+
+Round-5 methodology fix: the action was count() through round 4, which
+UNDER-measures any query whose expensive work is prunable under
+count(*) — Catalyst eliminates a global sort entirely (measured 11x on
+`sort`), drops aggregate expressions keeping only the grouping (2x on
+q1), and removes unique-key outer joins (4.3x on dedup_semantic, whose
+whole pair-compare subtree vanished).  noop write forces the full
+result.  Cross-round comparisons: r1-r4 numbers are count()-actioned —
+compare per-query only where the shapes are count-stable (joins,
+explodes), and use anchors.cpu_probe_sec for machine normalization;
+the record carries "action": "noop_write" from r5 on.
 """
 
 from __future__ import annotations
@@ -189,11 +200,12 @@ def main() -> None:
         spark = _fresh_session(f"bench-chunk{ci}")
         for name in chunk:
             fn = QUERIES[name]
-            counts: list[int] = []
-            best = _min_of(2, lambda: counts.append(fn(spark, SF_DIR).count()))
+            best = _min_of(
+                2, lambda: fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            )
             timings[name] = round(best, 3)
-            result_rows[name] = counts[-1]
-            print(f"# {name}: {timings[name]:.3f}s ({counts[-1]} rows)", file=sys.stderr)
+            result_rows[name] = fn(spark, SF_DIR).count()  # untimed, for rows map
+            print(f"# {name}: {timings[name]:.3f}s ({result_rows[name]} rows)", file=sys.stderr)
         spark.stop()
 
     # anchors in their own fresh session, min-of-N like the queries
@@ -284,6 +296,7 @@ def main() -> None:
         "metric": "headline_total_runtime",
         "value": total,
         "unit": "sec",
+        "action": "noop_write",  # r5+: full materialization; r1-r4 used count()
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
@@ -478,16 +491,18 @@ def _sf1_spotcheck(
     for name in SF1_QUERIES:
         if name not in QUERIES or name not in sf01_timings:
             continue
-        counts: list[int] = []
-        best = _min_of(2, lambda: counts.append(QUERIES[name](spark, SF1_DIR).count()))
+        best = _min_of(
+            2, lambda: QUERIES[name](spark, SF1_DIR).write.mode("overwrite").format("noop").save()
+        )
         ratio = best / max(sf01_timings[name], 1e-9)
         rec = {"sf1_sec": round(best, 3), "ratio_vs_sf0.1": round(ratio, 2)}
         # Output-row growth separates "the answer got bigger" from
         # "the compare work got super-linear" when a time ratio lands
         # above ~12x (e.g. fuzzy_join's duplicate-pair growth).
         if name in sf01_rows:
-            rec["sf1_rows"] = counts[-1]
-            rec["rows_ratio"] = round(counts[-1] / max(sf01_rows[name], 1), 2)
+            n = QUERIES[name](spark, SF1_DIR).count()  # untimed
+            rec["sf1_rows"] = n
+            rec["rows_ratio"] = round(n / max(sf01_rows[name], 1), 2)
         out[name] = rec
         print(
             f"# sf1 {name}: {best:.3f}s ({ratio:.1f}x of sf0.1, "

@@ -485,7 +485,7 @@ def semdedup(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_centroids: int = 16,
+    num_centroids: int | None = 16,
     threshold: float = 0.55,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
@@ -502,10 +502,13 @@ def semdedup(
     Scale shape: stage 1 is the IVF assignment — k centroids broadcast
     (a few KB), max_by partial combine, ONE assignment row per vector
     shuffled by cluster_id; stage 2 is a self equi-join on cluster_id,
-    so pair work is sum(|cluster|^2), never corpus^2.  At 100 TB pick
-    k ~ sqrt(N) trained centroids (train_kmeans_centroids) to bound
-    cluster sizes; default centroids (id < num_centroids) are the
-    deterministic oracle-reproducible seeding, same as ivf_topk.
+    so pair work is sum(|cluster|^2), never corpus^2.  Any FIXED k is
+    quadratic as the corpus grows (N^2/k) — pass
+    ``num_centroids=None`` for the in-plan k = ceil(sqrt(N)) sizing
+    (~N^1.5 pair work, see assign_clusters) or trained centroids
+    (train_kmeans_centroids) to bound cluster sizes; default
+    id < num_centroids seeding is the deterministic
+    oracle-reproducible form, same as ivf_topk.
     """
     assigned = assign_clusters(emb, id_col, vec_col, num_centroids, centroids)
     a = assigned.select(

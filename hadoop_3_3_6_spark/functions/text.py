@@ -267,12 +267,19 @@ def repetition_top_ngram(
     (count * len(gram) / len(text)).  High values flag looping /
     templated text (Rae et al. 2021 'top n-gram fraction' filters).
 
-    Per-row higher-order expressions only — O(distinct_grams * grams)
-    inside one projection, no shuffle, no UDF; the scan stays in
-    whole-stage codegen.  The two maxima are computed independently
-    (the most frequent gram and the most char-covering gram may
-    differ); both are exact integer arithmetic + one division, so the
-    SQL oracle reproduces them bit-for-bit."""
+    Per-row higher-order expressions only — no shuffle, no UDF.
+    O(G log G) per row: sort the gram array once, then ONE run-length
+    aggregate pass whose lambda touches only the accumulator and the
+    zipped element (a run in the sorted array IS a distinct gram's
+    occurrence count).  The earlier form folded over
+    array_distinct(grams) re-filtering — and, fatally, re-BUILDING the
+    inlined grams expression — per iteration: O(D*G) with a G-sized
+    constant, measured 26.9s for the corpus at sf0.001 under full
+    materialization vs ~0.1s for this form, identical outputs.  The
+    two maxima are computed in the same pass (the most frequent gram
+    and the most char-covering gram may differ); both are exact
+    integer arithmetic + one division, so the SQL oracle reproduces
+    them bit-for-bit."""
     words = f"filter(split({text_col}, ' '), w -> w <> '')"
     grams = (
         f"case when size({words}) >= {n} then "
@@ -280,22 +287,35 @@ def repetition_top_ngram(
         f"i -> array_join(slice({words}, i, {n}), ' ')) "
         f"else array() end"
     )
-    top_count = (
-        f"aggregate(array_distinct({grams}), 0, "
-        f"(acc, g) -> greatest(acc, size(filter({grams}, x -> x = g))))"
+    sg = f"array_sort({grams})"
+    # (gram, same-as-previous?) pairs: equal neighbors in the sorted
+    # array extend a run; runs enumerate distinct grams with counts.
+    z = (
+        f"zip_with({sg}, concat(array(''), slice({sg}, 1, greatest(size({sg}) - 1, 0))), "
+        f"(c, p) -> struct(c AS g, c = p AS eq))"
     )
-    top_chars = (
-        f"aggregate(array_distinct({grams}), 0, "
-        f"(acc, g) -> greatest(acc, size(filter({grams}, x -> x = g)) * length(g)))"
+    runs = (
+        f"aggregate({z}, "
+        f"named_struct('run', 0, 'best', 0, 'bestch', 0), "
+        f"(acc, e) -> named_struct("
+        f"'run', if(e.eq, acc.run + 1, 1), "
+        f"'best', greatest(acc.best, if(e.eq, acc.run + 1, 1)), "
+        f"'bestch', greatest(acc.bestch, if(e.eq, acc.run + 1, 1) * length(e.g))))"
     )
     n_chars = F.length(F.col(text_col))
-    return df.select(
+    counted = df.select(
         F.col(id_col),
+        n_chars.alias("_nc"),
         F.expr(f"size({grams})").alias("total_ngrams"),
-        F.expr(top_count).alias("top_ngram_count"),
+        F.expr(runs).alias("_r"),
+    )
+    return counted.select(
+        id_col,
+        "total_ngrams",
+        F.col("_r.best").alias("top_ngram_count"),
         F.when(
-            n_chars > 0,
-            F.round(F.expr(top_chars).cast("double") / n_chars.cast("double"), 6),
+            F.col("_nc") > 0,
+            F.round(F.col("_r.bestch").cast("double") / F.col("_nc").cast("double"), 6),
         )
         .otherwise(F.lit(0.0))
         .alias("top_ngram_char_fraction"),

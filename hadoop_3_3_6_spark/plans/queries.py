@@ -1409,7 +1409,8 @@ def q_similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_semantic",
     f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    c AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id < 16),
+    c AS (SELECT vec_id AS cent_id, e AS ce FROM v
+          WHERE vec_id < (SELECT ceil(sqrt(count(*))) FROM v)),
     vc AS (
       SELECT v.vec_id, c.cent_id, {_IVF_COS.format(a="v.e", b="c.ce")} AS cscore
       FROM v CROSS JOIN c),
@@ -1429,15 +1430,18 @@ def q_similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic near-dedup (Abbas et al. 2023): cluster the
-    embeddings (deterministic vec_id<16 seeding, same as the IVF
-    query), drop any vector cosine-similar (>= 0.45) to a lower-id
-    member of its own cluster.  Pair work is within-cluster only —
-    the corpus^2 comparison never happens (see
-    functions/similarity.semdedup for the 100 TB shape)."""
+    embeddings (deterministic lowest-id seeding, k = ceil(sqrt(N))
+    computed IN-PLAN — the oracle's scalar subquery computes the
+    identical k, and pair work grows ~N^1.5 instead of any fixed-k's
+    N^2/k; same r5 sizing as embedding_neardup), drop any vector
+    cosine-similar (>= 0.45) to a lower-id member of its own cluster.
+    Pair work is within-cluster only — the corpus^2 comparison never
+    happens (see functions/similarity.semdedup for the 100 TB
+    shape)."""
     from hadoop_3_3_6_spark.functions.similarity import semdedup
 
     emb = load_table(spark, "embeddings", sf_dir)
-    return semdedup(emb, "vec_id", "embedding", num_centroids=16, threshold=0.45)
+    return semdedup(emb, "vec_id", "embedding", num_centroids=None, threshold=0.45)
 
 
 @_register(
@@ -6113,9 +6117,11 @@ _DRIVER_HOLDBACK = [
 # an immediate re-check of the new form (round-5 policy; clear on
 # graduation like _DRIVER_HOLDBACK).
 _DRIVER_RECHECK = [
-    "embedding_neardup",    # r5: all-pairs -> cluster-blocked pair join
+    "embedding_neardup",    # r5: all-pairs -> cluster-blocked pair join, adaptive k
+    "dedup_semantic",       # r5: fixed k=16 -> in-plan k = ceil(sqrt(N))
     "keyfield_topk_orders", # r5: oracle price cast decimal -> double
     "xml_records_scan",     # r5: exact-tag open pattern in the reader
+    "text_repetition_topgram",  # r5: O(G log G) run-length rewrite (same outputs)
 ]
 
 _DRIVER_HOLDBACK_R5 = [
