@@ -3,7 +3,7 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()`` — every implemented operator from SURVEY.md §2 as a
 ``(spark, sf_dir) -> DataFrame`` callable.
-``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents (175 of 183;
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents (176 of 184;
 omitted only for genuinely non-reproducible ops: approx_* sketches,
 the self-validating terasort, and the float-order-
 dependent trained-IVF ANN — the driver records its weaker rows-only
