@@ -365,6 +365,13 @@ SF1_QUERIES = [
     # round-5: the re-registered cluster-blocked pair join must show
     # bounded growth at 10x corpus (cells grow linearly, nprobe fixed)
     "embedding_neardup",
+    # round-5 (noop-action reveal): the heaviest per-row text HOF
+    # families, honest-measured for the first time — all linear by
+    # construction, spotchecked to pin it
+    "text_repetition_topgram",
+    "text_boilerplate",
+    "text_lm_bigram",
+    "dedup_span_fraction",
 ]
 _SF1_SCALED = {"orders", "lineitem", "events", "documents", "embeddings", "part"}
 # Each scaled table's columns map to the OFFSET-SOURCE table whose key

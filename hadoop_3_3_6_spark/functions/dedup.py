@@ -79,7 +79,10 @@ def shingle_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     (no codegen subexpression elimination), so without the boundary
     CollapseProject inlines the split() into every size()/slice()
     reference and the document is re-tokenized once per shingle —
-    ~10× the work."""
+    ~10× the work.  (No spread_for_compute here: every consumer
+    shuffles on shingle/band keys right after, so the downstream
+    stages already parallelize and an input repartition only adds an
+    exchange — measured net-negative on dedup_minhash.)"""
     words = df.select(
         F.col(id_col),
         F.explode(F.array(F.expr(f"filter(split({text_col}, ' '), w -> w <> '')"))).alias("ws"),
@@ -523,6 +526,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", porta
     ``portable=True`` uses the md5-derived 60-bit token hash (exact
     DuckDB oracle); lanes 60-63 then never go positive, so the
     fingerprint effectively has 60 informative bits."""
+    from hadoop_3_3_6_spark.functions.text import spread_for_compute
+
+    df = spread_for_compute(df)
     words = f"filter(split({text_col}, ' '), w -> w <> '')"
     lanes = (
         f"aggregate(transform({words}, w -> {_token_hash('w', portable)}), "

@@ -31,9 +31,37 @@ def _words(text_col: str) -> Column:
     return F.expr(f"filter(split({text_col}, ' '), w -> w <> '')")
 
 
+def spread_for_compute(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Rebalance a scan feeding a CPU-BOUND narrow stage: when the file
+    layout yields fewer input splits than the session's parallelism,
+    hash-repartition up to it on ``key_col`` (default: the first
+    column, the document id in every caller); otherwise pass through
+    untouched.
+
+    Per-row text analysis is compute-bound, not IO-bound — a 1 MB
+    document file can carry seconds of HOF work, but Spark sizes scan
+    splits by BYTES (maxPartitionBytes), so a small/few-file corpus
+    lands on one task and serializes the whole stage (measured:
+    text_repetition_topgram 7.9s -> sub-second at sf0.1, whose
+    documents table is a single 594 KB file = one split).  At 100 TB
+    the scan already yields thousands of splits, the condition is
+    false, and this is a plan no-op — the shuffle only ever moves a
+    corpus that is small in bytes.  HASH partitioning on the unique id
+    (not round-robin) matters: deterministic round-robin locally sorts
+    EVERY column first, which re-serializes the full text per row.
+    The partition-count probe builds the RDD plan but launches no job
+    (construction-laziness gate-checked with every other query)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key_col or df.columns[0]))
+    return df
+
+
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document token counts: whitespace tokens and BPE-ish regex
     tokens.  Both are JVM-side (split / regexp_extract_all)."""
+    df = spread_for_compute(df)
     return df.select(
         F.col(id_col),
         F.size(_words(text_col)).alias("ws_tokens"),
@@ -47,6 +75,7 @@ def language_id(
     """Stopword-ratio language ID: fraction of tokens that are English
     stopwords; >= threshold → 'en' else 'unk'.  (The reference has no
     NLP surface; this is the training-pipeline heuristic analogue.)"""
+    df = spread_for_compute(df)
     stop_arr = "array(" + ",".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
     words = _words(text_col)
     hits = F.expr(f"size(filter(filter(split({text_col}, ' '), w -> w <> ''), w -> array_contains({stop_arr}, w)))")
@@ -76,6 +105,7 @@ def language_id_multi(
     threshold else 'unk' (ties break in en > de > fr declaration
     order via strict comparisons).  Pure column expressions — the
     n-language generalization of ``language_id``."""
+    df = spread_for_compute(df)
     words = _words(text_col)
     total = F.size(words)
     ratios = {}
@@ -111,6 +141,7 @@ def normalize_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     trimmed.  Normalizing before hashing/shingling is what makes
     near-dup detection robust to case/punctuation noise; three
     regexp_replace passes, shuffle-free."""
+    df = spread_for_compute(df)
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "), " +", " "
@@ -127,6 +158,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """Document quality signals: char/word counts, mean word length,
     alpha-char ratio — the classic pre-training filter features.  All
     integer counts + one exact division each, so oracle-reproducible."""
+    df = spread_for_compute(df)
     words = _words(text_col)
     n_chars = F.length(F.col(text_col))
     n_words = F.size(words)
@@ -184,6 +216,7 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     Exact 64-bit-safe integer arithmetic (max intermediate < 2^63), so
     identical in any engine; computed with F.aggregate — one JVM-side
     fold, no shuffle, no UDF."""
+    df = spread_for_compute(df)
     expr = (
         f"aggregate(filter(split({text_col}, ' '), w -> w <> ''), cast(0 as bigint), "
         f"(acc, w) -> pmod(acc * 31 + length(w) * 131 + ascii(substring(w, 1, 1)), {FINGERPRINT_MOD}))"
@@ -246,6 +279,7 @@ def pii_redact(
     this is the training-pipeline extension analogue of a chained
     RegexMapper (MRX/RegexMapper semantics, MRC/lib/map/RegexMapper.java:1).
     """
+    df = spread_for_compute(df)
     cur = F.col(text_col)
     out_cols = [F.col(id_col)] + [F.col(c) for c in keep_cols]
     counts = []
@@ -280,6 +314,7 @@ def repetition_top_ngram(
     and the most char-covering gram may differ); both are exact
     integer arithmetic + one division, so the SQL oracle reproduces
     them bit-for-bit."""
+    df = spread_for_compute(df)
     words = f"filter(split({text_col}, ' '), w -> w <> '')"
     grams = (
         f"case when size({words}) >= {n} then "
@@ -290,8 +325,12 @@ def repetition_top_ngram(
     sg = f"array_sort({grams})"
     # (gram, same-as-previous?) pairs: equal neighbors in the sorted
     # array extend a run; runs enumerate distinct grams with counts.
+    # prev = [''] ++ sg, sliced to EXACTLY size(sg) elements — zip_with
+    # pads the shorter side with nulls, so an unsliced sentinel array
+    # would give an empty gram list one phantom element (the <n-word
+    # document edge, pinned in test_repetition_top_ngram_counts).
     z = (
-        f"zip_with({sg}, concat(array(''), slice({sg}, 1, greatest(size({sg}) - 1, 0))), "
+        f"zip_with({sg}, slice(concat(array(''), {sg}), 1, size({sg})), "
         f"(c, p) -> struct(c AS g, c = p AS eq))"
     )
     runs = (
@@ -340,6 +379,7 @@ def chunk_documents(
     transform-built struct array) — no shuffle, no UDF; chunk count
     and boundaries are pure integer arithmetic so a SQL oracle
     reproduces rows exactly."""
+    df = spread_for_compute(df)
     if not 0 <= overlap < chunk_tokens:
         raise ValueError("require 0 <= overlap < chunk_tokens")
     step = chunk_tokens - overlap
@@ -372,6 +412,7 @@ def unigram_lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     sum.  Plan: tokenize → term-count aggregate (broadcastable dim,
     same shape as tf_idf's dfreq) → join back → integer sum per doc;
     corpus total T stays in-plan as a broadcast 1-row cross join."""
+    df = spread_for_compute(df)
     tok = df.select(F.col(id_col), F.explode(_words(text_col)).alias("term"))
     counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").cast("double").alias("_T"))
@@ -418,6 +459,7 @@ def boilerplate_signals(df: DataFrame, text_col: str = "text", id_col: str = "do
     pretraining quality filter drops).  Pure per-row higher-order
     expressions (one array of n-gram strings per doc inside a single
     projection), no shuffle, no UDF."""
+    df = spread_for_compute(df)
     # Stays a single inline projection: measured 3× faster than
     # materializing the gram array behind a generator boundary — the
     # outputs are scalars, so the boundary only breaks the codegen
@@ -499,6 +541,7 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     totals derive from the bigram counts themselves (vocab-sized, not
     corpus-sized); join back by bigram.  Docs with < 2 tokens score 0
     over 0 bigrams."""
+    df = spread_for_compute(df)
     words = f"filter(split({text_col}, ' '), x -> x <> '')"
     grams = (
         f"case when size({words}) >= 2 then "

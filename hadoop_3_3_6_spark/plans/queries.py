@@ -6112,17 +6112,17 @@ _DRIVER_HOLDBACK = [
     "codec_gzip_scan",
 ]
 
-# Queries whose IMPLEMENTATION or ORACLE materially changed this round:
-# their old green rows verify the old form, so they jump the queue for
-# an immediate re-check of the new form (round-5 policy; clear on
-# graduation like _DRIVER_HOLDBACK).
-_DRIVER_RECHECK = [
-    "embedding_neardup",    # r5: all-pairs -> cluster-blocked pair join, adaptive k
-    "dedup_semantic",       # r5: fixed k=16 -> in-plan k = ceil(sqrt(N))
-    "keyfield_topk_orders", # r5: oracle price cast decimal -> double
-    "xml_records_scan",     # r5: exact-tag open pattern in the reader
-    "text_repetition_topgram",  # r5: O(G log G) run-length rewrite (same outputs)
-]
+# Queries whose IMPLEMENTATION or ORACLE materially changed, mapped to
+# the round the change landed: their older green rows verify the OLD
+# form, so they jump the queue until a green row from >= that round
+# exists — then they graduate automatically (no manual clearing).
+_DRIVER_RECHECK = {
+    "embedding_neardup": 5,    # all-pairs -> cluster-blocked pair join, adaptive k
+    "dedup_semantic": 5,       # fixed k=16 -> in-plan k = ceil(sqrt(N))
+    "keyfield_topk_orders": 5, # oracle price cast decimal -> double
+    "xml_records_scan": 5,     # exact-tag open pattern in the reader
+    "text_repetition_topgram": 5,  # O(G log G) run-length rewrite (same outputs)
+}
 
 _DRIVER_HOLDBACK_R5 = [
     "tokenizer_bpe_apply",
@@ -6142,7 +6142,11 @@ def _reorder_for_driver() -> None:
         if n not in verified and n not in deferred and n not in priority
         and n not in held and n in ORACLES
     ]
-    recheck = [n for n in _DRIVER_RECHECK if n in QUERIES and n not in front]
+    recheck = [
+        n for n, changed_round in _DRIVER_RECHECK.items()
+        if n in QUERIES and n not in front
+        and verified_rounds.get(n, 0) < changed_round
+    ]
     # Mid-tier priority maximizes exact-green coverage per budget slot:
     # (1) materially-changed queries needing a fresh verdict,
     # (2) held-back NEW exact-oracle queries (first hash check),
