@@ -79,10 +79,14 @@ def shingle_docs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     (no codegen subexpression elimination), so without the boundary
     CollapseProject inlines the split() into every size()/slice()
     reference and the document is re-tokenized once per shingle —
-    ~10× the work.  (No spread_for_compute here: every consumer
-    shuffles on shingle/band keys right after, so the downstream
-    stages already parallelize and an input repartition only adds an
-    exchange — measured net-negative on dedup_minhash.)"""
+    ~10× the work.  The input is spread_for_compute-rebalanced first:
+    the shingle build is the CPU-heavy stage and otherwise runs inside
+    however few splits the file layout yields (min-of-3 at sf0.1:
+    minhash pairs 1.21→0.79s, n-gram jaccard 4.34→1.17s; no-op at
+    scale)."""
+    from hadoop_3_3_6_spark.functions.text import spread_for_compute
+
+    df = spread_for_compute(df, id_col)
     words = df.select(
         F.col(id_col),
         F.explode(F.array(F.expr(f"filter(split({text_col}, ' '), w -> w <> '')"))).alias("ws"),
@@ -382,6 +386,9 @@ def duplicated_span_fraction(
     its fan-out and count it as duplicated without joining).  Leave
     None for oracle-exact semantics.
     """
+    from hadoop_3_3_6_spark.functions.text import spread_for_compute
+
+    df = spread_for_compute(df, id_col)
     words = f"filter(split({text_col}, ' '), w -> w <> '')"
     grams = (
         f"case when size({words}) >= {n} then "
@@ -464,6 +471,10 @@ def duplicated_spans(
     join is AQE-skew-splittable — the robust path when a runaway
     shingle (boilerplate) would otherwise pile one window partition."""
     from pyspark.sql.window import Window
+
+    from hadoop_3_3_6_spark.functions.text import spread_for_compute
+
+    df = spread_for_compute(df, id_col)
 
     words = f"filter(split({text_col}, ' '), w -> w <> '')"
     grams = (
