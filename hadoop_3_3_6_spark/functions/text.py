@@ -31,6 +31,9 @@ def _words(text_col: str) -> Column:
     return F.expr(f"filter(split({text_col}, ' '), w -> w <> '')")
 
 
+_SPREAD_MEMO: dict[tuple, bool] = {}
+
+
 def spread_for_compute(df: DataFrame, key_col: str | None = None) -> DataFrame:
     """Rebalance a scan feeding a CPU-BOUND narrow stage: when the file
     layout yields fewer input splits than the session's parallelism,
@@ -50,10 +53,26 @@ def spread_for_compute(df: DataFrame, key_col: str | None = None) -> DataFrame:
     (not round-robin) matters: deterministic round-robin locally sorts
     EVERY column first, which re-serializes the full text per row.
     The partition-count probe builds the RDD plan but launches no job
-    (construction-laziness gate-checked with every other query)."""
+    (construction-laziness gate-checked with every other query); the
+    decision is memoized per (session, semantic plan, parallelism) so
+    the 13+ call sites — some composed, some rebuilt per bench rep —
+    pay the physical-planning probe once per distinct shape
+    (round-5 ADVICE item)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        memo_key = (id(df.sparkSession), df.semanticHash(), target)
+    except Exception:  # semanticHash unavailable (e.g. connect-mode frame)
+        memo_key = None
+    if memo_key is not None and memo_key in _SPREAD_MEMO:
+        need = _SPREAD_MEMO[memo_key]
+    else:
+        need = df.rdd.getNumPartitions() < target
+        if memo_key is not None:
+            if len(_SPREAD_MEMO) > 4096:
+                _SPREAD_MEMO.clear()
+            _SPREAD_MEMO[memo_key] = need
+    if need:
         return df.repartition(target, F.col(key_col or df.columns[0]))
     return df
 

@@ -5498,6 +5498,18 @@ def _bpe_apply_oracle() -> str | None:
         from hadoop_3_3_6_spark.functions.bpe import EOW, reference_bpe
 
         con = duckdb.connect()
+        # Corpus-alphabet soundness (not just merge-table soundness): a
+        # corpus word containing '[' or ']' would corrupt the oracle's
+        # bracket-count token tally even if no bracket ever enters the
+        # merge table, so scan the whole corpus for the delimiter
+        # characters and degrade to rows-only on any hit.
+        n_bad = con.execute(
+            f"SELECT count(*) FROM read_parquet('{docs}') "
+            "WHERE regexp_matches(text, '[\\[\\]]')"
+        ).fetchone()[0]
+        if n_bad:
+            con.close()
+            return None
         rows = con.execute(
             "SELECT w, count(*)::BIGINT AS freq FROM ("
             "SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w "
@@ -6142,10 +6154,14 @@ def _reorder_for_driver() -> None:
         if n not in verified and n not in deferred and n not in priority
         and n not in held and n in ORACLES
     ]
+    # A query graduates from recheck only once a green row exists from a
+    # round STRICTLY AFTER changed_round: a green row recorded earlier in
+    # the same round (before the change landed mid-round) would otherwise
+    # wrongly count as verifying the new form (round-5 ADVICE item).
     recheck = [
         n for n, changed_round in _DRIVER_RECHECK.items()
         if n in QUERIES and n not in front
-        and verified_rounds.get(n, 0) < changed_round
+        and verified_rounds.get(n, 0) <= changed_round
     ]
     # Mid-tier priority maximizes exact-green coverage per budget slot:
     # (1) materially-changed queries needing a fresh verdict,

@@ -213,7 +213,8 @@ def test_embedding_neardup_pair_join_is_equi_keyed(spark, sf_dir):
     """The near-dup pair join is blocked on the cluster assignment:
     exactly one equi-join on cluster_id (SortMergeJoin or
     ShuffledHashJoin over the assigned corpus) and the ONLY
-    nested-loop node is the bounded corpus x broadcast(16-centroid)
+    nested-loop node is the bounded corpus x broadcast(k-centroid,
+    in-plan adaptive k = ceil(sqrt(N)))
     assignment stage — pair work is sum(|cluster|^2), never
     corpus^2."""
     plan = plan_of(spark, sf_dir, "embedding_neardup")
