@@ -247,11 +247,17 @@ def main() -> None:
     )
     print(f"# terasort_2m_records: {timings['terasort_2m_records']:.3f}s", file=sys.stderr)
 
-    # One 10x point (20M records, ~2 GB, min-of-1): sanity-checks that
-    # the GB/node/min headline off the 2M sweet spot isn't a
-    # small-data artifact — the rate should land within ~2x.
+    # One 10x point (20M records, ~2 GB): sanity-checks that the
+    # GB/node/min headline off the 2M sweet spot isn't a small-data
+    # artifact — the rate should land within ~2x.  min-of-3 since r6:
+    # the r5 record ran this min-of-1 and a single transiently-slow
+    # run printed as "10x data -> 23x time"; the measured attribution
+    # (SCALE.md round-6 note) shows zero spill at every shuffle-
+    # partition setting in {32..256} and ~6.8 s min-of-3
+    # (~18 GB/node/min — faster per-record than the overhead-dominated
+    # 2M point), so the r5 reading was the sandbox, not the plan.
     timings["terasort_20m_records"] = round(
-        _min_of(1, lambda: terasort(teragen(spark, 20_000_000, partitions=64)).write.mode("overwrite").format("noop").save()), 3
+        _min_of(3, lambda: terasort(teragen(spark, 20_000_000, partitions=64)).write.mode("overwrite").format("noop").save()), 3
     )
     print(f"# terasort_20m_records: {timings['terasort_20m_records']:.3f}s", file=sys.stderr)
 
@@ -313,6 +319,13 @@ def main() -> None:
             "cpu_probe_sec": cpu_probe,
         },
         "sf1_spotcheck": sf1_spotcheck,
+        # Mechanical cross-round comparison (VERDICT r5 task 5): each
+        # query's time is normalized by the machine-speed probe on BOTH
+        # sides, so a ratio > 1 is an engine delta, not sandbox speed.
+        # The baseline is the newest committed bench_baselines/
+        # BENCH_full_r{NN}.json (same noop_write action required);
+        # queries >1.3x normalized are flagged for the judge.
+        "vs_prev_normalized": _vs_prev_normalized(timings, cpu_probe),
     }
     # full per-query map: stderr + a file next to this script (the
     # round-2 driver could only capture a bounded stdout tail, so the
@@ -328,6 +341,43 @@ def main() -> None:
     # FINAL stdout line: compact — top-10 slowest queries only
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(json.dumps({**record, "queries": slowest, "queries_truncated_to": 10, "full_map": "BENCH_full.json"}))
+
+
+def _vs_prev_normalized(timings: dict[str, float], cpu_probe: float) -> dict:
+    """Per-query cpu-normalized ratios vs the newest committed
+    bench_baselines/BENCH_full_r{NN}.json snapshot (same-action only).
+    ratio = (t_now / probe_now) / (t_prev / probe_prev); >1.3 flagged.
+    Anchors with their own scale changes (terasort_20m went min-of-1
+    -> min-of-3 in r6) compare like any query — the min can only drop.
+    """
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    snaps = sorted(glob.glob(os.path.join(here, "bench_baselines", "BENCH_full_r*.json")))
+    if not snaps:
+        return {"baseline": None}
+    try:
+        with open(snaps[-1]) as f:
+            prev = json.load(f)
+    except (OSError, ValueError) as e:
+        return {"baseline": os.path.basename(snaps[-1]), "error": str(e)}
+    if prev.get("action") != "noop_write":
+        return {"baseline": os.path.basename(snaps[-1]), "skipped": "action mismatch"}
+    prev_probe = prev.get("anchors", {}).get("cpu_probe_sec") or 1.0
+    ratios = {}
+    for name, t_prev in prev.get("queries", {}).items():
+        if name in timings and t_prev > 0:
+            ratios[name] = round((timings[name] / max(cpu_probe, 1e-9)) / (t_prev / prev_probe), 2)
+    flagged = {n: r for n, r in sorted(ratios.items(), key=lambda kv: -kv[1]) if r > 1.3}
+    med = sorted(ratios.values())[len(ratios) // 2] if ratios else None
+    return {
+        "baseline": os.path.basename(snaps[-1]),
+        "prev_cpu_probe_sec": prev_probe,
+        "cpu_probe_sec": cpu_probe,
+        "n_compared": len(ratios),
+        "median_ratio": med,
+        "flagged_over_1.3": flagged,
+    }
 
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")

@@ -150,7 +150,19 @@ def cosine_pairs_above_blocked(
     trained centroids (train_kmeans_centroids) when cluster balance
     matters more than oracle reproducibility."""
     assigned = assign_clusters(emb, id_col, vec_col, num_centroids, centroids, num_probes)
-    a = assigned.select(
+    # Spread the pair-compare stage explicitly: the assignment rows are
+    # tiny in BYTES (ids + one vector each) so AQE's size-based
+    # coalescing otherwise folds the compare join to a handful of tasks
+    # while the per-pair cosine fold is the CPU-dominant cost (same
+    # hazard as fuzzy_join's compare; measured there 26 s -> 2.6 s).
+    # Explicit numPartitions (REPARTITION_BY_NUM) is the AQE
+    # no-coalesce contract; keying by (cluster_id, id) spreads hot
+    # cells across tasks without changing join semantics.  At 100 TB
+    # the assignment rows exceed the coalesce target and this exchange
+    # replaces — not adds to — the join's own ENSURE_REQUIREMENTS
+    # shuffle.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    a = assigned.repartition(par, F.col("cluster_id"), F.col(id_col)).select(
         F.col("cluster_id"),
         F.col(id_col).alias("_id_a"),
         F.col(vec_col).alias("_va"),

@@ -391,8 +391,23 @@ def fuzzy_join(
     r = right.withColumn("_blk", block_right)
     len_bound = F.abs(F.length(F.col(left_col)) - F.length(F.col(right_col))) <= max_distance
     distance = F.levenshtein(F.col(left_col), F.col(right_col), max_distance)
+    # The probe side of the compare join gets an EXPLICIT repartition on
+    # the value column: the per-pair banded-DP compare is CPU-bound on
+    # pairs but its input is tiny in BYTES, so AQE's size-based
+    # coalescing otherwise folds the exchange to ~1 partition and the
+    # whole compare serializes on one core (measured 26 s -> 2.6 s at
+    # the sf1 registered query, 32 threads).  The key must differ from
+    # the (_blk, value) ENSURE_REQUIREMENTS exchange above it —
+    # repartitioning on the same keys collapses into that exchange and
+    # re-exposes it to coalescing; the explicit numPartitions
+    # (REPARTITION_BY_NUM) is what AQE contracts not to coalesce.  Cost
+    # at scale: one extra pass over the distinct values, bounded by the
+    # distinct shuffle the plan already pays; at 100 TB the join
+    # typically exceeds the broadcast threshold and SMJ's own exchange
+    # takes over — AQE skew-split then handles hot blocks.
+    par = left.sparkSession.sparkContext.defaultParallelism
     if distinct_values:
-        dl = l.select("_blk", left_col).distinct()
+        dl = l.select("_blk", left_col).distinct().repartition(par, F.col(left_col))
         dr = r.select("_blk", right_col).distinct()
         cand = (
             dl.join(dr, "_blk")
@@ -404,7 +419,7 @@ def fuzzy_join(
         if pair_filter is not None:
             out = out.filter(pair_filter)
         return out.drop("_blk")
-    pairs = l.join(r, "_blk")
+    pairs = l.repartition(par, F.col(left_col)).join(r, "_blk")
     if pair_filter is not None:
         pairs = pairs.filter(pair_filter)
     pairs = pairs.filter(len_bound).withColumn("edit_distance", distance)

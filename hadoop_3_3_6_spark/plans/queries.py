@@ -6134,6 +6134,11 @@ _DRIVER_RECHECK = {
     "keyfield_topk_orders": 5, # oracle price cast decimal -> double
     "xml_records_scan": 5,     # exact-tag open pattern in the reader
     "text_repetition_topgram": 5,  # O(G log G) run-length rewrite (same outputs)
+    # round 6: explicit REPARTITION_BY_NUM spread of the CPU-bound pair
+    # compare (AQE size-coalescing serialized it on ~1 task at sf1);
+    # results identical, plans changed
+    "fuzzy_join_titles": 6,
+    "embedding_neardup": 6,
 }
 
 _DRIVER_HOLDBACK_R5 = [
