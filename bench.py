@@ -279,6 +279,14 @@ def main() -> None:
         except Exception as e:  # never fail the bench on the stretch tier
             print(f"# sf1 spotcheck skipped: {e}", file=sys.stderr)
 
+    # sf3 second scale point for the heaviest families (exponent check)
+    sf3_spotcheck: dict[str, dict] = {}
+    if sf1_spotcheck and os.environ.get("SPARK_GRAFT_SF3_SPOTCHECK", "1") != "0":
+        try:
+            sf3_spotcheck = _sf3_spotcheck(sf1_spotcheck)
+        except Exception as e:  # never fail the bench on the stretch tier
+            print(f"# sf3 spotcheck skipped: {e}", file=sys.stderr)
+
     # Machine-speed index: a fixed driver-side CPU probe (300k chained
     # sha256) so cross-round comparisons can separate engine changes
     # from sandbox speed — the round-3 "uniform 1.66x regression" was
@@ -319,6 +327,7 @@ def main() -> None:
             "cpu_probe_sec": cpu_probe,
         },
         "sf1_spotcheck": sf1_spotcheck,
+        "sf3_spotcheck": sf3_spotcheck,
         # Mechanical cross-round comparison (VERDICT r5 task 5): each
         # query's time is normalized by the machine-speed probe on BOTH
         # sides, so a ratio > 1 is an engine delta, not sandbox speed.
@@ -422,6 +431,9 @@ SF1_QUERIES = [
     "text_boilerplate",
     "text_lm_bigram",
     "dedup_span_fraction",
+    # round-6: the adaptive-k cluster-then-compare family needs BOTH
+    # scale points (sf1 here feeds the sf3 exponent check)
+    "dedup_semantic",
 ]
 _SF1_SCALED = {"orders", "lineitem", "events", "documents", "embeddings", "part"}
 # Each scaled table's columns map to the OFFSET-SOURCE table whose key
@@ -451,75 +463,70 @@ _SF1_RANGE_KEY = {
 }
 
 
-def _ensure_sf1(spark) -> None:
-    """Synthesize sf1 (10x sf0.1) once per machine: fact tables are 10
-    key-offset copies (ids stay unique; FKs into other scaled tables
-    shifted by the REFERENCED table's range so copy-c facts join
-    copy-c parents; FKs into the unscaled dims unchanged, so dim
-    fan-in scales 10x as a real 10x corpus would); dims copy as-is."""
+def _vowel_perms(ncopies: int) -> list[str]:
+    """``ncopies`` DISTINCT permutations of 'aeiou' (identity first —
+    itertools emits sorted order, so copy 0 is untouched).  120
+    available; enough for any copy count this harness uses."""
+    import itertools
+
+    perms = ["".join(p) for p in itertools.permutations("aeiou")]
+    if ncopies > len(perms):
+        raise ValueError(f"at most {len(perms)} distinct copies supported")
+    return perms[:ncopies]
+
+
+def _ensure_scaled(spark, out_dir: str, ncopies: int, marker_name: str, perms: list[str]) -> None:
+    """Synthesize an N-copy scale tier from sf0.1 once per machine:
+    fact tables are ``ncopies`` key-offset copies (ids stay unique;
+    FKs into other scaled tables shifted by the REFERENCED table's
+    range so copy-c facts join copy-c parents; FKs into the unscaled
+    dims unchanged, so dim fan-in scales Nx as a real Nx corpus
+    would); dims copy as-is.
+
+    v2: l_partkey/l_orderkey shift by the referenced table's offset.
+    v3: scaled tables repartition(32) before write — the
+    crossJoin(broadcast(range(N))) otherwise collapses to ~1 partition
+    and writes ONE Nx-sized file, making every scaled scan single-task
+    (the r5 spotcheck measured storage_file_profile at 27x purely from
+    lost scan parallelism).  A real Nx table has ~Nx the files, not Nx
+    the file size.  v4: documents vowel-permute per copy (within-copy
+    near-dup structure preserved exactly — the same substitution hits
+    both members of a pair — while cross-copy shingle overlap
+    collapses; verbatim copies would otherwise grow dedup cliques and
+    pair work QUADRATICALLY, a synthesis artifact) and embeddings
+    rotate components per copy (norms and within-copy geometry exact;
+    cross-copy cosines at random-overlap level — a dim-0 nudge left
+    them ~1.0 and near-dup output exploded x1283).  Requires
+    embedding dim >= ncopies for the rotations to stay distinct."""
     from pyspark.sql import functions as F
 
     from hadoop_3_3_6_spark.session import TABLE_NAMES, load_table
 
-    # v2: l_partkey/l_orderkey now shift by the referenced table's
-    # offset.  v3: scaled tables repartition(32) before write — the
-    # crossJoin(broadcast(range(10))) otherwise collapses to ~1
-    # partition and writes ONE 10x-sized file, making every sf1 scan
-    # single-task (the r5 spotcheck measured storage_file_profile at
-    # 27x purely from lost scan parallelism).  A real 10x table has
-    # ~10x the files, not 10x the file size.  v4: embeddings copies
-    # rotate components instead of nudging dim 0 (cross-copy clone
-    # cliques otherwise dominate near-dup output).
-    marker = os.path.join(SF1_DIR, "_SUCCESS_ALL_v4")
+    marker = os.path.join(out_dir, marker_name)
     if os.path.exists(marker):
         return
-    os.makedirs(SF1_DIR, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
     offsets = {
         t: load_table(spark, t, SF_DIR).agg(F.max(k)).collect()[0][0] + 1
         for t, k in _SF1_RANGE_KEY.items()
     }
     for t in TABLE_NAMES:
         df = load_table(spark, t, SF_DIR)
-        out = os.path.join(SF1_DIR, f"{t}.parquet")
+        out = os.path.join(out_dir, f"{t}.parquet")
         if t in _SF1_SCALED:
-            copies = df.crossJoin(spark.range(10).select(F.col("id").alias("_copy")))
+            copies = df.crossJoin(spark.range(ncopies).select(F.col("id").alias("_copy")))
             scaled = copies.withColumns(
                 {k: F.col(k) + F.col("_copy") * offsets[src] for k, src in _SF1_KEYS[t].items()}
             )
             if t == "documents":
-                # Vowel-permute each copy's text (identity for copy 0):
-                # within-copy near-duplicate structure is preserved
-                # EXACTLY (the same substitution hits both members of a
-                # pair), while cross-copy shingle overlap collapses —
-                # without this, verbatim copies make every dedup clique
-                # larger and pair work grows QUADRATICALLY, an artifact
-                # of the synthesis rather than the engine.  10 DISTINCT
-                # permutations (5 rotations + 5 reversed rotations), one
-                # per copy — a 5-cycle alone would leave copies c and
-                # c+5 byte-identical.
-                rots = [
-                    "aeiou", "eioua", "iouae", "ouaei", "uaeio",
-                    "uoiea", "oieau", "ieauo", "eauoi", "auoie",
-                ]
-                arr = ",".join(f"'{r}'" for r in rots)
+                arr = ",".join(f"'{r}'" for r in perms)
                 scaled = scaled.withColumn(
                     "text",
                     F.expr(
-                        f"translate(text, 'aeiou', element_at(array({arr}), cast(_copy % 10 as int) + 1))"
+                        f"translate(text, 'aeiou', element_at(array({arr}), cast(_copy % {len(perms)} as int) + 1))"
                     ),
                 )
             if t == "embeddings":
-                # Rotate each copy's components by the copy index
-                # (identity for copy 0).  The previous dim-0 nudge
-                # (+0.003*copy) prevented EXACT clones but left
-                # cross-copy cosines ~1.0, so every base vector's 10
-                # copies formed a true near-dup clique — the r5
-                # spotcheck measured embedding_neardup output rows
-                # x1283 at 10x corpus, pure synthesis artifact.  A
-                # rotation keeps norms and within-copy geometry exactly
-                # (same permutation applied to both members of any
-                # within-copy pair) while cross-copy cosines drop to
-                # the random-overlap level a real 10x corpus shows.
                 scaled = scaled.withColumn(
                     "embedding",
                     F.expr(
@@ -532,6 +539,78 @@ def _ensure_sf1(spark) -> None:
             df.write.mode("overwrite").parquet(out)
     with open(marker, "w") as f:
         f.write("ok\n")
+
+
+def _ensure_sf1(spark) -> None:
+    # sf1 keeps its original hand-picked 10-permutation list (5
+    # rotations + 5 reversed) so cross-round sf1 numbers stay
+    # comparable; the marker version is unchanged for the same reason.
+    rots = [
+        "aeiou", "eioua", "iouae", "ouaei", "uaeio",
+        "uoiea", "oieau", "ieauo", "eauoi", "auoie",
+    ]
+    _ensure_scaled(spark, SF1_DIR, 10, "_SUCCESS_ALL_v4", rots)
+
+
+SF3_DIR = os.environ.get("SPARK_GRAFT_SF3_DIR", "/tmp/spark_graft_sf3")
+# Second scale point (VERDICT r5 task 3): the heaviest sf1 families get
+# an sf3 (= 3x sf1 = 30x sf0.1) measurement so the sf0.1->sf1 step
+# isn't the only exponent estimate — a single 10x step can hide N^1.5
+# terms.  Designed exponents: ~1.0 for the linear per-row/inverted-
+# index families, 1.5 for the adaptive-k cluster-then-compare pair
+# joins (pair work ~N^1.5 by design with k = ceil(sqrt(N))).  The
+# measured exponent is ln(t_sf3/t_sf1)/ln(3) — fixed overhead biases
+# it DOWN at these sizes, so a measured value at-or-under design plus
+# a rows_ratio near the output's own growth is a pass.
+SF3_QUERIES = {
+    "fuzzy_join_titles": 1.0,
+    "embedding_neardup": 1.5,
+    "dedup_semantic": 1.5,
+    "text_lm_bigram": 1.0,
+    "dedup_span_fraction": 1.0,
+    "text_repetition_topgram": 1.0,
+}
+
+
+def _sf3_spotcheck(sf1_results: dict[str, dict]) -> dict[str, dict]:
+    import math
+
+    from hadoop_3_3_6_spark.plans.queries import QUERIES
+
+    spark = _fresh_session("bench-sf3gen")
+    _ensure_scaled(spark, SF3_DIR, 30, "_SUCCESS_ALL_v1", _vowel_perms(30))
+    spark.stop()
+
+    spark = _fresh_session("bench-sf3", warm_dir=SF3_DIR)
+    out: dict[str, dict] = {}
+    for name, designed in SF3_QUERIES.items():
+        if name not in QUERIES or name not in sf1_results:
+            continue
+        best = _min_of(
+            2, lambda: QUERIES[name](spark, SF3_DIR).write.mode("overwrite").format("noop").save()
+        )
+        t1 = sf1_results[name]["sf1_sec"]
+        ratio = best / max(t1, 1e-9)
+        rec = {
+            "sf3_sec": round(best, 3),
+            "ratio_vs_sf1": round(ratio, 2),
+            "exponent_vs_sf1": round(math.log(max(ratio, 1e-9)) / math.log(3.0), 2),
+            "designed_exponent": designed,
+        }
+        n1 = sf1_results[name].get("sf1_rows")
+        if n1:
+            n3 = QUERIES[name](spark, SF3_DIR).count()  # untimed
+            rec["sf3_rows"] = n3
+            rec["rows_ratio_vs_sf1"] = round(n3 / max(n1, 1), 2)
+        out[name] = rec
+        print(
+            f"# sf3 {name}: {best:.3f}s ({ratio:.1f}x of sf1, exp "
+            f"{rec['exponent_vs_sf1']} vs designed {designed}, rows "
+            f"x{rec.get('rows_ratio_vs_sf1', '?')})",
+            file=sys.stderr,
+        )
+    spark.stop()
+    return out
 
 
 def _sf1_spotcheck(

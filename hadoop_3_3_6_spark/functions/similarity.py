@@ -97,16 +97,48 @@ def cosine_topk_bruteforce(
 
 
 def cosine_pairs_above(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.9
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: exact cosine over id_a < id_b.
 
     ALL-PAIRS — O(n^2) pair work; keep for bounded corpora (a probe
     batch, a single cluster) only.  The registered near-dup query uses
     :func:`cosine_pairs_above_blocked`, which blocks the pair join on
-    an IVF cluster assignment so pair work is sum(|cluster|^2)."""
-    a = with_norm(emb, vec_col).alias("a")
-    b = with_norm(emb, vec_col).alias("b")
+    an IVF cluster assignment so pair work is sum(|cluster|^2).
+
+    ``max_rows`` is the bounded-corpus contract, enforced IN-PLAN (the
+    fuzzy_join fail-fast discipline): a 1-row count aggregate is
+    broadcast into the plan and the job raises at execution if the
+    corpus exceeds it, so no caller can accidentally point the
+    quadratic form at an unbounded table.  Pass a larger value
+    deliberately when a bigger bounded batch is intended."""
+    guard = emb.agg(F.count(F.lit(1)).alias("_n_guard"))
+    guarded = (
+        emb.crossJoin(F.broadcast(guard))
+        .filter(
+            F.assert_true(
+                F.col("_n_guard") <= max_rows,
+                F.concat(
+                    F.lit(
+                        "cosine_pairs_above is ALL-PAIRS (O(n^2)); corpus has "
+                    ),
+                    F.col("_n_guard").cast("string"),
+                    F.lit(
+                        f" rows > max_rows={max_rows}. Use "
+                        "cosine_pairs_above_blocked for unbounded corpora, or "
+                        "raise max_rows deliberately."
+                    ),
+                ),
+            ).isNull()
+        )
+        .drop("_n_guard")
+    )
+    a = with_norm(guarded, vec_col).alias("a")
+    b = with_norm(guarded, vec_col).alias("b")
     score = F.expr(f"{_dot(f'a.{vec_col}', f'b.{vec_col}')} / (a._norm * b._norm)")
     return (
         a.join(b, on=F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

@@ -470,6 +470,25 @@ def test_blocked_neardup_matches_all_pairs_within_cluster(spark, sf_dir):
         assert len(blocked) / len(all_pairs) >= 0.5
 
 
+def test_cosine_pairs_above_bounded_corpus_guard(spark, sf_dir):
+    """The all-pairs form fails fast IN-PLAN when the corpus exceeds
+    max_rows (the unregistered-quadratic-entry-point guard): execution
+    raises, while the same corpus under the bound runs clean."""
+    import pytest
+
+    from hadoop_3_3_6_spark.functions.similarity import cosine_pairs_above
+    from hadoop_3_3_6_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    n = emb.count()
+    with pytest.raises(Exception, match="ALL-PAIRS"):
+        cosine_pairs_above(emb, "vec_id", "embedding", threshold=0.45, max_rows=n - 1).count()
+    assert (
+        cosine_pairs_above(emb, "vec_id", "embedding", threshold=0.99, max_rows=n).count()
+        >= 0
+    )
+
+
 def test_cli_driver_list_run_explain(tmp_path):
     """ExampleDriver parity surface: the module CLI lists programs,
     runs one to a parquet output, and prints a plan — via real
