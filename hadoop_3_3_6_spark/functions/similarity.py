@@ -230,6 +230,7 @@ def train_kmeans_centroids(
     k: int = 16,
     iters: int = 5,
     sample_fraction: float | None = None,
+    quantize_decimals: int | None = None,
 ) -> DataFrame:
     """Distributed Lloyd's k-means for IVF centroid training.
 
@@ -306,6 +307,24 @@ def train_kmeans_centroids(
         cent_rows = [
             {"cent_id": r["cent_id"], "cvec": new_rows.get(r["cent_id"], r["cvec"])} for r in cent_rows
         ]
+        if quantize_decimals is not None:
+            # Snap each mean to a decimal grid AFTER every iteration:
+            # distributed mean aggregation is float-order-dependent at
+            # ~1e-15 relative, so raw trained means can never be
+            # engine-exact — but a mean landing within 1e-15 of a
+            # half-grid boundary is vanishingly rare, and once snapped
+            # the NEXT iteration's assignment inputs are exact decimals
+            # on every engine.  This is what makes a trained-IVF query
+            # oracle-checkable end-to-end (the BPE-apply pattern:
+            # an independent replica re-derives the same quantized
+            # centroids, certifying the distributed training outcome).
+            # Driver-side (cent_rows is the k x dim matrix already
+            # collected per iteration); Python round() both here and in
+            # the replica, so the tie-rounding mode is identical.
+            cent_rows = [
+                {"cent_id": r["cent_id"], "cvec": [round(x, quantize_decimals) for x in r["cvec"]]}
+                for r in cent_rows
+            ]
     return spark.createDataFrame(
         [(r["cent_id"], r["cvec"]) for r in cent_rows], "cent_id int, cvec array<double>"
     )

@@ -424,11 +424,13 @@ def test_oracle_coverage_is_pinned():
 
     assert set(ORACLES) <= set(QUERIES)
     rows_only = set(QUERIES) - set(ORACLES)
+    # similarity_ivf_trained left this set in round 6: per-iteration
+    # decimal-grid quantization made the trained centroids engine-exact
+    # and its oracle re-derives them via an independent numpy replica.
     assert rows_only == {
         "terasort_validate",
         "approx_distinct_suppliers",
         "approx_quantiles_lineitem",
-        "similarity_ivf_trained",
         "similarity_lsh_topk_fast",
         "dedup_minhash_fast",
         "sketch_bloom_prefilter_fast",
