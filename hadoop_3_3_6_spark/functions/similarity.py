@@ -151,6 +151,28 @@ def cosine_pairs_above(
     )
 
 
+def _spread_for_pair_join(assigned: DataFrame) -> DataFrame:
+    """Pre-partition cluster assignment rows by cluster_id with an
+    EXPLICIT partition count before the within-cell pair self-join.
+
+    The assignment rows are tiny in BYTES (ids + one vector each) so
+    AQE's size-based coalescing otherwise folds the join's exchanges
+    to a handful of tasks while the per-pair cosine fold is the
+    CPU-dominant cost (the fuzzy_join compare hazard; measured 26 s ->
+    2.6 s there).  Explicit numPartitions (REPARTITION_BY_NUM) is the
+    AQE no-coalesce contract, and keying by cluster_id EXACTLY — the
+    join key — matters: this exchange then SATISFIES the join's
+    ClusteredDistribution requirement and becomes the join's own
+    shuffle (SMJ or SHJ co-partitioning, no extra exchange at any
+    scale), where a differently-keyed spread would leave an adjacent
+    ENSURE_REQUIREMENTS exchange for AQE to re-coalesce.  Cell-count
+    skew across partitions is bounded: k ~ sqrt(N) cells hash across
+    defaultParallelism partitions, and AQE skew-split still applies to
+    the SMJ path."""
+    par = assigned.sparkSession.sparkContext.defaultParallelism
+    return assigned.repartition(par, F.col("cluster_id"))
+
+
 def cosine_pairs_above_blocked(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -181,20 +203,10 @@ def cosine_pairs_above_blocked(
     sf1 spotcheck measured exactly that before this default); swap in
     trained centroids (train_kmeans_centroids) when cluster balance
     matters more than oracle reproducibility."""
-    assigned = assign_clusters(emb, id_col, vec_col, num_centroids, centroids, num_probes)
-    # Spread the pair-compare stage explicitly: the assignment rows are
-    # tiny in BYTES (ids + one vector each) so AQE's size-based
-    # coalescing otherwise folds the compare join to a handful of tasks
-    # while the per-pair cosine fold is the CPU-dominant cost (same
-    # hazard as fuzzy_join's compare; measured there 26 s -> 2.6 s).
-    # Explicit numPartitions (REPARTITION_BY_NUM) is the AQE
-    # no-coalesce contract; keying by (cluster_id, id) spreads hot
-    # cells across tasks without changing join semantics.  At 100 TB
-    # the assignment rows exceed the coalesce target and this exchange
-    # replaces — not adds to — the join's own ENSURE_REQUIREMENTS
-    # shuffle.
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    a = assigned.repartition(par, F.col("cluster_id"), F.col(id_col)).select(
+    assigned = _spread_for_pair_join(
+        assign_clusters(emb, id_col, vec_col, num_centroids, centroids, num_probes)
+    )
+    a = assigned.select(
         F.col("cluster_id"),
         F.col(id_col).alias("_id_a"),
         F.col(vec_col).alias("_va"),
@@ -368,7 +380,16 @@ def ivf_topk(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
         )
     cents = cents.withColumn("_cnorm", F.expr(f"sqrt({_dot('cvec', 'cvec')})"))
-    v = with_norm(emb, vec_col)
+    # The corpus x broadcast(k) cosine assignment is CPU-bound on N*k
+    # folds but its input scan is small in BYTES (packed into few
+    # splits by maxPartitionBytes/openCost), so a small corpus would
+    # run the whole assignment on a handful of tasks; the conditional
+    # spread rebalances to defaultParallelism and is a plan no-op once
+    # the scan yields enough splits (same discipline as the per-row
+    # text stages, functions/text.spread_for_compute).
+    from hadoop_3_3_6_spark.functions.text import spread_for_compute
+
+    v = spread_for_compute(with_norm(emb, vec_col), id_col)
     cscore = F.round(F.expr(f"{_dot(vec_col, 'cvec')} / (_norm * _cnorm)"), 6)
     vc = v.crossJoin(F.broadcast(cents)).select(
         F.col(id_col), F.col(vec_col), F.col("_norm"), F.col("cent_id"), cscore.alias("cscore")
@@ -515,7 +536,16 @@ def assign_clusters(
             pool = emb.filter(F.col(id_col) < num_centroids)
         cents = pool.select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
     cents = cents.withColumn("_cnorm", F.expr(f"sqrt({_dot('cvec', 'cvec')})"))
-    v = with_norm(emb, vec_col)
+    # The corpus x broadcast(k) cosine assignment is CPU-bound on N*k
+    # folds but its input scan is small in BYTES (packed into few
+    # splits by maxPartitionBytes/openCost), so a small corpus would
+    # run the whole assignment on a handful of tasks; the conditional
+    # spread rebalances to defaultParallelism and is a plan no-op once
+    # the scan yields enough splits (same discipline as the per-row
+    # text stages, functions/text.spread_for_compute).
+    from hadoop_3_3_6_spark.functions.text import spread_for_compute
+
+    v = spread_for_compute(with_norm(emb, vec_col), id_col)
     cscore = F.round(F.expr(f"{_dot(vec_col, 'cvec')} / (_norm * _cnorm)"), 6)
     vc = v.crossJoin(F.broadcast(cents)).select(
         F.col(id_col), F.col(vec_col), F.col("_norm"), F.col("cent_id"), cscore.alias("cscore")
@@ -573,7 +603,7 @@ def semdedup(
     id < num_centroids seeding is the deterministic
     oracle-reproducible form, same as ivf_topk.
     """
-    assigned = assign_clusters(emb, id_col, vec_col, num_centroids, centroids)
+    assigned = _spread_for_pair_join(assign_clusters(emb, id_col, vec_col, num_centroids, centroids))
     a = assigned.select(
         F.col("cluster_id"),
         F.col(id_col).alias("_id_a"),

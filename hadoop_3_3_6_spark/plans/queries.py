@@ -6222,8 +6222,13 @@ _DRIVER_HOLDBACK = [
 # form, so they jump the queue until a green row from >= that round
 # exists — then they graduate automatically (no manual clearing).
 _DRIVER_RECHECK = {
+    # round 6: pair-join spread now keys by cluster_id exactly (becomes
+    # the join's own non-coalescible exchange) and the corpus->centroid
+    # assignment gets the conditional spread; plans changed, outputs
+    # identical
+    "dedup_semantic": 6,
+    "similarity_ivf_topk": 6,
     "embedding_neardup": 5,    # all-pairs -> cluster-blocked pair join, adaptive k
-    "dedup_semantic": 5,       # fixed k=16 -> in-plan k = ceil(sqrt(N))
     "keyfield_topk_orders": 5, # oracle price cast decimal -> double
     "xml_records_scan": 5,     # exact-tag open pattern in the reader
     "text_repetition_topgram": 5,  # O(G log G) run-length rewrite (same outputs)
