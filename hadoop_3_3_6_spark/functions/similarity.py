@@ -396,8 +396,9 @@ def ivf_topk(
     )
     assigned = vc.groupBy(id_col).agg(
         F.max_by("cent_id", F.struct(F.col("cscore"), (-F.col("cent_id")).alias("_nc"))).alias("cent_id"),
-        F.first(vec_col).alias(vec_col),
-        F.first("_norm").alias("_norm"),
+        # deterministic key-functional carry (see assign_clusters note)
+        F.max_by(vec_col, F.col(id_col)).alias(vec_col),
+        F.max_by("_norm", F.col(id_col)).alias("_norm"),
     )
     pw = Window.partitionBy(id_col).orderBy(F.col("cscore").desc(), F.col("cent_id").asc())
     bounded = probes is not None or probe_ids is not None
@@ -551,10 +552,15 @@ def assign_clusters(
         F.col(id_col), F.col(vec_col), F.col("_norm"), F.col("cent_id"), cscore.alias("cscore")
     )
     if num_probes == 1:
+        # max_by(x, id): value-identical to first(x) for these
+        # key-functional columns, but DETERMINISTIC — First is flagged
+        # nondeterministic and blocks exchange-reuse canonicalization,
+        # which would force the whole assignment subtree (the N*k
+        # cosine fold) to compute once per pair-join side.
         return vc.groupBy(id_col).agg(
             F.max_by("cent_id", F.struct(F.col("cscore"), (-F.col("cent_id")).alias("_nc"))).alias("cluster_id"),
-            F.first(vec_col).alias(vec_col),
-            F.first("_norm").alias("_norm"),
+            F.max_by(vec_col, F.col(id_col)).alias(vec_col),
+            F.max_by("_norm", F.col(id_col)).alias("_norm"),
         )
     # Multi-probe: keep the num_probes best cells per vector.  The
     # k-element collect_list is bounded by the centroid count (not the
@@ -566,8 +572,9 @@ def assign_clusters(
             1,
             num_probes,
         ).alias("_cells"),
-        F.first(vec_col).alias(vec_col),
-        F.first("_norm").alias("_norm"),
+        # deterministic key-functional carry (see num_probes == 1 note)
+        F.max_by(vec_col, F.col(id_col)).alias(vec_col),
+        F.max_by("_norm", F.col(id_col)).alias("_norm"),
     )
     return picked.select(
         id_col, vec_col, "_norm", F.explode(F.col("_cells.cent_id")).alias("cluster_id")
