@@ -150,6 +150,9 @@ HEADLINE = [
     # round-5 additions
     "embedding_neardup",  # now the cluster-blocked form
     "tokenizer_bpe_apply",
+    # round-6: trained IVF gained an exact oracle (quantized training);
+    # benched so the distributed-training loop keeps a regression axis
+    "similarity_ivf_trained",
 ]
 
 
