@@ -5536,7 +5536,54 @@ def q_timeseries_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-@_register("tokenizer_bpe_train")  # rows-only: iterative argmax isn't SQL-expressible
+def _bpe_train_oracle() -> str | None:
+    """Exact oracle for tokenizer_bpe_train (round 6, closing another
+    rows-only row): the query's OUTPUT is the 8-row merge table itself,
+    and the apply-oracle already re-derives that table through an
+    independent path (DuckDB word frequencies + the pure-Python
+    reference_bpe, which early-stops on pair_count < 2 exactly like
+    the distributed trainer) — so render those independently-derived
+    rows as a VALUES literal and the hash compare certifies the
+    distributed training ITERATIONS (JVM pair counting, argmax
+    tiebreaks, merge application) row for row.  Quotes in tokens are
+    SQL-escaped; pinned to the driver's sf0.01 comparison tier like
+    the apply oracle; degrades to rows-only (None) on any failure."""
+    import os
+
+    docs = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(docs):
+        return None
+    try:
+        import duckdb
+
+        from hadoop_3_3_6_spark.functions.bpe import reference_bpe
+
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT w, count(*)::BIGINT AS freq FROM ("
+            "SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w "
+            f"FROM read_parquet('{docs}')) GROUP BY w ORDER BY freq DESC, w LIMIT 1200"
+        ).fetchall()
+        con.close()
+        merges = reference_bpe(dict(rows), 8)
+    except Exception:
+        return None
+    if not merges:
+        return None
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    values = ", ".join(
+        f"({i}, '{esc(l)}', '{esc(r)}', '{esc(l + r)}', {c}::BIGINT)"
+        for i, (l, r, c) in enumerate(merges)
+    )
+    return (
+        f'SELECT * FROM (VALUES {values}) AS t(rank, "left", "right", merged, pair_count)'
+    )
+
+
+@_register("tokenizer_bpe_train", _bpe_train_oracle())
 def q_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING (functions/bpe.py — learning the merge
     table from the corpus, the step beyond text.token_counts'
@@ -5545,11 +5592,12 @@ def q_tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting (argmax with deterministic tiebreaks) + Arrow-batched
     merge application over the vocabulary-sized symbol table.  Merge
     exactness vs a pure-Python reference is pinned in tests/test_bpe.py
-    (no SQL oracle by design); eager by contract (runs its training
-    loop when constructed — the learned merge table is cached per
-    (process, sf_dir) like the rendered-corpus queries, so repeat
-    constructions rebuild a tiny local DataFrame instead of
-    retraining)."""
+    AND (round 6) by an exact driver oracle — the independently
+    re-derived merge table rendered as a VALUES literal.  Eager by
+    contract (runs its training loop when constructed — the learned
+    merge table is cached per (process, sf_dir) like the
+    rendered-corpus queries, so repeat constructions rebuild a tiny
+    local DataFrame instead of retraining)."""
     from hadoop_3_3_6_spark.functions.bpe import train_bpe
 
     key = ("bpe_merges", sf_dir)
