@@ -705,7 +705,17 @@ def q_secondarysort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("terasort_validate")  # self-validating; no SQL oracle (rows-only check)
+@_register(
+    "terasort_validate",
+    # The verdict has a CLOSED FORM: teragen(20000) rows preserved, keys
+    # globally non-decreasing, checksum invariant — so the oracle pins
+    # the expected verdict row exactly.  The VERIFICATION work stays
+    # Spark-side (per-partition boundary scan + crc32 checksum,
+    # TeraValidate's own trust model); upgrading from the rows-only
+    # check means a false verdict, row loss, or schema drift now turns
+    # the driver row red instead of passing silently (round 6).
+    "SELECT 20000::BIGINT AS rows, true AS globally_sorted, true AS checksum_match",
+)
 def q_terasort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TeraGen → TeraSort → TeraValidate (MRX/terasort/): generate
     deterministic 100-byte records, total-order sort, validate global

@@ -429,8 +429,10 @@ def test_oracle_coverage_is_pinned():
     # oracle re-derives them via an independent numpy replica), as did
     # tokenizer_bpe_train (its output IS the merge table the apply
     # oracle already re-derives independently — rendered as VALUES).
+    # terasort_validate also left in round 6: its verdict row has a
+    # closed form (20000 rows, sorted, checksum ok) — the verification
+    # work stays Spark-side, the oracle pins the expected verdict.
     assert rows_only == {
-        "terasort_validate",
         "approx_distinct_suppliers",
         "approx_quantiles_lineitem",
         "similarity_lsh_topk_fast",
