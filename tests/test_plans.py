@@ -478,6 +478,41 @@ def test_quantized_topk_integer_scoring(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_fuzzy_join_compare_spread_is_noncoalescible(spark, sf_dir):
+    """Round-6 perf fix, pinned: the fuzzy compare's probe side carries
+    an EXPLICIT numPartitions repartition (shuffleOrigin
+    REPARTITION_BY_NUM — AQE's no-coalesce contract) keyed on the
+    VALUE column, not the block key.  Without it, AQE's size-based
+    coalescing folds the byte-tiny distinct-(block,value) exchange to
+    ~1 partition and runs tens of millions of banded-levenshtein DP
+    evaluations on one core (measured sf1: 22.3 s of a 26 s query in a
+    tasks=1 stage; with the spread, 1.7 s).  Keying on the block key
+    instead would collapse into the adjacent ENSURE_REQUIREMENTS
+    exchange and re-expose the stage to coalescing."""
+    plan = plan_of(spark, sf_dir, "fuzzy_join_titles")
+    spread_lines = [
+        l for l in plan.splitlines() if "REPARTITION_BY_NUM" in l
+    ]
+    assert any("left_title" in l for l in spread_lines), plan
+
+
+def test_embedding_neardup_pair_spread_is_noncoalescible(spark, sf_dir):
+    """Same pin for the near-dup pair join: BOTH sides of the
+    cluster_id equi-join are spread with an explicit-numPartitions
+    repartition ON cluster_id (here the spread IS the join's own
+    exchange, upgraded to the non-coalescible origin), so the
+    CPU-bound sequential-fold cosine compare keeps full parallelism
+    regardless of how few bytes the (id, vector, cluster_id)
+    assignment rows occupy."""
+    plan = plan_of(spark, sf_dir, "embedding_neardup")
+    cluster_spreads = [
+        l
+        for l in plan.splitlines()
+        if "REPARTITION_BY_NUM" in l and "cluster_id" in l
+    ]
+    assert len(cluster_spreads) >= 2, plan
+
+
 def test_fuzzy_join_compares_distinct_values(spark, sf_dir):
     """The fuzzy join's quadratic compare must run over DISTINCT
     (block, value) pairs (distinct_values default): the plan carries
