@@ -249,10 +249,27 @@ def train_kmeans_centroids(
     Init: the ``k`` vectors with the smallest portable hash of their id
     — a deterministic, engine-independent uniform sample (the scalable
     analogue of random init; swap for k-means|| over-seeding if cluster
-    counts grow adversarial).  Each iteration: assign every vector to
-    its nearest centroid (broadcast nested-loop + ``min_by`` partial
-    combine — the corpus never shuffles on the tiny cent_id key), then
-    recompute means with a two-level aggregate on (cent_id, dim).
+    counts grow adversarial).  Each iteration: the k×dim centroid
+    matrix (already driver state) rides as ONE broadcast row holding
+    ``array<struct<cvec, cent_id>>``, and every vector picks its
+    nearest centroid with a per-row HOF argmin — ``array_min`` over
+    struct(_d, cent_id) reproduces ``min_by``'s (distance, id)
+    tie-break exactly — so assignment is a 1-row broadcast cross plus
+    a projection: NO k× row expansion, NO corpus shuffle.  Means then
+    recompute with a two-level aggregate on (cent_id, dim) whose
+    map-side partials shrink the only shuffle to k×dim rows per
+    partition.  (Through round 5 assignment was a corpus ×
+    broadcast(k-ROW) cross + groupBy(id) min_by — that expanded the
+    corpus k× and shuffled it WITH vector payloads once per
+    iteration; the 1-row matrix form removes both, the difference
+    between ``iters`` corpus shuffles and none at 100 TB.  A
+    plan-literal matrix was measured and rejected: 1 024 ``lit``
+    nodes cost ~1 s of py4j plan-build plus a fresh whole-stage
+    codegen per iteration, where the 1-row broadcast keeps the
+    expression tree CONSTANT across iterations so codegen caches.)
+    The training set is persisted across iterations (MLlib-KMeans
+    practice; at 100 TB you persist the ``sample_fraction`` sample,
+    not the corpus).
 
     The ONLY driver-side state is the k×dim centroid matrix collected
     once per iteration — bounded by design (a few KB), the same
@@ -288,22 +305,33 @@ def train_kmeans_centroids(
         (F.row_number().over(Window.orderBy("_seq")) - 1).alias("cent_id"),
         F.col("v").alias("cvec"),
     )
+    v = v.persist()
     cent_rows = cents.collect()
+    # Constant expression tree across iterations (only the broadcast
+    # row's DATA changes), so whole-stage codegen compiles once.  The
+    # zip_with/aggregate fold is the same expression as the former
+    # k-row cross-join form — distances are bit-identical; only the
+    # expansion and the shuffle are gone.
+    dists = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("v"), c["cvec"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("_d"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
     for _ in range(iters):
         cents_df = F.broadcast(
-            spark.createDataFrame([(r["cent_id"], r["cvec"]) for r in cent_rows], "cent_id int, cvec array<double>")
-        )
-        dist = F.expr(
-            "aggregate(zip_with(v, cvec, (x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, d) -> acc + d)"
-        )
-        assigned = (
-            v.crossJoin(cents_df)
-            .select(F.col(id_col), "v", "cent_id", dist.alias("_d"))
-            .groupBy(id_col)
-            .agg(
-                F.min_by("cent_id", F.struct("_d", "cent_id")).alias("cent_id"),
-                F.first("v").alias("v"),
+            spark.createDataFrame(
+                [([(r["cvec"], r["cent_id"]) for r in cent_rows],)],
+                "cents array<struct<cvec: array<double>, cent_id: int>>",
             )
+        )
+        assigned = v.crossJoin(cents_df).select(
+            F.array_min(dists)["cent_id"].alias("cent_id"), "v"
         )
         means = (
             assigned.select("cent_id", F.posexplode("v").alias("pos", "x"))
@@ -337,6 +365,7 @@ def train_kmeans_centroids(
                 {"cent_id": r["cent_id"], "cvec": [round(x, quantize_decimals) for x in r["cvec"]]}
                 for r in cent_rows
             ]
+    v.unpersist(blocking=False)
     return spark.createDataFrame(
         [(r["cent_id"], r["cvec"]) for r in cent_rows], "cent_id int, cvec array<double>"
     )
