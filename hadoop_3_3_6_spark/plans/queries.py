@@ -6286,7 +6286,6 @@ _DRIVER_RECHECK = {
     # identical
     "dedup_semantic": 6,
     "similarity_ivf_topk": 6,
-    "embedding_neardup": 5,    # all-pairs -> cluster-blocked pair join, adaptive k
     "keyfield_topk_orders": 5, # oracle price cast decimal -> double
     "xml_records_scan": 5,     # exact-tag open pattern in the reader
     "text_repetition_topgram": 5,  # O(G log G) run-length rewrite (same outputs)
@@ -6295,6 +6294,11 @@ _DRIVER_RECHECK = {
     # results identical, plans changed
     "fuzzy_join_titles": 6,
     "embedding_neardup": 6,
+    # round 6: k-means assignment rewritten from corpus x broadcast(k)
+    # cross + groupBy(id) min_by to a 1-row broadcast centroid matrix
+    # + HOF argmin (no corpus shuffle); distances bit-identical, means
+    # float-order may drift ~1e-15 but the 1e-3 quantization absorbs it
+    "similarity_ivf_trained": 6,
 }
 
 _DRIVER_HOLDBACK_R5 = [
