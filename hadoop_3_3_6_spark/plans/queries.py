@@ -2675,6 +2675,70 @@ def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pivot_status_matrix",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F')::BIGINT AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P')::BIGINT AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab (pivot) with EXPLICIT pivot values — the reporting
+    matrix MR users hand-rolled with one reducer branch per status
+    (the `aggregate` framework's per-key descriptor fan-out, reference
+    `MRX/aggregatewordhist` family).  Explicit values matter at
+    100 TB: `pivot(col)` WITHOUT them runs an eager driver-side
+    distinct scan to discover the columns (this repo's constructor
+    purity gate would reject it); with them Catalyst compiles the
+    TWO-LEVEL pivot aggregate — a partial-combined count keyed on
+    (priority, status) whose shuffle carries at most
+    |priorities|x|statuses| rows per partition, then a
+    partial-combined pivotfirst on priority assembling the matrix —
+    so nothing corpus-sized ever moves.  Absent (priority, status)
+    combinations surface as NULL from pivot-count and are pinned to 0
+    to match the oracle's COUNT FILTER form."""
+    orders = load_table(spark, "orders", sf_dir)
+    wide = orders.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+@_register(
+    "unpivot_status_long",
+    """
+    WITH m AS (
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F')::BIGINT AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT AS n_o,
+               count(*) FILTER (WHERE o_orderstatus = 'P')::BIGINT AS n_p
+        FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, 'F' AS status, n_f AS n FROM m
+    UNION ALL SELECT o_orderpriority, 'O' AS status, n_o AS n FROM m
+    UNION ALL SELECT o_orderpriority, 'P' AS status, n_p AS n FROM m
+    """,
+)
+def q_unpivot_status_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt (unpivot): the wide status matrix back to long form.
+    Compiles to an Expand node — a bounded 3x row multiplication of
+    the ALREADY-AGGREGATED 5-row matrix with NO further shuffle (the
+    Expand rides above the pivot's aggregates).  Round-trips
+    pivot_status_matrix, pinning that pivot -> unpivot is lossless."""
+    orders = load_table(spark, "orders", sf_dir)
+    wide = orders.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    wide = wide.select(
+        "o_orderpriority", *[F.coalesce(c, F.lit(0)).alias(c) for c in ("F", "O", "P")]
+    )
+    return wide.unpivot(["o_orderpriority"], ["F", "O", "P"], "status", "n")
+
+
+@_register(
     "window_range_frame",
     f"""
     SELECT o_orderkey, o_custkey,
@@ -6304,7 +6368,11 @@ _DRIVER_RECHECK = {
 _DRIVER_HOLDBACK_R5 = [
     "tokenizer_bpe_apply",
 ]
-_DRIVER_HOLDBACK = _DRIVER_HOLDBACK + _DRIVER_HOLDBACK_R5
+_DRIVER_HOLDBACK_R6 = [
+    "pivot_status_matrix",
+    "unpivot_status_long",
+]
+_DRIVER_HOLDBACK = _DRIVER_HOLDBACK + _DRIVER_HOLDBACK_R5 + _DRIVER_HOLDBACK_R6
 
 
 def _reorder_for_driver() -> None:

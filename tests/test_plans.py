@@ -528,6 +528,36 @@ def test_fuzzy_join_compares_distinct_values(spark, sf_dir):
     assert len(distincts) >= 2, plan  # partial+final per side, >= 2 total
 
 
+def test_pivot_is_two_level_aggregate_no_expand(spark, sf_dir):
+    """Pivot with explicit values must compile to the two-level
+    aggregate (partial-combined (priority, status) count, then
+    pivotfirst assembly on priority) — never an Expand over the scan
+    and never a driver-side distinct pass (constructor purity covers
+    the latter).  The scan must read only the two pivot columns."""
+    plan = plan_of(spark, sf_dir, "pivot_status_matrix")
+    assert "pivotfirst" in plan and "Expand" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "o_orderstatus",
+        "o_orderpriority",
+    }
+
+
+def test_unpivot_expand_rides_above_aggregate(spark, sf_dir):
+    """Unpivot (melt) is an Expand — it must multiply the 5-row
+    aggregated matrix, not the scan: Expand appears exactly once and
+    ABOVE the final aggregate (no exchange between them)."""
+    plan = plan_of(spark, sf_dir, "unpivot_status_long")
+    assert plan.count("Expand") == 1
+    expand_pos = plan.index("Expand")
+    first_agg_pos = plan.index("HashAggregate")
+    assert first_agg_pos > expand_pos  # top-most agg is BELOW the Expand in tree print
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_column_profile_both_tiers_have_no_expand(spark, sf_dir):
     """column_profile must never pay Catalyst's Expand (×4N row
     multiplication of the full scan): the DEFAULT tier uses HLL
