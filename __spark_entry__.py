@@ -3,14 +3,15 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()`` — every implemented operator from SURVEY.md §2 as a
 ``(spark, sf_dir) -> DataFrame`` callable.
-``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents (176 of 184;
-omitted only for genuinely non-reproducible ops: approx_* sketches,
-the self-validating terasort, and the float-order-
-dependent trained-IVF ANN — the driver records its weaker rows-only
-check for those, and tests/ validate them independently (recall /
-inertia / tolerance / known-digit).  minhash / simhash /
-hyperplane-LSH ANN / randomtextwriter ARE exactly oracle-checked via
-portable (cross-engine bit-identical) hash/fold modes.
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents (181 of 186;
+omitted only for the approximate-by-design tiers: the HLL distinct
+estimate, the GK approx-quantiles, and the three xxhash64 ``_fast``
+deployment variants (bloom / minhash / LSH) — the driver records its
+weaker rows-only check for those, and tests/ validate them
+independently (recall / no-false-negative / tolerance).  minhash /
+simhash / hyperplane-LSH ANN / randomtextwriter / terasort (closed-
+form verdict) / trained-IVF (quantized-centroid replica) ARE exactly
+oracle-checked via portable (cross-engine bit-identical) modes.
 
 Registration order is the driver's verification order and is
 self-healing: queries with a green row in any CORRECTNESS_r*.json
