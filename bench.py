@@ -109,6 +109,8 @@ HEADLINE = [
     "pipeline_pretraining_e2e",
     "dedup_semantic",
     "grouping_sets_orders",
+    "pivot_status_matrix",
+    "unpivot_status_long",
     "percentiles_lineitem",
     "merge_upsert_orders",
     "skew_profile_events",

@@ -306,6 +306,18 @@ def train_kmeans_centroids(
         F.col("v").alias("cvec"),
     )
     v = v.persist()
+    try:
+        cent_rows = _lloyd_iterations(
+            spark, v, cents, iters, quantize_decimals
+        )
+    finally:
+        v.unpersist(blocking=False)
+    return spark.createDataFrame(
+        [(r["cent_id"], r["cvec"]) for r in cent_rows], "cent_id int, cvec array<double>"
+    )
+
+
+def _lloyd_iterations(spark, v, cents, iters, quantize_decimals):
     cent_rows = cents.collect()
     # Constant expression tree across iterations (only the broadcast
     # row's DATA changes), so whole-stage codegen compiles once.  The
@@ -365,10 +377,7 @@ def train_kmeans_centroids(
                 {"cent_id": r["cent_id"], "cvec": [round(x, quantize_decimals) for x in r["cvec"]]}
                 for r in cent_rows
             ]
-    v.unpersist(blocking=False)
-    return spark.createDataFrame(
-        [(r["cent_id"], r["cvec"]) for r in cent_rows], "cent_id int, cvec array<double>"
-    )
+    return cent_rows
 
 
 def ivf_topk(
