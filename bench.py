@@ -168,10 +168,15 @@ HEADLINE = [
 CHUNK = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "40"))
 
 
-def _fresh_session(app_name: str, warm_dir: str | None = None):
+def _fresh_session(app_name: str, warm_dir: str | None = None, ui: bool = False):
     from hadoop_3_3_6_spark.session import get_spark
 
-    spark = get_spark(app_name)
+    if ui:
+        os.environ["SPARK_GRAFT_UI"] = "true"
+    try:
+        spark = get_spark(app_name)
+    finally:
+        os.environ.pop("SPARK_GRAFT_UI", None)
     spark.sparkContext.setLogLevel("ERROR")
     # warmup: touch every table once (footer/schema caches, JIT)
     from hadoop_3_3_6_spark.session import TABLE_NAMES, load_table
@@ -179,6 +184,48 @@ def _fresh_session(app_name: str, warm_dir: str | None = None):
     for t in TABLE_NAMES:
         load_table(spark, t, warm_dir or SF_DIR).count()
     return spark
+
+
+def _stage_audit(spark, min_stage_sec: float = 3.0, min_per_task_sec: float = 1.0) -> dict:
+    """Stage-parallelism audit over everything the given UI-enabled
+    session has run (the round-6 detector for the AQE-coalesce hazard
+    class, SCALE.md: a CPU-bound exchange that is tiny in BYTES gets
+    folded to ~1 task and serializes a 32-core stage).  Flags completed
+    stages with executorRunTime > ``min_stage_sec`` spread over fewer
+    than half the cores AND > ``min_per_task_sec`` per task — the
+    per-task floor keeps sub-second AQE-coalesced aggregates (accepted
+    residuals whose exchanges grow with corpus bytes) out of the flag
+    list, exactly the round-6 triage rule.  Empty ``flagged`` = clean."""
+    import urllib.request
+
+    sc = spark.sparkContext
+    base = sc.uiWebUrl
+    if not base:
+        return {"skipped": "ui disabled"}
+    cores = sc.defaultParallelism
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{sc.applicationId}/stages?status=complete", timeout=10
+        ) as r:
+            stages = json.load(r)
+    except Exception as e:
+        return {"skipped": f"rest unavailable: {e}"}
+    flagged = []
+    for s in stages:
+        run_sec = (s.get("executorRunTime") or 0) / 1000.0
+        tasks = s.get("numCompleteTasks") or 0
+        per_task = run_sec / max(tasks, 1)
+        if run_sec > min_stage_sec and tasks < cores / 2 and per_task > min_per_task_sec:
+            flagged.append(
+                {
+                    "stage": s.get("stageId"),
+                    "name": (s.get("name") or "").split("\n")[0][:100],
+                    "run_sec": round(run_sec, 1),
+                    "tasks": tasks,
+                    "per_task_sec": round(per_task, 1),
+                }
+            )
+    return {"n_stages": len(stages), "cores": cores, "flagged": flagged}
 
 
 def _min_of(reps: int, run) -> float:
@@ -294,9 +341,10 @@ def main() -> None:
     # and the slowest queries re-run in a fresh session.  Ratios near
     # 10x (plus fixed overhead) = linear; >> 10x = investigate.
     sf1_spotcheck: dict[str, dict] = {}
+    stage_audit: dict = {}
     if os.environ.get("SPARK_GRAFT_SF1_SPOTCHECK", "1") != "0" and SF_DIR.rstrip("/").endswith("sf0.1"):
         try:
-            sf1_spotcheck = _sf1_spotcheck(timings, result_rows)
+            sf1_spotcheck, stage_audit = _sf1_spotcheck(timings, result_rows)
         except Exception as e:  # never fail the bench on the stretch tier
             print(f"# sf1 spotcheck skipped: {e}", file=sys.stderr)
 
@@ -353,14 +401,29 @@ def main() -> None:
         },
         "sf1_spotcheck": sf1_spotcheck,
         "sf3_spotcheck": sf3_spotcheck,
+        # Stage-parallelism audit over the sf1 sweep (empty flagged =
+        # clean); the mechanical regression gate for the AQE-coalesce
+        # serialized-CPU-stage hazard class (VERDICT r6 task 6).
+        "stage_audit": stage_audit,
         # Mechanical cross-round comparison (VERDICT r5 task 5): each
         # query's time is normalized by the machine-speed probe on BOTH
         # sides, so a ratio > 1 is an engine delta, not sandbox speed.
         # The baseline is the newest committed bench_baselines/
         # BENCH_full_r{NN}.json (same noop_write action required);
-        # queries >1.3x normalized are flagged for the judge.
+        # queries >1.3x normalized are flagged for the judge, then
+        # automatically RE-MEASURED min-of-3 in a fresh session
+        # (flag_recheck) so transient-noise flags self-attribute
+        # (VERDICT r6 task 3).
         "vs_prev_normalized": _vs_prev_normalized(timings, cpu_probe),
     }
+    flagged = record["vs_prev_normalized"].get("flagged_over_1.3_of_median") or {}
+    if flagged:
+        try:
+            record["vs_prev_normalized"]["flag_recheck"] = _flag_recheck(
+                list(flagged), cpu_probe, record["vs_prev_normalized"]
+            )
+        except Exception as e:  # never fail the bench on the recheck tier
+            print(f"# flag recheck skipped: {e}", file=sys.stderr)
     # full per-query map: stderr + a file next to this script (the
     # round-2 driver could only capture a bounded stdout tail, so the
     # 91-query one-liner came back "parsed": null)
@@ -377,6 +440,21 @@ def main() -> None:
     print(json.dumps({**record, "queries": slowest, "queries_truncated_to": 10, "full_map": "BENCH_full.json"}))
 
 
+def _load_prev_snapshot() -> tuple[str | None, dict | None]:
+    """Newest committed bench_baselines/BENCH_full_r{NN}.json."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    snaps = sorted(glob.glob(os.path.join(here, "bench_baselines", "BENCH_full_r*.json")))
+    if not snaps:
+        return None, None
+    try:
+        with open(snaps[-1]) as f:
+            return os.path.basename(snaps[-1]), json.load(f)
+    except (OSError, ValueError):
+        return os.path.basename(snaps[-1]), None
+
+
 def _vs_prev_normalized(timings: dict[str, float], cpu_probe: float) -> dict:
     """Per-query cpu-normalized ratios vs the newest committed
     bench_baselines/BENCH_full_r{NN}.json snapshot (same-action only).
@@ -384,22 +462,17 @@ def _vs_prev_normalized(timings: dict[str, float], cpu_probe: float) -> dict:
     Anchors with their own scale changes (terasort_20m went min-of-1
     -> min-of-3 in r6) compare like any query — the min can only drop.
     """
-    import glob
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    snaps = sorted(glob.glob(os.path.join(here, "bench_baselines", "BENCH_full_r*.json")))
-    if not snaps:
+    base_name, prev = _load_prev_snapshot()
+    if base_name is None:
         return {"baseline": None}
-    try:
-        with open(snaps[-1]) as f:
-            prev = json.load(f)
-    except (OSError, ValueError) as e:
-        return {"baseline": os.path.basename(snaps[-1]), "error": str(e)}
+    if prev is None:
+        return {"baseline": base_name, "error": "unreadable snapshot"}
     if prev.get("action") != "noop_write":
-        return {"baseline": os.path.basename(snaps[-1]), "skipped": "action mismatch"}
+        return {"baseline": base_name, "skipped": "action mismatch"}
     prev_probe = prev.get("anchors", {}).get("cpu_probe_sec") or 1.0
+    prev_queries = prev.get("queries", {})
     ratios = {}
-    for name, t_prev in prev.get("queries", {}).items():
+    for name, t_prev in prev_queries.items():
         if name in timings and t_prev > 0:
             ratios[name] = round((timings[name] / max(cpu_probe, 1e-9)) / (t_prev / prev_probe), 2)
     med = sorted(ratios.values())[len(ratios) // 2] if ratios else None
@@ -408,21 +481,64 @@ def _vs_prev_normalized(timings: dict[str, float], cpu_probe: float) -> dict:
     # shifts, which move every query's ratio together (first trial run:
     # median 1.12 flagged 22 queries, all sub-second overhead noise).
     # The median is the residual machine term; a query 1.3x above IT is
-    # an engine delta.  Sub-0.3s queries are scheduler-floor noise and
-    # never flagged.
+    # an engine delta.  Queries under 0.3s on EITHER side are
+    # scheduler-floor noise and never flagged (2-decimal snapshot
+    # rounding also makes tiny baselines produce garbage ratios), and
+    # `med > 0` is guarded explicitly — a zero-rounded median must not
+    # silently disable all flagging (round-6 ADVICE items).
     flagged = {
         n: r
         for n, r in sorted(ratios.items(), key=lambda kv: -kv[1])
-        if med and r / med > 1.3 and timings.get(n, 0) >= 0.3
+        if med is not None
+        and med > 0
+        and r / med > 1.3
+        and timings.get(n, 0) >= 0.3
+        and prev_queries.get(n, 0) >= 0.3
     }
     return {
-        "baseline": os.path.basename(snaps[-1]),
+        "baseline": base_name,
         "prev_cpu_probe_sec": prev_probe,
         "cpu_probe_sec": cpu_probe,
         "n_compared": len(ratios),
         "median_ratio": med,
         "flagged_over_1.3_of_median": flagged,
     }
+
+
+def _flag_recheck(names: list[str], cpu_probe: float, vs_prev: dict) -> dict:
+    """Re-measure flagged queries min-of-3 in ONE fresh session and
+    re-derive their normalized ratios — transient noise (chunk
+    composition, GC pressure from a neighboring query's broadcasts)
+    reverts on re-measure; a real plan regression survives it.  The
+    round-6 verdict carried 6 unattributed flags precisely because this
+    step was manual; now every flag ships with its own re-measurement
+    (``reverts`` = recheck ratio back under the 1.3x-of-median bar)."""
+    from hadoop_3_3_6_spark.plans.queries import QUERIES
+
+    _, prev = _load_prev_snapshot()
+    prev_probe = (prev or {}).get("anchors", {}).get("cpu_probe_sec") or 1.0
+    prev_queries = (prev or {}).get("queries", {})
+    med = vs_prev.get("median_ratio") or 1.0
+    spark = _fresh_session("bench-flag-recheck")
+    out: dict[str, dict] = {}
+    for name in names:
+        if name not in QUERIES or not prev_queries.get(name):
+            continue
+        fn = QUERIES[name]
+        best = _min_of(3, lambda: fn(spark, SF_DIR).write.mode("overwrite").format("noop").save())
+        ratio = round((best / max(cpu_probe, 1e-9)) / (prev_queries[name] / prev_probe), 2)
+        out[name] = {
+            "recheck_sec": round(best, 3),
+            "recheck_ratio": ratio,
+            "reverts": bool(med > 0 and ratio / med <= 1.3),
+        }
+        print(
+            f"# flag recheck {name}: {best:.3f}s ratio {ratio} "
+            f"({'reverts' if out[name]['reverts'] else 'PERSISTS'})",
+            file=sys.stderr,
+        )
+    spark.stop()
+    return out
 
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
@@ -542,6 +658,16 @@ def _ensure_scaled(spark, out_dir: str, ncopies: int, marker_name: str, perms: l
     if os.path.exists(marker):
         return
     os.makedirs(out_dir, exist_ok=True)
+    # The per-copy component rotation is only distinct while the
+    # embedding dim covers the copy count — enforce it up front
+    # (mirroring _vowel_perms' explicit ValueError) instead of silently
+    # writing byte-identical cross-copy embeddings that would inflate
+    # near-dup pair work quadratically (round-6 ADVICE item).
+    dim = load_table(spark, "embeddings", SF_DIR).select(F.size("embedding")).first()[0]
+    if dim < ncopies:
+        raise ValueError(
+            f"embedding dim {dim} < ncopies {ncopies}: component rotations would collide"
+        )
     offsets = {
         t: load_table(spark, t, SF_DIR).agg(F.max(k)).collect()[0][0] + 1
         for t, k in _SF1_RANGE_KEY.items()
@@ -651,14 +777,18 @@ def _sf3_spotcheck(sf1_results: dict[str, dict]) -> dict[str, dict]:
 
 def _sf1_spotcheck(
     sf01_timings: dict[str, float], sf01_rows: dict[str, int]
-) -> dict[str, dict]:
+) -> tuple[dict[str, dict], dict]:
     from hadoop_3_3_6_spark.plans.queries import QUERIES
 
     spark = _fresh_session("bench-sf1gen")
     _ensure_sf1(spark)
     spark.stop()
 
-    spark = _fresh_session("bench-sf1", warm_dir=SF1_DIR)
+    # UI enabled: the session doubles as the stage-parallelism audit
+    # surface — every sf1 family's stages are inspected via the REST
+    # metrics API after the sweep (the AQE-coalesce hazard detector,
+    # VERDICT r6 task 6), at zero extra query cost.
+    spark = _fresh_session("bench-sf1", warm_dir=SF1_DIR, ui=True)
     out: dict[str, dict] = {}
     for name in SF1_QUERIES:
         if name not in QUERIES or name not in sf01_timings:
@@ -681,8 +811,10 @@ def _sf1_spotcheck(
             f"rows x{rec.get('rows_ratio', '?')})",
             file=sys.stderr,
         )
+    audit = _stage_audit(spark)
+    print(f"# stage_audit: {json.dumps(audit)}", file=sys.stderr)
     spark.stop()
-    return out
+    return out, audit
 
 
 if __name__ == "__main__":

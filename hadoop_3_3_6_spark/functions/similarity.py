@@ -115,18 +115,24 @@ def cosine_pairs_above(
     broadcast into the plan and the job raises at execution if the
     corpus exceeds it, so no caller can accidentally point the
     quadratic form at an unbounded table.  Pass a larger value
-    deliberately when a bigger bounded batch is intended."""
-    guard = emb.agg(F.count(F.lit(1)).alias("_n_guard"))
+    deliberately when a bigger bounded batch is intended.  The guard
+    column name is collision-proofed against caller frames that might
+    already carry one (round-6 ADVICE item); the extra count scan it
+    costs is negligible in the O(n^2) context this function accepts."""
+    guard_col = "_n_guard"
+    while guard_col in emb.columns:
+        guard_col += "_"
+    guard = emb.agg(F.count(F.lit(1)).alias(guard_col))
     guarded = (
         emb.crossJoin(F.broadcast(guard))
         .filter(
             F.assert_true(
-                F.col("_n_guard") <= max_rows,
+                F.col(guard_col) <= max_rows,
                 F.concat(
                     F.lit(
                         "cosine_pairs_above is ALL-PAIRS (O(n^2)); corpus has "
                     ),
-                    F.col("_n_guard").cast("string"),
+                    F.col(guard_col).cast("string"),
                     F.lit(
                         f" rows > max_rows={max_rows}. Use "
                         "cosine_pairs_above_blocked for unbounded corpora, or "
@@ -135,7 +141,7 @@ def cosine_pairs_above(
                 ),
             ).isNull()
         )
-        .drop("_n_guard")
+        .drop(guard_col)
     )
     a = with_norm(guarded, vec_col).alias("a")
     b = with_norm(guarded, vec_col).alias("b")

@@ -57,11 +57,16 @@ def spread_for_compute(df: DataFrame, key_col: str | None = None) -> DataFrame:
     decision is memoized per (session, semantic plan, parallelism) so
     the 13+ call sites — some composed, some rebuilt per bench rep —
     pay the physical-planning probe once per distinct shape
-    (round-5 ADVICE item)."""
+    (round-5 ADVICE item).  The session component of the key is the
+    applicationId — stable and unique per SparkContext — never id():
+    CPython reuses addresses after a stopped session is collected, so
+    an id()-keyed entry from a dead session could silently skip the
+    spread in a new one and re-serialize the CPU stage on ~1 task
+    (round-6 ADVICE item)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
-        memo_key = (id(df.sparkSession), df.semanticHash(), target)
+        memo_key = (sc.applicationId, df.semanticHash(), target)
     except Exception:  # semanticHash unavailable (e.g. connect-mode frame)
         memo_key = None
     if memo_key is not None and memo_key in _SPREAD_MEMO:

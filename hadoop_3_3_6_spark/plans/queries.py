@@ -1644,7 +1644,14 @@ def _ivf_trained_oracle() -> str | None:
                 m = members.sum(axis=0) / len(members) if len(members) else cents[c]
                 new.append([round(float(x), q) for x in m])
             cents = np.array(new, dtype=np.float64)
-    except Exception:
+    except Exception as exc:
+        # A transient failure here silently downgrades a newly-exact
+        # oracle to rows-only — make the degradation visible in driver
+        # and test logs (round-6 ADVICE item).
+        print(
+            f"# WARNING: similarity_ivf_trained oracle degraded to rows-only: {exc!r}",
+            file=__import__("sys").stderr,
+        )
         return None
     values = ", ".join(
         f"({c}, [{', '.join(repr(float(x)) for x in cents[c])}]::DOUBLE[])" for c in range(k)
@@ -5640,7 +5647,11 @@ def _bpe_train_oracle() -> str | None:
         ).fetchall()
         con.close()
         merges = reference_bpe(dict(rows), 8)
-    except Exception:
+    except Exception as exc:
+        print(
+            f"# WARNING: tokenizer_bpe_train oracle degraded to rows-only: {exc!r}",
+            file=__import__("sys").stderr,
+        )
         return None
     if not merges:
         return None
@@ -5731,7 +5742,11 @@ def _bpe_apply_oracle() -> str | None:
             f"FROM read_parquet('{docs}')) GROUP BY w ORDER BY freq DESC, w LIMIT 1200"
         ).fetchall()
         con.close()
-    except Exception:
+    except Exception as exc:
+        print(
+            f"# WARNING: tokenizer_bpe_apply oracle degraded to rows-only: {exc!r}",
+            file=__import__("sys").stderr,
+        )
         return None
     merges = reference_bpe(dict(rows), 8)
     if any(set("[]'%") & set(left + right) for left, right, _ in merges):

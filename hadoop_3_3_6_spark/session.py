@@ -74,7 +74,10 @@ def get_spark(app_name: str = "hadoop-3-3-6-spark", shuffle_partitions: int | No
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # warehouse for bucketed (MapFile-analogue) tables; static conf
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (bench/test noise); SPARK_GRAFT_UI=true
+        # turns it on for sessions that read the REST metrics API
+        # (bench.py's stage-parallelism audit).
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     return builder.getOrCreate()
 
