@@ -648,8 +648,10 @@ def _ensure_scaled(spark, out_dir: str, ncopies: int, marker_name: str, perms: l
     pair work QUADRATICALLY, a synthesis artifact) and embeddings
     rotate components per copy (norms and within-copy geometry exact;
     cross-copy cosines at random-overlap level — a dim-0 nudge left
-    them ~1.0 and near-dup output exploded x1283).  Requires
-    embedding dim >= ncopies for the rotations to stay distinct."""
+    them ~1.0 and near-dup output exploded x1283).  Copies >= dim flip
+    the sign on top of the rotation, extending distinctness to 2*dim
+    copies (enforced below; copies < dim are bit-identical to the
+    pre-sign form, so existing tier markers stay valid)."""
     from pyspark.sql import functions as F
 
     from hadoop_3_3_6_spark.session import TABLE_NAMES, load_table
@@ -658,15 +660,16 @@ def _ensure_scaled(spark, out_dir: str, ncopies: int, marker_name: str, perms: l
     if os.path.exists(marker):
         return
     os.makedirs(out_dir, exist_ok=True)
-    # The per-copy component rotation is only distinct while the
-    # embedding dim covers the copy count — enforce it up front
+    # The per-copy embedding transform (rotation x sign) is only
+    # distinct while 2*dim covers the copy count — enforce it up front
     # (mirroring _vowel_perms' explicit ValueError) instead of silently
     # writing byte-identical cross-copy embeddings that would inflate
     # near-dup pair work quadratically (round-6 ADVICE item).
     dim = load_table(spark, "embeddings", SF_DIR).select(F.size("embedding")).first()[0]
-    if dim < ncopies:
+    if 2 * dim < ncopies:
         raise ValueError(
-            f"embedding dim {dim} < ncopies {ncopies}: component rotations would collide"
+            f"embedding dim {dim} supports at most {2 * dim} distinct copies "
+            f"(rotation x sign); got ncopies={ncopies}"
         )
     offsets = {
         t: load_table(spark, t, SF_DIR).agg(F.max(k)).collect()[0][0] + 1
@@ -689,11 +692,18 @@ def _ensure_scaled(spark, out_dir: str, ncopies: int, marker_name: str, perms: l
                     ),
                 )
             if t == "embeddings":
+                # rotate components by copy % dim; copies >= dim flip
+                # the sign (cosine -1 vs the same rotation — exact,
+                # norm-preserving, and far from the near-dup band), so
+                # distinct copies stay distinct up to 2*dim
                 scaled = scaled.withColumn(
                     "embedding",
                     F.expr(
                         "transform(sequence(0, size(embedding) - 1), i -> "
-                        "element_at(embedding, cast((i + _copy) % size(embedding) as int) + 1))"
+                        "(CASE WHEN _copy >= size(embedding) THEN cast(-1.0 as float) "
+                        " ELSE cast(1.0 as float) END) * "
+                        "element_at(embedding, "
+                        "cast((i + _copy % size(embedding)) % size(embedding) as int) + 1))"
                     ),
                 )
             scaled.drop("_copy").repartition(32).write.mode("overwrite").parquet(out)
@@ -714,6 +724,59 @@ def _ensure_sf1(spark) -> None:
     _ensure_scaled(spark, SF1_DIR, 10, "_SUCCESS_ALL_v4", rots)
 
 
+_SF01_DOC_OFFSET: list[int] = []
+
+
+def _fuzzy_join_titles_clean(spark, sf_dir: str):
+    """Duplication-free fuzzy-join variant for the scale tiers (VERDICT
+    r6 task 4).  The standard tier's vowel permutation leaves two
+    permuted variants of the same short title within edit distance 5,
+    so cross-copy title CLIQUES grow with the copy count and the
+    measured exponent conflates output growth with engine work (sf3
+    r6: 1.67 vs designed 1.0, attributed to rows x28.9).  This variant
+    prefixes every title — and therefore its blocking key (the first
+    token) — with the synthesis copy index (doc_id div the sf0.1 key
+    range, the same offset _ensure_scaled shifted by), so cross-copy
+    blocks can never collide, while within-copy pairs keep their exact
+    sf0.1 distances (the prefix is identical on both sides; the vowel
+    permutation is a character bijection, which preserves edit
+    distance).  Output rows and pair work are thus EXACTLY linear in
+    the copy count: the measured exponent isolates compare+shuffle
+    scaling."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_3_6_spark.operators.joins import fuzzy_join
+    from hadoop_3_3_6_spark.session import load_table
+
+    if not _SF01_DOC_OFFSET:
+        _SF01_DOC_OFFSET.append(
+            load_table(spark, "documents", SF_DIR).agg(F.max("doc_id")).collect()[0][0] + 1
+        )
+    offset = _SF01_DOC_OFFSET[0]
+    docs = load_table(spark, "documents", sf_dir)
+    words = "filter(split(text, ' '), w -> w <> '')"
+    title = F.expr(
+        f"concat(cast(doc_id div {offset} as string), '_', array_join(slice({words}, 1, 4), ' '))"
+    )
+    left = docs.select(F.col("doc_id").alias("left_id"), title.alias("left_title"))
+    right = docs.select(F.col("doc_id").alias("right_id"), title.alias("right_title"))
+    return fuzzy_join(
+        left,
+        right,
+        "left_title",
+        "right_title",
+        F.split_part(F.col("left_title"), F.lit(" "), F.lit(1)),
+        F.split_part(F.col("right_title"), F.lit(" "), F.lit(1)),
+        max_distance=5,
+        pair_filter=F.col("left_id") < F.col("right_id"),
+    ).select("left_id", "left_title", "right_id", "right_title", "edit_distance")
+
+
+# Scale-tier-only queries (not in the driver registry): measured at
+# sf0.1 inside the spotcheck session so ratios stay self-consistent.
+EXTRA_SCALE_QUERIES = {"fuzzy_join_titles_clean": _fuzzy_join_titles_clean}
+
+
 SF3_DIR = os.environ.get("SPARK_GRAFT_SF3_DIR", "/tmp/spark_graft_sf3")
 # Second scale point (VERDICT r5 task 3): the heaviest sf1 families get
 # an sf3 (= 3x sf1 = 30x sf0.1) measurement so the sf0.1->sf1 step
@@ -726,6 +789,8 @@ SF3_DIR = os.environ.get("SPARK_GRAFT_SF3_DIR", "/tmp/spark_graft_sf3")
 # a rows_ratio near the output's own growth is a pass.
 SF3_QUERIES = {
     "fuzzy_join_titles": 1.0,
+    # the duplication-free variant: exponent isolates engine work
+    "fuzzy_join_titles_clean": 1.0,
     "embedding_neardup": 1.5,
     "dedup_semantic": 1.5,
     "text_lm_bigram": 1.0,
@@ -746,10 +811,11 @@ def _sf3_spotcheck(sf1_results: dict[str, dict]) -> dict[str, dict]:
     spark = _fresh_session("bench-sf3", warm_dir=SF3_DIR)
     out: dict[str, dict] = {}
     for name, designed in SF3_QUERIES.items():
-        if name not in QUERIES or name not in sf1_results:
+        fn = QUERIES.get(name) or EXTRA_SCALE_QUERIES.get(name)
+        if fn is None or name not in sf1_results:
             continue
         best = _min_of(
-            2, lambda: QUERIES[name](spark, SF3_DIR).write.mode("overwrite").format("noop").save()
+            2, lambda: fn(spark, SF3_DIR).write.mode("overwrite").format("noop").save()
         )
         t1 = sf1_results[name]["sf1_sec"]
         ratio = best / max(t1, 1e-9)
@@ -761,7 +827,7 @@ def _sf3_spotcheck(sf1_results: dict[str, dict]) -> dict[str, dict]:
         }
         n1 = sf1_results[name].get("sf1_rows")
         if n1:
-            n3 = QUERIES[name](spark, SF3_DIR).count()  # untimed
+            n3 = fn(spark, SF3_DIR).count()  # untimed
             rec["sf3_rows"] = n3
             rec["rows_ratio_vs_sf1"] = round(n3 / max(n1, 1), 2)
         out[name] = rec
@@ -790,21 +856,32 @@ def _sf1_spotcheck(
     # VERDICT r6 task 6), at zero extra query cost.
     spark = _fresh_session("bench-sf1", warm_dir=SF1_DIR, ui=True)
     out: dict[str, dict] = {}
-    for name in SF1_QUERIES:
-        if name not in QUERIES or name not in sf01_timings:
+    for name in SF1_QUERIES + list(EXTRA_SCALE_QUERIES):
+        fn = QUERIES.get(name) or EXTRA_SCALE_QUERIES.get(name)
+        if fn is None:
             continue
+        t01, n01 = sf01_timings.get(name), sf01_rows.get(name)
+        if t01 is None:
+            if name not in EXTRA_SCALE_QUERIES:
+                continue
+            # scale-tier-only query: take its sf0.1 baseline here, in
+            # the same session, so the ratio is self-consistent
+            t01 = _min_of(
+                2, lambda: fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            )
+            n01 = fn(spark, SF_DIR).count()
         best = _min_of(
-            2, lambda: QUERIES[name](spark, SF1_DIR).write.mode("overwrite").format("noop").save()
+            2, lambda: fn(spark, SF1_DIR).write.mode("overwrite").format("noop").save()
         )
-        ratio = best / max(sf01_timings[name], 1e-9)
+        ratio = best / max(t01, 1e-9)
         rec = {"sf1_sec": round(best, 3), "ratio_vs_sf0.1": round(ratio, 2)}
         # Output-row growth separates "the answer got bigger" from
         # "the compare work got super-linear" when a time ratio lands
         # above ~12x (e.g. fuzzy_join's duplicate-pair growth).
-        if name in sf01_rows:
-            n = QUERIES[name](spark, SF1_DIR).count()  # untimed
+        if n01 is not None:
+            n = fn(spark, SF1_DIR).count()  # untimed
             rec["sf1_rows"] = n
-            rec["rows_ratio"] = round(n / max(sf01_rows[name], 1), 2)
+            rec["rows_ratio"] = round(n / max(n01, 1), 2)
         out[name] = rec
         print(
             f"# sf1 {name}: {best:.3f}s ({ratio:.1f}x of sf0.1, "

@@ -6256,6 +6256,125 @@ def q_archive_restore_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_key_value_text(spark, f"{out}/restored")
 
 
+@_register(
+    "distcp_manifest",
+    """
+    SELECT 'n' || n_nationkey::VARCHAR || '.txt' AS rel,
+           (length(n_nationkey::VARCHAR) + 1 + length(n_name) + 1)::BIGINT AS length,
+           sha256(n_nationkey::VARCHAR || chr(9) || n_name || chr(10)) AS sha256
+    FROM nation
+    """,
+)
+def q_distcp_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistCp (HT/hadoop-distcp/.../DistCp.java:60): distributed copy of
+    a 25-file per-nation tree, then a distributed post-copy audit of the
+    DESTINATION — per-file (rel, length, sha256) via the binaryFile
+    source, the CopyCommitter's checksum-verification role
+    (HT/hadoop-distcp/.../CopyCommitter.java).  The file contents are a
+    pure function of the nation table, so the manifest has an exact
+    SQL oracle: a dropped, truncated, or corrupted copy turns the
+    driver row red.  Listing and byte movement are both distributed
+    (sources/tools.dist_copy — no driver-side listing at any size);
+    eager by contract, cached per (process, sf_dir)."""
+    from hadoop_3_3_6_spark.sources.tools import dist_copy
+
+    nation = load_table(spark, "nation", sf_dir)
+
+    def render(d: str) -> None:
+        import os
+
+        src = f"{d}/src"
+        os.makedirs(src, exist_ok=True)
+        for r in nation.select("n_nationkey", "n_name").collect():
+            with open(f"{src}/n{r.n_nationkey}.txt", "w") as f:
+                f.write(f"{r.n_nationkey}\t{r.n_name}\n")
+        dist_copy(spark, f"{src}/*.txt", f"{d}/dst")
+
+    out = _rendered_dir("distcp_", sf_dir, render)
+    files = spark.read.format("binaryFile").load(f"{out}/dst/*.txt")
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("rel"),
+        F.col("length").cast("bigint").alias("length"),
+        F.sha2(F.col("content"), 256).alias("sha256"),
+    )
+
+
+@_register(
+    "distcpsync_incremental",
+    """
+    SELECT (SELECT count(*) FROM nation)::BIGINT AS first_copied,
+           0::BIGINT AS first_deleted,
+           2::BIGINT AS second_copied,
+           1::BIGINT AS second_deleted,
+           (SELECT count(*) FROM nation)::BIGINT AS final_files
+    """,
+)
+def q_distcpsync_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistCpSync snapshot-diff incremental sync (HT/hadoop-distcp/
+    .../DistCpSync.java): first sync copies the whole 25-file tree and
+    records the manifest; the source is then mutated (one file deleted,
+    one modified, one added) and the second sync must move ONLY the
+    delta — 2 copies (modified + added) and 1 target delete — leaving
+    the file count unchanged.  The verdict row is closed-form in the
+    nation count, so the oracle pins it exactly: a full re-copy (the
+    failure DistCpSync exists to avoid), a missed delete, or a missed
+    modification all turn the row red.  Eager by contract, cached per
+    (process, sf_dir)."""
+    import json as _json
+
+    from hadoop_3_3_6_spark.sources.tools import dist_copy_sync
+
+    nation = load_table(spark, "nation", sf_dir)
+
+    def render(d: str) -> None:
+        import os
+
+        src = f"{d}/src"
+        os.makedirs(src, exist_ok=True)
+        rows = nation.select("n_nationkey", "n_name").collect()
+        for r in rows:
+            with open(f"{src}/n{r.n_nationkey}.txt", "w") as f:
+                f.write(f"{r.n_nationkey}\t{r.n_name}\n")
+        first = dist_copy_sync(spark, f"{src}/*.txt", f"{d}/dst", f"{d}/manifest")
+        # mutate: delete the min-key file, double one file, add one
+        keys = sorted(r.n_nationkey for r in rows)
+        os.remove(f"{src}/n{keys[0]}.txt")
+        with open(f"{src}/n{keys[1]}.txt", "a") as f:
+            f.write("modified line\n")
+        with open(f"{src}/extra.txt", "w") as f:
+            f.write("added\n")
+        second = dist_copy_sync(spark, f"{src}/*.txt", f"{d}/dst", f"{d}/manifest")
+        final_files = len([p for p in os.listdir(f"{d}/dst") if p.endswith(".txt")])
+        with open(f"{d}/verdict.json", "w") as f:
+            _json.dump(
+                {
+                    "first_copied": first["copied"],
+                    "first_deleted": first["deleted"],
+                    "second_copied": second["copied"],
+                    "second_deleted": second["deleted"],
+                    "final_files": final_files,
+                },
+                f,
+            )
+
+    out = _rendered_dir("distcpsync_", sf_dir, render)
+    with open(f"{out}/verdict.json") as f:
+        v = _json.load(f)
+    return spark.createDataFrame(
+        [
+            (
+                v["first_copied"],
+                v["first_deleted"],
+                v["second_copied"],
+                v["second_deleted"],
+                v["final_files"],
+            )
+        ],
+        "first_copied bigint, first_deleted bigint, second_copied bigint, "
+        "second_deleted bigint, final_files bigint",
+    )
+
+
 # === M-verify: invariant-verdict companions for the approximate tiers ===
 #
 # The five approximate-by-design queries (xxhash64 minhash/LSH/bloom,
@@ -6595,6 +6714,8 @@ _DRIVER_HOLDBACK_R7 = [
     "sketch_bloom_prefilter_fast_verdict",
     "approx_distinct_suppliers_verdict",
     "approx_quantiles_lineitem_verdict",
+    "distcp_manifest",
+    "distcpsync_incremental",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK + _DRIVER_HOLDBACK_R5 + _DRIVER_HOLDBACK_R6 + _DRIVER_HOLDBACK_R7

@@ -155,3 +155,55 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
+
+
+def sized_shuffle_partitions(
+    spark: SparkSession,
+    input_bytes: int,
+    target_partition_bytes: int = 128 * 1024 * 1024,
+    per_core_min: int = 2,
+) -> int:
+    """Shuffle-partition count sized from the job's estimated input
+    bytes — the first knob that matters on a real cluster (SCALE.md,
+    round-6 TeraSort matrix: below the spill knee the count is a no-op
+    within noise; past it, ~128 MB per shuffle partition keeps the sort
+    spill bounded, and the Yahoo-2009 runs the reference benchmarked
+    against used ~2 partitions per core — the floor here).
+
+    max(per_core_min x cores, ceil(bytes / target)): small inputs get
+    full-core fan-out (never fewer tasks than the cluster can run),
+    large inputs get spill-bounded partitions.  Over-provision is safe
+    under AQE coalescing (enabled by get_spark); under-provision is
+    what spills — so the estimate may be rough (file sizes, not
+    decompressed), erring high via compressed-parquet ratios is fine.
+    """
+    import math
+
+    cores = spark.sparkContext.defaultParallelism
+    return max(per_core_min * cores, math.ceil(max(input_bytes, 1) / target_partition_bytes))
+
+
+def estimate_input_bytes(df: DataFrame) -> int:
+    """Total on-disk size of a DataFrame's input files (its scan-side
+    listing; 0 for purely generated plans).  Uses the session's Hadoop
+    FileSystem so any registered scheme works, not just file:."""
+    sc = df.sparkSession.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    total = 0
+    for uri in df.inputFiles():
+        path = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = path.getFileSystem(hconf)
+        total += fs.getFileStatus(path).getLen()
+    return total
+
+
+def tune_shuffle_partitions_for(df: DataFrame, **kwargs) -> int:
+    """Set ``spark.sql.shuffle.partitions`` for the given frame's input
+    size (sized_shuffle_partitions over estimate_input_bytes) and
+    return the chosen count.  Runtime-settable, so call before the
+    action that shuffles; AQE still coalesces downward at runtime."""
+    spark = df.sparkSession
+    n = sized_shuffle_partitions(spark, estimate_input_bytes(df), **kwargs)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n

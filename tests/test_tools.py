@@ -602,3 +602,42 @@ def test_dist_copy_accepts_file_uri_destination(spark, tmp_path):
     assert n == 4
     assert sorted(p.name for p in dstd.iterdir()) == [f"f{i}.txt" for i in range(4)]
     assert (dstd / "f2.txt").read_text() == "payload-2"
+
+
+def test_shuffle_partition_sizing(spark, sf_dir):
+    """sized_shuffle_partitions: full-core floor for small inputs,
+    ~128 MB/partition spill bound for large ones (the round-6 TeraSort
+    matrix lesson made engine behavior); estimate_input_bytes matches
+    the on-disk listing; tune_ applies the runtime conf."""
+    import glob
+    import os
+
+    from hadoop_3_3_6_spark.session import (
+        estimate_input_bytes,
+        load_table,
+        sized_shuffle_partitions,
+        tune_shuffle_partitions_for,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    assert sized_shuffle_partitions(spark, 1) == 2 * cores
+    assert sized_shuffle_partitions(spark, 100 * 1024**4) == max(2 * cores, 819200)
+    # 10 GB at the default 128 MB target -> 80 partitions (above the
+    # floor on this rig only if cores < 40; assert the exact formula)
+    assert sized_shuffle_partitions(spark, 10 * 1024**3) == max(2 * cores, 80)
+
+    li = load_table(spark, "lineitem", sf_dir)
+    expect = sum(
+        os.path.getsize(p)
+        for pat in (f"{sf_dir}/lineitem.parquet", f"{sf_dir}/lineitem.parquet/*")
+        for p in glob.glob(pat)
+        if os.path.isfile(p)
+    )
+    assert estimate_input_bytes(li) == expect > 0
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        n = tune_shuffle_partitions_for(li)
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == n == 2 * cores
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
