@@ -3,15 +3,18 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()`` — every implemented operator from SURVEY.md §2 as a
 ``(spark, sf_dir) -> DataFrame`` callable.
-``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents (181 of 186;
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents (188 of 193;
 omitted only for the approximate-by-design tiers: the HLL distinct
 estimate, the GK approx-quantiles, and the three xxhash64 ``_fast``
 deployment variants (bloom / minhash / LSH) — the driver records its
-weaker rows-only check for those, and tests/ validate them
-independently (recall / no-false-negative / tolerance).  minhash /
-simhash / hyperplane-LSH ANN / randomtextwriter / terasort (closed-
-form verdict) / trained-IVF (quantized-centroid replica) ARE exactly
-oracle-checked via portable (cross-engine bit-identical) modes.
+weaker rows-only check for those, and each now ALSO has an exact
+invariant-verdict companion query (*_verdict: recall / tolerance /
+no-false-negative computed in-plan, closed-form verdict row pinned by
+the oracle), so every contract in the corpus is hash-certified.
+minhash / simhash / hyperplane-LSH ANN / randomtextwriter / terasort
+(closed-form verdict) / trained-IVF (quantized-centroid replica) ARE
+exactly oracle-checked via portable (cross-engine bit-identical)
+modes.
 
 Registration order is the driver's verification order and is
 self-healing: queries with a green row in any CORRECTNESS_r*.json
