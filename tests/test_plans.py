@@ -296,6 +296,12 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         # the semantics (no equi-key exists for a bitmask row)
         "sketch_bloom_prefilter",
         "sketch_bloom_prefilter_fast",
+        # same mask cross, plus a 1-row x 1-row scalar verdict cross
+        # (exact_matches x matched_passed) — both sides are aggregates
+        "sketch_bloom_prefilter_fast_verdict",
+        # the recall ground truth IS similarity_topk's brute-force
+        # probes x corpus NLJ (bounded: 25 probes broadcast)
+        "similarity_lsh_topk_fast_verdict",
         # combine job: 1-row totals x 1-row long-word stats
         "jobcontrol_word_pipeline",
     }
@@ -319,6 +325,9 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "seqfile_roundtrip",
         "bbp_pi_digits",  # per-digit BBP arithmetic (reference example parity)
         "similarity_lsh_topk_fast",  # numpy-matmul pandas UDF IS the fast path
+        # the verdict companion runs the same pandas-UDF fast path to
+        # measure its recall in-plan
+        "similarity_lsh_topk_fast_verdict",
         "tokenizer_bpe_apply",  # iterative merge rewriting per word IS the semantics
     }
     python_nodes = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "PythonDataSource")
