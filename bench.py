@@ -155,6 +155,9 @@ HEADLINE = [
     # round-6: trained IVF gained an exact oracle (quantized training);
     # benched so the distributed-training loop keeps a regression axis
     "similarity_ivf_trained",
+    # round-7: the MinHash verify stage (candidates re-scored by the
+    # signature Jaccard estimate) — one sig aggregate, three consumers
+    "dedup_minhash_verified",
 ]
 
 

@@ -213,14 +213,19 @@ def minhash_bands(
     num_perm: int = 32,
     bands: int = 8,
     portable: bool = False,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, band_hash) LSH band rows — the unit of both the
     self-join dedup (minhash_candidate_pairs) and the persistent corpus
     band INDEX (build_minhash_index / dedup_against_index): at scale
     you store these rows once per corpus and join each new batch
-    against them instead of re-hashing the corpus per run."""
+    against them instead of re-hashing the corpus per run.  Pass a
+    precomputed ``sigs`` frame (from :func:`minhash_signatures`, same
+    num_perm/portable) to band an existing signature table instead of
+    re-deriving it from text."""
     rows = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_perm, portable=portable)
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, id_col, n, num_perm, portable=portable)
     if portable:
         band_key = lambda b: F.expr(f"slice(signature, {b * rows + 1}, {rows})").alias("band_hash")  # noqa: E731
     else:
@@ -320,6 +325,63 @@ def minhash_candidate_pairs(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+    )
+
+
+def minhash_verify_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    est_threshold: float = 0.5,
+    portable: bool = False,
+) -> DataFrame:
+    """The VERIFY stage of MinHash dedup: banded candidates, then the
+    signature-level Jaccard ESTIMATE (fraction of equal lanes) and a
+    threshold — the standard second stage between candidate generation
+    and the keep decision (banding over-generates by design: any one
+    agreeing band admits a pair, so a verify pass re-scores candidates
+    against the full signature before the expensive exact-text compare
+    or the drop decision).  est_jaccard = |equal lanes| / num_perm is
+    an unbiased estimator of true Jaccard with sd ~ 1/sqrt(num_perm).
+
+    Plan shape: ONE signature aggregate feeds both the band self-join
+    (candidate generation) and the two verify-side lookups, so the
+    verify join is signature-row-sized — never a text re-scan.  The
+    estimate is a multiple of 1/num_perm (exactly representable for
+    power-of-two num_perm), so the portable mode is bit-exact in the
+    DuckDB oracle, threshold included.  At 100 TB the signatures are
+    the persisted artifact (build_minhash_index keeps the band rows;
+    persist ``minhash_signatures`` alongside to verify at batch cost).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n, num_perm, portable=portable)
+    banded = minhash_bands(df, text_col, id_col, n, num_perm, bands, portable=portable, sigs=sigs)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("_sa"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("_sb"))
+    est = F.expr(
+        f"size(filter(zip_with(_sa, _sb, (x, y) -> x = y), v -> v)) / cast({num_perm} as double)"
+    )
+    return (
+        cands.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= est_threshold)
     )
 
 

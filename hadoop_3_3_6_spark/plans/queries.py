@@ -36,6 +36,7 @@ from hadoop_3_3_6_spark.operators.sort import secondary_sort, top_k
 from hadoop_3_3_6_spark.functions.dedup import (
     exact_dedup,
     minhash_candidate_pairs,
+    minhash_verify_pairs,
     ngram_jaccard_pairs,
     portable_hash_expr,
     simhash,
@@ -1068,6 +1069,38 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB default and is recall-tested against exact jaccard."""
     docs = load_table(spark, "documents", sf_dir)
     return minhash_candidate_pairs(docs, "text", "doc_id", n=3, num_perm=32, bands=8, portable=True)
+
+
+def _minhash_verified_tail(num_perm: int = 32, est_threshold: float = 0.9) -> str:
+    """Oracle tail for the verify stage: banded candidates re-scored by
+    the signature-lane Jaccard estimate.  The estimate is a multiple of
+    1/num_perm (power of two) so the double division is bit-exact in
+    both engines, threshold included."""
+    eq = " + ".join(f"(CASE WHEN sa.m{p} = sb.m{p} THEN 1 ELSE 0 END)" for p in range(num_perm))
+    return f"""
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b, ({eq}) / cast({num_perm} as double) AS est_jaccard
+    FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE ({eq}) / cast({num_perm} as double) >= {est_threshold}"""
+
+
+@_register("dedup_minhash_verified", _minhash_oracle(tail=_minhash_verified_tail()))
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash dedup with the VERIFY stage (functions/dedup.
+    minhash_verify_pairs): banded candidates re-scored by the
+    signature-level Jaccard estimate (fraction of equal lanes) and
+    thresholded at 0.9 — the standard second stage between LSH
+    candidate generation and the keep decision, which banding alone
+    over-generates for (any one agreeing band admits a pair).  One
+    signature aggregate feeds both the band self-join and the verify
+    lookups; exact DuckDB oracle in portable mode (the estimate is a
+    multiple of 1/32, bit-exact across engines)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_verify_pairs(
+        docs, "text", "doc_id", n=3, num_perm=32, bands=8, est_threshold=0.9, portable=True
+    )
 
 
 @_register("dedup_minhash_fast")  # rows-only: xxhash64 signatures aren't SQL-reproducible
@@ -6716,6 +6749,7 @@ _DRIVER_HOLDBACK_R7 = [
     "approx_quantiles_lineitem_verdict",
     "distcp_manifest",
     "distcpsync_incremental",
+    "dedup_minhash_verified",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK + _DRIVER_HOLDBACK_R5 + _DRIVER_HOLDBACK_R6 + _DRIVER_HOLDBACK_R7

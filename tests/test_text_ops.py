@@ -194,3 +194,31 @@ def test_duplicated_span_fraction_and_max_df(spark):
         for r in duplicated_span_fraction(df, "text", "doc_id", n=3, max_df=1).collect()
     }
     assert guarded[0].total_shingles == 1 and guarded[0].dup_shingles == 0
+
+
+def test_minhash_verify_stage_filters_candidates(spark, sf_dir):
+    """The verify stage must (a) emit a subset of the banded candidates,
+    (b) actually drop at least one over-generated candidate at this
+    threshold on this corpus, and (c) only keep pairs whose signature
+    estimate clears the threshold (estimates are multiples of
+    1/num_perm by construction)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_3_6_spark.functions.dedup import minhash_candidate_pairs, minhash_verify_pairs
+    from hadoop_3_3_6_spark.session import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    cands = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidate_pairs(
+            docs, "text", "doc_id", n=3, num_perm=32, bands=8, portable=True
+        ).collect()
+    }
+    ver = minhash_verify_pairs(
+        docs, "text", "doc_id", n=3, num_perm=32, bands=8, est_threshold=0.9, portable=True
+    ).collect()
+    kept = {(r.id_a, r.id_b) for r in ver}
+    assert kept <= cands
+    assert len(kept) < len(cands), "verify stage dropped nothing at threshold 0.9"
+    assert all(r.est_jaccard >= 0.9 for r in ver)
+    assert all(abs(r.est_jaccard * 32 - round(r.est_jaccard * 32)) < 1e-12 for r in ver)
