@@ -158,6 +158,10 @@ HEADLINE = [
     # round-7: the MinHash verify stage (candidates re-scored by the
     # signature Jaccard estimate) — one sig aggregate, three consumers
     "dedup_minhash_verified",
+    # round-7: PQ/ADC ANN (trained codebooks + table-lookup scoring)
+    # and DSIR importance resampling (hashed-ngram LM ratio top-k)
+    "similarity_pq_topk",
+    "pipeline_importance_resample",
 ]
 
 
@@ -589,6 +593,11 @@ SF1_QUERIES = [
     # round-6: the adaptive-k cluster-then-compare family needs BOTH
     # scale points (sf1 here feeds the sf3 exponent check)
     "dedup_semantic",
+    # round-7: PQ training+encode+ADC (linear by construction — the
+    # per-iteration shuffle is corpus-size independent) and the DSIR
+    # token-explode/bucket-LM/top-k chain (linear + 256-row bounded)
+    "similarity_pq_topk",
+    "pipeline_importance_resample",
 ]
 _SF1_SCALED = {"orders", "lineitem", "events", "documents", "embeddings", "part"}
 # Each scaled table's columns map to the OFFSET-SOURCE table whose key

@@ -117,6 +117,130 @@ def temperature_sample(
     )
 
 
+def importance_weights(
+    df: DataFrame,
+    target: F.Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+    milli: int = 1000,
+    salt: str = "ir",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    every raw document by how target-like its hashed-n-gram profile is.
+
+    Features are hashed word unigrams + bigrams (the paper's feature
+    map): token → salted portable hash → bucket in [0, buckets).  Both
+    bucket unigram models fit in ONE aggregate pass — the target corpus
+    is a predicate over the raw corpus here, so ``r_b`` (raw count) and
+    ``t_b`` (target count) are a count + conditional count per bucket,
+    one shuffle of ``buckets``-bounded rows with map-side partials.
+    Add-1 smoothing; the per-bucket log-likelihood-ratio
+    ln(p_target[b]/p_raw[b]) is quantized to INTEGER milli-nats, so
+    the per-document weight — Σ_b count(doc, b) · lr[b] — is an exact
+    BIGINT sum: order-independent, engine-portable (the same
+    integer-grid trick as temperature_sample's ppm rates; raw float
+    log-sums would be fold-order-dependent and never oracle-exact).
+    The quantization changes weights by ≤ 0.5 milli-nat per token —
+    noise relative to the model itself.
+
+    Scale shape: token explode is linear and pipelined into the scan;
+    the lr table (``buckets`` rows) broadcasts back onto the exploded
+    tokens; the only corpus-keyed shuffle is the per-doc partial-sum
+    aggregate.  At 100 TB: fit the table on a hash-sample, persist it,
+    and the scoring pass is a single linear scan.
+
+    Returns (id_col, logw_milli BIGINT).  Documents with no tokens drop
+    out (no features ⇒ no weight), matching the paper's n-gram model.
+    """
+    words = f"filter(split({text_col}, ' '), w -> w <> '')"
+    # Spark's sequence(1, 0) counts DOWN — guard degenerate docs.
+    bigrams = (
+        f"case when size({words}) >= 2 then "
+        f"transform(sequence(1, size({words}) - 1), "
+        f"i -> concat(element_at({words}, i), ' ', element_at({words}, i + 1))) "
+        f"else array() end"
+    )
+    toks = df.select(
+        F.col(id_col),
+        target.alias("_tgt"),
+        F.explode(F.expr(f"concat({words}, {bigrams})")).alias("_tok"),
+    )
+    salted_tok = f"concat('{salt}:', _tok)"
+    toks = toks.withColumn(
+        "_b", F.expr(f"{portable_hash_expr(salted_tok)} % {buckets}")
+    )
+    from pyspark.sql.window import Window
+
+    stats = toks.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_rb"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_tb"),
+    )
+    # Corpus totals as a WINDOW over the bucket stats (``buckets`` rows
+    # through one partition — bounded by construction), NOT a separate
+    # aggregate: a second consumer of ``stats`` would re-run the whole
+    # token-explode scan (Spark doesn't auto-reuse the subtree), turning
+    # the two-pass fit+score contract into three corpus passes.
+    wall = Window.partitionBy()
+    lr = (
+        stats.withColumn("_r", F.sum("_rb").over(wall))
+        .withColumn("_t", F.sum("_tb").over(wall))
+        .select(
+            "_b",
+            F.expr(
+                f"cast(round((ln(_tb + 1) - ln(_rb + 1) + ln(_r + {buckets}) "
+                f"- ln(_t + {buckets})) * {milli}) as bigint)"
+            ).alias("_lr_milli"),
+        )
+    )
+    return (
+        toks.select(id_col, "_b")
+        .join(F.broadcast(lr), "_b")
+        .groupBy(id_col)
+        .agg(F.sum("_lr_milli").alias("logw_milli"))
+    )
+
+
+def importance_resample(
+    df: DataFrame,
+    target: F.Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_keep: int = 50,
+    buckets: int = 256,
+    milli: int = 1000,
+    gumbel_salt: str = "gum",
+) -> DataFrame:
+    """DSIR's Gumbel-top-k resampling over :func:`importance_weights`:
+    sampling n_keep documents WITHOUT replacement ∝ exp(logw) is
+    exactly taking the top-k of logw + Gumbel noise (the Gumbel-max
+    trick) — and with the noise derived from the salted portable hash
+    of the id instead of rand(), the draw is deterministic,
+    engine-reproducible, and stable under re-partitioning/speculative
+    re-execution, like every sampler in this module.  u is centered on
+    the ppm lattice ((h%1e6 + 0.5)/1e6 ⇒ u ∈ (0,1) strictly, no ±inf);
+    the Gumbel quantile −ln(−ln u) is quantized to the same integer
+    milli grid so the final score stays an exact BIGINT.
+
+    Top-k by (score desc, id) is a TakeOrdered — per-partition heaps,
+    no global sort.  Returns (id, logw_milli, gumbel_milli,
+    score_milli, rank)."""
+    from pyspark.sql.window import Window
+
+    w = importance_weights(df, target, text_col, id_col, buckets, milli)
+    salted_id = f"concat('{gumbel_salt}:', cast({id_col} as string))"
+    u = f"(({portable_hash_expr(salted_id)} % 1000000) + 0.5) / 1000000.0"
+    scored = w.withColumn(
+        "gumbel_milli", F.expr(f"cast(round(-ln(-ln({u})) * {milli}) as bigint)")
+    ).withColumn("score_milli", F.col("logw_milli") + F.col("gumbel_milli"))
+    kept = scored.orderBy(F.col("score_milli").desc(), F.col(id_col).asc()).limit(n_keep)
+    # rank is a window over the n_keep winners only (bounded by
+    # construction) — the corpus never funnels through one partition.
+    rw = Window.orderBy(F.col("score_milli").desc(), F.col(id_col).asc())
+    return kept.withColumn("rank", F.row_number().over(rw))
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",

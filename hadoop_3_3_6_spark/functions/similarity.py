@@ -541,6 +541,238 @@ def quantized_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def train_pq_codebooks(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    codes: int = 16,
+    iters: int = 3,
+    quantize_decimals: int | None = None,
+) -> list[list[list[float]]]:
+    """Product-quantization codebook training (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+    IVF-PQ architecture behind FAISS-style billion-vector ANN).
+
+    Each D-dim vector is split into ``m`` contiguous subvectors of
+    D/m dims; subspace ``j`` gets its own ``codes``-entry codebook via
+    Lloyd iterations run over ALL subspaces in ONE plan per iteration:
+    the corpus is posexploded once into (id, sub_id, subvector) rows
+    (a projection — no shuffle; total bytes equal the corpus) and
+    persisted, the m×codes×(D/m) codebook matrix rides as ONE
+    broadcast row of ``array<array<struct<cvec, code_id>>>`` indexed
+    by sub_id, and assignment is a per-row HOF argmin — the same
+    no-expansion, no-corpus-shuffle form as
+    :func:`train_kmeans_centroids`.  The only shuffle per iteration is
+    the (sub_id, code_id, pos) mean partial-aggregate — m×codes×(D/m)
+    rows per partition, i.e. exactly D×codes doubles, corpus-size
+    independent.  Driver state is the codebook matrix (m·codes·D/m
+    floats ≈ the full-vector k-means contract).
+
+    Seeding: the ``codes`` vectors with the smallest portable md5 rank
+    of their id (identical to the IVF trainer's ``kmseed:`` ranking),
+    sliced per subspace — deterministic and trivially replicable by an
+    independent oracle.  ``quantize_decimals`` snaps every trained
+    mean to a decimal grid after each iteration (the
+    similarity_ivf_trained pattern) so an independent numpy replica
+    re-derives bit-identical codebooks and the downstream ADC query
+    becomes exactly oracle-checkable.
+
+    Returns the codebooks as a driver-side list ``books[j][c] ->
+    list[float]`` (j in [0,m), c in [0,codes)) for
+    :func:`pq_encode` / :func:`pq_topk`.
+    """
+    spark = emb.sparkSession
+    first = emb.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    sub = dim // m
+    seed_rank = F.expr(
+        f"conv(substr(md5(concat('kmseed:', cast({id_col} as string))), 1, 15), 16, 10)"
+    )
+    seeds = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("_r", seed_rank.cast("decimal(20,0)"))
+        .orderBy("_r", id_col)
+        .limit(codes)
+        .select("v")
+        .collect()
+    )
+    books = [[list(r["v"][j * sub : (j + 1) * sub]) for r in seeds] for j in range(m)]
+    slices = F.expr(
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"slice(cast({vec_col} as array<double>), j * {sub} + 1, {sub}))"
+    )
+    vs = emb.select(F.posexplode(slices).alias("sub_id", "sv")).persist()
+    try:
+        # Constant expression tree across iterations (broadcast DATA
+        # changes, codegen caches) — see _lloyd_iterations.
+        book = F.element_at(F.col("books"), F.col("sub_id") + 1)
+        dists = F.transform(
+            book,
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("sv"), c["cvec"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("_d"),
+                c["code_id"].alias("code_id"),
+            ),
+        )
+        for _ in range(iters):
+            bdf = F.broadcast(_books_df(spark, books))
+            assigned = vs.crossJoin(bdf).select(
+                "sub_id", F.array_min(dists)["code_id"].alias("code_id"), "sv"
+            )
+            means = (
+                assigned.select("sub_id", "code_id", F.posexplode("sv").alias("pos", "x"))
+                .groupBy("sub_id", "code_id", "pos")
+                .agg(F.avg("x").alias("mu"))
+                .groupBy("sub_id", "code_id")
+                .agg(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(pos, mu))), s -> s.mu)"
+                    ).alias("cvec")
+                )
+            )
+            new = {(r["sub_id"], r["code_id"]): r["cvec"] for r in means.collect()}
+            books = [
+                [list(new.get((j, c), books[j][c])) for c in range(codes)] for j in range(m)
+            ]
+            if quantize_decimals is not None:
+                # Python round() on the driver matrix, matching the
+                # independent replica's tie-rounding exactly (see
+                # _lloyd_iterations for why the grid snap is what makes
+                # distributed training engine-exact).
+                books = [
+                    [[round(x, quantize_decimals) for x in cv] for cv in book_j]
+                    for book_j in books
+                ]
+    finally:
+        vs.unpersist(blocking=False)
+    return books
+
+
+def _books_df(spark, books: list[list[list[float]]]) -> DataFrame:
+    """The m×codes codebook matrix as ONE row: array (by subspace) of
+    arrays of (cvec, code_id) structs — a few KB of broadcast state."""
+    payload = [
+        [(cv, c) for c, cv in enumerate(book_j)] for book_j in books
+    ]
+    return spark.createDataFrame(
+        [(payload,)], "books array<array<struct<cvec: array<double>, code_id: int>>>"
+    )
+
+
+def _slices_expr(vec_col: str, m: int, sub: int) -> str:
+    return (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"slice(cast({vec_col} as array<double>), j * {sub} + 1, {sub}))"
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode: each vector becomes ``m`` small-int codes (argmin L2
+    per subspace against the broadcast codebooks) — a pure projection
+    over a 1-row broadcast cross: NO shuffle, NO row expansion.  At
+    100 TB this is the storage tier: D float32 dims (4·D bytes)
+    compress to m 1-byte codes (codes ≤ 256) — a 4·D/m× reduction
+    (64-dim fixture at m=16 → 16×; m=4 → 64×) the candidate scan then
+    reads instead of raw vectors.  Output: (id, codes array<int>)."""
+    m, sub = len(books), len(books[0][0])
+    bdf = F.broadcast(_books_df(emb.sparkSession, books))
+    codes_expr = F.zip_with(
+        F.expr(_slices_expr(vec_col, m, sub)),
+        F.col("books"),
+        lambda sv, book: F.array_min(
+            F.transform(
+                book,
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(sv, c["cvec"], lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, d: acc + d,
+                    ).alias("_d"),
+                    c["code_id"].alias("code_id"),
+                ),
+            )
+        )["code_id"],
+    )
+    return emb.crossJoin(bdf).select(F.col(id_col), codes_expr.alias("codes"))
+
+
+def pq_topk(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    probe_ids: list[int] | None = None,
+    probes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each probe keeps
+    its RAW vector and precomputes an m×codes distance TABLE (probe
+    subvector → every codebook entry, exact L2); a candidate's
+    approximate distance is then just m table lookups summed — no
+    floating-point vector math on the corpus side at all.  The scan
+    reads (id, codes) — the 64×-compressed tier — and the probe tables
+    ride in the probe broadcast, so per-candidate cost is m array
+    lookups + m adds.  This is the query half of IVF-PQ (compose with
+    ``ivf_topk``'s cluster blocking for the list-pruned variant).
+
+    Determinism contract: table entries are sequential left folds over
+    decimal-grid codebook entries, the ADC sum is a fixed-order fold
+    of m doubles, ranking ties break by neighbor id — so with
+    ``quantize_decimals`` training the whole query is bit-reproducible
+    by an independent replica (the similarity_ivf_trained pattern).
+    Output: (probe_id, neighbor_id, adc_dist, rank), ascending ADC
+    distance."""
+    from pyspark.sql.window import Window
+
+    m, sub = len(books), len(books[0][0])
+    enc = pq_encode(emb, books, id_col, vec_col)
+    bdf = F.broadcast(_books_df(emb.sparkSession, books))
+    dtab = F.zip_with(
+        F.expr(_slices_expr(vec_col, m, sub)),
+        F.col("books"),
+        lambda sv, book: F.transform(
+            book,
+            lambda c: F.aggregate(
+                F.zip_with(sv, c["cvec"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        ),
+    )
+    probe_rows = _restrict_to_probes(emb, id_col, probes, probe_ids)
+    probe_tabs = probe_rows.crossJoin(bdf).select(
+        F.col(id_col).alias("probe_id"), dtab.alias("dtab")
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("dtab"), lambda code, row: F.element_at(row, code + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    cand = enc.crossJoin(F.broadcast(probe_tabs)).filter(
+        F.col("probe_id") != F.col(id_col)
+    )
+    scored = cand.select(
+        "probe_id", F.col(id_col).alias("neighbor_id"), F.round(adc, 6).alias("adc_dist")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def assign_clusters(
     emb: DataFrame,
     id_col: str = "vec_id",

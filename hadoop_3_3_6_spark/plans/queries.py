@@ -1745,6 +1745,137 @@ def q_similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, "vec_id", "embedding", k=5, nprobe=4, probes=probes, centroids=trained)
 
 
+def _pq_oracle() -> str | None:
+    """Exact oracle for PQ/ADC top-k (the similarity_ivf_trained
+    pattern, one step further): an INDEPENDENT pure-numpy replica of
+    the whole pipeline — per-subspace Lloyd training with the same md5
+    seed ranking / sequential-fold distances (cumsum) / lowest-code-id
+    tie break / per-iteration decimal-grid snap, then PQ encoding and
+    asymmetric-distance top-k with Spark's exact fold order and
+    HALF_UP 1e-6 rounding (emulated with Decimal(repr(x)), which
+    matches java BigDecimal.valueOf's shortest-representation
+    semantics) — derives the expected result rows from the sf0.01
+    parquet directly and pins them as a VALUES literal.  A green hash
+    therefore certifies codebook training, encoding AND the ADC query
+    end-to-end.  Pinned to the driver's sf0.01 tier (the Spark query
+    trains on its own sf_dir).  Degrades to rows-only (None), loudly,
+    if the fixture or replica is unavailable."""
+    import os
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    try:
+        import hashlib
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        ids = t.column("vec_id").to_numpy()
+        vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        n, dim = vecs.shape
+        m, codes, iters, q, topk = 16, 16, 3, 3, 5
+        sub = dim // m
+        ranks = [
+            int(hashlib.md5(f"kmseed:{int(i)}".encode()).hexdigest()[:15], 16)
+            for i in ids
+        ]
+        order = sorted(range(n), key=lambda j: (ranks[j], ids[j]))[:codes]
+        books = [
+            [list(vecs[o][j * sub : (j + 1) * sub]) for o in order] for j in range(m)
+        ]
+        for _ in range(iters):
+            nb = []
+            for j in range(m):
+                sv = vecs[:, j * sub : (j + 1) * sub]
+                cents = np.array(books[j])
+                diffs = sv[:, None, :] - cents[None, :, :]
+                # cumsum = Spark's sequential aggregate() left fold
+                d = np.cumsum(diffs * diffs, axis=2)[:, :, -1]
+                assign = np.argmin(d, axis=1)  # first min = lowest code_id
+                newj = []
+                for c in range(codes):
+                    mem = sv[assign == c]
+                    mu = mem.sum(axis=0) / len(mem) if len(mem) else np.array(books[j][c])
+                    newj.append([round(float(x), q) for x in mu])
+                nb.append(newj)
+            books = nb
+        barr = [np.array(books[j]) for j in range(m)]
+        enc = np.zeros((n, m), dtype=int)
+        for j in range(m):
+            sv = vecs[:, j * sub : (j + 1) * sub]
+            diffs = sv[:, None, :] - barr[j][None, :, :]
+            enc[:, j] = np.argmin(np.cumsum(diffs * diffs, axis=2)[:, :, -1], axis=1)
+
+        def srnd(x: float) -> float:
+            # Spark round() = BigDecimal.valueOf(x).setScale(6, HALF_UP);
+            # repr(x) is the same shortest decimal representation.
+            return float(Decimal(repr(float(x))).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+        id_to_idx = {int(i): ix for ix, i in enumerate(ids)}
+        rows = []
+        for p in sorted(int(i) for i in ids if i < 10):
+            pi = id_to_idx[p]
+            tabs = []
+            for j in range(m):
+                pv = vecs[pi, j * sub : (j + 1) * sub]
+                diffs = pv[None, :] - barr[j]
+                tabs.append(np.cumsum(diffs * diffs, axis=1)[:, -1])
+            scored = []
+            for ix, i in enumerate(ids):
+                if int(i) == p:
+                    continue
+                acc = 0.0
+                for j in range(m):  # fixed-order fold, as in the plan
+                    acc = acc + float(tabs[j][enc[ix, j]])
+                scored.append((srnd(acc), int(i)))
+            scored.sort()
+            for r, (dd, i) in enumerate(scored[:topk], 1):
+                rows.append((p, i, dd, r))
+    except Exception as exc:
+        print(
+            f"# WARNING: similarity_pq_topk oracle degraded to rows-only: {exc!r}",
+            file=__import__("sys").stderr,
+        )
+        return None
+    values = ", ".join(
+        f"({p}::BIGINT, {i}::BIGINT, {d!r}::DOUBLE, {r}::INT)" for p, i, d, r in rows
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + values
+        + ") AS t(probe_id, neighbor_id, adc_dist, rank)"
+    )
+
+
+@_register("similarity_pq_topk", _pq_oracle())
+def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. TPAMI 2011 — the FAISS
+    IVF-PQ architecture): per-subspace codebooks trained by the
+    shuffle-free Lloyd form (functions/similarity.train_pq_codebooks —
+    all m subspaces in one plan per iteration, assignment is a 1-row
+    broadcast + HOF argmin, the only shuffle is the D×codes mean
+    partial-agg), corpus PQ-encoded to m small-int codes (64×
+    compression of the candidate scan at 100 TB), probes answered by
+    asymmetric-distance tables (m lookups + m adds per candidate, no
+    vector math corpus-side).  quantize_decimals=3 training makes the
+    whole pipeline bit-reproducible, so the oracle's independent numpy
+    replica pins training, encoding and the ADC query exactly (the
+    similarity_ivf_trained pattern).  Recall vs the exact L2 baseline
+    is separately floor-tested (tests/test_tools.py).  Eager by
+    contract (training iterations run when constructed)."""
+    from hadoop_3_3_6_spark.functions.similarity import pq_topk, train_pq_codebooks
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = train_pq_codebooks(
+        emb, "vec_id", "embedding", m=16, codes=16, iters=3, quantize_decimals=3
+    )
+    probes = emb.filter(F.col("vec_id") < 10).select("vec_id")
+    return pq_topk(emb, books, "vec_id", "embedding", k=5, probes=probes)
+
+
 @_register(
     "multimodal_audio",
     """
@@ -3913,6 +4044,66 @@ def q_pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
     return temperature_sample(docs, "doc_id", "source", alpha=0.5)
+
+
+@_register(
+    "pipeline_importance_resample",
+    """
+    WITH d AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      FROM documents),
+    tok AS (
+      SELECT doc_id, tgt,
+             unnest(ws || list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS tok
+      FROM d),
+    bt AS (
+      SELECT doc_id, tgt,
+             ('0x' || substr(md5('ir:' || tok), 1, 15))::BIGINT % 256 AS b
+      FROM tok),
+    stats AS (
+      SELECT b, count(*)::BIGINT AS rb,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS tb
+      FROM bt GROUP BY b),
+    tot AS (SELECT sum(rb)::BIGINT AS r, sum(tb)::BIGINT AS t FROM stats),
+    lr AS (
+      SELECT b,
+             round((ln(tb + 1) - ln(rb + 1) + ln(r + 256) - ln(t + 256)) * 1000)::BIGINT AS lrm
+      FROM stats, tot),
+    wts AS (
+      SELECT bt.doc_id, sum(lr.lrm)::BIGINT AS logw_milli
+      FROM bt JOIN lr USING (b) GROUP BY bt.doc_id),
+    sc AS (
+      SELECT doc_id, logw_milli,
+             round(-ln(-ln(((('0x' || substr(md5('gum:' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000000) + 0.5) / 1000000.0)) * 1000)::BIGINT AS gumbel_milli
+      FROM wts)
+    SELECT doc_id, logw_milli, gumbel_milli,
+           (logw_milli + gumbel_milli) AS score_milli,
+           row_number() OVER (ORDER BY logw_milli + gumbel_milli DESC, doc_id)::INT AS rank
+    FROM sc
+    ORDER BY score_milli DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q_pipeline_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023): pick the 50 raw
+    documents most target-like (target = English docs) by hashed
+    unigram+bigram importance weights, resampled with deterministic
+    Gumbel-top-k (functions/sampling.importance_weights /
+    importance_resample).  Both bucket LMs fit in one conditional
+    aggregate over the exploded tokens (256-row shuffle); the log-ratio
+    table broadcasts back; per-doc weights are exact BIGINT milli-nat
+    sums, so the draw is engine-exact end-to-end — the oracle replays
+    the identical integer arithmetic.  At 100 TB the lr table is fitted
+    once (optionally on a hash-sample) and scoring is a single linear
+    scan + one partial-agg shuffle."""
+    from hadoop_3_3_6_spark.functions.sampling import importance_resample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return importance_resample(
+        docs, F.col("lang") == "en", "text", "doc_id", n_keep=50
+    )
 
 
 @_register(
@@ -6750,6 +6941,8 @@ _DRIVER_HOLDBACK_R7 = [
     "distcp_manifest",
     "distcpsync_incremental",
     "dedup_minhash_verified",
+    "similarity_pq_topk",
+    "pipeline_importance_resample",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK + _DRIVER_HOLDBACK_R5 + _DRIVER_HOLDBACK_R6 + _DRIVER_HOLDBACK_R7

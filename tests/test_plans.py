@@ -281,6 +281,11 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "embedding_neardup",
         "similarity_ivf_topk",
         "similarity_ivf_trained",
+        # PQ/ADC: corpus x broadcast(1-row codebook matrix) encode and
+        # corpus x broadcast(bounded probe distance-tables) scoring —
+        # both crosses are the semantics (no equi-key exists for a
+        # 1-row matrix or an ADC table lookup)
+        "similarity_pq_topk",
         "similarity_quantized_topk",
         "dedup_semantic",
         "q22_global_sales_opportunity",
@@ -291,6 +296,9 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "text_tfidf_topk",
         "text_lm_score",
         "pipeline_temperature_mix",
+        # 1-row corpus-totals cross feeding the smoothed log-ratio
+        # table (256 rows) — same scalar-subquery shape as q22
+        "pipeline_importance_resample",
         "pipeline_pretraining_e2e",
         # 1-row broadcast bloom-mask cross: the probe-side filter IS
         # the semantics (no equi-key exists for a bitmask row)
@@ -362,6 +370,7 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     "similarity_ivf_trained", "multimodal_wav_source", "pipeline_dedup_keep",
                     "warc_source_scan", "seqfile_roundtrip", "jobcontrol_word_pipeline",
                     "tokenizer_bpe_train", "tokenizer_bpe_apply",
+                    "similarity_pq_topk",  # PQ training iterations (ivf_trained contract)
                     # round-4 rendered-artifact rows that pay a per-
                     # construction metadata job even after the render
                     # cache: SequenceFile toDF inference, and parquet

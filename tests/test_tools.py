@@ -430,6 +430,84 @@ def test_quantized_topk_recall_floor(spark, sf_dir):
     assert len(exact & quant) / len(exact) >= 0.9
 
 
+def test_pq_topk_recall_floor(spark, sf_dir):
+    """PQ/ADC top-k must land a reasonable recall floor vs the exact L2
+    baseline.  The fixture's near-uniform 64-dim embeddings are PQ's
+    worst case (no subspace structure to exploit); measured recall@5 at
+    m=16/codes=16 is 0.40 — the 0.25 floor catches a broken encoder or
+    table lookup, not ordinary quantization loss."""
+    import numpy as np
+
+    from hadoop_3_3_6_spark.functions.similarity import pq_topk, train_pq_codebooks
+    from hadoop_3_3_6_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = train_pq_codebooks(
+        emb, "vec_id", "embedding", m=16, codes=16, iters=3, quantize_decimals=3
+    )
+    probes = emb.filter(F.col("vec_id") < 10).select("vec_id")
+    approx = pq_topk(emb, books, "vec_id", "embedding", k=5, probes=probes).toPandas()
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    truth = set()
+    for p in range(10):
+        pi = int(np.where(ids == p)[0][0])
+        d = ((vecs - vecs[pi]) ** 2).sum(axis=1)
+        nn = [int(ids[ix]) for ix in np.argsort(d, kind="stable") if int(ids[ix]) != p][:5]
+        truth.update((p, i) for i in nn)
+    got = set(zip(approx.probe_id, approx.neighbor_id))
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.25, f"PQ recall {recall:.2f}"
+
+
+def test_pq_encode_is_shuffle_free(spark, sf_dir):
+    """PQ encoding must stay a pure projection over the 1-row codebook
+    broadcast — an Exchange in the encode plan would mean the 64×-
+    compression tier shuffles raw vectors, defeating its purpose."""
+    from hadoop_3_3_6_spark.functions.similarity import pq_encode, train_pq_codebooks
+    from hadoop_3_3_6_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = train_pq_codebooks(
+        emb, "vec_id", "embedding", m=16, codes=16, iters=1, quantize_decimals=3
+    )
+    enc = pq_encode(emb, books, "vec_id", "embedding")
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+    pdf = enc.toPandas()
+    assert len(pdf) == emb.count()
+    assert all(0 <= c < 16 for codes in pdf.codes for c in codes)
+
+
+def test_importance_resample_upweights_target(spark, sf_dir):
+    """DSIR importance weights must separate target-like documents:
+    the mean milli-nat weight of English docs (the target) must exceed
+    the non-English mean, and the Gumbel-top-k draw must return exactly
+    n_keep uniquely-ranked rows, deterministically."""
+    from hadoop_3_3_6_spark.functions.sampling import importance_resample, importance_weights
+    from hadoop_3_3_6_spark.session import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = importance_weights(docs, F.col("lang") == "en", "text", "doc_id")
+    joined = w.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r["is_en"]: r["mw"]
+        for r in joined.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("logw_milli").alias("mw"))
+        .collect()
+    }
+    assert means[True] > means[False], means
+    kept = importance_resample(docs, F.col("lang") == "en", "text", "doc_id", n_keep=40)
+    pdf = kept.toPandas()
+    assert len(pdf) == 40
+    assert sorted(pdf["rank"]) == list(range(1, 41))
+    pdf2 = importance_resample(
+        docs, F.col("lang") == "en", "text", "doc_id", n_keep=40
+    ).toPandas()
+    assert sorted(pdf.doc_id) == sorted(pdf2.doc_id)
+
+
 def test_blocked_neardup_matches_all_pairs_within_cluster(spark, sf_dir):
     """The cluster-blocked near-dup join must return EXACTLY the
     all-pairs result restricted to cell-sharing pairs — blocking
