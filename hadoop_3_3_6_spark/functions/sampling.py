@@ -154,6 +154,8 @@ def importance_weights(
     Returns (id_col, logw_milli BIGINT).  Documents with no tokens drop
     out (no features ⇒ no weight), matching the paper's n-gram model.
     """
+    from hadoop_3_3_6_spark.functions.text import spread_for_compute
+
     words = f"filter(split({text_col}, ' '), w -> w <> '')"
     # Spark's sequence(1, 0) counts DOWN — guard degenerate docs.
     bigrams = (
@@ -162,6 +164,11 @@ def importance_weights(
         f"i -> concat(element_at({words}, i), ' ', element_at({words}, i + 1))) "
         f"else array() end"
     )
+    # The explode + per-token md5 is CPU-bound on ~2 hashes per word
+    # while the scan is tiny in bytes — the serialized-stage hazard
+    # class; the conditional spread is a no-op once the corpus yields
+    # enough splits.
+    df = spread_for_compute(df, id_col)
     toks = df.select(
         F.col(id_col),
         target.alias("_tgt"),
