@@ -329,12 +329,35 @@ def main() -> None:
     # min-of-3 anchor is the stable-rate axis), kept OUT of the
     # headline `timings` total so cross-round headline comparisons
     # stay meaningful; recorded under anchors instead.
+    # r7: the anchor sizes its OWN shuffle partitions with the engine's
+    # sized_shuffle_partitions helper instead of inheriting the
+    # session's 32 — at 32, each of the sort's range partitions
+    # carries ~640 MB against ~155 MB of per-task execution memory and
+    # the whole 20 GB churns through the spill path (measured matrix,
+    # same idle machine, tmpfs spill: 32 parts ≈ 296 s, 150 ≈ 238 s,
+    # 256 ≈ 189 s, 416 ≈ 88 s).  The helper's memory-aware target
+    # (min(128 MB, exec-mem-per-task / 3) ≈ 52 MB at 8g/32 slots)
+    # lands ~390 partitions — the fast regime — so the anchor
+    # demonstrates the knob rather than measuring the un-tuned regime.
     terasort_200m_sec = None
+    terasort_200m_shuffle_parts = None
     if os.environ.get("SPARK_GRAFT_BIG_ANCHOR", "1") != "0":
-        t0 = time.perf_counter()
-        terasort(teragen(spark, 200_000_000, partitions=640)).write.mode("overwrite").format("noop").save()
-        terasort_200m_sec = round(time.perf_counter() - t0, 1)
-        print(f"# terasort_200m_records: {terasort_200m_sec:.1f}s", file=sys.stderr)
+        from hadoop_3_3_6_spark.session import sized_shuffle_partitions
+
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        terasort_200m_shuffle_parts = sized_shuffle_partitions(spark, 200_000_000 * 100)
+        spark.conf.set("spark.sql.shuffle.partitions", str(terasort_200m_shuffle_parts))
+        try:
+            t0 = time.perf_counter()
+            terasort(teragen(spark, 200_000_000, partitions=640)).write.mode("overwrite").format("noop").save()
+            terasort_200m_sec = round(time.perf_counter() - t0, 1)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        print(
+            f"# terasort_200m_records: {terasort_200m_sec:.1f}s"
+            f" (shuffle partitions {terasort_200m_shuffle_parts})",
+            file=sys.stderr,
+        )
 
 
 
@@ -376,6 +399,27 @@ def main() -> None:
         h = hashlib.sha256(h + str(i).encode()).digest()
     cpu_probe = round(time.perf_counter() - t0, 3)
 
+    # Disk-speed index: sequential write+read of 256 MB through the
+    # same tmp filesystem the shuffle spills to.  Spill-regime anchors
+    # (terasort_200m) swing with DISK speed even when cpu_probe is
+    # flat — r7 measured 296 s on a 399 MB/s-write sandbox vs r6's
+    # 97 s — so big-anchor deltas need both probes for attribution.
+    disk_probe_mb_s = None
+    try:
+        import tempfile
+
+        blk = b"\xa5" * (8 * 1024 * 1024)
+        with tempfile.NamedTemporaryFile(dir="/tmp", suffix=".diskprobe") as tf:
+            t0 = time.perf_counter()
+            for _ in range(32):
+                tf.write(blk)
+            tf.flush()
+            os.fsync(tf.fileno())
+            wrote = time.perf_counter() - t0
+        disk_probe_mb_s = round(256.0 / max(wrote, 1e-9), 1)
+    except Exception as e:  # pragma: no cover — probe must never fail the bench
+        print(f"# disk probe skipped: {e}", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
     # BASELINE.md anchor: Yahoo 2009 TeraSort per-node rates (~6.0
@@ -399,12 +443,14 @@ def main() -> None:
                 2.0 / (timings["terasort_20m_records"] / 60.0), 2
             ),
             "terasort_200m_sec": terasort_200m_sec,
+            "terasort_200m_shuffle_partitions": terasort_200m_shuffle_parts,
             "terasort_200m_gb_per_node_min": (
                 round(20.0 / (terasort_200m_sec / 60.0), 2) if terasort_200m_sec else None
             ),
             "baseline_terasort_gb_per_node_min_500gb": 6.0,
             "baseline_terasort_gb_per_node_min_100tb": 0.97,
             "cpu_probe_sec": cpu_probe,
+            "disk_probe_mb_s": disk_probe_mb_s,
         },
         "sf1_spotcheck": sf1_spotcheck,
         "sf3_spotcheck": sf3_spotcheck,

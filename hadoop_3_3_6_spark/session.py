@@ -71,6 +71,23 @@ def get_spark(app_name: str = "hadoop-3-3-6-spark", shuffle_partitions: int | No
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Keep partition files reasonably sized at scan time.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Shuffle/spill scratch space.  On a real cluster this is the
+        # local-SSD mount (spark.local.dir per executor); in this
+        # sandbox the root virtio disk is BURST-THROTTLED — measured
+        # sequential-write speed fell 399 -> 9 MB/s within one round
+        # as heavy runs drained the hypervisor's IO budget, which made
+        # every spill-regime benchmark measure the throttle state, not
+        # the engine (200M terasort: 97 s .. 408 s for identical code).
+        # /dev/shm (126 GiB tmpfs, RAM-backed) is the stable analogue
+        # of provisioned shuffle SSDs; persistent-data anchors
+        # (dfsio_write/read) still target the real disk deliberately.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # warehouse for bucketed (MapFile-analogue) tables; static conf
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"))
@@ -157,18 +174,58 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {name: load_table(spark, name, sf_dir) for name in TABLE_NAMES}
 
 
+def _parse_jvm_mem(s: str) -> int:
+    """'8g' / '512m' / '4096k' / plain bytes -> bytes (JVM -Xmx grammar)."""
+    s = s.strip().lower()
+    mult = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}.get(s[-1], 1)
+    return int(float(s[:-1] if s[-1] in "kmgt" else s) * mult)
+
+
+def execution_memory_per_task(spark: SparkSession) -> int:
+    """Unified execution+storage memory one task slot can count on:
+    (heap - 300 MB reserved) * spark.memory.fraction / task slots.
+    Local mode reads the live driver JVM heap (driver IS the executor);
+    cluster mode derives it from spark.executor.memory /
+    spark.executor.cores / spark.task.cpus."""
+    sc = spark.sparkContext
+    reserved = 300 * 1024 * 1024
+    fraction = float(spark.conf.get("spark.memory.fraction", "0.6"))
+    if sc.master.startswith("local"):
+        heap = int(sc._jvm.java.lang.Runtime.getRuntime().maxMemory())
+        slots = max(sc.defaultParallelism, 1)
+    else:
+        heap = _parse_jvm_mem(spark.conf.get("spark.executor.memory", "4g"))
+        slots = max(
+            int(spark.conf.get("spark.executor.cores", "4"))
+            // max(int(spark.conf.get("spark.task.cpus", "1")), 1),
+            1,
+        )
+    return max(int((heap - reserved) * fraction / slots), 16 * 1024 * 1024)
+
+
 def sized_shuffle_partitions(
     spark: SparkSession,
     input_bytes: int,
     target_partition_bytes: int = 128 * 1024 * 1024,
     per_core_min: int = 2,
+    sort_inflation: float = 3.0,
 ) -> int:
     """Shuffle-partition count sized from the job's estimated input
     bytes — the first knob that matters on a real cluster (SCALE.md,
     round-6 TeraSort matrix: below the spill knee the count is a no-op
-    within noise; past it, ~128 MB per shuffle partition keeps the sort
-    spill bounded, and the Yahoo-2009 runs the reference benchmarked
+    within noise; the Yahoo-2009 runs the reference benchmarked
     against used ~2 partitions per core — the floor here).
+
+    Past the knee the binding constraint is EXECUTION MEMORY, not scan
+    granularity: a shuffle partition is sorted/aggregated inside ONE
+    task's share of unified memory, and row data inflates ~3× between
+    serialized shuffle bytes and deserialized sorter records.  So the
+    per-partition byte target is min(target_partition_bytes,
+    execution_memory_per_task / sort_inflation).  Measured on the 20 GB
+    / 200M-record TeraSort (8g heap, 32 slots → ~155 MB/task, cap
+    ≈ 52 MB): 150 partitions (133 MB each) = 238 s of spill churn,
+    256 = 189 s, 416 (48 MB each, under the cap) = 88 s — a 2.7×
+    swing from this one knob (SCALE.md round-7 notes).
 
     max(per_core_min x cores, ceil(bytes / target)): small inputs get
     full-core fan-out (never fewer tasks than the cluster can run),
@@ -179,8 +236,12 @@ def sized_shuffle_partitions(
     """
     import math
 
+    target = min(
+        target_partition_bytes,
+        max(int(execution_memory_per_task(spark) / sort_inflation), 1 * 1024 * 1024),
+    )
     cores = spark.sparkContext.defaultParallelism
-    return max(per_core_min * cores, math.ceil(max(input_bytes, 1) / target_partition_bytes))
+    return max(per_core_min * cores, math.ceil(max(input_bytes, 1) / target))
 
 
 def estimate_input_bytes(df: DataFrame) -> int:

@@ -683,26 +683,41 @@ def test_dist_copy_accepts_file_uri_destination(spark, tmp_path):
 
 
 def test_shuffle_partition_sizing(spark, sf_dir):
-    """sized_shuffle_partitions: full-core floor for small inputs,
-    ~128 MB/partition spill bound for large ones (the round-6 TeraSort
-    matrix lesson made engine behavior); estimate_input_bytes matches
-    the on-disk listing; tune_ applies the runtime conf."""
+    """sized_shuffle_partitions: full-core floor for small inputs;
+    large inputs bounded by min(128 MB, execution-memory-per-task /
+    sort_inflation) per partition — the round-7 TeraSort lesson (150
+    parts = 238 s vs 416 = 88 s on the same 20 GB sort) made engine
+    behavior; estimate_input_bytes matches the on-disk listing; tune_
+    applies the runtime conf."""
     import glob
+    import math
     import os
 
     from hadoop_3_3_6_spark.session import (
         estimate_input_bytes,
+        execution_memory_per_task,
         load_table,
         sized_shuffle_partitions,
         tune_shuffle_partitions_for,
     )
 
     cores = spark.sparkContext.defaultParallelism
+    mem_task = execution_memory_per_task(spark)
+    assert mem_task >= 16 * 1024 * 1024  # floor holds on any rig
+    target = min(128 * 1024 * 1024, max(int(mem_task / 3.0), 1024 * 1024))
     assert sized_shuffle_partitions(spark, 1) == 2 * cores
-    assert sized_shuffle_partitions(spark, 100 * 1024**4) == max(2 * cores, 819200)
-    # 10 GB at the default 128 MB target -> 80 partitions (above the
-    # floor on this rig only if cores < 40; assert the exact formula)
-    assert sized_shuffle_partitions(spark, 10 * 1024**3) == max(2 * cores, 80)
+    assert sized_shuffle_partitions(spark, 100 * 1024**4) == max(
+        2 * cores, math.ceil(100 * 1024**4 / target)
+    )
+    assert sized_shuffle_partitions(spark, 10 * 1024**3) == max(
+        2 * cores, math.ceil(10 * 1024**3 / target)
+    )
+    # the memory cap binds whenever a task's unified-memory share / 3
+    # is under 128 MB (it is at 8g/32 slots); a huge inflation factor
+    # must push the count UP, never down
+    assert sized_shuffle_partitions(
+        spark, 10 * 1024**3, sort_inflation=1000.0
+    ) >= sized_shuffle_partitions(spark, 10 * 1024**3)
 
     li = load_table(spark, "lineitem", sf_dir)
     expect = sum(
