@@ -780,6 +780,7 @@ def assign_clusters(
     num_centroids: int | None = 16,
     centroids: DataFrame | None = None,
     num_probes: int = 1,
+    with_score: bool = False,
 ) -> DataFrame:
     """IVF-style nearest-centroid assignment, shared by semdedup and
     the blocked near-dup pair join: one row per (corpus vector,
@@ -802,7 +803,13 @@ def assign_clusters(
     fold, ``max_by`` (or a bounded k-element sorted slice for
     multi-probe) partial combine — the corpus never shuffles on the
     tiny cent_id key; ties broken toward the lower cent_id to stay
-    oracle-exact."""
+    oracle-exact.
+
+    ``with_score=True`` (num_probes=1 only) also returns ``cscore``,
+    the winning cell's cosine — the prototypicality signal
+    diversity_sample ranks on."""
+    if with_score and num_probes != 1:
+        raise ValueError("with_score requires num_probes=1 (one assigned cell per vector)")
     if centroids is not None:
         cents = centroids.select("cent_id", F.col("cvec").cast("array<double>").alias("cvec"))
     else:
@@ -833,11 +840,16 @@ def assign_clusters(
         # nondeterministic and blocks exchange-reuse canonicalization,
         # which would force the whole assignment subtree (the N*k
         # cosine fold) to compute once per pair-join side.
-        return vc.groupBy(id_col).agg(
+        aggs = [
             F.max_by("cent_id", F.struct(F.col("cscore"), (-F.col("cent_id")).alias("_nc"))).alias("cluster_id"),
             F.max_by(vec_col, F.col(id_col)).alias(vec_col),
             F.max_by("_norm", F.col(id_col)).alias("_norm"),
-        )
+        ]
+        if with_score:
+            # the winning cell's cosine IS the max score (ties only
+            # affect which cent_id wins, never the score value)
+            aggs.append(F.max("cscore").alias("cscore"))
+        return vc.groupBy(id_col).agg(*aggs)
     # Multi-probe: keep the num_probes best cells per vector.  The
     # k-element collect_list is bounded by the centroid count (not the
     # corpus), sorted by (-cscore, cent_id) — identical ordering to
@@ -909,6 +921,62 @@ def semdedup(
     )
     return assigned.join(dropped.withColumn("_drop", F.lit(True)), on=id_col, how="left").select(
         id_col, "cluster_id", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")
+    )
+
+
+def diversity_sample(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int | None = None,
+    keep_fraction: float = 0.5,
+    strategy: str = "farthest",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster-balanced diversity pruning (public method: prototype
+    pruning from Sorscher et al. 2022, "Beyond neural scaling laws",
+    arXiv:2206.14486 — rank examples by prototypicality, the cosine to
+    their cluster centroid, and keep the LEAST prototypical
+    ``keep_fraction`` of every cluster; the SemDeDup companion the
+    DataComp pipelines run after near-dedup).  Dedup removes copies;
+    this removes redundancy — the dense core of each semantic cluster
+    contributes little marginal training signal, so the keep set holds
+    the cluster's diverse rim while the per-cluster quota
+    (ceil(keep_fraction x |cluster|)) guarantees NO cluster is emptied
+    — the coverage property a global score cut cannot give.
+
+    ``strategy``: 'farthest' keeps low-prototypicality rows (the
+    paper's choice for large corpora); 'nearest' keeps the
+    high-prototypicality core (their small-corpus regime).  Returns
+    (``id_col``, cluster_id, proto_score, keep) for every corpus row,
+    deterministic via the rounded score + id tie-break, so the whole
+    op is exactly oracle-checkable.
+
+    Scale shape: stage 1 is the shared IVF assignment (k centroids
+    broadcast, max_by partial combine — see assign_clusters); stage 2
+    is ONE shuffle of (id, cluster_id, score) rows — vectors dropped
+    before the exchange — and a per-cluster sort bounded by cluster
+    size (~sqrt(N) at the in-plan k sizing).  No pair joins anywhere:
+    unlike semdedup this stays strictly linear in corpus size, which
+    is why DataComp-scale pipelines can afford it on the full pool."""
+    from pyspark.sql.window import Window
+
+    if strategy not in ("farthest", "nearest"):
+        raise ValueError(f"unknown strategy {strategy!r}: use 'farthest' or 'nearest'")
+    assigned = assign_clusters(
+        emb, id_col, vec_col, num_centroids, centroids, with_score=True
+    ).select(id_col, "cluster_id", F.col("cscore").alias("proto_score"))
+    order = F.col("proto_score").asc() if strategy == "farthest" else F.col("proto_score").desc()
+    w = Window.partitionBy("cluster_id").orderBy(order, F.col(id_col).asc())
+    wc = Window.partitionBy("cluster_id")
+    return assigned.select(
+        id_col,
+        "cluster_id",
+        "proto_score",
+        (
+            F.row_number().over(w)
+            <= F.ceil(F.count(F.lit(1)).over(wc) * F.lit(keep_fraction)).cast("long")
+        ).alias("keep"),
     )
 
 

@@ -1488,6 +1488,50 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipeline_diversity_sample",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (SELECT vec_id AS cent_id, e AS ce FROM v
+          WHERE vec_id < (SELECT ceil(sqrt(count(*))) FROM v)),
+    vc AS (
+      SELECT v.vec_id, c.cent_id, {_IVF_COS.format(a="v.e", b="c.ce")} AS cscore
+      FROM v CROSS JOIN c),
+    asg AS (
+      SELECT vec_id, cent_id AS cluster_id, cscore FROM (
+        SELECT vec_id, cent_id, cscore,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cent_id) AS rn
+        FROM vc) WHERE rn = 1),
+    ranked AS (
+      SELECT vec_id, cluster_id, cscore AS proto_score,
+             row_number() OVER (PARTITION BY cluster_id ORDER BY cscore ASC, vec_id) AS rnk,
+             count(*) OVER (PARTITION BY cluster_id) AS n
+      FROM asg)
+    SELECT vec_id, cluster_id, proto_score,
+           (rnk <= ceil(0.5 * n)::BIGINT) AS keep
+    FROM ranked
+    """,
+)
+def q_pipeline_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity pruning (prototype pruning, Sorscher
+    et al. 2022 arXiv:2206.14486 — the SemDeDup companion DataComp
+    pipelines run after near-dedup): assign every embedding to its
+    nearest seeded centroid (identical in-plan k = ceil(sqrt(N))
+    sizing as dedup_semantic), rank each cluster by prototypicality
+    (cosine to centroid) and keep the farthest half per cluster — the
+    per-cluster quota guarantees no semantic cluster is emptied.
+    Strictly linear (no pair joins): one broadcast-k assignment pass +
+    one cluster_id-keyed window — the member of the dedup/pruning tier
+    that stays affordable on the full 100-TB pool
+    (functions/similarity.diversity_sample)."""
+    from hadoop_3_3_6_spark.functions.similarity import diversity_sample
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return diversity_sample(
+        emb, "vec_id", "embedding", num_centroids=None, keep_fraction=0.5
+    )
+
+
+@_register(
     "text_token_counts",
     """
     SELECT doc_id,

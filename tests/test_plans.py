@@ -288,6 +288,9 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "similarity_pq_topk",
         "similarity_quantized_topk",
         "dedup_semantic",
+        # same bounded corpus x broadcast(k) assignment stage as
+        # dedup_semantic; stage 2 is a window, no pair join at all
+        "pipeline_diversity_sample",
         "q22_global_sales_opportunity",
         "skew_profile_events",
         "histogram_order_values",

@@ -164,6 +164,43 @@ def test_kmeans_trained_ivf_recall(spark, sf_dir):
     assert recall >= 0.4, f"trained-IVF recall {recall:.2f}"
 
 
+def test_diversity_sample_invariants(spark, sf_dir):
+    """Cluster-balanced prototype pruning: every cluster keeps exactly
+    ceil(f x |cluster|) rows, kept rows are the LEAST prototypical
+    (farthest strategy), 'nearest' keeps the opposite end, and the two
+    strategies agree on quota."""
+    import math
+
+    from hadoop_3_3_6_spark.functions.similarity import diversity_sample
+    from hadoop_3_3_6_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    far = diversity_sample(emb, num_centroids=4, keep_fraction=0.25).toPandas()
+    near = diversity_sample(
+        emb, num_centroids=4, keep_fraction=0.25, strategy="nearest"
+    ).toPandas()
+
+    assert len(far) == emb.count()  # one verdict row per vector
+    for cid, grp in far.groupby("cluster_id"):
+        quota = math.ceil(0.25 * len(grp))
+        kept = grp[grp.keep]
+        assert len(kept) == quota, f"cluster {cid}: {len(kept)} != {quota}"
+        # kept = lowest prototypicality scores (ties broken by id, so
+        # compare against the score at the quota boundary)
+        boundary = grp.sort_values(["proto_score", "vec_id"]).proto_score.iloc[quota - 1]
+        assert (kept.proto_score <= boundary).all()
+    for cid, grp in near.groupby("cluster_id"):
+        kept = grp[grp.keep]
+        assert len(kept) == math.ceil(0.25 * len(grp))
+        boundary = grp.sort_values(["proto_score", "vec_id"], ascending=[False, True]).proto_score.iloc[len(kept) - 1]
+        assert (kept.proto_score >= boundary).all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        diversity_sample(emb, strategy="random")
+
+
 def test_simhash_near_duplicates_close(spark):
     """Property: near-identical documents get hamming-close simhashes,
     unrelated documents don't."""
