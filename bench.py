@@ -162,6 +162,9 @@ HEADLINE = [
     # and DSIR importance resampling (hashed-ngram LM ratio top-k)
     "similarity_pq_topk",
     "pipeline_importance_resample",
+    # round-7: cluster-balanced prototype pruning (linear sibling of
+    # dedup_semantic — assignment + one window, no pair join)
+    "pipeline_diversity_sample",
 ]
 
 
@@ -644,6 +647,10 @@ SF1_QUERIES = [
     # token-explode/bucket-LM/top-k chain (linear + 256-row bounded)
     "similarity_pq_topk",
     "pipeline_importance_resample",
+    # round-7: cluster-balanced prototype pruning — shares semdedup's
+    # assignment stage but replaces the pair join with one cluster_id
+    # window; sf3 exponent check pins the no-pair-join claim
+    "pipeline_diversity_sample",
 ]
 _SF1_SCALED = {"orders", "lineitem", "events", "documents", "embeddings", "part"}
 # Each scaled table's columns map to the OFFSET-SOURCE table whose key
@@ -851,6 +858,10 @@ SF3_QUERIES = {
     "fuzzy_join_titles_clean": 1.0,
     "embedding_neardup": 1.5,
     "dedup_semantic": 1.5,
+    # assignment-only sibling of dedup_semantic: the N*sqrt(N) cosine
+    # fold dominates in-plan k sizing, so design is 1.5 WITHOUT the
+    # pair join's output growth; measured should land well under
+    "pipeline_diversity_sample": 1.5,
     "text_lm_bigram": 1.0,
     "dedup_span_fraction": 1.0,
     "text_repetition_topgram": 1.0,

@@ -164,6 +164,18 @@ def test_kmeans_trained_ivf_recall(spark, sf_dir):
     assert recall >= 0.4, f"trained-IVF recall {recall:.2f}"
 
 
+def test_parse_jvm_mem():
+    """JVM -Xmx grammar: suffixed and plain-byte forms."""
+    from hadoop_3_3_6_spark.session import _parse_jvm_mem
+
+    assert _parse_jvm_mem("8g") == 8 * 1024**3
+    assert _parse_jvm_mem("512m") == 512 * 1024**2
+    assert _parse_jvm_mem("4096K") == 4096 * 1024
+    assert _parse_jvm_mem("1t") == 1024**4
+    assert _parse_jvm_mem("12345") == 12345
+    assert _parse_jvm_mem(" 2G ") == 2 * 1024**3
+
+
 def test_diversity_sample_invariants(spark, sf_dir):
     """Cluster-balanced prototype pruning: every cluster keeps exactly
     ceil(f x |cluster|) rows, kept rows are the LEAST prototypical
