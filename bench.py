@@ -250,11 +250,33 @@ def _min_of(reps: int, run) -> float:
     return best
 
 
+def _sweep_stale_local_dirs(max_age_s: float = 6 * 3600) -> None:
+    """Shuffle scratch lives on RAM-backed tmpfs (/dev/shm — see
+    session.get_spark); a KILLED run skips Spark's shutdown hook and
+    can orphan a 20 GB spill tree that then eats real memory for the
+    rest of the machine's life.  Sweep subtrees old enough that no
+    live session can own them (live sessions touch their dirs
+    constantly; 6 h is > any single bench run)."""
+    import shutil
+    import time as _t
+
+    base = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    try:
+        now = _t.time()
+        for entry in os.listdir(base):
+            p = os.path.join(base, entry)
+            if now - os.path.getmtime(p) > max_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass  # base absent or unreadable — nothing to sweep
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from hadoop_3_3_6_spark.plans.queries import QUERIES
     from hadoop_3_3_6_spark.session import load_table
 
+    _sweep_stale_local_dirs()
     timings: dict[str, float] = {}
     result_rows: dict[str, int] = {}
     chunks = [HEADLINE[i : i + CHUNK] for i in range(0, len(HEADLINE), CHUNK)]
