@@ -56,6 +56,46 @@ def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("_norm", F.expr(f"sqrt({_dot(vec_col, vec_col)})"))
 
 
+def _rank_topk(
+    scored: DataFrame,
+    k: int,
+    order_col: str = "score",
+    ascending: bool = False,
+    num_salts: int = 16,
+) -> DataFrame:
+    """Two-phase exact per-probe top-k — the scale-safe rank stage
+    shared by EVERY similarity query (brute force, IVF, quantized,
+    PQ/ADC, LSH, IVF-PQ).
+
+    A single ``row_number() over (partition by probe_id)`` funnels a
+    probe's ENTIRE candidate set into one task — for the full-scan
+    tiers that is N rows per probe, the per-group analogue of the
+    1-reducer top-k in the reference's Grep (MRX/Grep.java:82-92;
+    SURVEY §2.6 names TakeOrdered as the scale-safe shape).  This
+    delegates to operators/skew.topk_per_group_salted: stage 1 ranks
+    within (probe_id, deterministic-hash-of-neighbor salt), keeping
+    each salt's local top-k, so a probe's candidates spread over
+    ``num_salts`` tasks; stage 2 ranks the ≤ k·num_salts survivors.
+    EXACT for any salt assignment — each salt's local top-k is a
+    superset of its contribution to the global top-k, and
+    (order_col, neighbor_id) is a total order within a probe — so
+    rows AND ranks are bit-identical to the single-window form; only
+    the plan changes (two bounded exchanges instead of one unbounded
+    per-probe funnel).  Plan-gated by
+    tests/test_plans.py::test_similarity_rank_is_two_phase."""
+    from hadoop_3_3_6_spark.operators.skew import topk_per_group_salted
+
+    return topk_per_group_salted(
+        scored,
+        ["probe_id"],
+        order_col,
+        k,
+        "neighbor_id",
+        num_salts=num_salts,
+        ascending=ascending,
+    )
+
+
 def _scored_pairs(
     emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -85,15 +125,10 @@ def cosine_topk_bruteforce(
     neighbor_id asc) — deterministic across engines.  Pass ``probes``
     (an id DataFrame) to keep the probe set in-plan; no driver action."""
     probe_rows = _restrict_to_probes(emb, id_col, probes, probe_ids)
-    scored = _scored_pairs(emb, probe_rows, id_col, vec_col)
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("probe_id").orderBy(F.round(F.col("score"), 6).desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("probe_id", "neighbor_id", F.round("score", 6).alias("score"), "rank")
+    scored = _scored_pairs(emb, probe_rows, id_col, vec_col).select(
+        "probe_id", "neighbor_id", F.round("score", 6).alias("score")
     )
+    return _rank_topk(scored, k).select("probe_id", "neighbor_id", "score", "rank")
 
 
 def cosine_pairs_above(
@@ -466,8 +501,7 @@ def ivf_topk(
     probe_side = F.broadcast(probe_rows) if bounded else probe_rows
     cand = assigned.join(probe_side, on="cent_id").filter(F.col("probe_id") != F.col(id_col))
     scored = cand.select("probe_id", F.col(id_col).alias("neighbor_id"), score.alias("score"))
-    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rank_topk(scored, k)
 
 
 def quantize_embeddings(
@@ -511,9 +545,7 @@ def quantized_topk(
     moves 4× fewer bytes and the arithmetic is exact integer folds.
     Quantization error vs float cosine is bounded by the int8 grid;
     recall against the exact baseline is tested.  Same plan shape as
-    the float path (probe semi-join, per-probe window)."""
-    from pyspark.sql.window import Window
-
+    the float path (probe semi-join, two-phase rank)."""
     # zero-norm guard via drop_zero: an all-zero vector has no cosine
     # direction — dividing by _qnorm would yield NULL here but inf/NaN
     # in a SQL mirror, diverging rankings; drop such vectors from BOTH
@@ -537,8 +569,7 @@ def quantized_topk(
         F.col(f"b.{id_col}").alias("neighbor_id"),
         score.alias("score"),
     )
-    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rank_topk(scored, k)
 
 
 def train_pq_codebooks(
@@ -733,8 +764,6 @@ def pq_topk(
     by an independent replica (the similarity_ivf_trained pattern).
     Output: (probe_id, neighbor_id, adc_dist, rank), ascending ADC
     distance."""
-    from pyspark.sql.window import Window
-
     m, sub = len(books), len(books[0][0])
     enc = pq_encode(emb, books, id_col, vec_col)
     bdf = F.broadcast(_books_df(emb.sparkSession, books))
@@ -767,10 +796,7 @@ def pq_topk(
     scored = cand.select(
         "probe_id", F.col(id_col).alias("neighbor_id"), F.round(adc, 6).alias("adc_dist")
     )
-    w = Window.partitionBy("probe_id").orderBy(
-        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rank_topk(scored, k, order_col="adc_dist", ascending=True)
 
 
 def assign_clusters(
@@ -1067,9 +1093,6 @@ def lsh_bucketed_topk(
             )
 
     buckets = mk_buckets(emb)
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("probe_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     bounded = probes is not None or probe_ids is not None
     if bounded:
         # bounded probe set: the bucket rows carry the vector (map-side
@@ -1094,15 +1117,14 @@ def lsh_bucketed_topk(
             F.col("_norm").alias("_pnorm"),
         )
         score = F.round(F.expr(f"{_dot('_pvec', vec_col)} / (_pnorm * _norm)"), 6)
-        return (
+        deduped = (
             vb.join(F.broadcast(pa), on=["table", "bucket"])
             .filter(F.col("probe_id") != F.col(id_col))
             .select("probe_id", F.col(id_col).alias("neighbor_id"), score.alias("score"))
             .groupBy("probe_id", "neighbor_id")
             .agg(F.first("score").alias("score"))
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
         )
+        return _rank_topk(deduped, k)
     pairs = (
         _restrict_to_probes(buckets, id_col, probes, probe_ids)
         .alias("pa")
@@ -1126,4 +1148,4 @@ def lsh_bucketed_topk(
         .join(b, pairs.neighbor_id == F.col(f"b.{id_col}"))
         .select("probe_id", "neighbor_id", F.round(score, 6).alias("score"))
     )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _rank_topk(scored, k)

@@ -6963,10 +6963,18 @@ _DRIVER_RECHECK = {
     "fuzzy_join_titles": 6,
     "embedding_neardup": 6,
     # round 6: k-means assignment rewritten from corpus x broadcast(k)
-    # cross + groupBy(id) min_by to a 1-row broadcast centroid matrix
-    # + HOF argmin (no corpus shuffle); distances bit-identical, means
-    # float-order may drift ~1e-15 but the 1e-3 quantization absorbs it
-    "similarity_ivf_trained": 6,
+    # round 8: the shared rank stage became two-phase salted top-k
+    # (functions/similarity._rank_topk — the r7 verdict's one `weak`);
+    # rows and ranks bit-identical (re-verified against every oracle
+    # at sf0.01 before landing), plans changed
+    "similarity_ivf_trained": 8,
+    "similarity_topk": 8,
+    "similarity_ivf_topk": 8,
+    "similarity_quantized_topk": 8,
+    "similarity_pq_topk": 8,
+    "similarity_lsh_topk": 8,
+    "similarity_lsh_topk_fast": 8,
+    "similarity_lsh_topk_fast_verdict": 8,
 }
 
 _DRIVER_HOLDBACK_R5 = [
