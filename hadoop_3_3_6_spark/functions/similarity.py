@@ -708,6 +708,7 @@ def pq_encode(
     books: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """PQ-encode: each vector becomes ``m`` small-int codes (argmin L2
     per subspace against the broadcast codebooks) — a pure projection
@@ -715,7 +716,10 @@ def pq_encode(
     100 TB this is the storage tier: D float32 dims (4·D bytes)
     compress to m 1-byte codes (codes ≤ 256) — a 4·D/m× reduction
     (64-dim fixture at m=16 → 16×; m=4 → 64×) the candidate scan then
-    reads instead of raw vectors.  Output: (id, codes array<int>)."""
+    reads instead of raw vectors.  Output: (id, *extra_cols, codes
+    array<int>) — ``extra_cols`` lets ivf_pq_topk carry the coarse
+    cluster assignment through the encode projection without a
+    join-back."""
     m, sub = len(books), len(books[0][0])
     bdf = F.broadcast(_books_df(emb.sparkSession, books))
     codes_expr = F.zip_with(
@@ -735,7 +739,55 @@ def pq_encode(
             )
         )["code_id"],
     )
-    return emb.crossJoin(bdf).select(F.col(id_col), codes_expr.alias("codes"))
+    return emb.crossJoin(bdf).select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], codes_expr.alias("codes")
+    )
+
+
+def _adc_tables(
+    probe_rows: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-probe asymmetric-distance tables: each probe's raw vector ×
+    the broadcast codebooks → an m×codes matrix of exact L2 distances
+    (probe subvector → every codebook entry).  A candidate's ADC
+    distance is then m table lookups + m adds — shared by pq_topk
+    (full-corpus scan) and ivf_pq_topk (list-pruned scan, which passes
+    ``extra_cols=('cluster_id',)`` to keep its probed cells)."""
+    m, sub = len(books), len(books[0][0])
+    bdf = F.broadcast(_books_df(probe_rows.sparkSession, books))
+    dtab = F.zip_with(
+        F.expr(_slices_expr(vec_col, m, sub)),
+        F.col("books"),
+        lambda sv, book: F.transform(
+            book,
+            lambda c: F.aggregate(
+                F.zip_with(sv, c["cvec"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        ),
+    )
+    return probe_rows.crossJoin(bdf).select(
+        F.col(id_col).alias("probe_id"),
+        *[F.col(c) for c in extra_cols],
+        dtab.alias("dtab"),
+    )
+
+
+def _adc_dist() -> "F.Column":
+    """Fixed-order fold of the m per-subspace table lookups (codes →
+    dtab rows) — the determinism contract both PQ oracles replicate."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("dtab"), lambda code, row: F.element_at(row, code + 1)
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
 
 
 def pq_topk(
@@ -754,8 +806,8 @@ def pq_topk(
     floating-point vector math on the corpus side at all.  The scan
     reads (id, codes) — the 64×-compressed tier — and the probe tables
     ride in the probe broadcast, so per-candidate cost is m array
-    lookups + m adds.  This is the query half of IVF-PQ (compose with
-    ``ivf_topk``'s cluster blocking for the list-pruned variant).
+    lookups + m adds.  This is the query half of IVF-PQ; the composed
+    list-pruned variant is :func:`ivf_pq_topk`.
 
     Determinism contract: table entries are sequential left folds over
     decimal-grid codebook entries, the ADC sum is a fixed-order fold
@@ -764,37 +816,75 @@ def pq_topk(
     by an independent replica (the similarity_ivf_trained pattern).
     Output: (probe_id, neighbor_id, adc_dist, rank), ascending ADC
     distance."""
-    m, sub = len(books), len(books[0][0])
     enc = pq_encode(emb, books, id_col, vec_col)
-    bdf = F.broadcast(_books_df(emb.sparkSession, books))
-    dtab = F.zip_with(
-        F.expr(_slices_expr(vec_col, m, sub)),
-        F.col("books"),
-        lambda sv, book: F.transform(
-            book,
-            lambda c: F.aggregate(
-                F.zip_with(sv, c["cvec"], lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ),
-        ),
-    )
     probe_rows = _restrict_to_probes(emb, id_col, probes, probe_ids)
-    probe_tabs = probe_rows.crossJoin(bdf).select(
-        F.col(id_col).alias("probe_id"), dtab.alias("dtab")
-    )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"), F.col("dtab"), lambda code, row: F.element_at(row, code + 1)
-        ),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
-    )
+    probe_tabs = _adc_tables(probe_rows, books, id_col, vec_col)
     cand = enc.crossJoin(F.broadcast(probe_tabs)).filter(
         F.col("probe_id") != F.col(id_col)
     )
     scored = cand.select(
-        "probe_id", F.col(id_col).alias("neighbor_id"), F.round(adc, 6).alias("adc_dist")
+        "probe_id", F.col(id_col).alias("neighbor_id"), F.round(_adc_dist(), 6).alias("adc_dist")
+    )
+    return _rank_topk(scored, k, order_col="adc_dist", ascending=True)
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    probe_ids: list[int] | None = None,
+    probes: DataFrame | None = None,
+) -> DataFrame:
+    """Composed IVF-PQ (Jégou et al. TPAMI 2011 §IV; the architecture
+    FAISS ships as IndexIVFPQ): coarse-quantize the corpus onto
+    ``num_centroids`` inverted lists (``assign_clusters`` — broadcast
+    centroids, max_by combine, ties to the lower cent_id), PQ-encode
+    every vector to m 1-byte codes IN THE SAME projection (the cluster
+    id rides through ``pq_encode(extra_cols=...)`` — no join-back),
+    and answer each probe by scanning only its ``nprobe`` nearest
+    lists with asymmetric-distance tables.  Per-probe candidate work
+    drops from O(N) (pq_topk's full ADC scan) to O(N·nprobe/K)
+    expected — the list-pruned scan is what makes the compressed tier
+    usable at 100 TB, and it also bounds the rank stage's input
+    (|cell|·nprobe candidates per probe, further two-phased by
+    ``_rank_topk``).
+
+    Coarse seeding is the deterministic id < num_centroids rule
+    (assign_clusters' oracle-exact default; pass trained centroids via
+    ivf_topk for the recall-tested variant).  Every candidate appears
+    at most once per probe — corpus vectors own exactly ONE list and
+    a probe's nprobe lists are distinct — so no dedup stage is needed.
+    Same determinism contract as pq_topk (sequential folds, decimal-
+    grid codebooks, 1e-6 HALF_UP rounding, neighbor-id tiebreak), so
+    the whole composition — coarse assignment, training, encoding,
+    list-pruned ADC — is bit-reproducible by the independent numpy
+    replica in plans/queries._ivf_pq_oracle.  Output: (probe_id,
+    neighbor_id, adc_dist, rank), ascending ADC distance; NOTE a probe
+    sees only vectors in its probed cells (recall < 1 by construction,
+    floor-tested vs exact L2 in tests/test_tools.py)."""
+    cents = emb.filter(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    )
+    assigned = assign_clusters(emb, id_col, vec_col, centroids=cents)
+    enc = pq_encode(assigned, books, id_col, vec_col, extra_cols=("cluster_id",))
+    probe_rows = _restrict_to_probes(emb, id_col, probes, probe_ids)
+    probe_cells = assign_clusters(
+        probe_rows, id_col, vec_col, centroids=cents, num_probes=nprobe
+    )
+    probe_tabs = _adc_tables(probe_cells, books, id_col, vec_col, extra_cols=("cluster_id",))
+    # probes × nprobe is small by construction — broadcast so the
+    # corpus-sized code table never shuffles (cluster_id has only
+    # num_centroids values: a shuffle join on it would be maximally
+    # skewed — the ivf_topk discipline).
+    cand = enc.join(F.broadcast(probe_tabs), on="cluster_id").filter(
+        F.col("probe_id") != F.col(id_col)
+    )
+    scored = cand.select(
+        "probe_id", F.col(id_col).alias("neighbor_id"), F.round(_adc_dist(), 6).alias("adc_dist")
     )
     return _rank_topk(scored, k, order_col="adc_dist", ascending=True)
 

@@ -1789,101 +1789,126 @@ def q_similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, "vec_id", "embedding", k=5, nprobe=4, probes=probes, centroids=trained)
 
 
-def _pq_oracle() -> str | None:
-    """Exact oracle for PQ/ADC top-k (the similarity_ivf_trained
-    pattern, one step further): an INDEPENDENT pure-numpy replica of
-    the whole pipeline — per-subspace Lloyd training with the same md5
-    seed ranking / sequential-fold distances (cumsum) / lowest-code-id
-    tie break / per-iteration decimal-grid snap, then PQ encoding and
-    asymmetric-distance top-k with Spark's exact fold order and
-    HALF_UP 1e-6 rounding (emulated with Decimal(repr(x)), which
-    matches java BigDecimal.valueOf's shortest-representation
-    semantics) — derives the expected result rows from the sf0.01
-    parquet directly and pins them as a VALUES literal.  A green hash
-    therefore certifies codebook training, encoding AND the ADC query
-    end-to-end.  Pinned to the driver's sf0.01 tier (the Spark query
-    trains on its own sf_dir).  Degrades to rows-only (None), loudly,
-    if the fixture or replica is unavailable."""
-    import os
+# Shared PQ / IVF-PQ hyperparameters — ONE definition read by the
+# registered query functions AND the numpy oracle replicas, so a
+# parameter tweak can never silently desynchronize them (round-7
+# ADVICE item).  Values are the driver-checked contract; the library
+# functions themselves stay fully parameterizable.
+_PQ_M, _PQ_CODES, _PQ_ITERS, _PQ_Q, _PQ_K = 16, 16, 3, 3, 5
+_PQ_PROBE_MAX = 10          # similarity_pq_topk: full ADC scan, 10 probes
+_IVFPQ_CELLS, _IVFPQ_NPROBE = 16, 4
+_IVFPQ_PROBE_MAX = 25       # similarity_ivf_pq_topk: list-pruned, 25 probes
 
-    path = "/root/testdata/sf0.01/embeddings.parquet"
-    if not os.path.exists(path):
-        return None
-    try:
-        import hashlib
-        from decimal import ROUND_HALF_UP, Decimal
 
-        import numpy as np
-        import pyarrow.parquet as pq
+def _spark_round(x: float, decimals: int = 6) -> float:
+    """Spark round() = BigDecimal.valueOf(x).setScale(d, HALF_UP);
+    repr(x) is the same shortest decimal representation."""
+    from decimal import ROUND_HALF_UP, Decimal
 
-        t = pq.read_table(path, columns=["vec_id", "embedding"])
-        ids = t.column("vec_id").to_numpy()
-        vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-        n, dim = vecs.shape
-        m, codes, iters, q, topk = 16, 16, 3, 3, 5
-        sub = dim // m
-        ranks = [
-            int(hashlib.md5(f"kmseed:{int(i)}".encode()).hexdigest()[:15], 16)
-            for i in ids
-        ]
-        order = sorted(range(n), key=lambda j: (ranks[j], ids[j]))[:codes]
-        books = [
-            [list(vecs[o][j * sub : (j + 1) * sub]) for o in order] for j in range(m)
-        ]
-        for _ in range(iters):
-            nb = []
-            for j in range(m):
-                sv = vecs[:, j * sub : (j + 1) * sub]
-                cents = np.array(books[j])
-                diffs = sv[:, None, :] - cents[None, :, :]
-                # cumsum = Spark's sequential aggregate() left fold
-                d = np.cumsum(diffs * diffs, axis=2)[:, :, -1]
-                assign = np.argmin(d, axis=1)  # first min = lowest code_id
-                newj = []
-                for c in range(codes):
-                    mem = sv[assign == c]
-                    mu = mem.sum(axis=0) / len(mem) if len(mem) else np.array(books[j][c])
-                    newj.append([round(float(x), q) for x in mu])
-                nb.append(newj)
-            books = nb
-        barr = [np.array(books[j]) for j in range(m)]
-        enc = np.zeros((n, m), dtype=int)
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal(f"1e-{decimals}"), ROUND_HALF_UP)
+    )
+
+
+def _pq_replica(path: str):
+    """Shared pure-numpy replica of the distributed PQ pipeline's
+    training + encoding stages: per-subspace Lloyd with the same md5
+    seed ranking / sequential-fold distances (cumsum = Spark's
+    aggregate() left fold) / lowest-code-id tie break / per-iteration
+    decimal-grid snap, then PQ encoding.  Returns (ids, vecs, barr,
+    enc); memoized (cache defined just below) so the two PQ oracles
+    (_pq_oracle, _ivf_pq_oracle) pay ONE replica run per process
+    (round-7 ADVICE item)."""
+    if path in _PQ_REPLICA_CACHE:
+        return _PQ_REPLICA_CACHE[path]
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    n, dim = vecs.shape
+    m, codes, iters, q = _PQ_M, _PQ_CODES, _PQ_ITERS, _PQ_Q
+    sub = dim // m
+    ranks = [
+        int(hashlib.md5(f"kmseed:{int(i)}".encode()).hexdigest()[:15], 16)
+        for i in ids
+    ]
+    order = sorted(range(n), key=lambda j: (ranks[j], ids[j]))[:codes]
+    books = [
+        [list(vecs[o][j * sub : (j + 1) * sub]) for o in order] for j in range(m)
+    ]
+    for _ in range(iters):
+        nb = []
         for j in range(m):
             sv = vecs[:, j * sub : (j + 1) * sub]
-            diffs = sv[:, None, :] - barr[j][None, :, :]
-            enc[:, j] = np.argmin(np.cumsum(diffs * diffs, axis=2)[:, :, -1], axis=1)
+            cents = np.array(books[j])
+            diffs = sv[:, None, :] - cents[None, :, :]
+            # cumsum = Spark's sequential aggregate() left fold
+            d = np.cumsum(diffs * diffs, axis=2)[:, :, -1]
+            assign = np.argmin(d, axis=1)  # first min = lowest code_id
+            newj = []
+            for c in range(codes):
+                mem = sv[assign == c]
+                mu = mem.sum(axis=0) / len(mem) if len(mem) else np.array(books[j][c])
+                newj.append([round(float(x), q) for x in mu])
+            nb.append(newj)
+        books = nb
+    barr = [np.array(books[j]) for j in range(m)]
+    enc = np.zeros((n, m), dtype=int)
+    for j in range(m):
+        sv = vecs[:, j * sub : (j + 1) * sub]
+        diffs = sv[:, None, :] - barr[j][None, :, :]
+        enc[:, j] = np.argmin(np.cumsum(diffs * diffs, axis=2)[:, :, -1], axis=1)
+    _PQ_REPLICA_CACHE[path] = (ids, vecs, barr, enc)
+    return _PQ_REPLICA_CACHE[path]
 
-        def srnd(x: float) -> float:
-            # Spark round() = BigDecimal.valueOf(x).setScale(6, HALF_UP);
-            # repr(x) is the same shortest decimal representation.
-            return float(Decimal(repr(float(x))).quantize(Decimal("1e-6"), ROUND_HALF_UP))
 
-        id_to_idx = {int(i): ix for ix, i in enumerate(ids)}
-        rows = []
-        for p in sorted(int(i) for i in ids if i < 10):
-            pi = id_to_idx[p]
-            tabs = []
-            for j in range(m):
-                pv = vecs[pi, j * sub : (j + 1) * sub]
-                diffs = pv[None, :] - barr[j]
-                tabs.append(np.cumsum(diffs * diffs, axis=1)[:, -1])
-            scored = []
-            for ix, i in enumerate(ids):
-                if int(i) == p:
-                    continue
-                acc = 0.0
-                for j in range(m):  # fixed-order fold, as in the plan
-                    acc = acc + float(tabs[j][enc[ix, j]])
-                scored.append((srnd(acc), int(i)))
-            scored.sort()
-            for r, (dd, i) in enumerate(scored[:topk], 1):
-                rows.append((p, i, dd, r))
-    except Exception as exc:
-        print(
-            f"# WARNING: similarity_pq_topk oracle degraded to rows-only: {exc!r}",
-            file=__import__("sys").stderr,
-        )
-        return None
+_PQ_REPLICA_CACHE: dict = {}
+
+
+def _adc_replica_rows(path: str, probe_max: int, allowed_cells=None):
+    """ADC top-k rows from the shared replica: per-probe m×codes exact
+    L2 tables (cumsum folds), candidate distance = fixed-order sum of
+    m lookups, HALF_UP 1e-6 rounding, (dist, neighbor_id) sort.
+    ``allowed_cells`` (probe_id -> set of cell ids, plus the shared
+    vector->cell assignment in position 'assign') restricts candidates
+    to the probe's inverted lists — the IVF-PQ pruning."""
+    import numpy as np
+
+    ids, vecs, barr, enc = _pq_replica(path)
+    m = len(barr)
+    sub = barr[0].shape[1]
+    id_to_idx = {int(i): ix for ix, i in enumerate(ids)}
+    assign = allowed_cells["assign"] if allowed_cells is not None else None
+    rows = []
+    for p in sorted(int(i) for i in ids if i < probe_max):
+        pi = id_to_idx[p]
+        tabs = []
+        for j in range(m):
+            pv = vecs[pi, j * sub : (j + 1) * sub]
+            diffs = pv[None, :] - barr[j]
+            tabs.append(np.cumsum(diffs * diffs, axis=1)[:, -1])
+        cells = allowed_cells[p] if allowed_cells is not None else None
+        scored = []
+        for ix, i in enumerate(ids):
+            if int(i) == p:
+                continue
+            if cells is not None and int(assign[ix]) not in cells:
+                continue
+            acc = 0.0
+            for j in range(m):  # fixed-order fold, as in the plan
+                acc = acc + float(tabs[j][enc[ix, j]])
+            scored.append((_spark_round(acc), int(i)))
+        scored.sort()
+        for r, (dd, i) in enumerate(scored[: _PQ_K], 1):
+            rows.append((p, i, dd, r))
+    return rows
+
+
+def _adc_values_sql(rows) -> str:
     values = ", ".join(
         f"({p}::BIGINT, {i}::BIGINT, {d!r}::DOUBLE, {r}::INT)" for p, i, d, r in rows
     )
@@ -1892,6 +1917,82 @@ def _pq_oracle() -> str | None:
         + values
         + ") AS t(probe_id, neighbor_id, adc_dist, rank)"
     )
+
+
+def _pq_oracle() -> str | None:
+    """Exact oracle for PQ/ADC top-k (the similarity_ivf_trained
+    pattern, one step further): an INDEPENDENT pure-numpy replica of
+    the whole pipeline — training, encoding, and the full-scan ADC
+    query (see _pq_replica/_adc_replica_rows) — derives the expected
+    result rows from the sf0.01 parquet directly and pins them as a
+    VALUES literal.  A green hash therefore certifies codebook
+    training, encoding AND the ADC query end-to-end.  Pinned to the
+    driver's sf0.01 tier (the Spark query trains on its own sf_dir).
+    Degrades to rows-only (None), loudly, if the fixture or replica is
+    unavailable."""
+    import os
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    try:
+        rows = _adc_replica_rows(path, _PQ_PROBE_MAX)
+    except Exception as exc:
+        print(
+            f"# WARNING: similarity_pq_topk oracle degraded to rows-only: {exc!r}",
+            file=__import__("sys").stderr,
+        )
+        return None
+    return _adc_values_sql(rows)
+
+
+def _ivf_pq_oracle() -> str | None:
+    """Exact oracle for the COMPOSED IVF-PQ query: the shared PQ
+    replica plus a numpy replica of the coarse stage — cosine scores
+    against the id < _IVFPQ_CELLS seed centroids with sequential-fold
+    dots and HALF_UP 1e-6 rounding, corpus vectors assigned to their
+    argmax cell (ties to the lower cent_id, = numpy argmax's first
+    occurrence), probes to their _IVFPQ_NPROBE best cells — and the
+    ADC top-k restricted to each probe's inverted lists.  A green hash
+    certifies coarse assignment, codebook training, encoding and the
+    list-pruned ADC query end-to-end."""
+    import os
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    try:
+        import numpy as np
+
+        ids, vecs, _barr, _enc = _pq_replica(path)
+        cent_rows = sorted(int(i) for i in ids if i < _IVFPQ_CELLS)
+        id_to_idx = {int(i): ix for ix, i in enumerate(ids)}
+        cents = np.array([vecs[id_to_idx[c]] for c in cent_rows])
+        # sequential-fold dot products == cumsum order; norms are exact
+        # sqrt of the same folds (IEEE sqrt is correctly rounded in
+        # both engines)
+        norms = np.sqrt(np.cumsum(vecs * vecs, axis=1)[:, -1])
+        cnorms = np.sqrt(np.cumsum(cents * cents, axis=1)[:, -1])
+        cs = np.empty((len(ids), len(cent_rows)))
+        for ci in range(len(cent_rows)):
+            dots = np.cumsum(vecs * cents[ci][None, :], axis=1)[:, -1]
+            cs[:, ci] = dots / (norms * cnorms[ci])
+        cs = np.vectorize(_spark_round)(cs)
+        # corpus: argmax = first occurrence = lowest cent_id on ties
+        assign = np.array([cent_rows[j] for j in np.argmax(cs, axis=1)])
+        allowed = {"assign": assign}
+        for p in (int(i) for i in ids if i < _IVFPQ_PROBE_MAX):
+            row = cs[id_to_idx[p]]
+            order = sorted(range(len(cent_rows)), key=lambda j: (-row[j], cent_rows[j]))
+            allowed[p] = {cent_rows[j] for j in order[: _IVFPQ_NPROBE]}
+        rows = _adc_replica_rows(path, _IVFPQ_PROBE_MAX, allowed_cells=allowed)
+    except Exception as exc:
+        print(
+            f"# WARNING: similarity_ivf_pq_topk oracle degraded to rows-only: {exc!r}",
+            file=__import__("sys").stderr,
+        )
+        return None
+    return _adc_values_sql(rows)
 
 
 @_register("similarity_pq_topk", _pq_oracle())
@@ -1914,10 +2015,42 @@ def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     books = train_pq_codebooks(
-        emb, "vec_id", "embedding", m=16, codes=16, iters=3, quantize_decimals=3
+        emb, "vec_id", "embedding",
+        m=_PQ_M, codes=_PQ_CODES, iters=_PQ_ITERS, quantize_decimals=_PQ_Q,
     )
-    probes = emb.filter(F.col("vec_id") < 10).select("vec_id")
-    return pq_topk(emb, books, "vec_id", "embedding", k=5, probes=probes)
+    probes = emb.filter(F.col("vec_id") < _PQ_PROBE_MAX).select("vec_id")
+    return pq_topk(emb, books, "vec_id", "embedding", k=_PQ_K, probes=probes)
+
+
+@_register("similarity_ivf_pq_topk", _ivf_pq_oracle())
+def q_similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED IVF-PQ — the architecture FAISS ships as IndexIVFPQ
+    (Jégou et al. TPAMI 2011 §IV) and the structural fix for the full
+    ADC scan's per-probe cost: the corpus is coarse-quantized onto
+    _IVFPQ_CELLS inverted lists (deterministic id<K seeding — the
+    assign_clusters oracle-exact default) and PQ-encoded in the SAME
+    projection, so each probe's asymmetric-distance scan touches only
+    its _IVFPQ_NPROBE nearest lists — O(N·nprobe/K) candidates instead
+    of pq_topk's O(N), which also bounds the two-phase rank stage's
+    input.  Training is the shared shuffle-free Lloyd contract
+    (similarity_pq_topk); the oracle's independent numpy replica
+    (_ivf_pq_oracle) re-derives coarse assignment + codebooks +
+    encoding + list-pruned ADC end-to-end, so a green hash certifies
+    the whole composition.  Recall vs exact L2 is floor-tested in
+    tests/test_tools.py.  Eager by contract (training iterations run
+    when constructed)."""
+    from hadoop_3_3_6_spark.functions.similarity import ivf_pq_topk, train_pq_codebooks
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = train_pq_codebooks(
+        emb, "vec_id", "embedding",
+        m=_PQ_M, codes=_PQ_CODES, iters=_PQ_ITERS, quantize_decimals=_PQ_Q,
+    )
+    probes = emb.filter(F.col("vec_id") < _IVFPQ_PROBE_MAX).select("vec_id")
+    return ivf_pq_topk(
+        emb, books, "vec_id", "embedding",
+        k=_PQ_K, num_centroids=_IVFPQ_CELLS, nprobe=_IVFPQ_NPROBE, probes=probes,
+    )
 
 
 @_register(
@@ -6996,8 +7129,15 @@ _DRIVER_HOLDBACK_R7 = [
     "similarity_pq_topk",
     "pipeline_importance_resample",
 ]
+_DRIVER_HOLDBACK_R8 = [
+    "similarity_ivf_pq_topk",
+]
 _DRIVER_HOLDBACK = (
-    _DRIVER_HOLDBACK + _DRIVER_HOLDBACK_R5 + _DRIVER_HOLDBACK_R6 + _DRIVER_HOLDBACK_R7
+    _DRIVER_HOLDBACK
+    + _DRIVER_HOLDBACK_R5
+    + _DRIVER_HOLDBACK_R6
+    + _DRIVER_HOLDBACK_R7
+    + _DRIVER_HOLDBACK_R8
 )
 
 

@@ -201,6 +201,18 @@ def test_ivf_probe_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ivf_pq_candidates_join_is_equi_keyed(spark, sf_dir):
+    """The composed IVF-PQ's list pruning must be an EQUI join of the
+    corpus code table against the broadcast probe tables on cluster_id
+    — a BroadcastHashJoin keyed on cluster_id, never a nested-loop
+    over all codes (which would silently degrade to pq_topk's full
+    scan and erase the O(N·nprobe/K) candidate bound)."""
+    plan = plan_of(spark, sf_dir, "similarity_ivf_pq_topk")
+    assert "SortMergeJoin" not in plan
+    bhj = [l for l in plan.splitlines() if "BroadcastHashJoin" in l and "cluster_id" in l]
+    assert bhj, plan[:3000]
+
+
 def test_interval_join_is_equi(spark, sf_dir):
     """The bucketed interval join must compile to an equi-join on
     (key, bucket) — never a nested-loop/cartesian pair scan."""
@@ -286,6 +298,12 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         # both crosses are the semantics (no equi-key exists for a
         # 1-row matrix or an ADC table lookup)
         "similarity_pq_topk",
+        # composed IVF-PQ keeps only the bounded crosses: corpus x
+        # broadcast(16 centroids) coarse assignment, corpus x
+        # broadcast(1-row codebook matrix) encode, probes x codebooks;
+        # the candidate scan itself is an EQUI join on cluster_id
+        # (plan-gated in test_ivf_pq_candidates_join_is_equi_keyed)
+        "similarity_ivf_pq_topk",
         "similarity_quantized_topk",
         "dedup_semantic",
         # same bounded corpus x broadcast(k) assignment stage as
@@ -374,6 +392,7 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     "warc_source_scan", "seqfile_roundtrip", "jobcontrol_word_pipeline",
                     "tokenizer_bpe_train", "tokenizer_bpe_apply",
                     "similarity_pq_topk",  # PQ training iterations (ivf_trained contract)
+                    "similarity_ivf_pq_topk",  # same PQ training contract
                     # round-4 rendered-artifact rows that pay a per-
                     # construction metadata job even after the render
                     # cache: SequenceFile toDF inference, and parquet

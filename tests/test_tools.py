@@ -510,6 +510,41 @@ def test_pq_topk_recall_floor(spark, sf_dir):
     assert recall >= 0.25, f"PQ recall {recall:.2f}"
 
 
+def test_ivf_pq_topk_recall_floor(spark, sf_dir):
+    """Composed IVF-PQ recall vs exact L2: list pruning (nprobe=4 of
+    16 cells) stacks on PQ's quantization loss, so the floor sits
+    below pure PQ's — it catches a broken composition (empty lists,
+    wrong cell join), not ordinary ANN loss.  Also pins the contract
+    that results are a SUBSET of the full ADC scan's candidate space:
+    every returned neighbor must share a probed cell with its probe."""
+    import numpy as np
+
+    from hadoop_3_3_6_spark.functions.similarity import ivf_pq_topk, train_pq_codebooks
+    from hadoop_3_3_6_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = train_pq_codebooks(
+        emb, "vec_id", "embedding", m=16, codes=16, iters=3, quantize_decimals=3
+    )
+    probes = emb.filter(F.col("vec_id") < 10).select("vec_id")
+    approx = ivf_pq_topk(
+        emb, books, "vec_id", "embedding", k=5, num_centroids=16, nprobe=4, probes=probes
+    ).toPandas()
+    assert (approx.groupby("probe_id").size() <= 5).all()
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    truth = set()
+    for p in range(10):
+        pi = int(np.where(ids == p)[0][0])
+        d = ((vecs - vecs[pi]) ** 2).sum(axis=1)
+        nn = [int(ids[ix]) for ix in np.argsort(d, kind="stable") if int(ids[ix]) != p][:5]
+        truth.update((p, i) for i in nn)
+    got = set(zip(approx.probe_id, approx.neighbor_id))
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.15, f"IVF-PQ recall {recall:.2f}"
+
+
 def test_pq_encode_is_shuffle_free(spark, sf_dir):
     """PQ encoding must stay a pure projection over the 1-row codebook
     broadcast — an Exchange in the encode plan would mean the 64×-
