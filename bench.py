@@ -165,6 +165,9 @@ HEADLINE = [
     # round-7: cluster-balanced prototype pruning (linear sibling of
     # dedup_semantic — assignment + one window, no pair join)
     "pipeline_diversity_sample",
+    # round-8: composed IVF-PQ (list-pruned ADC — per-probe candidates
+    # O(N*nprobe/K) instead of the full-scan pq_topk's O(N))
+    "similarity_ivf_pq_topk",
 ]
 
 
@@ -238,6 +241,75 @@ def _stage_audit(spark, min_stage_sec: float = 3.0, min_per_task_sec: float = 1.
     return {"n_stages": len(stages), "cores": cores, "flagged": flagged}
 
 
+def _disk_probe_mb_s() -> float | None:
+    """Disk-speed index: sequential write of 256 MB through the same
+    real filesystem persistent-data anchors use (/tmp — deliberately
+    NOT the tmpfs shuffle scratch).  The sandbox disk is
+    BURST-THROTTLED (measured 399 -> 9 MB/s within one round), so
+    spill/write-regime anchors swing with disk state even when the
+    CPU probe is flat — r7 recorded the same 200M terasort code at
+    159.6 s (healthy) and 338.7 s (probe 14.6 MB/s).  Run BEFORE the
+    big anchor to gate it, and recorded in anchors for attribution."""
+    import tempfile
+
+    try:
+        blk = b"\xa5" * (8 * 1024 * 1024)
+        with tempfile.NamedTemporaryFile(dir="/tmp", suffix=".diskprobe") as tf:
+            t0 = time.perf_counter()
+            for _ in range(32):
+                tf.write(blk)
+            tf.flush()
+            os.fsync(tf.fileno())
+            wrote = time.perf_counter() - t0
+        return round(256.0 / max(wrote, 1e-9), 1)
+    except Exception as e:  # pragma: no cover — probe must never fail the bench
+        print(f"# disk probe skipped: {e}", file=sys.stderr)
+        return None
+
+
+# Below this sequential-write floor the machine is in the throttled
+# regime where the big anchor measures the hypervisor's IO budget, not
+# the engine (VERDICT r7 "What's wrong #3"); the anchor is skipped and
+# the best prior healthy session stands, with its probe, in-row.
+DISK_PROBE_FLOOR_MB_S = float(os.environ.get("SPARK_GRAFT_DISK_FLOOR_MB_S", "50"))
+
+
+def _terasort_200m_sessions(current_sec: float | None, current_probe: float | None) -> list[dict]:
+    """Every recorded 200M-anchor measurement with its session's disk
+    probe attached — committed bench_baselines snapshots plus this
+    session — so the anchor row carries its own attribution evidence
+    (min-of-sessions with probes, VERDICT r7 task 3)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sessions = []
+    for snap in sorted(glob.glob(os.path.join(here, "bench_baselines", "BENCH_full_r*.json"))):
+        try:
+            with open(snap) as f:
+                a = json.load(f).get("anchors", {})
+        except (OSError, ValueError):
+            continue
+        if a.get("terasort_200m_sec"):
+            sessions.append(
+                {
+                    "src": os.path.basename(snap),
+                    "sec": a["terasort_200m_sec"],
+                    "gb_per_node_min": round(20.0 / (a["terasort_200m_sec"] / 60.0), 2),
+                    "disk_probe_mb_s": a.get("disk_probe_mb_s"),
+                }
+            )
+    if current_sec:
+        sessions.append(
+            {
+                "src": "this_session",
+                "sec": current_sec,
+                "gb_per_node_min": round(20.0 / (current_sec / 60.0), 2),
+                "disk_probe_mb_s": current_probe,
+            }
+        )
+    return sessions
+
+
 def _min_of(reps: int, run) -> float:
     """Best of ``reps`` timed executions of ``run()`` — damps
     scheduler/GC noise the same way for queries and anchors."""
@@ -252,23 +324,56 @@ def _min_of(reps: int, run) -> float:
 
 def _sweep_stale_local_dirs(max_age_s: float = 6 * 3600) -> None:
     """Shuffle scratch lives on RAM-backed tmpfs (/dev/shm — see
-    session.get_spark); a KILLED run skips Spark's shutdown hook and
-    can orphan a 20 GB spill tree that then eats real memory for the
-    rest of the machine's life.  Sweep subtrees old enough that no
-    live session can own them (live sessions touch their dirs
-    constantly; 6 h is > any single bench run)."""
+    session.spark_local_dir); a KILLED run skips Spark's shutdown hook
+    and can orphan a 20 GB spill tree that then eats real memory for
+    the rest of the machine's life.  Sweep subtrees old enough that no
+    live session can own them.
+
+    Safety contract (round-7 ADVICE, all three items): (1) the base is
+    resolved by the SAME helper get_spark uses, so the sweep can never
+    target a directory Spark doesn't write to; (2) only entries that
+    MATCH Spark's scratch naming (blockmgr-<uuid> / spark-<uuid>) are
+    ever candidates — the base may be a shared path like /tmp (the
+    no-/dev/shm fallback), where an unfiltered rmtree would take the
+    warehouse and testdata caches with it (and the prefix alone is not
+    enough: /tmp/spark-graft-warehouse starts with 'spark-' — the
+    full-uuid match is what excludes it); (3) staleness is the MAX
+    mtime over the entry's whole tree, not the top directory's — a
+    directory's mtime only moves when its DIRECT children change, and
+    Spark writes shuffle blocks into nested hash-bucket subdirs, so a
+    legitimately live >6h session's blockmgr dir looks stale at the
+    top level (deleting it mid-run = shuffle fetch failures)."""
+    import re
     import shutil
     import time as _t
 
-    base = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    from hadoop_3_3_6_spark.session import spark_local_dir
+
+    scratch_re = re.compile(
+        r"^(blockmgr|spark)-[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+    )
+    base = spark_local_dir()
     try:
-        now = _t.time()
-        for entry in os.listdir(base):
-            p = os.path.join(base, entry)
-            if now - os.path.getmtime(p) > max_age_s:
-                shutil.rmtree(p, ignore_errors=True)
+        entries = os.listdir(base)
     except OSError:
-        pass  # base absent or unreadable — nothing to sweep
+        return  # base absent or unreadable — nothing to sweep
+    now = _t.time()
+    for entry in entries:
+        if not scratch_re.match(entry):
+            continue
+        p = os.path.join(base, entry)
+        try:
+            newest = os.path.getmtime(p)
+            for root, dirs, files in os.walk(p):
+                for n in dirs + files:
+                    try:
+                        newest = max(newest, os.path.getmtime(os.path.join(root, n)))
+                    except OSError:
+                        pass  # raced with a concurrent cleanup
+        except OSError:
+            continue
+        if now - newest > max_age_s:
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def main() -> None:
@@ -366,7 +471,21 @@ def main() -> None:
     # demonstrates the knob rather than measuring the un-tuned regime.
     terasort_200m_sec = None
     terasort_200m_shuffle_parts = None
-    if os.environ.get("SPARK_GRAFT_BIG_ANCHOR", "1") != "0":
+    terasort_200m_skipped = None
+    # probe the disk BEFORE deciding to run the big anchor: in the
+    # throttled regime the measurement is the hypervisor's IO budget,
+    # not the engine (VERDICT r7 "What's wrong #3")
+    disk_probe_mb_s = _disk_probe_mb_s()
+    if os.environ.get("SPARK_GRAFT_BIG_ANCHOR", "1") == "0":
+        pass
+    elif disk_probe_mb_s is not None and disk_probe_mb_s < DISK_PROBE_FLOOR_MB_S:
+        terasort_200m_skipped = (
+            f"disk_probe {disk_probe_mb_s} MB/s < {DISK_PROBE_FLOOR_MB_S} floor "
+            "(burst-throttled session; best prior healthy session stands in "
+            "terasort_200m_sessions)"
+        )
+        print(f"# terasort_200m_records SKIPPED: {terasort_200m_skipped}", file=sys.stderr)
+    else:
         from hadoop_3_3_6_spark.session import sized_shuffle_partitions
 
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -380,7 +499,8 @@ def main() -> None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         print(
             f"# terasort_200m_records: {terasort_200m_sec:.1f}s"
-            f" (shuffle partitions {terasort_200m_shuffle_parts})",
+            f" (shuffle partitions {terasort_200m_shuffle_parts},"
+            f" disk probe {disk_probe_mb_s} MB/s)",
             file=sys.stderr,
         )
 
@@ -424,28 +544,10 @@ def main() -> None:
         h = hashlib.sha256(h + str(i).encode()).digest()
     cpu_probe = round(time.perf_counter() - t0, 3)
 
-    # Disk-speed index: sequential write+read of 256 MB through the
-    # same tmp filesystem the shuffle spills to.  Spill-regime anchors
-    # (terasort_200m) swing with DISK speed even when cpu_probe is
-    # flat — r7 measured 296 s on a 399 MB/s-write sandbox vs r6's
-    # 97 s — so big-anchor deltas need both probes for attribution.
-    disk_probe_mb_s = None
-    try:
-        import tempfile
-
-        blk = b"\xa5" * (8 * 1024 * 1024)
-        with tempfile.NamedTemporaryFile(dir="/tmp", suffix=".diskprobe") as tf:
-            t0 = time.perf_counter()
-            for _ in range(32):
-                tf.write(blk)
-            tf.flush()
-            os.fsync(tf.fileno())
-            wrote = time.perf_counter() - t0
-        disk_probe_mb_s = round(256.0 / max(wrote, 1e-9), 1)
-    except Exception as e:  # pragma: no cover — probe must never fail the bench
-        print(f"# disk probe skipped: {e}", file=sys.stderr)
-
+    # disk_probe_mb_s was measured just before the big anchor (gating
+    # it); reused here for the record and the vs_prev annotation.
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    record_sf = float(sf) if sf.replace(".", "").isdigit() else sf
     total = round(sum(timings.values()), 3)
     # BASELINE.md anchor: Yahoo 2009 TeraSort per-node rates (~6.0
     # GB/node/min at 500 GB; ~0.97 at 100 TB).  2M × 100 B = 0.2 GB on
@@ -457,7 +559,7 @@ def main() -> None:
         "unit": "sec",
         "action": "noop_write",  # r5+: full materialization; r1-r4 used count()
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": record_sf,
         "n_queries": len(timings),
         "anchors": {
             # headline normalized by the CPU probe: cross-round deltas
@@ -471,6 +573,18 @@ def main() -> None:
             "terasort_200m_shuffle_partitions": terasort_200m_shuffle_parts,
             "terasort_200m_gb_per_node_min": (
                 round(20.0 / (terasort_200m_sec / 60.0), 2) if terasort_200m_sec else None
+            ),
+            # min-of-sessions with each session's disk probe attached:
+            # the anchor's attribution evidence travels IN-ROW instead
+            # of in SCALE.md prose (VERDICT r7 task 3).  "skipped" set
+            # means THIS session was throttled below the floor and ran
+            # no 200M measurement.
+            "terasort_200m_skipped": terasort_200m_skipped,
+            "terasort_200m_sessions": (ts200_sessions := _terasort_200m_sessions(
+                terasort_200m_sec, disk_probe_mb_s
+            )),
+            "terasort_200m_best": (
+                min(ts200_sessions, key=lambda s: s["sec"]) if ts200_sessions else None
             ),
             "baseline_terasort_gb_per_node_min_500gb": 6.0,
             "baseline_terasort_gb_per_node_min_100tb": 0.97,
@@ -492,7 +606,9 @@ def main() -> None:
         # automatically RE-MEASURED min-of-3 in a fresh session
         # (flag_recheck) so transient-noise flags self-attribute
         # (VERDICT r6 task 3).
-        "vs_prev_normalized": _vs_prev_normalized(timings, cpu_probe),
+        "vs_prev_normalized": _vs_prev_normalized(
+            timings, cpu_probe, disk_probe_mb_s, record_sf
+        ),
     }
     flagged = record["vs_prev_normalized"].get("flagged_over_1.3_of_median") or {}
     if flagged:
@@ -533,13 +649,27 @@ def _load_prev_snapshot() -> tuple[str | None, dict | None]:
         return os.path.basename(snaps[-1]), None
 
 
-def _vs_prev_normalized(timings: dict[str, float], cpu_probe: float) -> dict:
+def _vs_prev_normalized(
+    timings: dict[str, float],
+    cpu_probe: float,
+    disk_probe: float | None = None,
+    sf=None,
+) -> dict:
     """Per-query cpu-normalized ratios vs the newest committed
     bench_baselines/BENCH_full_r{NN}.json snapshot (same-action only).
     ratio = (t_now / probe_now) / (t_prev / probe_prev); >1.3 flagged.
     Anchors with their own scale changes (terasort_20m went min-of-1
     -> min-of-3 in r6) compare like any query — the min can only drop.
-    """
+
+    The CPU probe cannot see DISK state, and the sandbox disk is
+    burst-throttled — r7's median drifted to 1.21 purely because
+    scan-bound queries ran on a 14.6 MB/s session vs the baseline's
+    healthy one (VERDICT r7 task 3).  The median therefore ships WITH
+    both sessions' disk probes and an explicit ``disk_drift`` marker
+    (>3x probe gap in either direction): when the marker is set, a
+    uniform median shift is the machine, not the code — read the
+    per-query flags (which are median-relative and thus immune to the
+    uniform term) and the flag_recheck reverts instead."""
     base_name, prev = _load_prev_snapshot()
     if base_name is None:
         return {"baseline": None}
@@ -547,7 +677,15 @@ def _vs_prev_normalized(timings: dict[str, float], cpu_probe: float) -> dict:
         return {"baseline": base_name, "error": "unreadable snapshot"}
     if prev.get("action") != "noop_write":
         return {"baseline": base_name, "skipped": "action mismatch"}
+    if sf is not None and prev.get("sf") is not None and prev.get("sf") != sf:
+        # a sf0.01 smoke run against a sf0.1 snapshot would "compare"
+        # every query across data scales and flag garbage
+        return {"baseline": base_name, "skipped": f"sf mismatch ({prev.get('sf')} vs {sf})"}
     prev_probe = prev.get("anchors", {}).get("cpu_probe_sec") or 1.0
+    prev_disk = prev.get("anchors", {}).get("disk_probe_mb_s")
+    disk_drift = bool(
+        prev_disk and disk_probe and not (1 / 3 <= disk_probe / prev_disk <= 3)
+    )
     prev_queries = prev.get("queries", {})
     ratios = {}
     for name, t_prev in prev_queries.items():
@@ -577,6 +715,9 @@ def _vs_prev_normalized(timings: dict[str, float], cpu_probe: float) -> dict:
         "baseline": base_name,
         "prev_cpu_probe_sec": prev_probe,
         "cpu_probe_sec": cpu_probe,
+        "prev_disk_probe_mb_s": prev_disk,
+        "disk_probe_mb_s": disk_probe,
+        "disk_drift": disk_drift,
         "n_compared": len(ratios),
         "median_ratio": med,
         "flagged_over_1.3_of_median": flagged,

@@ -607,7 +607,16 @@ def train_pq_codebooks(
     mean to a decimal grid after each iteration (the
     similarity_ivf_trained pattern) so an independent numpy replica
     re-derives bit-identical codebooks and the downstream ADC query
-    becomes exactly oracle-checkable.
+    becomes exactly oracle-checkable.  Boundary caveat (shared with
+    _lloyd_iterations, round-7 ADVICE): the per-code means use F.avg
+    over distributed partials, whose float summation order is
+    partition-dependent; the decimal snap absorbs that ~1e-15 noise
+    EXCEPT when a mean lands within an ulp of a half-grid boundary,
+    so bit-reproducibility is overwhelming-probability, not proven —
+    a flip would surface as a red driver row (false red, never a
+    false green), at which point the integer-scaled-sum exact-mean
+    device (functions/sampling's milli-nat pattern) is the escalation
+    path.
 
     Returns the codebooks as a driver-side list ``books[j][c] ->
     list[float]`` (j in [0,m), c in [0,codes)) for

@@ -29,6 +29,21 @@ TABLE_NAMES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def spark_local_dir() -> str:
+    """Resolve the shuffle/spill scratch base — ONE definition shared
+    by get_spark (spark.local.dir) and bench.py's stale-scratch sweep,
+    so the sweep always targets the directory Spark actually writes to
+    (round-7 ADVICE: the two resolutions had drifted — on a machine
+    without /dev/shm the sweep pointed at a directory Spark never
+    used).  /dev/shm (RAM-backed tmpfs) is the stable analogue of
+    provisioned shuffle SSDs on this burst-throttled sandbox disk;
+    /tmp is the fallback when tmpfs is absent."""
+    return os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+    )
+
+
 def get_spark(app_name: str = "hadoop-3-3-6-spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession tuned for this engine.
 
@@ -81,13 +96,7 @@ def get_spark(app_name: str = "hadoop-3-3-6-spark", shuffle_partitions: int | No
         # /dev/shm (126 GiB tmpfs, RAM-backed) is the stable analogue
         # of provisioned shuffle SSDs; persistent-data anchors
         # (dfsio_write/read) still target the real disk deliberately.
-        .config(
-            "spark.local.dir",
-            os.environ.get(
-                "SPARK_GRAFT_LOCAL_DIR",
-                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
-            ),
-        )
+        .config("spark.local.dir", spark_local_dir())
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # warehouse for bucketed (MapFile-analogue) tables; static conf
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"))
