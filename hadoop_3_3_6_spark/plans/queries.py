@@ -6776,6 +6776,73 @@ def q_distcpsync_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "distch_manifest",
+    """
+    SELECT 'n' || n_nationkey::VARCHAR || '.txt' AS rel,
+           '640' AS perm,
+           1700000000::BIGINT AS mtime_epoch,
+           (length(n_nationkey::VARCHAR) + 1 + length(n_name) + 1)::BIGINT AS length
+    FROM nation
+    """,
+)
+def q_distch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistCh (HT/hadoop-extras/src/main/java/org/apache/hadoop/tools/
+    DistCh.java): distributed metadata mutation — chmod 0640 + touch to
+    a pinned epoch over the 25-file per-nation tree
+    (sources/tools.dist_ch: executor-side chmod/utime over a
+    parallelized path list) — followed by a distributed audit of the
+    RESULT: per-file (rel, perm, mtime, length), with mtime and length
+    from the binaryFile listing and the permission bits from an
+    Arrow-batched stat pass (filesystem metadata IS the Python
+    semantics here — the same boundary DistCh's mapper lives at).  The
+    tree is a pure function of the nation table, so the manifest has a
+    closed-form oracle: a missed chmod, a missed touch, or a clobbered
+    file turns the driver row red.  Completes §2.11: every
+    orchestration/data-movement row is now driver-checked.  Eager by
+    contract, cached per (process, sf_dir)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from hadoop_3_3_6_spark.sources.tools import dist_ch
+
+    nation = load_table(spark, "nation", sf_dir)
+
+    def render(d: str) -> None:
+        import os
+
+        files = f"{d}/files"
+        os.makedirs(files, exist_ok=True)
+        for r in nation.select("n_nationkey", "n_name").collect():
+            with open(f"{files}/n{r.n_nationkey}.txt", "w") as f:
+                f.write(f"{r.n_nationkey}\t{r.n_name}\n")
+        dist_ch(spark, f"{files}/*.txt", mode=0o640, mtime=1_700_000_000.0)
+
+    out = _rendered_dir("distch_", sf_dir, render)
+    listing = spark.read.format("binaryFile").load(f"{out}/files/*.txt").drop("content")
+
+    # no type hints: queries.py runs under `from __future__ import
+    # annotations`, which stringifies them and breaks pandas_udf's
+    # hint inference; the unannotated form is SCALAR by default
+    @pandas_udf("string")
+    def perm_of(paths):
+        import os
+        import stat as _stat
+
+        return paths.map(
+            lambda p: format(
+                _stat.S_IMODE(os.stat(p.removeprefix("file:")).st_mode), "o"
+            )
+        )
+
+    return listing.select(
+        F.element_at(F.split("path", "/"), -1).alias("rel"),
+        perm_of(F.col("path")).alias("perm"),
+        F.unix_timestamp("modificationTime").cast("bigint").alias("mtime_epoch"),
+        F.col("length").cast("bigint").alias("length"),
+    )
+
+
 # === M-verify: invariant-verdict companions for the approximate tiers ===
 #
 # The five approximate-by-design queries (xxhash64 minhash/LSH/bloom,
@@ -7131,6 +7198,7 @@ _DRIVER_HOLDBACK_R7 = [
 ]
 _DRIVER_HOLDBACK_R8 = [
     "similarity_ivf_pq_topk",
+    "distch_manifest",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

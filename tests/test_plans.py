@@ -349,6 +349,7 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "multimodal_video",
         "multimodal_container_meta",
         "multimodal_wav_source",  # Python DataSource scan
+        "distch_manifest",  # executor-side stat: FS metadata IS the semantics
         "warc_source_scan",
         "avro_roundtrip",
         "seqfile_roundtrip",
@@ -393,6 +394,7 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     "tokenizer_bpe_train", "tokenizer_bpe_apply",
                     "similarity_pq_topk",  # PQ training iterations (ivf_trained contract)
                     "similarity_ivf_pq_topk",  # same PQ training contract
+                    "distch_manifest",  # renders + mutates its tree at construction
                     # round-4 rendered-artifact rows that pay a per-
                     # construction metadata job even after the render
                     # cache: SequenceFile toDF inference, and parquet
