@@ -827,6 +827,24 @@ def pq_topk(
     distance."""
     enc = pq_encode(emb, books, id_col, vec_col)
     probe_rows = _restrict_to_probes(emb, id_col, probes, probe_ids)
+    return adc_topk(enc, probe_rows, books, id_col, vec_col, k)
+
+
+def adc_topk(
+    enc: DataFrame,
+    probe_rows: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k against a PREBUILT code table — the query half of
+    :func:`pq_topk`, split out so a PERSISTED index (built once with
+    :func:`build_pq_index`, appended to by streaming batches) answers
+    probes without ever re-encoding the corpus: the production shape
+    for querying 100 TB of history at probe cost, the similarity-tier
+    mirror of dedup's build_minhash_index/dedup_against_index.
+    ``probe_rows`` carry raw vectors; ``enc`` is (id, codes)."""
     probe_tabs = _adc_tables(probe_rows, books, id_col, vec_col)
     cand = enc.crossJoin(F.broadcast(probe_tabs)).filter(
         F.col("probe_id") != F.col(id_col)
@@ -835,6 +853,38 @@ def pq_topk(
         "probe_id", F.col(id_col).alias("neighbor_id"), F.round(_adc_dist(), 6).alias("adc_dist")
     )
     return _rank_topk(scored, k, order_col="adc_dist", ascending=True)
+
+
+def build_pq_index(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the PQ code table (id, codes) as parquet — encode the
+    corpus ONCE; later batches append via ``append_pq_index`` (e.g.
+    from a streaming foreachBatch) and probes query the maintained
+    table with :func:`adc_topk`.  The stored rows are m small ints per
+    vector — the 4·D/m×-compressed tier is also the PERSISTED tier, so
+    index storage scales with codes, not raw embeddings."""
+    pq_encode(emb, books, id_col, vec_col).write.mode("overwrite").parquet(path)
+
+
+def append_pq_index(
+    new_emb: DataFrame,
+    books: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a batch's codes to a persisted PQ index — batch-cost
+    maintenance against corpus-sized history (the codebooks are FROZEN
+    at training time, the standard IVF-PQ contract: new vectors are
+    encoded with the existing books; retraining is a rebuild).  Safe
+    from a streaming foreachBatch: parquet append is per-batch atomic
+    under the default committer."""
+    pq_encode(new_emb, books, id_col, vec_col).write.mode("append").parquet(path)
 
 
 def ivf_pq_topk(

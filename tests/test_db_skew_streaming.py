@@ -236,3 +236,63 @@ def test_streaming_continuous_dedup_against_growing_index(spark, sf_dir, tmp_pat
     assert kept_ids == set(range(40)) & {r.doc_id for r in docs.collect()}
     # and the index holds bands for exactly the kept docs
     assert {r.doc_id for r in spark.read.parquet(idx).select("doc_id").distinct().collect()} == kept_ids
+
+
+def test_streaming_pq_index_maintenance(spark, sf_dir, tmp_path):
+    """Streaming similarity-index maintenance (VERDICT r7 task 6 —
+    the similarity-tier mirror of the minhash incremental story): a
+    foreachBatch job PQ-encodes each arriving embedding micro-batch
+    with the FROZEN trained codebooks and appends the codes to the
+    persisted index (similarity.append_pq_index).  After draining, the
+    maintained index must equal the batch-built encode row-for-row —
+    encoding is per-row and the books are frozen, so the result is
+    independent of how the micro-batch boundaries fell — and an ADC
+    probe against the maintained table (adc_topk) must answer exactly
+    what the one-shot pq_topk answers over the same corpus."""
+    from hadoop_3_3_6_spark.functions.similarity import (
+        adc_topk,
+        append_pq_index,
+        build_pq_index,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from hadoop_3_3_6_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    books = train_pq_codebooks(
+        emb, "vec_id", "embedding", m=16, codes=16, iters=2, quantize_decimals=3
+    )
+    # seed the index with the first half, stream the second half in
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    arriving = emb.filter(F.col("vec_id") % 2 == 1)
+    src = str(tmp_path / "arriving")
+    # several files -> several micro-batches under maxFilesPerTrigger
+    arriving.repartition(4).write.parquet(src)
+    idx = str(tmp_path / "pq_index")
+    build_pq_index(seed, books, idx)
+
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: append_pq_index(batch_df, books, idx)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    maintained = spark.read.parquet(idx)
+    batch_built = pq_encode(emb, books, "vec_id", "embedding")
+    got = {(r.vec_id, tuple(r.codes)) for r in maintained.collect()}
+    want = {(r.vec_id, tuple(r.codes)) for r in batch_built.collect()}
+    assert got == want  # batch-boundary independence, row-for-row
+
+    probes = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    via_index = adc_topk(maintained, probes, books, k=5).collect()
+    one_shot = pq_topk(emb, books, "vec_id", "embedding", k=5, probes=probes.select("vec_id")).collect()
+    assert sorted(map(tuple, via_index)) == sorted(map(tuple, one_shot))
