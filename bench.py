@@ -166,8 +166,10 @@ HEADLINE = [
     # dedup_semantic — assignment + one window, no pair join)
     "pipeline_diversity_sample",
     # round-8: composed IVF-PQ (list-pruned ADC — per-probe candidates
-    # O(N*nprobe/K) instead of the full-scan pq_topk's O(N))
+    # O(N*nprobe/K) instead of the full-scan pq_topk's O(N)) and
+    # semantic eval decontamination (linear broadcast-matrix scan)
     "similarity_ivf_pq_topk",
+    "pipeline_contamination_semantic",
 ]
 
 

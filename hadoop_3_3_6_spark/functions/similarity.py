@@ -948,6 +948,58 @@ def ivf_pq_topk(
     return _rank_topk(scored, k, order_col="adc_dist", ascending=True)
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-level eval-set decontamination — the paraphrase-robust
+    complement to n-gram contamination checks: a training document is
+    flagged when its embedding's cosine against ANY benchmark/eval
+    embedding reaches ``threshold`` (n-gram overlap misses reworded
+    eval leakage; cosine similarity does not).  Output: one row per
+    corpus vector — (id, top_eval_id, max_eval_cosine, contaminated).
+
+    Scale shape: the eval set (benchmarks are thousands of rows, not
+    corpus-scale) folds into ONE broadcast row of (eval_id, vec, norm)
+    structs; every corpus row computes its max cosine via a HOF over
+    that array — a pure linear projection, NO pair shuffle, NO join,
+    same discipline as the k-means assignment matrix.  Ties break to
+    the LOWER eval id (max over struct(cos, -eval_id)), making the
+    result engine-exact: scores are sequential folds rounded to 1e-6,
+    so the whole operator is SQL-oracle-checkable."""
+    evals = eval_set.agg(
+        F.collect_list(
+            F.struct(
+                F.col(id_col).alias("eval_id"),
+                F.col(vec_col).cast("array<double>").alias("evec"),
+                F.expr(f"sqrt({_dot(vec_col, vec_col)})").alias("enorm"),
+            )
+        ).alias("_evals")
+    )
+    from hadoop_3_3_6_spark.functions.text import spread_for_compute
+
+    v = spread_for_compute(with_norm(corpus, vec_col), id_col)
+    cos = (
+        f"round({_dot(vec_col, 'e.evec')} / (_norm * e.enorm), 6)"
+    )
+    best = F.expr(
+        f"array_max(transform(_evals, e -> struct({cos} AS cos, -e.eval_id AS neg_id)))"
+    )
+    return (
+        v.crossJoin(F.broadcast(evals))
+        .select(F.col(id_col), best.alias("_best"))
+        .select(
+            id_col,
+            (-F.col("_best.neg_id")).cast("bigint").alias("top_eval_id"),
+            F.col("_best.cos").alias("max_eval_cosine"),
+            (F.col("_best.cos") >= threshold).alias("contaminated"),
+        )
+    )
+
+
 def assign_clusters(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -314,6 +314,10 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "histogram_order_values",
         "quantile_bins_lineitem",
         "pipeline_token_budget",
+        # semantic decontamination: corpus x broadcast(1-row eval
+        # matrix) — the scalar-matrix cross IS the semantics (no
+        # equi-key exists for a folded eval array)
+        "pipeline_contamination_semantic",
         "text_tfidf_topk",
         "text_lm_score",
         "pipeline_temperature_mix",
@@ -682,6 +686,18 @@ def test_table_diff_digest_has_partial_agg_and_broadcast_pruning(spark, sf_dir):
     semi_joins = [l for l in plan.splitlines() if "Join" in l and "LeftSemi" in l]
     assert len(semi_joins) >= 2, semi_joins
     assert all("BroadcastHashJoin" in l for l in semi_joins), semi_joins
+
+
+def test_semantic_contamination_is_linear_broadcast_scan(spark, sf_dir):
+    """Semantic eval decontamination must stay a pure linear
+    projection: the eval set folds to ONE broadcast row and the corpus
+    computes its max cosine via a HOF — no pair shuffle, no equi join,
+    no window; the only permitted exchange is spread_for_compute's
+    conditional input rebalance."""
+    plan = plan_of(spark, sf_dir, "pipeline_contamination_semantic")
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct", "Window"):
+        assert node not in plan, node
+    assert plan.count("Exchange hashpartitioning") <= 1
 
 
 def test_similarity_rank_is_two_phase(spark, sf_dir):
