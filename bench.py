@@ -170,6 +170,9 @@ HEADLINE = [
     # semantic eval decontamination (linear broadcast-matrix scan)
     "similarity_ivf_pq_topk",
     "pipeline_contamination_semantic",
+    # round-8: CCNet head/middle/tail perplexity partition (integer
+    # micro-nat LM scores + broadcast tertile thresholds)
+    "pipeline_perplexity_buckets",
 ]
 
 

@@ -4439,6 +4439,81 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipeline_perplexity_buckets",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS term
+      FROM documents),
+    c AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+    t AS (SELECT sum(c)::DOUBLE AS T FROM c),
+    q AS (SELECT term, round(ln(c::DOUBLE / T) * 1000000)::BIGINT AS lp_micro FROM c, t),
+    s AS (SELECT tok.doc_id, count(*)::BIGINT AS n_tokens, sum(lp_micro)::BIGINT AS lp
+          FROM tok JOIN q USING (term) GROUP BY tok.doc_id),
+    sc AS (SELECT doc_id, n_tokens, round(lp::DOUBLE / n_tokens)::BIGINT AS avg_micro
+           FROM s WHERE n_tokens > 0),
+    th AS (SELECT quantile_cont(avg_micro, [1.0/3.0, 2.0/3.0]) AS th FROM sc),
+    b AS (SELECT sc.n_tokens, sc.avg_micro,
+                 len(list_filter(th.th, x -> sc.avg_micro > x)) AS bi
+          FROM sc, th)
+    SELECT CASE bi WHEN 2 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           min(avg_micro)::BIGINT AS lo_avg_micro,
+           max(avg_micro)::BIGINT AS hi_avg_micro
+    FROM b GROUP BY 1
+    """,
+)
+def q_pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    LREC 2020): split the corpus into head / middle / tail tertiles by
+    per-token LM score — the canonical pretraining-data quality
+    partition (head = most-LM-like text, tail = candidates for
+    dropping or re-filtering).  Scoring is the integer-micro-nat
+    unigram LM (functions/text.unigram_lm_score — order-independent
+    exact sums); per-doc per-token averages round to integer
+    micro-nats, so every value the oracle compares is exact.
+
+    Scale shape: the two tertile thresholds come from ONE percentile
+    aggregate broadcast as a 1-row scalar, and rows bucket by a
+    2-element HOF — the quantile_bins discipline (NO global-sort
+    ntile, which would funnel the corpus into one partition).  The
+    interpolated thresholds land strictly between adjacent data
+    values, so an engine-side ulp in interpolation can never flip a
+    bucket; thresholds themselves are deliberately not output.  At
+    100 TB the same plan holds (the percentile aggregate is the one
+    bounded-state stage; CCNet itself thresholds on a sample)."""
+    from hadoop_3_3_6_spark.functions.text import unigram_lm_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    sc = (
+        unigram_lm_score(docs, "text", "doc_id")
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("logprob_micro").cast("double") / F.col("n_tokens"))
+            .cast("bigint")
+            .alias("avg_micro"),
+        )
+    )
+    th = sc.agg(F.expr("percentile(avg_micro, array(1.0D/3.0D, 2.0D/3.0D))").alias("th"))
+    bi = F.expr("size(filter(th, x -> avg_micro > x))")
+    bucket = F.when(bi == 2, F.lit("head")).when(bi == 1, F.lit("middle")).otherwise(F.lit("tail"))
+    return (
+        sc.crossJoin(F.broadcast(th))
+        .select(bucket.alias("bucket"), "n_tokens", "avg_micro")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("avg_micro").alias("lo_avg_micro"),
+            F.max("avg_micro").alias("hi_avg_micro"),
+        )
+    )
+
+
+@_register(
     "text_normalize",
     """
     SELECT doc_id,
@@ -7268,6 +7343,7 @@ _DRIVER_HOLDBACK_R8 = [
     "similarity_ivf_pq_topk",
     "distch_manifest",
     "pipeline_contamination_semantic",
+    "pipeline_perplexity_buckets",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

@@ -100,6 +100,45 @@ def test_topk_randomized_python_reference(spark):
     assert got == sorted(want)
 
 
+def test_similarity_rank_topk_equals_single_window_both_modes(spark):
+    """The r8 similarity rank stage (_rank_topk) must be row-AND-rank
+    identical to the naive single window it replaced, in BOTH modes:
+    score-descending (cosine tiers) and distance-ascending (ADC tier).
+    Randomized scores with deliberate duplicates exercise the tie path
+    the exactness argument rests on ((order, neighbor_id) total order
+    per probe)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hadoop_3_3_6_spark.functions.similarity import _rank_topk
+
+    rng = np.random.default_rng(23)
+    rows = [
+        (int(p), int(n), float(s) / 4.0)  # /4 -> many exact ties
+        for p, n, s in zip(
+            rng.integers(0, 8, 600), range(600), rng.integers(0, 40, 600)
+        )
+    ]
+    df = spark.createDataFrame(rows, "probe_id long, neighbor_id long, score double")
+    for ascending in (False, True):
+        got = sorted(
+            map(tuple, _rank_topk(df, 5, "score", ascending=ascending).collect())
+        )
+        direction = F.col("score").asc() if ascending else F.col("score").desc()
+        w = Window.partitionBy("probe_id").orderBy(direction, F.col("neighbor_id").asc())
+        want = sorted(
+            map(
+                tuple,
+                df.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 5)
+                .collect(),
+            )
+        )
+        assert got == want, f"ascending={ascending}"
+
+
 def test_table_diff_randomized_python_reference(spark):
     import numpy as np
 

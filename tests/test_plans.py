@@ -313,6 +313,9 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "skew_profile_events",
         "histogram_order_values",
         "quantile_bins_lineitem",
+        # CCNet tertile thresholds: 1-row percentile scalar cross
+        # (the quantile_bins discipline)
+        "pipeline_perplexity_buckets",
         "pipeline_token_budget",
         # semantic decontamination: corpus x broadcast(1-row eval
         # matrix) — the scalar-matrix cross IS the semantics (no
