@@ -171,8 +171,10 @@ HEADLINE = [
     "similarity_ivf_pq_topk",
     "pipeline_contamination_semantic",
     # round-8: CCNet head/middle/tail perplexity partition (integer
-    # micro-nat LM scores + broadcast tertile thresholds)
+    # micro-nat LM scores + broadcast tertile thresholds) and the OPQ
+    # rotated-PQ ANN tier (cached training; rotate+encode+ADC path)
     "pipeline_perplexity_buckets",
+    "similarity_opq_topk",
 ]
 
 

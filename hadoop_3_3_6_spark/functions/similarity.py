@@ -887,6 +887,131 @@ def append_pq_index(
     pq_encode(new_emb, books, id_col, vec_col).write.mode("append").parquet(path)
 
 
+def rotate_vectors(
+    df: DataFrame,
+    rmat: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "_rvec",
+) -> DataFrame:
+    """R·x per row: the D×D rotation rides as ONE broadcast row and
+    each output component is a sequential fold over the matching
+    matrix row — a pure projection (no shuffle, no row expansion),
+    bit-reproducible by a numpy cumsum replica (the _dot contract).
+    D² multiplies per row; at D=64 that is 4 KB of broadcast state and
+    4096 fused multiply-adds per vector."""
+    rdf = F.broadcast(
+        df.sparkSession.createDataFrame([(rmat,)], "rmat array<array<double>>")
+    )
+    rot = F.expr(
+        f"transform(rmat, row -> aggregate(zip_with(row, cast({vec_col} as array<double>), "
+        f"(a, b) -> a * b), cast(0.0 as double), (acc, v) -> acc + v))"
+    )
+    return df.crossJoin(rdf).withColumn(out_col, rot).drop("rmat")
+
+
+def train_opq_rotation(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    codes: int = 16,
+    opq_iters: int = 2,
+    pq_iters: int = 2,
+    quantize_decimals: int | None = None,
+):
+    """OPQ — Optimized Product Quantization (Ge et al., CVPR 2013;
+    the FAISS OPQMatrix tier): learn an orthogonal rotation R that
+    minimizes PQ reconstruction error ‖Rx − ĉ(Rx)‖², by alternating
+    (a) PQ codebook training in the rotated space (the existing
+    shuffle-free Lloyd trainer) with (b) the orthogonal Procrustes
+    update R ← UVᵀ from SVD(Σ ĉ xᵀ).  Returns (R, books) for
+    :func:`opq_topk`.  Init is the identity rotation (deterministic;
+    replaces FAISS's random init so an oracle can replay training).
+
+    Scale/exactness design of the cross-covariance A = Σ ĉ xᵀ — the
+    one new distributed stage: each Arrow batch computes its rows'
+    outer products with ONE numpy matmul, rounds every entry to
+    integer micro-units (np.round — banker's rounding, mirrored by
+    the oracle replica) and emits a single D² int64 partial row, so
+    the driver-side total is an ORDER-INDEPENDENT integer sum —
+    exact, unlike a float reduction — and the collected state is
+    #partitions × D² longs, corpus-size independent.  (Overflow
+    bound: per-row entries are ~1e6-scaled unit products, so int64
+    partials hold ~1e12 rows per partition; the driver total uses
+    Python integers.)  The D×D SVD runs on the driver — k×D-class
+    state, the train_kmeans_centroids contract."""
+    import numpy as np
+    import pandas as pd
+
+    first = emb.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    R = np.eye(dim)
+
+    def a_matrix(rot_df, books) -> np.ndarray:
+        barr = [np.array(b, dtype=np.float64) for b in books]
+        enc = pq_encode(rot_df, books, id_col, "_rvec", extra_cols=(vec_col,))
+
+        def partials(batches):
+            for pdf in batches:
+                X = np.vstack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+                C = np.concatenate(
+                    [barr[j][np.vstack(pdf["codes"].to_numpy())[:, j]] for j in range(m)],
+                    axis=1,
+                )
+                prod = C[:, :, None] * X[:, None, :]  # rows × D × D
+                P = np.round(prod * 1e6).astype(np.int64).sum(axis=0)
+                yield pd.DataFrame({"a": [P.ravel().tolist()]})
+
+        rows = enc.mapInPandas(partials, schema="a array<long>").collect()
+        total = np.zeros(dim * dim, dtype=object)
+        for r in rows:
+            total += np.array(r["a"], dtype=object)
+        return (total.astype(np.float64) / 1e6).reshape(dim, dim)
+
+    books = None
+    for _ in range(opq_iters):
+        rot_df = rotate_vectors(emb, [[float(x) for x in row] for row in R], vec_col)
+        rframe = rot_df.select(F.col(id_col), F.col("_rvec").alias(vec_col))
+        books = train_pq_codebooks(
+            rframe, id_col, vec_col, m, codes, pq_iters, quantize_decimals
+        )
+        A = a_matrix(rot_df, books)
+        U, _s, Vt = np.linalg.svd(A)
+        R = U @ Vt
+    # the loop's last step moved R after books were trained — train the
+    # final codebooks in the FINAL rotated space (Ge et al. alternate-
+    # then-finalize)
+    rot_df = rotate_vectors(emb, [[float(x) for x in row] for row in R], vec_col)
+    rframe = rot_df.select(F.col(id_col), F.col("_rvec").alias(vec_col))
+    books = train_pq_codebooks(
+        rframe, id_col, vec_col, m, codes, pq_iters, quantize_decimals
+    )
+    return [[float(x) for x in row] for row in R], books
+
+
+def opq_topk(
+    emb: DataFrame,
+    rmat: list[list[float]],
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    probe_ids: list[int] | None = None,
+    probes: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k in the OPQ-rotated space: rotate corpus and probes by
+    the trained R (rotation preserves L2 distances, so ADC in rotated
+    space approximates the original-space neighbors with lower
+    quantization error), then the standard PQ query path — encode,
+    broadcast distance tables, two-phase rank."""
+    rot = rotate_vectors(emb, rmat, vec_col).select(
+        F.col(id_col), F.col("_rvec").alias(vec_col)
+    )
+    return pq_topk(rot, books, id_col, vec_col, k, probe_ids=probe_ids, probes=probes)
+
+
 def ivf_pq_topk(
     emb: DataFrame,
     books: list[list[list[float]]],

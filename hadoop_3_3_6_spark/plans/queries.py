@@ -1830,16 +1830,33 @@ def _pq_replica(path: str):
     (round-7 ADVICE item)."""
     if path in _PQ_REPLICA_CACHE:
         return _PQ_REPLICA_CACHE[path]
-    import hashlib
+    ids, vecs = _load_embeddings_np(path)
+    _books, barr, enc = _pq_train_encode_np(
+        ids, vecs, _PQ_M, _PQ_CODES, _PQ_ITERS, _PQ_Q
+    )
+    _PQ_REPLICA_CACHE[path] = (ids, vecs, barr, enc)
+    return _PQ_REPLICA_CACHE[path]
 
+
+def _load_embeddings_np(path: str):
     import numpy as np
     import pyarrow.parquet as pq
 
     t = pq.read_table(path, columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_numpy()
     vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    return ids, vecs
+
+
+def _pq_train_encode_np(ids, vecs, m: int, codes: int, iters: int, q: int):
+    """Parameterized numpy replica of train_pq_codebooks + pq_encode —
+    the shared core of the PQ, IVF-PQ and OPQ oracles.  Returns
+    (books, barr, enc)."""
+    import hashlib
+
+    import numpy as np
+
     n, dim = vecs.shape
-    m, codes, iters, q = _PQ_M, _PQ_CODES, _PQ_ITERS, _PQ_Q
     sub = dim // m
     ranks = [
         int(hashlib.md5(f"kmseed:{int(i)}".encode()).hexdigest()[:15], 16)
@@ -1871,23 +1888,30 @@ def _pq_replica(path: str):
         sv = vecs[:, j * sub : (j + 1) * sub]
         diffs = sv[:, None, :] - barr[j][None, :, :]
         enc[:, j] = np.argmin(np.cumsum(diffs * diffs, axis=2)[:, :, -1], axis=1)
-    _PQ_REPLICA_CACHE[path] = (ids, vecs, barr, enc)
-    return _PQ_REPLICA_CACHE[path]
+    return books, barr, enc
 
 
 _PQ_REPLICA_CACHE: dict = {}
 
 
 def _adc_replica_rows(path: str, probe_max: int, allowed_cells=None):
-    """ADC top-k rows from the shared replica: per-probe m×codes exact
+    """ADC top-k rows from the shared replica (see
+    _adc_rows_from_arrays for the core)."""
+    ids, vecs, barr, enc = _pq_replica(path)
+    return _adc_rows_from_arrays(ids, vecs, barr, enc, probe_max, allowed_cells)
+
+
+def _adc_rows_from_arrays(ids, vecs, barr, enc, probe_max: int, allowed_cells=None):
+    """ADC top-k rows from replica arrays: per-probe m×codes exact
     L2 tables (cumsum folds), candidate distance = fixed-order sum of
     m lookups, HALF_UP 1e-6 rounding, (dist, neighbor_id) sort.
-    ``allowed_cells`` (probe_id -> set of cell ids, plus the shared
-    vector->cell assignment in position 'assign') restricts candidates
-    to the probe's inverted lists — the IVF-PQ pruning."""
+    ``vecs`` are the vectors the probe tables are built from (the
+    ROTATED vectors for OPQ).  ``allowed_cells`` (probe_id -> set of
+    cell ids, plus the shared vector->cell assignment in position
+    'assign') restricts candidates to the probe's inverted lists —
+    the IVF-PQ pruning."""
     import numpy as np
 
-    ids, vecs, barr, enc = _pq_replica(path)
     m = len(barr)
     sub = barr[0].shape[1]
     id_to_idx = {int(i): ix for ix, i in enumerate(ids)}
@@ -2026,6 +2050,66 @@ def _trained_pq_books(spark: SparkSession, sf_dir: str) -> list:
     return _RENDER_CACHE[key]
 
 
+_OPQ_ITERS, _OPQ_PQ_ITERS = 2, 2  # rotation sweeps × Lloyd iters per sweep
+
+
+def _opq_rotate_np(vecs, R):
+    """Rotation replica: each output component is a sequential fold of
+    (R row × x) — cumsum order, matching rotate_vectors' HOF."""
+    import numpy as np
+
+    return np.cumsum(vecs[:, None, :] * R[None, :, :], axis=2)[:, :, -1]
+
+
+def _opq_oracle() -> str | None:
+    """Exact oracle for OPQ top-k: a numpy replica of the FULL
+    alternating loop — identity-init rotation, per-sweep PQ training on
+    the rotated corpus (shared _pq_train_encode_np), the integer
+    micro-unit cross-covariance A = Σ round(ĉ xᵀ·1e6) (per-row np.round
+    then integer sum, mirroring the engine's Arrow-batch partials
+    exactly — order-independent by construction), the Procrustes
+    R ← UVᵀ from numpy's SVD (the engine's own driver-side step: a
+    shared deterministic library call on an identical integer-derived
+    matrix, the md5-seeding precedent), a final training sweep, and
+    the rotated-space ADC top-k.  A green hash certifies rotation
+    training, codebooks, encoding and the query end-to-end."""
+    import os
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    try:
+        import numpy as np
+
+        ids, vecs = _load_embeddings_np(path)
+        dim = vecs.shape[1]
+        m = _PQ_M
+        R = np.eye(dim)
+        for _ in range(_OPQ_ITERS):
+            rv = _opq_rotate_np(vecs, R)
+            _books, barr, enc = _pq_train_encode_np(
+                ids, rv, m, _PQ_CODES, _OPQ_PQ_ITERS, _PQ_Q
+            )
+            C = np.concatenate([barr[j][enc[:, j]] for j in range(m)], axis=1)
+            prod = C[:, :, None] * vecs[:, None, :]
+            a_int = np.round(prod * 1e6).astype(np.int64).sum(axis=0)
+            A = a_int.astype(np.float64) / 1e6
+            U, _s, Vt = np.linalg.svd(A)
+            R = U @ Vt
+        rv = _opq_rotate_np(vecs, R)
+        _books, barr, enc = _pq_train_encode_np(
+            ids, rv, m, _PQ_CODES, _OPQ_PQ_ITERS, _PQ_Q
+        )
+        rows = _adc_rows_from_arrays(ids, rv, barr, enc, _PQ_PROBE_MAX)
+    except Exception as exc:
+        print(
+            f"# WARNING: similarity_opq_topk oracle degraded to rows-only: {exc!r}",
+            file=__import__("sys").stderr,
+        )
+        return None
+    return _adc_values_sql(rows)
+
+
 @_register("similarity_pq_topk", _pq_oracle())
 def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. TPAMI 2011 — the FAISS
@@ -2080,6 +2164,40 @@ def q_similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, books, "vec_id", "embedding",
         k=_PQ_K, num_centroids=_IVFPQ_CELLS, nprobe=_IVFPQ_NPROBE, probes=probes,
     )
+
+
+@_register("similarity_opq_topk", _opq_oracle())
+def q_similarity_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ ANN (Ge et al. CVPR 2013 — FAISS's OPQMatrix + PQ tier):
+    an orthogonal rotation trained to minimize PQ reconstruction error
+    precedes quantization, recovering accuracy PQ loses to unfavorable
+    subspace alignment.  Training alternates the shuffle-free Lloyd
+    codebook sweep (in rotated space) with the Procrustes rotation
+    update; the ONE new distributed stage — the D×D cross-covariance —
+    is accumulated as per-row integer micro-unit outer products
+    (Arrow-batch numpy matmuls → int64 partials → exact
+    order-independent integer total), so the oracle's full numpy
+    replica (_opq_oracle) re-derives rotation, codebooks, encoding and
+    the rotated-space ADC query bit-exactly.  Identity init replaces
+    FAISS's random init to keep training replayable.  Recall vs exact
+    L2 floor-tested in tests/test_tools.py.  Eager by contract
+    (training runs when constructed; the trained (R, books) pair is
+    cached per (process, sf_dir) — the build-once/query-many ANN
+    contract)."""
+    from hadoop_3_3_6_spark.functions.similarity import opq_topk, train_opq_rotation
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    key = ("opq_rotation_books", sf_dir)
+    if key not in _RENDER_CACHE:
+        _RENDER_CACHE[key] = train_opq_rotation(
+            emb, "vec_id", "embedding",
+            m=_PQ_M, codes=_PQ_CODES,
+            opq_iters=_OPQ_ITERS, pq_iters=_OPQ_PQ_ITERS,
+            quantize_decimals=_PQ_Q,
+        )
+    rmat, books = _RENDER_CACHE[key]
+    probes = emb.filter(F.col("vec_id") < _PQ_PROBE_MAX).select("vec_id")
+    return opq_topk(emb, rmat, books, "vec_id", "embedding", k=_PQ_K, probes=probes)
 
 
 @_register(
@@ -7344,6 +7462,7 @@ _DRIVER_HOLDBACK_R8 = [
     "distch_manifest",
     "pipeline_contamination_semantic",
     "pipeline_perplexity_buckets",
+    "similarity_opq_topk",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

@@ -304,6 +304,9 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         # the candidate scan itself is an EQUI join on cluster_id
         # (plan-gated in test_ivf_pq_candidates_join_is_equi_keyed)
         "similarity_ivf_pq_topk",
+        # OPQ: adds the 1-row rotation-matrix broadcast cross to the
+        # PQ crosses; same scalar-matrix class
+        "similarity_opq_topk",
         "similarity_quantized_topk",
         "dedup_semantic",
         # same bounded corpus x broadcast(k) assignment stage as
@@ -401,6 +404,7 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     "tokenizer_bpe_train", "tokenizer_bpe_apply",
                     "similarity_pq_topk",  # PQ training iterations (ivf_trained contract)
                     "similarity_ivf_pq_topk",  # same PQ training contract
+                    "similarity_opq_topk",  # OPQ rotation + PQ training contract
                     "distch_manifest",  # renders + mutates its tree at construction
                     # round-4 rendered-artifact rows that pay a per-
                     # construction metadata job even after the render

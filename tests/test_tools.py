@@ -545,6 +545,42 @@ def test_ivf_pq_topk_recall_floor(spark, sf_dir):
     assert recall >= 0.15, f"IVF-PQ recall {recall:.2f}"
 
 
+def test_opq_topk_recall_floor(spark, sf_dir):
+    """OPQ (rotation-optimized PQ) recall vs exact L2.  On the
+    near-isotropic synthetic embeddings the learned rotation has
+    little structure to exploit, so the floor matches plain PQ's
+    lower bound — the test catches a broken rotation (non-orthogonal
+    R, mis-applied to probes vs corpus), not the absence of an
+    anisotropy win.  Orthogonality of the trained R is asserted
+    directly (R·Rᵀ = I), which pins the Procrustes step."""
+    import numpy as np
+
+    from hadoop_3_3_6_spark.functions.similarity import opq_topk, train_opq_rotation
+    from hadoop_3_3_6_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    rmat, books = train_opq_rotation(
+        emb, "vec_id", "embedding", m=16, codes=16, opq_iters=1, pq_iters=2,
+        quantize_decimals=3,
+    )
+    R = np.array(rmat)
+    assert np.abs(R @ R.T - np.eye(R.shape[0])).max() < 1e-9
+    probes = emb.filter(F.col("vec_id") < 10).select("vec_id")
+    approx = opq_topk(emb, rmat, books, "vec_id", "embedding", k=5, probes=probes).toPandas()
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    truth = set()
+    for p in range(10):
+        pi = int(np.where(ids == p)[0][0])
+        d = ((vecs - vecs[pi]) ** 2).sum(axis=1)
+        nn = [int(ids[ix]) for ix in np.argsort(d, kind="stable") if int(ids[ix]) != p][:5]
+        truth.update((p, i) for i in nn)
+    got = set(zip(approx.probe_id, approx.neighbor_id))
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.2, f"OPQ recall {recall:.2f}"
+
+
 def test_pq_encode_is_shuffle_free(spark, sf_dir):
     """PQ encoding must stay a pure projection over the 1-row codebook
     broadcast — an Exchange in the encode plan would mean the 64×-
