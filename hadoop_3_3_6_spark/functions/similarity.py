@@ -955,6 +955,8 @@ def train_opq_rotation(
 
         def partials(batches):
             for pdf in batches:
+                if len(pdf) == 0:  # empty partition/batch: no partial row
+                    continue
                 X = np.vstack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
                 C = np.concatenate(
                     [barr[j][np.vstack(pdf["codes"].to_numpy())[:, j]] for j in range(m)],
