@@ -562,6 +562,159 @@ def q_dbcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "bucketed_join_customers",
+    f"""
+    SELECT c.c_custkey, c.c_mktsegment, count(*) AS n_orders,
+           cast(sum({_dec('o.o_totalprice')}) as double) AS total_spend
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_bucketed_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join as a driver row (the
+    CompositeInputFormat contract, MRC/mapreduce/lib/join/
+    CompositeInputFormat.java:55: pre-sorted co-partitioned inputs
+    join map-side with no shuffle): customer and orders are persisted
+    bucketed+sorted on the join key (sources/containers.bucketed_table
+    — bucketBy/sortBy, the MapFileOutputFormat analogue), and the
+    join-then-aggregate runs over the bucketed tables.  The
+    no-Exchange-under-the-join property is plan-gated
+    (test_bucketed_join_query_elides_exchange); this row pins the
+    RESULTS against a plain-join oracle, so a bucket-misrouted row
+    (wrong hash, wrong bucket count on either side) turns the driver
+    row red.  Eager by contract (bucketed tables written once per
+    (process, sf_dir))."""
+    import hashlib as _hl
+
+    # sf-scoped table names: two tiers constructed in one process must
+    # not overwrite each other's bucketed tables out from under a plan
+    sfx = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    key = ("bucketed_tables", sf_dir)
+    if key not in _RENDER_CACHE:
+        from hadoop_3_3_6_spark.sources.containers import bucketed_table
+
+        cust = load_table(spark, "customer", sf_dir)
+        orders = load_table(spark, "orders", sf_dir)
+        bucketed_table(
+            cust.select("c_custkey", "c_mktsegment"),
+            f"bq_customer_{sfx}", ["c_custkey"], num_buckets=8,
+        )
+        bucketed_table(
+            orders.select("o_custkey", "o_totalprice"),
+            f"bq_orders_{sfx}", ["o_custkey"], num_buckets=8,
+        )
+        _RENDER_CACHE[key] = True
+    c = spark.table(f"bq_customer_{sfx}")
+    o = spark.table(f"bq_orders_{sfx}")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr(_dec("o_totalprice"))).cast("double").alias("total_spend"),
+        )
+    )
+
+
+@_register(
+    "skipbad_quarantine_scan",
+    """
+    SELECT n_nationkey AS rec_id,
+           CASE WHEN n_nationkey % 5 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
+           CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_name END AS name
+    FROM nation
+    """,
+)
+def q_skipbad_quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SkipBadRecords as a driver row (MRC/mapred/SkipBadRecords.java:55
+    — tolerate-and-count instead of fail): a rendered JSON-lines
+    fixture deliberately corrupts every 5th record; the PERMISSIVE
+    reader quarantines malformed lines into _corrupt_record and the
+    query returns one row PER INPUT RECORD with its quarantine status
+    — corrupted records surface with a NULL payload and
+    status='corrupt', never dropped silently and never failing the
+    job.  The corruption pattern is a pure function of the nation
+    table, so the oracle pins every record's disposition: a reader
+    that dropped, mis-quarantined, or crashed on a bad record turns
+    the row red.  rec_id for corrupt rows is recovered from the raw
+    quarantined line (the reference's skip-record audit trail).
+    Eager render, cached per (process, sf_dir)."""
+    nation = load_table(spark, "nation", sf_dir)
+
+    def render(d: str) -> None:
+        import json as _json
+        import os
+
+        os.makedirs(f"{d}/data", exist_ok=True)
+        with open(f"{d}/data/records.jsonl", "w") as f:
+            for r in nation.select("n_nationkey", "n_name").collect():
+                if r.n_nationkey % 5 == 0:
+                    # truncated JSON: parse fails, line is quarantined
+                    f.write(f'{{"rec_id": {r.n_nationkey}, "name": "BROKEN\n')
+                else:
+                    f.write(_json.dumps({"rec_id": r.n_nationkey, "name": r.n_name}) + "\n")
+
+    out = _rendered_dir("skipbad_", sf_dir, render)
+    scanned = (
+        spark.read.schema("rec_id long, name string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(f"{out}/data/records.jsonl")
+    )
+    corrupt = F.col("_corrupt_record").isNotNull()
+    return scanned.select(
+        F.when(
+            corrupt,
+            F.regexp_extract("_corrupt_record", r'"rec_id":\s*(\d+)', 1).cast("long"),
+        )
+        .otherwise(F.col("rec_id"))
+        .alias("rec_id"),
+        F.when(corrupt, F.lit("corrupt")).otherwise(F.lit("ok")).alias("status"),
+        F.when(corrupt, F.lit(None).cast("string")).otherwise(F.col("name")).alias("name"),
+    )
+
+
+@_register(
+    "db_output_roundtrip",
+    f"""
+    SELECT event_type, count(*) AS pageviews,
+           cast(sum({_dec('value')}) as double) AS value_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def q_db_output_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL DBCountPageView flow (MRX/DBCountPageView.java:78),
+    JDBC out AND back in: aggregate the access log, batch-INSERT the
+    counts through the JDBC sink (DBOutputFormat,
+    MRC/mapreduce/lib/db/DBOutputFormat.java:51 — one batched
+    connection per partition), then scan the written table back
+    through the JDBC source (DBInputFormat) and return it.  A dropped
+    batch, a partial commit, or a type mangled by the database
+    round-trip turns the driver row red against the pure-aggregate
+    oracle — this is the sink's driver-checked upgrade over the
+    existing roundtrip test.  Derby database rendered once per
+    (process, sf_dir); eager by contract."""
+    from hadoop_3_3_6_spark.sources.db import jdbc_read, jdbc_write
+
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("pageviews"),
+        F.sum(F.expr(_dec("value"))).cast("double").alias("value_sum"),
+    )
+
+    def render(d: str) -> None:
+        jdbc_write(counts, f"jdbc:derby:{d}/pageviews;create=true", "pageview_counts")
+
+    out = _rendered_dir("dbout_", sf_dir, render)
+    back = jdbc_read(spark, f"jdbc:derby:{out}/pageviews", "pageview_counts")
+    return back.select(
+        F.col("event_type"),
+        F.col("pageviews").cast("bigint").alias("pageviews"),
+        F.col("value_sum").cast("double").alias("value_sum"),
+    )
+
+
 # === M2: DSL layer =======================================================
 
 
@@ -7463,6 +7616,9 @@ _DRIVER_HOLDBACK_R8 = [
     "pipeline_contamination_semantic",
     "pipeline_perplexity_buckets",
     "similarity_opq_topk",
+    "bucketed_join_customers",
+    "skipbad_quarantine_scan",
+    "db_output_roundtrip",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

@@ -695,6 +695,28 @@ def test_table_diff_digest_has_partial_agg_and_broadcast_pruning(spark, sf_dir):
     assert all("BroadcastHashJoin" in l for l in semi_joins), semi_joins
 
 
+def test_bucketed_join_query_elides_exchange(spark, sf_dir):
+    """The registered bucketed-join row must run shuffle-free UNDER
+    THE JOIN: both sides' bucketing (8 buckets on the join key)
+    satisfies the sort-merge join's distribution requirement, so no
+    Exchange may feed it — the CompositeInputFormat contract the row
+    exists to pin.  At the test sf the optimizer rightly prefers a
+    broadcast join (the small side fits), which would bypass the
+    property — disable auto-broadcast to force the SMJ path the
+    100 TB plan takes."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(spark, sf_dir, "bucketed_join_customers")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    join_pos = plan.find("SortMergeJoin")
+    assert join_pos != -1, plan[:2000]
+    # plans print top-down: anything AFTER the join line is its input
+    # subtree — no exchange may appear there
+    assert "Exchange" not in plan[join_pos:], plan[join_pos : join_pos + 2000]
+
+
 def test_semantic_contamination_is_linear_broadcast_scan(spark, sf_dir):
     """Semantic eval decontamination must stay a pure linear
     projection: the eval set folds to ONE broadcast row and the corpus
