@@ -605,3 +605,105 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
             .alias("avg_logprob"),
         )
     )
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher rule-based quality filter (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Appendix A1.1 — the rule
+    suite MassiveWeb shipped and C4/RefinedWeb variants reuse): one
+    row per document with every rule's underlying signal plus the
+    conjunctive ``keep`` verdict, so a pipeline can either filter on
+    ``keep`` or re-threshold individual signals without re-scanning.
+
+    Signals / rules (defaults are the published thresholds):
+      - ``n_words`` in [min_words, max_words] (50..100,000);
+      - ``mean_word_len`` in [3, 10] — EXACT sum of word lengths over
+        word count (not the separator approximation quality_score
+        uses, because the rule thresholds assume the true mean);
+      - ``symbol_word_ratio`` ('#' chars + '...' occurrences, per
+        word) <= 0.1;
+      - ``bullet_line_frac`` (lines starting with a bullet) < 0.9 and
+        ``ellipsis_line_frac`` (lines ending with an ellipsis) < 0.3;
+      - ``alpha_word_frac`` (words containing an ASCII letter) >= 0.8;
+      - ``stopword_hits`` (distinct members of Gopher's 8-stopword
+        list present) >= 2.
+
+    Scale shape: every signal is a per-row higher-order expression in
+    ONE projection — no shuffle, no UDF, no explode; at 100 TB this is
+    a pure map stage that fuses into the scan (the same discipline as
+    quality_score/boilerplate_signals).  Exactness: all ratios are
+    single IEEE divisions of exact integer counts, so every value is
+    bit-identical across engines and the whole operator carries an
+    exact SQL oracle (counts-of-3-char '...' via the
+    length-minus-replace identity, integer-divided by 3)."""
+    df = spread_for_compute(df)
+    words = f"filter(split({text_col}, ' '), w -> w <> '')"
+    # split's pattern arg is a regex in Spark; '\n' the two-char escape
+    # compiles to the newline class, matching the oracle's chr(10)
+    lines = f"filter(split({text_col}, '\\n'), l -> trim(l) <> '')"
+    stop_arr = "array(" + ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS) + ")"
+    base = df.select(
+        F.col(id_col),
+        F.expr(f"size({words})").alias("n_words"),
+        F.expr(f"aggregate({words}, 0L, (acc, w) -> acc + length(w))").alias("_word_chars"),
+        (
+            F.length(F.col(text_col))
+            - F.length(F.expr(f"replace({text_col}, '#', '')"))
+            + F.expr(f"(length({text_col}) - length(replace({text_col}, '...', ''))) div 3")
+        ).alias("_symbols"),
+        F.expr(f"size(filter({words}, w -> w rlike '[a-zA-Z]'))").alias("_alpha_words"),
+        F.expr(f"size({lines})").alias("_n_lines"),
+        F.expr(
+            f"size(filter({lines}, l -> startswith(trim(l), '-') "
+            f"or startswith(trim(l), '*') or startswith(trim(l), '•')))"
+        ).alias("_bullet_lines"),
+        F.expr(
+            f"size(filter({lines}, l -> endswith(trim(l), '...') "
+            f"or endswith(trim(l), '…')))"
+        ).alias("_ellipsis_lines"),
+        F.expr(f"size(filter({stop_arr}, s -> array_contains({words}, s)))").alias(
+            "stopword_hits"
+        ),
+    )
+
+    def _ratio(num, den):
+        return (
+            F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+        )
+
+    sig = base.select(
+        F.col(id_col),
+        F.col("n_words"),
+        _ratio(F.col("_word_chars"), F.col("n_words")).alias("mean_word_len"),
+        _ratio(F.col("_symbols"), F.col("n_words")).alias("symbol_word_ratio"),
+        _ratio(F.col("_alpha_words"), F.col("n_words")).alias("alpha_word_frac"),
+        _ratio(F.col("_bullet_lines"), F.col("_n_lines")).alias("bullet_line_frac"),
+        _ratio(F.col("_ellipsis_lines"), F.col("_n_lines")).alias("ellipsis_line_frac"),
+        F.col("stopword_hits"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_frac") < max_bullet_frac)
+        & (F.col("ellipsis_line_frac") < max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return sig.select("*", keep.alias("keep"))

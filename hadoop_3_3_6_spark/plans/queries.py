@@ -1737,6 +1737,64 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipeline_gopher_rules",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS words,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) // 3 AS symbols
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             len(words)::INT AS n_words,
+             CASE WHEN len(words) > 0 THEN
+               list_sum(list_transform(words, w -> length(w)))::DOUBLE / len(words)
+             ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(words) > 0 THEN symbols::DOUBLE / len(words)
+             ELSE 0.0 END AS symbol_word_ratio,
+             CASE WHEN len(words) > 0 THEN
+               len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE / len(words)
+             ELSE 0.0 END AS alpha_word_frac,
+             CASE WHEN len(lines) > 0 THEN
+               len(list_filter(lines, l -> starts_with(trim(l), '-')
+                   OR starts_with(trim(l), '*') OR starts_with(trim(l), '•')))::DOUBLE / len(lines)
+             ELSE 0.0 END AS bullet_line_frac,
+             CASE WHEN len(lines) > 0 THEN
+               len(list_filter(lines, l -> ends_with(trim(l), '...')
+                   OR ends_with(trim(l), '…')))::DOUBLE / len(lines)
+             ELSE 0.0 END AS ellipsis_line_frac,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                             s -> list_contains(words, s)))::INT AS stopword_hits
+      FROM base
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, alpha_word_frac,
+           bullet_line_frac, ellipsis_line_frac, stopword_hits,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_frac < 0.9
+            AND ellipsis_line_frac < 0.3
+            AND alpha_word_frac >= 0.8
+            AND stopword_hits >= 2) AS keep
+    FROM sig
+    """,
+)
+def q_pipeline_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule-based quality filter (Rae et al. 2021 Appendix
+    A1.1) at published thresholds: every rule's signal plus the
+    conjunctive keep verdict, one shuffle-free projection per document
+    (functions/text.gopher_quality_rules).  Complements the statistical
+    filters (quality_score, perplexity buckets, importance resampling)
+    with the rule tier every production pretraining pipeline runs
+    first."""
+    from hadoop_3_3_6_spark.functions.text import gopher_quality_rules
+
+    return gopher_quality_rules(load_table(spark, "documents", sf_dir), "text", "doc_id")
+
+
+@_register(
     "text_fingerprint",
     """
     SELECT doc_id,
@@ -7619,6 +7677,7 @@ _DRIVER_HOLDBACK_R8 = [
     "bucketed_join_customers",
     "skipbad_quarantine_scan",
     "db_output_roundtrip",
+    "pipeline_gopher_rules",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

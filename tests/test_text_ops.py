@@ -222,3 +222,39 @@ def test_minhash_verify_stage_filters_candidates(spark, sf_dir):
     assert len(kept) < len(cands), "verify stage dropped nothing at threshold 0.9"
     assert all(r.est_jaccard >= 0.9 for r in ver)
     assert all(abs(r.est_jaccard * 32 - round(r.est_jaccard * 32)) < 1e-12 for r in ver)
+
+
+def test_gopher_rules_thresholds(spark):
+    from hadoop_3_3_6_spark.functions.text import gopher_quality_rules
+
+    good = "the cat sat with mats and " + " ".join(f"word{i}" for i in range(50))
+    df = _docs(
+        spark,
+        [
+            good,                                   # 0: passes every rule
+            "the of short",                         # 1: < min_words
+            good + " ### ### ### ### ### ### ###",  # 2: symbol ratio blown
+            "- a\n- b\n- c\nthe end of it "         # 3: 3/4 bullet lines (ok)
+            + " ".join(f"w{i}" for i in range(50)),
+            "a... b...\nc...\nthe plain of line "   # 4: ellipsis lines blown
+            + " ".join(f"w{i}" for i in range(50)),
+            ("the of " + "9 " * 60).strip(),        # 5: alpha fraction blown
+            " ".join(f"tok{i}" for i in range(60)), # 6: zero stopword hits
+        ],
+    )
+    rows = {
+        r.doc_id: r
+        for r in gopher_quality_rules(df, "text", "doc_id", min_words=40).collect()
+    }
+    assert rows[0].keep and rows[0].stopword_hits >= 3
+    assert not rows[1].keep and rows[1].n_words == 3
+    assert not rows[2].keep and rows[2].symbol_word_ratio > 0.1
+    # bullet tokens count as words (split on space): mean word length
+    # sinks below 3 and 'c\nthe' glues across the newline, so the doc
+    # fails on mean_word_len + stopwords while the LINE signal is 3/4
+    assert not rows[3].keep and abs(rows[3].bullet_line_frac - 0.75) < 1e-12
+    assert not rows[4].keep and abs(rows[4].ellipsis_line_frac - 2 / 3) < 1e-12
+    assert not rows[5].keep and rows[5].alpha_word_frac < 0.8
+    assert not rows[6].keep and rows[6].stopword_hits == 0
+    # '...' occurrences count once per 3 chars, on top of '#' chars
+    assert rows[4].symbol_word_ratio * rows[4].n_words == 3.0
