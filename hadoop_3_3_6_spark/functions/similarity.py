@@ -1075,6 +1075,123 @@ def ivf_pq_topk(
     return _rank_topk(scored, k, order_col="adc_dist", ascending=True)
 
 
+def _seed_centroids(
+    emb: DataFrame, id_col: str, vec_col: str, num_centroids: int
+) -> DataFrame:
+    """The deterministic id < num_centroids coarse-centroid rule as a
+    (cent_id, cvec) frame — the oracle-exact seeding shared by
+    ivf_pq_topk and the residual tier."""
+    return emb.filter(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+
+
+def _residualize(
+    rows: DataFrame, cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Subtract each row's assigned coarse centroid: (id, ...,
+    cluster_id, vec) -> (id, cluster_id, resid).  A broadcast join on
+    the k-row centroid frame followed by a per-component zip_with —
+    exact IEEE subtraction, so residuals are bit-identical to any
+    replica computing vec - centroid in the same doubles."""
+    cc = cents.select(F.col("cent_id").alias("cluster_id"), F.col("cvec").alias("_rcvec"))
+    return rows.join(F.broadcast(cc), on="cluster_id").select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), F.col("_rcvec"), lambda x, y: x - y
+        ).alias("resid"),
+    )
+
+
+def train_residual_pq_codebooks(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    m: int = 4,
+    codes: int = 16,
+    iters: int = 3,
+    quantize_decimals: int | None = None,
+) -> list[list[list[float]]]:
+    """PQ codebooks trained on COARSE RESIDUALS (x - centroid(x)) —
+    the ``by_residual=true`` default of FAISS's IndexIVFPQ (Jégou et
+    al. TPAMI 2011 §IV-A eq.(26)): when the coarse quantizer captures
+    real cluster structure, residuals concentrate around the origin
+    with lower variance than raw vectors, so the same m×codes budget
+    quantizes them with less error (pinned on a clustered corpus in
+    tests/test_tools.py; on an isotropic corpus the seeds capture no
+    structure and the advantage vanishes — the FAISS caveat applies
+    here too).  The residual
+    projection is a broadcast join + zip_with subtraction (no
+    shuffle); training is the shared shuffle-free Lloyd contract of
+    :func:`train_pq_codebooks` run on the residual column, with the
+    same md5 seed ranking over the SAME ids — so an independent numpy
+    replica reproduces the books exactly from (vecs - cents[assign])."""
+    cents = _seed_centroids(emb, id_col, vec_col, num_centroids)
+    assigned = assign_clusters(emb, id_col, vec_col, centroids=cents)
+    res = _residualize(assigned, cents, id_col, vec_col)
+    return train_pq_codebooks(
+        res, id_col, "resid", m=m, codes=codes, iters=iters,
+        quantize_decimals=quantize_decimals,
+    )
+
+
+def ivf_pq_residual_topk(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    probe_ids: list[int] | None = None,
+    probes: DataFrame | None = None,
+) -> DataFrame:
+    """Residual-encoded IVF-PQ — FAISS IndexIVFPQ's actual default
+    (``by_residual=true``; Jégou et al. TPAMI 2011 §IV-A): corpus
+    vectors are PQ-encoded as their residual to the assigned coarse
+    centroid, and a probe's asymmetric-distance tables are built PER
+    PROBED CELL from the probe's residual to THAT cell's centroid, so
+    ADC approximates ||q - x||² = ||r_q(cell) - r_x||² exactly in the
+    residual space.  vs :func:`ivf_pq_topk` (shared raw-space
+    codebooks) this spends the same m-byte code budget on the much
+    lower-variance residual distribution — the standard recall
+    recovery at identical storage and scan cost.
+
+    Scale shape: identical to ivf_pq_topk — the residual projection
+    is a k-row broadcast join + zip_with (no shuffle, no expansion);
+    the probe-side table frame grows to probes × nprobe rows (one
+    table per probed cell — still broadcast-sized); candidates join
+    list-pruned on cluster_id and rank two-phase.  Every stage keeps
+    the bit-reproducibility contract (exact residual subtraction,
+    decimal-grid training, sequential folds, HALF_UP 1e-6, neighbor-id
+    tiebreak), so the full composition is pinned end-to-end by the
+    independent numpy replica in plans/queries._ivf_pq_residual_oracle."""
+    cents = _seed_centroids(emb, id_col, vec_col, num_centroids)
+    assigned = assign_clusters(emb, id_col, vec_col, centroids=cents)
+    enc = pq_encode(
+        _residualize(assigned, cents, id_col, vec_col),
+        books, id_col, "resid", extra_cols=("cluster_id",),
+    )
+    probe_rows = _restrict_to_probes(emb, id_col, probes, probe_ids)
+    probe_cells = assign_clusters(
+        probe_rows, id_col, vec_col, centroids=cents, num_probes=nprobe
+    )
+    # one ADC table per (probe, probed cell), built from the probe's
+    # residual to that cell's centroid — probes × nprobe rows, still
+    # broadcast-sized, so the corpus-sized code table never shuffles
+    probe_res = _residualize(probe_cells, cents, id_col, vec_col)
+    probe_tabs = _adc_tables(probe_res, books, id_col, "resid", extra_cols=("cluster_id",))
+    cand = enc.join(F.broadcast(probe_tabs), on="cluster_id").filter(
+        F.col("probe_id") != F.col(id_col)
+    )
+    scored = cand.select(
+        "probe_id", F.col(id_col).alias("neighbor_id"), F.round(_adc_dist(), 6).alias("adc_dist")
+    )
+    return _rank_topk(scored, k, order_col="adc_dist", ascending=True)
+
+
 def semantic_contamination(
     corpus: DataFrame,
     eval_set: DataFrame,

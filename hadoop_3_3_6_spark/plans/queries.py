@@ -2190,6 +2190,38 @@ def _pq_oracle() -> str | None:
     return _adc_values_sql(rows)
 
 
+_COARSE_REPLICA_CACHE: dict = {}
+
+
+def _coarse_replica(path: str):
+    """Memoized numpy replica of the coarse IVF stage (the
+    assign_clusters contract): cosine scores against the
+    id < _IVFPQ_CELLS seed centroids with sequential-fold dots and
+    HALF_UP 1e-6 rounding.  Returns (ids, vecs, cent_rows, id_to_idx,
+    cs) — shared by the composed IVF-PQ oracle and the residual
+    variant's."""
+    if path in _COARSE_REPLICA_CACHE:
+        return _COARSE_REPLICA_CACHE[path]
+    import numpy as np
+
+    ids, vecs = _load_embeddings_np(path)
+    cent_rows = sorted(int(i) for i in ids if i < _IVFPQ_CELLS)
+    id_to_idx = {int(i): ix for ix, i in enumerate(ids)}
+    cents = np.array([vecs[id_to_idx[c]] for c in cent_rows])
+    # sequential-fold dot products == cumsum order; norms are exact
+    # sqrt of the same folds (IEEE sqrt is correctly rounded in
+    # both engines)
+    norms = np.sqrt(np.cumsum(vecs * vecs, axis=1)[:, -1])
+    cnorms = np.sqrt(np.cumsum(cents * cents, axis=1)[:, -1])
+    cs = np.empty((len(ids), len(cent_rows)))
+    for ci in range(len(cent_rows)):
+        dots = np.cumsum(vecs * cents[ci][None, :], axis=1)[:, -1]
+        cs[:, ci] = dots / (norms * cnorms[ci])
+    cs = np.vectorize(_spark_round)(cs)
+    _COARSE_REPLICA_CACHE[path] = (ids, vecs, cent_rows, id_to_idx, cs)
+    return _COARSE_REPLICA_CACHE[path]
+
+
 def _ivf_pq_oracle() -> str | None:
     """Exact oracle for the COMPOSED IVF-PQ query: the shared PQ
     replica plus a numpy replica of the coarse stage — cosine scores
@@ -2208,20 +2240,8 @@ def _ivf_pq_oracle() -> str | None:
     try:
         import numpy as np
 
-        ids, vecs, _barr, _enc = _pq_replica(path)
-        cent_rows = sorted(int(i) for i in ids if i < _IVFPQ_CELLS)
-        id_to_idx = {int(i): ix for ix, i in enumerate(ids)}
-        cents = np.array([vecs[id_to_idx[c]] for c in cent_rows])
-        # sequential-fold dot products == cumsum order; norms are exact
-        # sqrt of the same folds (IEEE sqrt is correctly rounded in
-        # both engines)
-        norms = np.sqrt(np.cumsum(vecs * vecs, axis=1)[:, -1])
-        cnorms = np.sqrt(np.cumsum(cents * cents, axis=1)[:, -1])
-        cs = np.empty((len(ids), len(cent_rows)))
-        for ci in range(len(cent_rows)):
-            dots = np.cumsum(vecs * cents[ci][None, :], axis=1)[:, -1]
-            cs[:, ci] = dots / (norms * cnorms[ci])
-        cs = np.vectorize(_spark_round)(cs)
+        _ids0, _vecs0, _barr, _enc = _pq_replica(path)
+        ids, vecs, cent_rows, id_to_idx, cs = _coarse_replica(path)
         # corpus: argmax = first occurrence = lowest cent_id on ties
         assign = np.array([cent_rows[j] for j in np.argmax(cs, axis=1)])
         allowed = {"assign": assign}
@@ -2233,6 +2253,63 @@ def _ivf_pq_oracle() -> str | None:
     except Exception as exc:
         print(
             f"# WARNING: similarity_ivf_pq_topk oracle degraded to rows-only: {exc!r}",
+            file=__import__("sys").stderr,
+        )
+        return None
+    return _adc_values_sql(rows)
+
+
+def _ivf_pq_residual_oracle() -> str | None:
+    """Exact oracle for RESIDUAL IVF-PQ (FAISS by_residual): the
+    shared coarse replica assigns every vector its cell, codebooks are
+    trained by the shared PQ replica on the EXACT residuals
+    (vecs - cents[assign] in the same doubles as the engine's zip_with
+    subtraction), and each probe's ADC tables are rebuilt per probed
+    cell from the probe's residual to THAT centroid.  A green hash
+    certifies coarse assignment, residualization, residual training,
+    encoding and the per-cell ADC query end-to-end."""
+    import os
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    try:
+        import numpy as np
+
+        ids, vecs, cent_rows, id_to_idx, cs = _coarse_replica(path)
+        cents = np.array([vecs[id_to_idx[c]] for c in cent_rows])
+        assign_ix = np.argmax(cs, axis=1)  # first occurrence = lower cent_id
+        resid = vecs - cents[assign_ix]
+        _books, barr, enc = _pq_train_encode_np(
+            ids, resid, _PQ_M, _PQ_CODES, _PQ_ITERS, _PQ_Q
+        )
+        sub = vecs.shape[1] // _PQ_M
+        rows = []
+        for p in sorted(int(i) for i in ids if i < _IVFPQ_PROBE_MAX):
+            pi = id_to_idx[p]
+            prow = cs[pi]
+            order = sorted(range(len(cent_rows)), key=lambda j: (-prow[j], cent_rows[j]))
+            scored = []
+            for j in order[: _IVFPQ_NPROBE]:
+                rq = vecs[pi] - cents[j]
+                tabs = []
+                for jj in range(_PQ_M):
+                    pv = rq[jj * sub : (jj + 1) * sub]
+                    diffs = pv[None, :] - barr[jj]
+                    tabs.append(np.cumsum(diffs * diffs, axis=1)[:, -1])
+                for ix, i in enumerate(ids):
+                    if int(i) == p or int(assign_ix[ix]) != j:
+                        continue
+                    acc = 0.0
+                    for jj in range(_PQ_M):  # fixed-order fold, as in the plan
+                        acc = acc + float(tabs[jj][enc[ix, jj]])
+                    scored.append((_spark_round(acc), int(i)))
+            scored.sort()
+            for r, (dd, i) in enumerate(scored[: _PQ_K], 1):
+                rows.append((p, i, dd, r))
+    except Exception as exc:
+        print(
+            f"# WARNING: similarity_ivf_pq_residual_topk oracle degraded to rows-only: {exc!r}",
             file=__import__("sys").stderr,
         )
         return None
@@ -2256,6 +2333,23 @@ def _trained_pq_books(spark: SparkSession, sf_dir: str) -> list:
         emb = load_table(spark, "embeddings", sf_dir)
         _RENDER_CACHE[key] = train_pq_codebooks(
             emb, "vec_id", "embedding",
+            m=_PQ_M, codes=_PQ_CODES, iters=_PQ_ITERS, quantize_decimals=_PQ_Q,
+        )
+    return _RENDER_CACHE[key]
+
+
+def _trained_residual_pq_books(spark: SparkSession, sf_dir: str) -> list:
+    """Residual-space PQ codebooks (FAISS by_residual), cached per
+    (process, sf_dir) — same build-once/query-many contract as
+    _trained_pq_books; deterministic training means the cache can
+    never mask a drift."""
+    from hadoop_3_3_6_spark.functions.similarity import train_residual_pq_codebooks
+
+    key = ("pq_res_books", sf_dir)
+    if key not in _RENDER_CACHE:
+        emb = load_table(spark, "embeddings", sf_dir)
+        _RENDER_CACHE[key] = train_residual_pq_codebooks(
+            emb, "vec_id", "embedding", num_centroids=_IVFPQ_CELLS,
             m=_PQ_M, codes=_PQ_CODES, iters=_PQ_ITERS, quantize_decimals=_PQ_Q,
         )
     return _RENDER_CACHE[key]
@@ -2372,6 +2466,38 @@ def q_similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _trained_pq_books(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < _IVFPQ_PROBE_MAX).select("vec_id")
     return ivf_pq_topk(
+        emb, books, "vec_id", "embedding",
+        k=_PQ_K, num_centroids=_IVFPQ_CELLS, nprobe=_IVFPQ_NPROBE, probes=probes,
+    )
+
+
+@_register("similarity_ivf_pq_residual_topk", _ivf_pq_residual_oracle())
+def q_similarity_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL IVF-PQ — FAISS IndexIVFPQ's shipping default
+    (by_residual=true; Jégou et al. TPAMI 2011 §IV-A eq.(26)): the PQ
+    code budget is spent on x - centroid(x) instead of raw x — a
+    lower-variance distribution whenever the coarse quantizer captures
+    real cluster structure (the design-claim test pins this on a
+    clustered corpus; the isotropic fixture shows the advantage
+    vanishing without structure, as in FAISS);
+    probes rebuild their ADC tables per probed cell from the probe's
+    residual to that centroid (functions/similarity
+    .ivf_pq_residual_topk).  Same scan/storage cost and plan shape as
+    similarity_ivf_pq_topk — residualization is a k-row broadcast join
+    plus an exact zip_with subtraction, list-pruned candidates, two-
+    phase rank.  The oracle's independent numpy replica
+    (_ivf_pq_residual_oracle) re-derives coarse assignment,
+    residualization, residual codebook training, encoding and the
+    per-cell ADC query end-to-end.  Residual-vs-raw quantization
+    error is separately asserted in tests/test_tools.py.  Eager by
+    contract (training runs when constructed; residual books cached
+    per (process, sf_dir))."""
+    from hadoop_3_3_6_spark.functions.similarity import ivf_pq_residual_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = _trained_residual_pq_books(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < _IVFPQ_PROBE_MAX).select("vec_id")
+    return ivf_pq_residual_topk(
         emb, books, "vec_id", "embedding",
         k=_PQ_K, num_centroids=_IVFPQ_CELLS, nprobe=_IVFPQ_NPROBE, probes=probes,
     )
@@ -7678,6 +7804,7 @@ _DRIVER_HOLDBACK_R8 = [
     "skipbad_quarantine_scan",
     "db_output_roundtrip",
     "pipeline_gopher_rules",
+    "similarity_ivf_pq_residual_topk",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

@@ -213,6 +213,17 @@ def test_ivf_pq_candidates_join_is_equi_keyed(spark, sf_dir):
     assert bhj, plan[:3000]
 
 
+def test_ivf_pq_residual_candidates_equi(spark, sf_dir):
+    """Residual IVF-PQ adds the per-row residualization (an equi
+    broadcast join against the k-row centroid frame) but must keep the
+    composed form's list pruning: candidate scan equi-keyed on
+    cluster_id, never a corpus-wide nested loop."""
+    plan = plan_of(spark, sf_dir, "similarity_ivf_pq_residual_topk")
+    assert "SortMergeJoin" not in plan
+    bhj = [l for l in plan.splitlines() if "BroadcastHashJoin" in l and "cluster_id" in l]
+    assert bhj, plan[:3000]
+
+
 def test_interval_join_is_equi(spark, sf_dir):
     """The bucketed interval join must compile to an equi-join on
     (key, bucket) — never a nested-loop/cartesian pair scan."""
@@ -304,6 +315,10 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         # the candidate scan itself is an EQUI join on cluster_id
         # (plan-gated in test_ivf_pq_candidates_join_is_equi_keyed)
         "similarity_ivf_pq_topk",
+        # residual variant: same bounded crosses (the residualization
+        # itself is an equi broadcast join on cluster_id); candidate
+        # scan equi-gated in test_ivf_pq_residual_candidates_equi
+        "similarity_ivf_pq_residual_topk",
         # OPQ: adds the 1-row rotation-matrix broadcast cross to the
         # PQ crosses; same scalar-matrix class
         "similarity_opq_topk",
@@ -404,6 +419,7 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     "tokenizer_bpe_train", "tokenizer_bpe_apply",
                     "similarity_pq_topk",  # PQ training iterations (ivf_trained contract)
                     "similarity_ivf_pq_topk",  # same PQ training contract
+                    "similarity_ivf_pq_residual_topk",  # same PQ training contract
                     "similarity_opq_topk",  # OPQ rotation + PQ training contract
                     "distch_manifest",  # renders + mutates its tree at construction
                     # round-4 rendered-artifact rows that pay a per-
