@@ -707,3 +707,162 @@ def gopher_quality_rules(
         & (F.col("stopword_hits") >= min_stopword_hits)
     )
     return sig.select("*", keep.alias("keep"))
+
+
+def gopher_repetition_suite(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The FULL Gopher repetition filter (Rae et al. 2021 Table A1 —
+    the 13-signal suite MassiveWeb ships next to the rule filter):
+    duplicate line / paragraph fractions and their character
+    fractions, top-{2,3,4}-gram character fractions (characters of the
+    most FREQUENT n-gram; ties among equal-count grams take the larger
+    coverage — the fraction is then well-defined), and duplicate-
+    {5..10}-gram character fractions (characters inside ANY n-gram
+    occurring more than once, each word position counted ONCE — the
+    paper's no-double-counting rule), plus the conjunctive ``keep`` at
+    the published thresholds.
+
+    Engine shape: per-row higher-order expressions staged over a few
+    fused projections — no shuffle, no UDF, no explode.  Top-gram
+    counts use the O(G log G) sorted-run fold (the
+    repetition_top_ngram discipline); duplicate-gram marking is
+    O(G·n): a per-start duplicate flag array, then each word position
+    checks the ≤ n flags that could cover it via ONE array_max over a
+    slice.  All signals are exact integer counts + single IEEE
+    divisions; the oracle derives the same integers RELATIONALLY
+    (unnest → group-by → θ-join) — an independent formulation of the
+    same definitions, so a green hash certifies both."""
+    df = spread_for_compute(df)
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("_nc"),
+        F.expr(f"filter(split({text_col}, ' '), w -> w <> '')").alias("_w"),
+        F.expr(f"filter(split({text_col}, '\\n'), l -> trim(l) <> '')").alias("_l"),
+        F.expr(f"filter(split({text_col}, '\\n\\n'), p -> trim(p) <> '')").alias("_p"),
+    )
+    keep_cols = [id_col, "_nc", "_w", "_l", "_p"]
+    g = base.select(
+        *keep_cols,
+        *[
+            F.expr(
+                f"case when size(_w) >= {n} then transform(sequence(1, size(_w) - {n - 1}), "
+                f"i -> array_join(slice(_w, i, {n}), ' ')) else array() end"
+            ).alias(f"_g{n}")
+            for n in range(2, 11)
+        ],
+    )
+
+    def _top_chars(n: int) -> str:
+        # sorted-run fold tracking (current run, best count, chars of
+        # the best-count gram); ties on count take greater coverage
+        sg = f"array_sort(_g{n})"
+        z = (
+            f"zip_with({sg}, slice(concat(array(''), {sg}), 1, size({sg})), "
+            f"(c, p) -> struct(c AS g, c = p AS eq))"
+        )
+        r = "if(e.eq, acc.run + 1, 1)"
+        return (
+            f"aggregate({z}, named_struct('run', 0, 'bc', 0, 'bch', 0), "
+            f"(acc, e) -> named_struct("
+            f"'run', {r}, "
+            f"'bc', greatest(acc.bc, {r}), "
+            f"'bch', if({r} > acc.bc, {r} * length(e.g), "
+            f"if({r} = acc.bc, greatest(acc.bch, {r} * length(e.g)), acc.bch)))"
+            f").bch"
+        )
+
+    def _dup_vals(arr: str) -> str:
+        # equal neighbors in the sorted copy enumerate every value
+        # occurring >= 2 times (if-guard: AND may not short-circuit
+        # element_at's index-0 error)
+        s = f"array_sort({arr})"
+        return (
+            f"array_distinct(filter({s}, (x, i) -> "
+            f"if(i > 0, x = element_at({s}, i), false)))"
+        )
+
+    g2 = g.select(
+        *keep_cols,
+        *[F.col(f"_g{n}") for n in range(5, 11)],
+        *[F.expr(_top_chars(n)).alias(f"_t{n}") for n in (2, 3, 4)],
+        *[F.expr(_dup_vals(f"_g{n}")).alias(f"_dv{n}") for n in range(5, 11)],
+        F.expr(_dup_vals("_l")).alias("_dvl"),
+        F.expr(_dup_vals("_p")).alias("_dvp"),
+    )
+    g3 = g2.select(
+        *keep_cols,
+        *[F.col(f"_t{n}") for n in (2, 3, 4)],
+        *[F.col(f"_g{n}") for n in range(5, 11)],
+        *[
+            F.expr(f"transform(_g{n}, x -> if(array_contains(_dv{n}, x), 1, 0))").alias(
+                f"_df{n}"
+            )
+            for n in range(5, 11)
+        ],
+        F.expr("size(filter(_l, x -> array_contains(_dvl, x)))").alias("_dlcnt"),
+        F.expr(
+            "aggregate(filter(_l, x -> array_contains(_dvl, x)), 0L, (a, x) -> a + length(x))"
+        ).alias("_dlch"),
+        F.expr("size(filter(_p, x -> array_contains(_dvp, x)))").alias("_dpcnt"),
+        F.expr(
+            "aggregate(filter(_p, x -> array_contains(_dvp, x)), 0L, (a, x) -> a + length(x))"
+        ).alias("_dpch"),
+    )
+
+    def _marked(n: int) -> str:
+        # word j is inside a duplicated n-gram iff any start in
+        # [j-n+1, j] is flagged; each word counted once
+        lo = f"greatest(1, j - {n - 1})"
+        hi = f"least(j, size(_g{n}))"
+        return (
+            f"case when size(_g{n}) >= 1 then "
+            f"aggregate(sequence(1, size(_w)), 0L, (acc, j) -> acc + "
+            f"if(array_max(slice(_df{n}, {lo}, {hi} - {lo} + 1)) = 1, "
+            f"length(element_at(_w, j)), 0)) else 0L end"
+        )
+
+    g4 = g3.select(
+        *keep_cols,
+        *[F.col(f"_t{n}") for n in (2, 3, 4)],
+        "_dlcnt", "_dlch", "_dpcnt", "_dpch",
+        *[F.expr(_marked(n)).alias(f"_m{n}") for n in range(5, 11)],
+    )
+
+    def _frac(num, den):
+        return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+
+    sig = g4.select(
+        F.col(id_col),
+        _frac(F.col("_dlcnt"), F.expr("size(_l)")).alias("dup_line_frac"),
+        _frac(F.col("_dlch"), F.col("_nc")).alias("dup_line_char_frac"),
+        _frac(F.col("_dpcnt"), F.expr("size(_p)")).alias("dup_para_frac"),
+        _frac(F.col("_dpch"), F.col("_nc")).alias("dup_para_char_frac"),
+        *[
+            _frac(F.col(f"_t{n}"), F.col("_nc")).alias(f"top_{n}gram_char_frac")
+            for n in (2, 3, 4)
+        ],
+        *[
+            _frac(F.col(f"_m{n}"), F.col("_nc")).alias(f"dup_{n}gram_char_frac")
+            for n in range(5, 11)
+        ],
+    )
+    # the published thresholds, Rae et al. 2021 Table A1
+    keep = (
+        (F.col("dup_line_frac") <= 0.30)
+        & (F.col("dup_para_frac") <= 0.30)
+        & (F.col("dup_line_char_frac") <= 0.20)
+        & (F.col("dup_para_char_frac") <= 0.20)
+        & (F.col("top_2gram_char_frac") <= 0.20)
+        & (F.col("top_3gram_char_frac") <= 0.18)
+        & (F.col("top_4gram_char_frac") <= 0.16)
+        & (F.col("dup_5gram_char_frac") <= 0.15)
+        & (F.col("dup_6gram_char_frac") <= 0.14)
+        & (F.col("dup_7gram_char_frac") <= 0.13)
+        & (F.col("dup_8gram_char_frac") <= 0.12)
+        & (F.col("dup_9gram_char_frac") <= 0.11)
+        & (F.col("dup_10gram_char_frac") <= 0.10)
+    )
+    return sig.select("*", keep.alias("keep"))

@@ -1795,6 +1795,121 @@ def q_pipeline_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_repetition_gopher",
+    """
+    WITH d AS (
+      SELECT doc_id, length(text) AS nc,
+             list_filter(string_split(text, ' '), w -> w <> '') AS words,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+             list_filter(string_split(text, chr(10) || chr(10)), p -> trim(p) <> '') AS paras
+      FROM documents
+    ),
+    gi AS (
+      SELECT doc_id, n,
+             unnest(range(1, len(words) - n + 2)) AS i,
+             unnest(list_transform(range(1, len(words) - n + 2),
+                                   i -> array_to_string(words[i:i+n-1], ' '))) AS g
+      FROM d, (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns
+      WHERE len(words) >= n
+    ),
+    cnt AS (SELECT doc_id, n, g, count(*) AS c FROM gi GROUP BY doc_id, n, g),
+    topc AS (SELECT doc_id, n, max(c) AS bc FROM cnt WHERE n <= 4 GROUP BY doc_id, n),
+    topch AS (
+      SELECT c.doc_id, c.n, max(c.c * length(c.g)) AS bch
+      FROM cnt c JOIN topc t ON t.doc_id = c.doc_id AND t.n = c.n AND c.c = t.bc
+      GROUP BY c.doc_id, c.n
+    ),
+    dupstart AS (
+      SELECT gi.doc_id, gi.n, gi.i
+      FROM gi JOIN cnt ON cnt.doc_id = gi.doc_id AND cnt.n = gi.n AND cnt.g = gi.g
+      WHERE cnt.c >= 2 AND gi.n >= 5
+    ),
+    wpos AS (
+      SELECT doc_id,
+             unnest(range(1, len(words) + 1)) AS j,
+             unnest(list_transform(words, w -> length(w))) AS wlen
+      FROM d WHERE len(words) >= 1
+    ),
+    marked AS (
+      SELECT DISTINCT w.doc_id, s.n, w.j, w.wlen
+      FROM wpos w JOIN dupstart s
+        ON s.doc_id = w.doc_id AND w.j BETWEEN s.i AND s.i + s.n - 1
+    ),
+    mch AS (SELECT doc_id, n, sum(wlen)::BIGINT AS mc FROM marked GROUP BY doc_id, n),
+    tops AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 2 THEN bch END) AS b2,
+             max(CASE WHEN n = 3 THEN bch END) AS b3,
+             max(CASE WHEN n = 4 THEN bch END) AS b4
+      FROM topch GROUP BY doc_id
+    ),
+    mks AS (
+      SELECT doc_id,
+             max(CASE WHEN n = 5 THEN mc END) AS m5,
+             max(CASE WHEN n = 6 THEN mc END) AS m6,
+             max(CASE WHEN n = 7 THEN mc END) AS m7,
+             max(CASE WHEN n = 8 THEN mc END) AS m8,
+             max(CASE WHEN n = 9 THEN mc END) AS m9,
+             max(CASE WHEN n = 10 THEN mc END) AS m10
+      FROM mch GROUP BY doc_id
+    ),
+    li AS (SELECT doc_id, unnest(lines) AS v FROM d),
+    lcn AS (SELECT doc_id, v, count(*) AS c FROM li GROUP BY doc_id, v),
+    ls AS (SELECT doc_id,
+                  coalesce(sum(c) FILTER (WHERE c >= 2), 0)::BIGINT AS dcnt,
+                  coalesce(sum(c * length(v)) FILTER (WHERE c >= 2), 0)::BIGINT AS dch
+           FROM lcn GROUP BY doc_id),
+    pri AS (SELECT doc_id, unnest(paras) AS v FROM d),
+    pcn AS (SELECT doc_id, v, count(*) AS c FROM pri GROUP BY doc_id, v),
+    ps AS (SELECT doc_id,
+                  coalesce(sum(c) FILTER (WHERE c >= 2), 0)::BIGINT AS dcnt,
+                  coalesce(sum(c * length(v)) FILTER (WHERE c >= 2), 0)::BIGINT AS dch
+           FROM pcn GROUP BY doc_id),
+    sig AS (
+      SELECT d.doc_id,
+        CASE WHEN len(d.lines) > 0 THEN coalesce(ls.dcnt, 0)::DOUBLE / len(d.lines) ELSE 0.0 END AS dup_line_frac,
+        CASE WHEN d.nc > 0 THEN coalesce(ls.dch, 0)::DOUBLE / d.nc ELSE 0.0 END AS dup_line_char_frac,
+        CASE WHEN len(d.paras) > 0 THEN coalesce(ps.dcnt, 0)::DOUBLE / len(d.paras) ELSE 0.0 END AS dup_para_frac,
+        CASE WHEN d.nc > 0 THEN coalesce(ps.dch, 0)::DOUBLE / d.nc ELSE 0.0 END AS dup_para_char_frac,
+        CASE WHEN d.nc > 0 THEN coalesce(t.b2, 0)::DOUBLE / d.nc ELSE 0.0 END AS top_2gram_char_frac,
+        CASE WHEN d.nc > 0 THEN coalesce(t.b3, 0)::DOUBLE / d.nc ELSE 0.0 END AS top_3gram_char_frac,
+        CASE WHEN d.nc > 0 THEN coalesce(t.b4, 0)::DOUBLE / d.nc ELSE 0.0 END AS top_4gram_char_frac,
+        CASE WHEN d.nc > 0 THEN coalesce(k.m5, 0)::DOUBLE / d.nc ELSE 0.0 END AS dup_5gram_char_frac,
+        CASE WHEN d.nc > 0 THEN coalesce(k.m6, 0)::DOUBLE / d.nc ELSE 0.0 END AS dup_6gram_char_frac,
+        CASE WHEN d.nc > 0 THEN coalesce(k.m7, 0)::DOUBLE / d.nc ELSE 0.0 END AS dup_7gram_char_frac,
+        CASE WHEN d.nc > 0 THEN coalesce(k.m8, 0)::DOUBLE / d.nc ELSE 0.0 END AS dup_8gram_char_frac,
+        CASE WHEN d.nc > 0 THEN coalesce(k.m9, 0)::DOUBLE / d.nc ELSE 0.0 END AS dup_9gram_char_frac,
+        CASE WHEN d.nc > 0 THEN coalesce(k.m10, 0)::DOUBLE / d.nc ELSE 0.0 END AS dup_10gram_char_frac
+      FROM d LEFT JOIN tops t USING (doc_id) LEFT JOIN mks k USING (doc_id)
+             LEFT JOIN ls USING (doc_id) LEFT JOIN ps USING (doc_id)
+    )
+    SELECT *,
+           (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+            AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+            AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+            AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+            AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+            AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+            AND dup_10gram_char_frac <= 0.10) AS keep
+    FROM sig
+    """,
+)
+def q_text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Gopher repetition filter (Rae et al. 2021 Table A1):
+    duplicate line/paragraph (+char) fractions, top-{2,3,4}-gram char
+    fractions, duplicate-{5..10}-gram char fractions with the paper's
+    count-each-character-once rule, and the conjunctive keep at
+    published thresholds (functions/text.gopher_repetition_suite —
+    per-row HOFs, sorted-run top-gram fold, O(G·n) duplicate-span
+    marking; no shuffle).  The oracle derives the same integers
+    RELATIONALLY (unnest → group-by → θ-join) — an independent
+    formulation, so a green hash certifies both."""
+    from hadoop_3_3_6_spark.functions.text import gopher_repetition_suite
+
+    return gopher_repetition_suite(load_table(spark, "documents", sf_dir), "text", "doc_id")
+
+
+@_register(
     "text_fingerprint",
     """
     SELECT doc_id,
@@ -7805,6 +7920,7 @@ _DRIVER_HOLDBACK_R8 = [
     "db_output_roundtrip",
     "pipeline_gopher_rules",
     "similarity_ivf_pq_residual_topk",
+    "text_repetition_gopher",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

@@ -258,3 +258,39 @@ def test_gopher_rules_thresholds(spark):
     assert not rows[6].keep and rows[6].stopword_hits == 0
     # '...' occurrences count once per 3 chars, on top of '#' chars
     assert rows[4].symbol_word_ratio * rows[4].n_words == 3.0
+
+
+def test_gopher_repetition_suite_values(spark):
+    from hadoop_3_3_6_spark.functions.text import gopher_repetition_suite
+
+    df = _docs(
+        spark,
+        [
+            "a b c d e f g h i j",                     # no repetition at all
+            "one two three four five six one two three four five six tail",
+            "l1\nl2\nl1\nl3",                          # duplicate lines only
+            "aa bb aa bb cc dddd cc dddd",             # top-2-gram count tie
+            "p q\n\np q\n\nzz",                        # duplicate paragraphs
+        ],
+    )
+    rows = {r.doc_id: r for r in gopher_repetition_suite(df).collect()}
+    r0 = rows[0]
+    assert r0.dup_5gram_char_frac == 0.0 and r0.dup_line_frac == 0.0
+    # with all-singleton grams the "top" gram still covers n words —
+    # tiny docs fail the 3-gram threshold by construction (5/19 > .18)
+    assert abs(r0.top_2gram_char_frac - 3 / 19) < 1e-15 and not r0.keep
+    r1 = rows[1]
+    # dup starts {1,2,7,8} (n=5) and {1,7} (n=6) both mark words 1..12
+    # = 44 of 60 chars; no 7-gram repeats
+    assert abs(r1.dup_5gram_char_frac - 44 / 60) < 1e-15
+    assert abs(r1.dup_6gram_char_frac - 44 / 60) < 1e-15
+    assert r1.dup_7gram_char_frac == 0.0
+    r2 = rows[2]
+    assert r2.dup_line_frac == 0.5 and abs(r2.dup_line_char_frac - 4 / 11) < 1e-15
+    # count tie at 2 between 'aa bb' (5 ch) and 'cc dddd' (7 ch):
+    # larger coverage wins, so the fraction is well-defined
+    assert abs(rows[3].top_2gram_char_frac - 14 / 27) < 1e-15
+    r4 = rows[4]
+    assert abs(r4.dup_para_frac - 2 / 3) < 1e-15
+    assert abs(r4.dup_para_char_frac - 6 / 12) < 1e-15
+    assert abs(r4.dup_line_frac - 2 / 3) < 1e-15
