@@ -1996,6 +1996,141 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_fixture_array(i: int):
+    """The deterministic 16×16 RGB fixture shared by the phash query
+    and its oracle replica: a per-group gradient (group = id % 100)
+    with a per-member corner perturbation (member = id // 100) that
+    lands on exactly one 9×8-resampled cell, so members of a group
+    hash within a bit of each other."""
+    import numpy as np
+
+    y, x, c = np.meshgrid(np.arange(16), np.arange(16), np.arange(3), indexing="ij")
+    g, m = i % 100, i // 100
+    arr = ((g * 37 + x * 5 + y * 11 + c * 53) % 251).astype(np.int64)
+    arr[0:2, 0:2, :] = (arr[0:2, 0:2, :] + 2 * m) % 251
+    return arr.astype(np.uint8)
+
+
+def _phash_oracle() -> str | None:
+    """Exact oracle for perceptual-hash image dedup: an INDEPENDENT
+    python replica of the whole pipeline — the deterministic fixture
+    render, the 9×8 nearest resample (the resize_nearest formula
+    restated), integer luma, the 64-bit comparison fold, 16-bit
+    banding, candidate pairing and the popcount-≤-4 verify — derives
+    every (doc_id, dhash, dup_with, keep) row from the sf0.01 parquet
+    ids and pins them as a VALUES literal.  A green hash certifies the
+    codec roundtrip (PPM/PNG encode → decode), the Arrow-batched hash
+    stage and the banded Hamming join end-to-end."""
+    import os
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    try:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        ids = sorted(
+            int(i)
+            for i in pq.read_table(path, columns=["doc_id"]).column("doc_id").to_pylist()
+        )
+
+        def dh(arr):
+            rows = np.minimum((np.arange(8) + 0.5) * 16 / 8, 15).astype(np.int64)
+            cols = np.minimum((np.arange(9) + 0.5) * 16 / 9, 15).astype(np.int64)
+            small = arr[rows][:, cols].astype(np.int64)
+            luma = (
+                small[..., 0] * 299 + small[..., 1] * 587 + small[..., 2] * 114
+            ) // 1000
+            h = 0
+            for bit in (luma[:, :-1] > luma[:, 1:]).flatten():
+                h = (h << 1) | int(bit)
+            return h
+
+        uh = {i: dh(_phash_fixture_array(i)) for i in ids}
+        from collections import defaultdict
+
+        buckets = defaultdict(list)
+        for i in ids:
+            for k in range(4):
+                buckets[(k, (uh[i] >> (16 * k)) & 0xFFFF)].append(i)
+        cand = set()
+        for mem in buckets.values():
+            for ai in range(len(mem)):
+                for bi in range(ai + 1, len(mem)):
+                    cand.add((mem[ai], mem[bi]))
+        dup_with: dict = {}
+        for p, q in cand:
+            if bin(uh[p] ^ uh[q]).count("1") <= 4:
+                dup_with[q] = min(dup_with.get(q, p), p)
+
+        def signed(h):
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        values = ", ".join(
+            f"({i}::BIGINT, {signed(uh[i])}::BIGINT, "
+            + (
+                f"{dup_with[i]}::BIGINT, false"
+                if i in dup_with
+                else "NULL::BIGINT, true"
+            )
+            + ")"
+            for i in ids
+        )
+        return (
+            "SELECT * FROM (VALUES "
+            + values
+            + ") AS t(doc_id, dhash, dup_with, keep)"
+        )
+    except Exception as exc:
+        print(
+            f"# WARNING: multimodal_phash_dedup oracle degraded to rows-only: {exc!r}",
+            file=__import__("sys").stderr,
+        )
+        return None
+
+
+@_register("multimodal_phash_dedup", _phash_oracle())
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dedup — the multimodal member of the
+    dedup tier: deterministic 16×16 fixtures (PPM even / PNG odd, real
+    codec roundtrips) are decoded and dHashed in ONE Arrow-batched
+    mapInPandas stage (functions/multimodal.image_dhash — Krawetz's
+    difference hash, all-integer), then near-duplicates resolve via
+    16-bit banding + exact popcount verify
+    (multimodal.phash_near_duplicates — the minhash-LSH discipline in
+    Hamming space: every pair under distance 4 is caught by the
+    4-band guarantee, pair work is per-bucket, never corpus²).  The
+    oracle's independent replica re-derives render + resample + hash +
+    banding + verify, so a green hash certifies codecs, the Arrow hash
+    stage and the banded join end-to-end."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_3_3_6_spark.functions.multimodal import (
+        encode_png,
+        encode_ppm,
+        image_dhash,
+        phash_near_duplicates,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                arr = _phash_fixture_array(int(i))
+                payloads.append(encode_ppm(arr) if int(i) % 2 == 0 else encode_png(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(render, schema="doc_id bigint, payload binary")
+    hashes = image_dhash(blobs, "payload", "doc_id")
+    return phash_near_duplicates(hashes, "doc_id", "dhash", max_hamming=4, bands=4)
+
+
 def _ivf_trained_oracle() -> str | None:
     """Exact oracle for trained IVF (the BPE-apply pattern, VERDICT r5
     task 7): an INDEPENDENT pure-numpy replica of the distributed
@@ -7921,6 +8056,7 @@ _DRIVER_HOLDBACK_R8 = [
     "pipeline_gopher_rules",
     "similarity_ivf_pq_residual_topk",
     "text_repetition_gopher",
+    "multimodal_phash_dedup",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

@@ -934,3 +934,38 @@ def test_residual_pq_reconstruction_beats_raw_on_clustered_data():
     # its x-space error IS the residual-space reconstruction error
     err_res = mse(resid, barr_res, enc_res)
     assert err_res < err_raw, f"residual MSE {err_res:.4f} !< raw {err_raw:.4f}"
+
+
+def test_phash_near_duplicates_hamming_edges(spark):
+    """Banded Hamming dedup contract on hand-built hashes: exact and
+    3-bit pairs dedup; a 5-bit pair survives the candidate stage but
+    fails the popcount verify; a 4-bit pair spread one-per-band is
+    MISSED by banding (the documented recall guarantee is only
+    Hamming < bands); sign-bit hashes band correctly via the unsigned
+    shift."""
+    from hadoop_3_3_6_spark.functions.multimodal import phash_near_duplicates
+
+    base = 0x0123456789ABCDEF
+    neg = 0x8000000000000000 - (1 << 64)  # signed BIGINT with bit 63 set
+    rows = [
+        (0, base),
+        (1, base),                      # exact duplicate of 0
+        (2, base ^ 0b111),              # 3 bits, one band -> dup (ham 3)
+        (3, base ^ 0b11111000000),      # 5 bits, one band (disjoint from
+                                        # doc 2's) -> candidate, ham 5 > 4
+        (4, base ^ (1 | 1 << 16 | 1 << 32 | 1 << 48)),  # ham 4, one per band
+        (5, neg),
+        (6, neg),                       # exact duplicate of 5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dhash long")
+    out = {
+        r.doc_id: r
+        for r in phash_near_duplicates(df, "doc_id", "dhash", max_hamming=4).collect()
+    }
+    assert out[0].keep and out[0].dup_with is None
+    assert not out[1].keep and out[1].dup_with == 0
+    assert not out[2].keep and out[2].dup_with == 0
+    assert out[3].keep                  # verified away: hamming 5 > 4
+    assert out[4].keep                  # banding miss: differs in every band
+    assert out[5].keep
+    assert not out[6].keep and out[6].dup_with == 5
