@@ -3640,6 +3640,98 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "token_shards_roundtrip",
+    """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(words) AS token FROM d),
+    c AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
+    vocab AS (SELECT token,
+                     (row_number() OVER (ORDER BY cnt DESC, token) - 1)::INT AS token_id
+              FROM c),
+    pt AS (SELECT doc_id, unnest(words) AS token,
+                  unnest(range(1, len(words) + 1)) AS pos
+           FROM d),
+    ids AS (
+      SELECT pt.doc_id, list(v.token_id ORDER BY pt.pos) AS ids
+      FROM pt JOIN vocab v USING (token) GROUP BY pt.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(len(i.ids), 0)::INT AS n_tokens,
+           coalesce(list_reduce(list_prepend(0::BIGINT,
+                                             list_transform(i.ids, x -> x::BIGINT)),
+                                (acc, x) -> (acc * 31 + x) % 1000000007),
+                    0)::BIGINT AS ids_hash
+    FROM d LEFT JOIN ids i USING (doc_id)
+    """,
+)
+def q_token_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenized training-shard EXPORT + read-back — the pretraining
+    pipeline's last mile in the Megatron-LM indexed-dataset layout
+    (sources/tokenshards.py: .bin token stream + MMIDIDX .idx +
+    provenance sidecar; one shard per partition via the atomic-rename
+    committer discipline).  Documents are tokenized against the
+    frequency-ranked vocabulary (build_vocab — the text_vocab
+    contract), encoded positionally, written as shard triples, then
+    read BACK FROM THE FILES; the output is each document's token
+    count plus a polynomial fold of its restored ids.  The oracle
+    recomputes both straight from the text in SQL — it never sees the
+    binary layout — so a green hash certifies tokenization, the
+    binary/index encode, pointer arithmetic and the decode end-to-end.
+    Eager by contract (shards render once per (process, sf_dir) at
+    construction; the returned plan reads the rendered files)."""
+    import tempfile
+
+    from hadoop_3_3_6_spark.functions.text import build_vocab
+    from hadoop_3_3_6_spark.sources.tokenshards import (
+        read_token_shards,
+        write_token_shards,
+    )
+
+    key = ("token_shards", sf_dir)
+    if key not in _RENDER_CACHE:
+        docs = load_table(spark, "documents", sf_dir)
+        vocab = build_vocab(docs, "text", "doc_id").select("token", "token_id")
+        toks = docs.select(
+            "doc_id",
+            F.posexplode(F.expr("filter(split(text, ' '), w -> w <> '')")).alias(
+                "pos", "token"
+            ),
+        )
+        # no broadcast hint by design: the vocab is bounded here but
+        # grows with an open corpus — AQE picks the strategy (the
+        # bigram-LM join discipline)
+        enc = (
+            toks.join(vocab, "token")
+            .groupBy("doc_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, token_id))), s -> s.token_id)"
+                ).alias("token_ids")
+            )
+        )
+        full = docs.select("doc_id").join(enc, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("token_ids", F.expr("array()")).alias("token_ids"),
+        )
+        out = tempfile.mkdtemp(prefix="tokshards_")
+        write_token_shards(
+            full.repartition(8, "doc_id"), out, "doc_id", "token_ids"
+        ).collect()  # the write action; manifest is partition-count sized
+        _RENDER_CACHE[key] = out
+    rb = read_token_shards(spark, _RENDER_CACHE[key])
+    return rb.select(
+        "doc_id",
+        F.size("token_ids").alias("n_tokens"),
+        F.expr(
+            "aggregate(token_ids, 0L, (acc, x) -> (acc * 31 + x) % 1000000007)"
+        ).alias("ids_hash"),
+    )
+
+
+@_register(
     "skew_profile_events",
     """
     WITH c AS (SELECT user_id, count(*)::BIGINT AS n FROM events GROUP BY user_id),
@@ -8057,6 +8149,7 @@ _DRIVER_HOLDBACK_R8 = [
     "similarity_ivf_pq_residual_topk",
     "text_repetition_gopher",
     "multimodal_phash_dedup",
+    "token_shards_roundtrip",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

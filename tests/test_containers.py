@@ -415,3 +415,57 @@ def test_bloom_indexed_write_adds_filters_and_roundtrips(spark, sf_dir, tmp_path
     back = spark.read.parquet(bloom_dir)
     assert back.count() == cust.count()
     assert back.filter("c_custkey = 7").count() == cust.filter("c_custkey = 7").count()
+
+
+def test_token_shards_format_and_roundtrip(spark, tmp_path):
+    """Megatron indexed-dataset conformance: the .idx parses per the
+    public field layout (magic, version, dtype code, counts, sizes,
+    pointers, doc_idx), pointers are the byte-exact cumulative sizes,
+    the .bin length equals sum(sizes)*itemsize — and the distributed
+    read restores every (doc_id, token_ids) row exactly, including a
+    zero-token document."""
+    import struct
+
+    import numpy as np
+
+    from hadoop_3_3_6_spark.sources.tokenshards import (
+        decode_idx,
+        read_token_shards,
+        write_token_shards,
+    )
+
+    rows = [(0, [5, 1, 3]), (1, []), (2, [7]), (3, [2, 2, 2, 2])]
+    df = spark.createDataFrame(rows, "doc_id long, token_ids array<int>")
+    out = str(tmp_path / "shards")
+    manifest = write_token_shards(df.repartition(2, "doc_id"), out, "doc_id", "token_ids").collect()
+    assert sum(m.n_docs for m in manifest) == 4
+    assert sum(m.n_tokens for m in manifest) == 8
+    import os
+
+    stems = sorted(p[:-4] for p in os.listdir(out) if p.endswith(".idx"))
+    assert stems and all(
+        os.path.exists(os.path.join(out, s + ext)) for s in stems for ext in (".bin", ".ids")
+    )
+    for s in stems:
+        payload = open(os.path.join(out, s + ".idx"), "rb").read()
+        # raw field walk per the public layout, independent of decode_idx
+        assert payload[:9] == b"MMIDIDX\x00\x00"
+        assert struct.unpack_from("<Q", payload, 9)[0] == 1
+        assert struct.unpack_from("<B", payload, 17)[0] == 4  # int32
+        n_seq = struct.unpack_from("<Q", payload, 18)[0]
+        assert struct.unpack_from("<Q", payload, 26)[0] == n_seq
+        dtype, sizes, pointers = decode_idx(payload)
+        assert dtype is np.int32 and len(sizes) == n_seq
+        expect_ptrs = np.zeros(n_seq, dtype=np.int64)
+        if n_seq > 1:
+            expect_ptrs[1:] = np.cumsum(sizes[:-1].astype(np.int64)) * 4
+        assert (pointers == expect_ptrs).all()
+        bin_len = os.path.getsize(os.path.join(out, s + ".bin"))
+        assert bin_len == int(sizes.astype(np.int64).sum()) * 4
+        doc_idx = np.frombuffer(payload[34 + 12 * n_seq:], dtype=np.int64)
+        assert (doc_idx == np.arange(n_seq + 1)).all()
+    back = {
+        r.doc_id: list(r.token_ids)
+        for r in read_token_shards(spark, out).collect()
+    }
+    assert back == {i: ids for i, ids in rows}

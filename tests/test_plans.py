@@ -375,6 +375,7 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "multimodal_container_meta",
         "multimodal_wav_source",  # Python DataSource scan
         "multimodal_phash_dedup",  # codec decode + dHash IS the semantics
+        "token_shards_roundtrip",  # binary shard IO IS the semantics
         "distch_manifest",  # executor-side stat: FS metadata IS the semantics
         "warc_source_scan",
         "avro_roundtrip",
@@ -423,6 +424,7 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     "similarity_ivf_pq_residual_topk",  # same PQ training contract
                     "similarity_opq_topk",  # OPQ rotation + PQ training contract
                     "distch_manifest",  # renders + mutates its tree at construction
+                    "token_shards_roundtrip",  # renders shard triples at construction
                     # round-4 rendered-artifact rows that pay a per-
                     # construction metadata job even after the render
                     # cache: SequenceFile toDF inference, and parquet
