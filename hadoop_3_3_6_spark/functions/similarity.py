@@ -1192,6 +1192,64 @@ def ivf_pq_residual_topk(
     return _rank_topk(scored, k, order_col="adc_dist", ascending=True)
 
 
+def ivf_pq_refined_topk(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    shortlist: int = 20,
+    probe_ids: list[int] | None = None,
+    probes: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage refined ANN — the FAISS IndexRefineFlat deployment
+    pattern: the compressed tier (list-pruned ADC, :func:`ivf_pq_topk`)
+    produces a ``shortlist``-deep candidate set per probe, then the
+    shortlist alone is re-scored with EXACT L2 against the raw vectors
+    and re-ranked to the final top-k.  This recovers most of the
+    recall PQ loses while reading raw vectors for only
+    probes×shortlist rows — the standard production shape for
+    billion-vector serving (compressed scan + exact refine).
+
+    Scale shape: stage 1 is ivf_pq_topk's plan unchanged; stage 2
+    BROADCASTS the shortlist (probes×shortlist id pairs) against the
+    raw vector table — an equi BroadcastHashJoin, so the corpus never
+    shuffles and reads exactly the candidate rows — then broadcasts
+    the probe vectors and folds the exact distance per pair.  Rank is
+    the shared two-phase top-k.  Deterministic end-to-end (the ADC
+    shortlist's ties break by neighbor_id, the refine fold is
+    sequential with HALF_UP 1e-6 rounding), so the composition is
+    pinned by the independent replica in
+    plans/queries._ivf_pq_refined_oracle."""
+    short = ivf_pq_topk(
+        emb, books, id_col, vec_col,
+        k=shortlist, num_centroids=num_centroids, nprobe=nprobe,
+        probe_ids=probe_ids, probes=probes,
+    )
+    cand = short.select("probe_id", "neighbor_id")
+    nvec = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_nv"),
+    )
+    probe_rows = _restrict_to_probes(emb, id_col, probes, probe_ids)
+    pvec = probe_rows.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).cast("array<double>").alias("_pv"),
+    )
+    joined = nvec.join(F.broadcast(cand), on="neighbor_id").join(
+        F.broadcast(pvec), on="probe_id"
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("_pv"), F.col("_nv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    scored = joined.select("probe_id", "neighbor_id", F.round(l2, 6).alias("l2_dist"))
+    return _rank_topk(scored, k, order_col="l2_dist", ascending=True)
+
+
 def semantic_contamination(
     corpus: DataFrame,
     eval_set: DataFrame,

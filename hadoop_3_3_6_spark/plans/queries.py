@@ -2355,14 +2355,16 @@ def _pq_train_encode_np(ids, vecs, m: int, codes: int, iters: int, q: int):
 _PQ_REPLICA_CACHE: dict = {}
 
 
-def _adc_replica_rows(path: str, probe_max: int, allowed_cells=None):
+def _adc_replica_rows(path: str, probe_max: int, allowed_cells=None, k: int | None = None):
     """ADC top-k rows from the shared replica (see
     _adc_rows_from_arrays for the core)."""
     ids, vecs, barr, enc = _pq_replica(path)
-    return _adc_rows_from_arrays(ids, vecs, barr, enc, probe_max, allowed_cells)
+    return _adc_rows_from_arrays(ids, vecs, barr, enc, probe_max, allowed_cells, k)
 
 
-def _adc_rows_from_arrays(ids, vecs, barr, enc, probe_max: int, allowed_cells=None):
+def _adc_rows_from_arrays(
+    ids, vecs, barr, enc, probe_max: int, allowed_cells=None, k: int | None = None
+):
     """ADC top-k rows from replica arrays: per-probe m×codes exact
     L2 tables (cumsum folds), candidate distance = fixed-order sum of
     m lookups, HALF_UP 1e-6 rounding, (dist, neighbor_id) sort.
@@ -2397,19 +2399,19 @@ def _adc_rows_from_arrays(ids, vecs, barr, enc, probe_max: int, allowed_cells=No
                 acc = acc + float(tabs[j][enc[ix, j]])
             scored.append((_spark_round(acc), int(i)))
         scored.sort()
-        for r, (dd, i) in enumerate(scored[: _PQ_K], 1):
+        for r, (dd, i) in enumerate(scored[: (k if k is not None else _PQ_K)], 1):
             rows.append((p, i, dd, r))
     return rows
 
 
-def _adc_values_sql(rows) -> str:
+def _adc_values_sql(rows, dist_col: str = "adc_dist") -> str:
     values = ", ".join(
         f"({p}::BIGINT, {i}::BIGINT, {d!r}::DOUBLE, {r}::INT)" for p, i, d, r in rows
     )
     return (
         "SELECT * FROM (VALUES "
         + values
-        + ") AS t(probe_id, neighbor_id, adc_dist, rank)"
+        + f") AS t(probe_id, neighbor_id, {dist_col}, rank)"
     )
 
 
@@ -2566,6 +2568,59 @@ def _ivf_pq_residual_oracle() -> str | None:
     return _adc_values_sql(rows)
 
 
+_REFINE_SHORTLIST = 20  # similarity_ivf_pq_refined_topk: 4·k deep
+
+
+def _ivf_pq_refined_oracle() -> str | None:
+    """Exact oracle for the refined two-stage query: the IVF-PQ
+    replica produces the _REFINE_SHORTLIST-deep ADC shortlist per
+    probe (same coarse assignment + codebooks + list pruning as
+    _ivf_pq_oracle), then the replica re-scores exactly those
+    candidates with exact L2 (sequential cumsum fold, HALF_UP 1e-6,
+    neighbor-id tiebreak) and keeps the top _PQ_K.  A green hash
+    certifies the compressed stage, the shortlist boundary AND the
+    refine join end-to-end."""
+    import os
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        return None
+    try:
+        import numpy as np
+
+        ids, vecs, cent_rows, id_to_idx, cs = _coarse_replica(path)
+        assign = np.array([cent_rows[j] for j in np.argmax(cs, axis=1)])
+        allowed = {"assign": assign}
+        for p in (int(i) for i in ids if i < _IVFPQ_PROBE_MAX):
+            row = cs[id_to_idx[p]]
+            order = sorted(range(len(cent_rows)), key=lambda j: (-row[j], cent_rows[j]))
+            allowed[p] = {cent_rows[j] for j in order[: _IVFPQ_NPROBE]}
+        short = _adc_replica_rows(
+            path, _IVFPQ_PROBE_MAX, allowed_cells=allowed, k=_REFINE_SHORTLIST
+        )
+        by_probe: dict = {}
+        for p, i, _d, _r in short:
+            by_probe.setdefault(p, []).append(i)
+        rows = []
+        for p in sorted(by_probe):
+            pv = vecs[id_to_idx[p]]
+            scored = []
+            for i in by_probe[p]:
+                diff = pv - vecs[id_to_idx[i]]
+                d = float(np.cumsum(diff * diff)[-1])
+                scored.append((_spark_round(d), int(i)))
+            scored.sort()
+            for r, (dd, i) in enumerate(scored[: _PQ_K], 1):
+                rows.append((p, i, dd, r))
+    except Exception as exc:
+        print(
+            f"# WARNING: similarity_ivf_pq_refined_topk oracle degraded to rows-only: {exc!r}",
+            file=__import__("sys").stderr,
+        )
+        return None
+    return _adc_values_sql(rows, dist_col="l2_dist")
+
+
 def _trained_pq_books(spark: SparkSession, sf_dir: str) -> list:
     """Trained PQ codebooks for the driver-contract hyperparameters,
     cached per (process, sf_dir) — the build-once/query-many ANN
@@ -2718,6 +2773,34 @@ def q_similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(
         emb, books, "vec_id", "embedding",
         k=_PQ_K, num_centroids=_IVFPQ_CELLS, nprobe=_IVFPQ_NPROBE, probes=probes,
+    )
+
+
+@_register("similarity_ivf_pq_refined_topk", _ivf_pq_refined_oracle())
+def q_similarity_ivf_pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage refined ANN — FAISS's IndexRefineFlat deployment
+    pattern and the capstone of the compressed ladder: the list-pruned
+    ADC scan produces a _REFINE_SHORTLIST-deep candidate set per
+    probe, then ONLY those probes×shortlist rows are re-scored with
+    exact L2 against the raw vectors (the shortlist broadcasts, the
+    corpus never shuffles and reads just the candidate rows) and
+    re-ranked two-phase to the final top-k
+    (functions/similarity.ivf_pq_refined_topk).  Recovers most of
+    PQ's recall loss at a per-probe raw-read cost of shortlist rows
+    instead of N.  The oracle replica replays the compressed stage,
+    the shortlist boundary and the exact refine end-to-end.  Recall
+    floor vs exact L2 (must dominate the unrefined composition's) is
+    tested in tests/test_tools.py.  Eager by contract (shares the
+    per-(process, sf_dir) trained books)."""
+    from hadoop_3_3_6_spark.functions.similarity import ivf_pq_refined_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = _trained_pq_books(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < _IVFPQ_PROBE_MAX).select("vec_id")
+    return ivf_pq_refined_topk(
+        emb, books, "vec_id", "embedding",
+        k=_PQ_K, num_centroids=_IVFPQ_CELLS, nprobe=_IVFPQ_NPROBE,
+        shortlist=_REFINE_SHORTLIST, probes=probes,
     )
 
 
@@ -8150,6 +8233,7 @@ _DRIVER_HOLDBACK_R8 = [
     "text_repetition_gopher",
     "multimodal_phash_dedup",
     "token_shards_roundtrip",
+    "similarity_ivf_pq_refined_topk",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

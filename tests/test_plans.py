@@ -319,6 +319,10 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         # itself is an equi broadcast join on cluster_id); candidate
         # scan equi-gated in test_ivf_pq_residual_candidates_equi
         "similarity_ivf_pq_residual_topk",
+        # refined two-stage: stage 1 is the composed IVF-PQ plan
+        # unchanged; the refine joins are equi broadcasts (shortlist,
+        # probe vectors) — only the inherited PQ crosses remain
+        "similarity_ivf_pq_refined_topk",
         # OPQ: adds the 1-row rotation-matrix broadcast cross to the
         # PQ crosses; same scalar-matrix class
         "similarity_opq_topk",
@@ -422,6 +426,7 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     "similarity_pq_topk",  # PQ training iterations (ivf_trained contract)
                     "similarity_ivf_pq_topk",  # same PQ training contract
                     "similarity_ivf_pq_residual_topk",  # same PQ training contract
+                    "similarity_ivf_pq_refined_topk",  # same PQ training contract
                     "similarity_opq_topk",  # OPQ rotation + PQ training contract
                     "distch_manifest",  # renders + mutates its tree at construction
                     "token_shards_roundtrip",  # renders shard triples at construction

@@ -969,3 +969,45 @@ def test_phash_near_duplicates_hamming_edges(spark):
     assert out[4].keep                  # banding miss: differs in every band
     assert out[5].keep
     assert not out[6].keep and out[6].dup_with == 5
+
+
+def test_ivf_pq_refined_recall_dominates(spark, sf_dir):
+    """The refine stage's whole point: at the same shortlist source,
+    exact re-scoring must reach at-least the unrefined composition's
+    recall vs exact L2 (re-ranking a superset of the final answer can
+    only fix ADC ordering errors, never introduce new ones)."""
+    import numpy as np
+
+    from hadoop_3_3_6_spark.functions.similarity import (
+        ivf_pq_refined_topk,
+        ivf_pq_topk,
+        train_pq_codebooks,
+    )
+    from hadoop_3_3_6_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    books = train_pq_codebooks(
+        emb, "vec_id", "embedding", m=16, codes=16, iters=3, quantize_decimals=3
+    )
+    probes = emb.filter(F.col("vec_id") < 10).select("vec_id")
+    plain = ivf_pq_topk(
+        emb, books, "vec_id", "embedding", k=5, num_centroids=16, nprobe=4, probes=probes
+    ).toPandas()
+    refined = ivf_pq_refined_topk(
+        emb, books, "vec_id", "embedding", k=5, num_centroids=16, nprobe=4,
+        shortlist=20, probes=probes,
+    ).toPandas()
+    assert (refined.groupby("probe_id").size() <= 5).all()
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    truth = set()
+    for p in range(10):
+        pi = int(np.where(ids == p)[0][0])
+        d = ((vecs - vecs[pi]) ** 2).sum(axis=1)
+        nn = [int(ids[ix]) for ix in np.argsort(d, kind="stable") if int(ids[ix]) != p][:5]
+        truth.update((p, i) for i in nn)
+    r_plain = len(truth & set(zip(plain.probe_id, plain.neighbor_id))) / len(truth)
+    r_ref = len(truth & set(zip(refined.probe_id, refined.neighbor_id))) / len(truth)
+    assert r_ref >= r_plain, f"refined {r_ref:.2f} < unrefined {r_plain:.2f}"
+    assert r_ref >= 0.15
