@@ -175,6 +175,16 @@ HEADLINE = [
     # rotated-PQ ANN tier (cached training; rotate+encode+ADC path)
     "pipeline_perplexity_buckets",
     "similarity_opq_topk",
+    # round-8 (cont.): the Gopher rule + repetition filters (per-row
+    # HOF projections), residual and refined IVF-PQ (FAISS by_residual
+    # and IndexRefineFlat), perceptual-hash image dedup (codec +
+    # banded Hamming join), Megatron-style token-shard roundtrip
+    "pipeline_gopher_rules",
+    "text_repetition_gopher",
+    "similarity_ivf_pq_residual_topk",
+    "similarity_ivf_pq_refined_topk",
+    "multimodal_phash_dedup",
+    "token_shards_roundtrip",
 ]
 
 
@@ -821,6 +831,10 @@ SF1_QUERIES = [
     # assignment stage but replaces the pair join with one cluster_id
     # window; sf3 exponent check pins the no-pair-join claim
     "pipeline_diversity_sample",
+    # round-8: the 13-signal Gopher repetition suite — the heaviest
+    # per-row HOF family yet (O(G log G) + O(G·n) per doc); linear by
+    # construction, sf3 exponent check pins it
+    "text_repetition_gopher",
 ]
 _SF1_SCALED = {"orders", "lineitem", "events", "documents", "embeddings", "part"}
 # Each scaled table's columns map to the OFFSET-SOURCE table whose key
@@ -1035,6 +1049,8 @@ SF3_QUERIES = {
     "text_lm_bigram": 1.0,
     "dedup_span_fraction": 1.0,
     "text_repetition_topgram": 1.0,
+    # per-row HOF suite: cost scales with document length, not corpus
+    "text_repetition_gopher": 1.0,
 }
 
 
