@@ -185,6 +185,9 @@ HEADLINE = [
     "similarity_ivf_pq_refined_topk",
     "multimodal_phash_dedup",
     "token_shards_roundtrip",
+    # round-8 (cont.): the unigram-LM tokenizer (train cached per
+    # process; distributed word-count pass + broadcast-join apply)
+    "tokenizer_unigram_apply",
 ]
 
 

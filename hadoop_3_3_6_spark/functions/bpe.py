@@ -242,3 +242,177 @@ def apply_bpe(
     return df.select(id_col, text_col).mapInPandas(
         encode, schema=f"{id_col} bigint, bpe_tokens bigint, n_chars bigint"
     )
+
+
+# --- Unigram-LM tokenizer (SentencePiece's unigram model) ---------------
+
+UNK_ID = -1  # apply-time fallback when a word has no in-vocab segmentation
+
+
+def _viterbi_segment(word: str, lp: dict[str, int], max_len: int) -> list[str] | None:
+    """Best segmentation of ``word`` under integer micro-nat piece
+    log-probs: DP maximizing the piece-score sum; ties keep the SMALLER
+    split point (= the longer final piece), which ascending-j iteration
+    with a strict `>` realizes — fully deterministic, so an independent
+    replica reproduces every segmentation.  None when no in-vocab
+    segmentation exists (an out-of-vocabulary character)."""
+    n = len(word)
+    best: list[int | None] = [None] * (n + 1)
+    best[0] = 0
+    back = [0] * (n + 1)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            if best[j] is None:
+                continue
+            s = lp.get(word[j:i])
+            if s is None:
+                continue
+            cand = best[j] + s
+            if best[i] is None or cand > best[i]:
+                best[i], back[i] = cand, j
+    if best[n] is None:
+        return None
+    out: list[str] = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def train_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 80,
+    seed_size: int = 400,
+    max_piece_len: int = 6,
+    iters: int = 2,
+) -> list[tuple[str, int, int]]:
+    """Unigram-LM tokenizer training (Kudo 2018, "Subword
+    Regularization" §3 — the SentencePiece unigram model), in the
+    hard-EM (Viterbi) variant: seed the piece inventory with every
+    single character plus the ``seed_size`` most frequent substrings
+    (≤ ``max_piece_len`` chars), then alternate (E) Viterbi-segmenting
+    every unique word under the current piece log-probs with (M)
+    re-estimating piece probabilities from the segmentation counts,
+    pruning to the ``vocab_size`` best multi-char pieces each sweep
+    (single chars are never pruned — the coverage guarantee).
+
+    Distribution contract (the BPE trainer's): the CORPUS pass is one
+    distributed word-count aggregate; seeding, EM sweeps and pruning
+    run over that vocabulary-sized table on the driver — at 100 TB
+    the corpus pass dominates and distributes, driver state stays
+    vocab-sized.  Exactness: counts are integers and every log-prob
+    quantizes to integer micro-nats before any comparison (round()
+    half-even on a float whose inputs are exact integer ratios), with
+    lexicographic piece tie-breaks in seeding and pruning — the whole
+    loop is bit-reproducible by an independent replica.
+
+    Returns the trained inventory as [(piece, piece_id, logprob_micro)]
+    with piece_id = rank in lexicographic piece order."""
+    import math
+
+    rows = (
+        df.select(
+            F.explode(F.expr(f"filter(split({text_col}, ' '), w -> w <> '')")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    word_counts = sorted((r["w"], int(r["c"])) for r in rows)
+    from collections import Counter
+
+    sub_counts: Counter = Counter()
+    chars: set[str] = set()
+    for w, c in word_counts:
+        chars.update(w)
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + max_piece_len, len(w)) + 1):
+                sub_counts[w[i:j]] += c
+    multi = sorted(
+        (p for p in sub_counts if len(p) > 1),
+        key=lambda p: (-sub_counts[p], p),
+    )[:seed_size]
+    pieces = {p: sub_counts[p] for p in multi}
+    for ch in chars:
+        pieces[ch] = sub_counts[ch]
+    for _ in range(iters):
+        total = sum(pieces.values())
+        lp = {p: round(math.log(c / total) * 1_000_000) for p, c in pieces.items()}
+        new: Counter = Counter()
+        for w, c in word_counts:
+            for p in _viterbi_segment(w, lp, max_piece_len) or []:
+                new[p] += c
+        kept = sorted(
+            (p for p in new if len(p) > 1), key=lambda p: (-new[p], p)
+        )[:vocab_size]
+        pieces = {p: new[p] for p in kept}
+        for ch in chars:
+            # single chars survive with at least a count floor so any
+            # training word stays segmentable in the next sweep
+            pieces[ch] = max(new.get(ch, 0), 1)
+    total = sum(pieces.values())
+    lp = {p: round(math.log(c / total) * 1_000_000) for p, c in pieces.items()}
+    ordered = sorted(pieces)
+    return [(p, pid, lp[p]) for pid, p in enumerate(ordered)]
+
+
+def apply_unigram(
+    df: DataFrame,
+    pieces: list[tuple[str, int, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    modulus: int = 1_000_000_007,
+) -> DataFrame:
+    """Encode documents with a trained unigram inventory — the
+    Spark-first apply shape: the UNIQUE words of the apply corpus come
+    from one distributed aggregate, each is Viterbi-segmented ONCE on
+    the driver (vocabulary-sized loop, not corpus-sized), and the
+    word → (n_pieces, hash, 31^n) map broadcasts back for an equi
+    join; the per-document combine is a position-ordered integer fold
+    in pure HOFs.  No Python touches a corpus-sized row.  A word with
+    no in-vocab segmentation (OOV character) encodes as one UNK_ID
+    piece — deterministic, replica-mirrorable.  Output: (id, n_pieces,
+    pieces_hash) where pieces_hash folds piece ids document-wide in
+    word order ((acc·31^len + word_hash) mod ``modulus``)."""
+    lp = {p: s for p, _pid, s in pieces}
+    pid = {p: i for p, i, _s in pieces}
+    max_len = max((len(p) for p in lp), default=1)
+    spark = df.sparkSession
+    words_expr = f"filter(split({text_col}, ' '), w -> w <> '')"
+    toks = df.select(F.col(id_col), F.posexplode(F.expr(words_expr)).alias("pos", "w"))
+    uniq = [r["w"] for r in toks.select("w").distinct().collect()]
+    seg_rows = []
+    for w in sorted(uniq):
+        ps = _viterbi_segment(w, lp, max_len)
+        ids = [pid[p] for p in ps] if ps is not None else [UNK_ID]
+        h = 0
+        for x in ids:
+            h = (h * 31 + x) % modulus
+        seg_rows.append((w, len(ids), h, pow(31, len(ids), modulus)))
+    seg = F.broadcast(
+        spark.createDataFrame(seg_rows, "w string, np int, hw bigint, pw bigint")
+    )
+    per_doc = (
+        toks.join(seg, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("np").cast("int").alias("n_pieces"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(pos, hw, pw))), 0L, "
+                f"(acc, e) -> (acc * e.pw + e.hw) % {modulus})"
+            ).alias("pieces_hash"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
+            F.coalesce("pieces_hash", F.lit(0)).cast("bigint").alias("pieces_hash"),
+        )
+    )

@@ -755,8 +755,10 @@ def gopher_repetition_suite(
 
     def _top_chars(n: int) -> str:
         # sorted-run fold tracking (current run, best count, chars of
-        # the best-count gram); ties on count take greater coverage
-        sg = f"array_sort(_g{n})"
+        # the best-count gram); ties on count take greater coverage.
+        # The sorted array is a staged COLUMN (_s{n}) so the O(G log G)
+        # sort runs once per row, not once per reference.
+        sg = f"_s{n}"
         z = (
             f"zip_with({sg}, slice(concat(array(''), {sg}), 1, size({sg})), "
             f"(c, p) -> struct(c AS g, c = p AS eq))"
@@ -772,23 +774,29 @@ def gopher_repetition_suite(
             f").bch"
         )
 
-    def _dup_vals(arr: str) -> str:
+    def _dup_vals(sorted_col: str) -> str:
         # equal neighbors in the sorted copy enumerate every value
         # occurring >= 2 times (if-guard: AND may not short-circuit
-        # element_at's index-0 error)
-        s = f"array_sort({arr})"
+        # element_at's index-0 error); takes a pre-sorted staged column
         return (
-            f"array_distinct(filter({s}, (x, i) -> "
-            f"if(i > 0, x = element_at({s}, i), false)))"
+            f"array_distinct(filter({sorted_col}, (x, i) -> "
+            f"if(i > 0, x = element_at({sorted_col}, i), false)))"
         )
 
-    g2 = g.select(
+    gs = g.select(
+        *keep_cols,
+        *[F.col(f"_g{n}") for n in range(5, 11)],
+        *[F.expr(f"array_sort(_g{n})").alias(f"_s{n}") for n in range(2, 11)],
+        F.expr("array_sort(_l)").alias("_sl"),
+        F.expr("array_sort(_p)").alias("_sp"),
+    )
+    g2 = gs.select(
         *keep_cols,
         *[F.col(f"_g{n}") for n in range(5, 11)],
         *[F.expr(_top_chars(n)).alias(f"_t{n}") for n in (2, 3, 4)],
-        *[F.expr(_dup_vals(f"_g{n}")).alias(f"_dv{n}") for n in range(5, 11)],
-        F.expr(_dup_vals("_l")).alias("_dvl"),
-        F.expr(_dup_vals("_p")).alias("_dvp"),
+        *[F.expr(_dup_vals(f"_s{n}")).alias(f"_dv{n}") for n in range(5, 11)],
+        F.expr(_dup_vals("_sl")).alias("_dvl"),
+        F.expr(_dup_vals("_sp")).alias("_dvp"),
     )
     g3 = g2.select(
         *keep_cols,

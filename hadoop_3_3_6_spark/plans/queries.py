@@ -7196,6 +7196,154 @@ def _bpe_apply_oracle() -> str | None:
     """
 
 
+_UNI_VOCAB, _UNI_SEED, _UNI_MAXLEN, _UNI_ITERS = 80, 400, 6, 2
+_UNI_MOD = 1_000_000_007
+
+
+def _unigram_oracle() -> str | None:
+    """Exact oracle for the unigram tokenizer: an INDEPENDENT python
+    replica of the whole pipeline — word counts straight from the
+    parquet text, substring seeding, the hard-EM sweeps (same integer
+    micro-nat quantization, same strict-greater/ascending-split
+    Viterbi tie rule, same char floor), and the apply fold written the
+    OTHER way (one sequential id fold per document instead of the
+    engine's per-word hash + 31^n combine — algebraically identical,
+    structurally independent).  A green hash certifies the distributed
+    word-count pass, training, the broadcast segmentation join and the
+    HOF document fold end-to-end."""
+    import os
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    try:
+        import math
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["doc_id", "text"])
+        docs = sorted(
+            zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+        )
+        doc_words = {int(i): [w for w in (tx or "").split(" ") if w] for i, tx in docs}
+        wc: Counter = Counter()
+        for ws in doc_words.values():
+            wc.update(ws)
+        subs: Counter = Counter()
+        chars: set = set()
+        for w, c in wc.items():
+            chars.update(w)
+            for ln in range(1, _UNI_MAXLEN + 1):
+                for st in range(0, len(w) - ln + 1):
+                    subs[w[st : st + ln]] += c
+        kept = sorted((p for p in subs if len(p) > 1), key=lambda p: (-subs[p], p))
+        pieces = {p: subs[p] for p in kept[:_UNI_SEED]}
+        for ch in chars:
+            pieces[ch] = subs[ch]
+
+        def viterbi(word, lp):
+            n = len(word)
+            score = [None] * (n + 1)
+            score[0] = 0
+            prev = [0] * (n + 1)
+            for i in range(1, n + 1):
+                for j in range(max(0, i - _UNI_MAXLEN), i):
+                    if score[j] is None or word[j:i] not in lp:
+                        continue
+                    cand = score[j] + lp[word[j:i]]
+                    if score[i] is None or cand > score[i]:
+                        score[i], prev[i] = cand, j
+            if score[n] is None:
+                return None
+            seq, i = [], n
+            while i > 0:
+                seq.append(word[prev[i] : i])
+                i = prev[i]
+            return seq[::-1]
+
+        for _ in range(_UNI_ITERS):
+            total = sum(pieces.values())
+            lp = {p: round(math.log(c / total) * 1_000_000) for p, c in pieces.items()}
+            new: Counter = Counter()
+            for w, c in wc.items():
+                for p in viterbi(w, lp) or []:
+                    new[p] += c
+            keep = sorted((p for p in new if len(p) > 1), key=lambda p: (-new[p], p))
+            pieces = {p: new[p] for p in keep[:_UNI_VOCAB]}
+            for ch in chars:
+                pieces[ch] = max(new.get(ch, 0), 1)
+        total = sum(pieces.values())
+        lp = {p: round(math.log(c / total) * 1_000_000) for p, c in pieces.items()}
+        pid = {p: i for i, p in enumerate(sorted(pieces))}
+        seg_cache: dict = {}
+        rows = []
+        for i in sorted(doc_words):
+            h, n = 0, 0
+            for w in doc_words[i]:
+                if w not in seg_cache:
+                    s = viterbi(w, lp)
+                    seg_cache[w] = [pid[p] for p in s] if s is not None else [-1]
+                for x in seg_cache[w]:
+                    h = (h * 31 + x) % _UNI_MOD
+                    n += 1
+            rows.append((i, n, h))
+        values = ", ".join(
+            f"({i}::BIGINT, {n}::INT, {h}::BIGINT)" for i, n, h in rows
+        )
+        return (
+            "SELECT * FROM (VALUES "
+            + values
+            + ") AS t(doc_id, n_pieces, pieces_hash)"
+        )
+    except Exception as exc:
+        print(
+            f"# WARNING: tokenizer_unigram_apply oracle degraded to rows-only: {exc!r}",
+            file=__import__("sys").stderr,
+        )
+        return None
+
+
+def _trained_unigram(spark: SparkSession, sf_dir: str) -> list:
+    """Trained unigram piece inventory, cached per (process, sf_dir) —
+    the BPE merge-table / PQ codebook build-once contract;
+    deterministic training means the cache can never mask a drift."""
+    from hadoop_3_3_6_spark.functions.bpe import train_unigram
+
+    key = ("unigram_pieces", sf_dir)
+    if key not in _RENDER_CACHE:
+        docs = load_table(spark, "documents", sf_dir)
+        _RENDER_CACHE[key] = train_unigram(
+            docs, "text",
+            vocab_size=_UNI_VOCAB, seed_size=_UNI_SEED,
+            max_piece_len=_UNI_MAXLEN, iters=_UNI_ITERS,
+        )
+    return _RENDER_CACHE[key]
+
+
+@_register("tokenizer_unigram_apply", _unigram_oracle())
+def q_tokenizer_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer (Kudo 2018 — SentencePiece's unigram
+    model, hard-EM variant) trained on the corpus and applied to it —
+    the second real-world tokenizer family next to BPE: the corpus
+    pass is ONE distributed word-count aggregate, EM runs over the
+    vocab-sized table on the driver with integer micro-nat log-probs
+    (functions/bpe.train_unigram), and apply is the Spark-first shape
+    — unique apply-corpus words segment once driver-side, the
+    segmentation map BROADCASTS back for an equi join, and the
+    per-document (n_pieces, pieces_hash) combine is a position-ordered
+    integer HOF fold: no Python touches a corpus-sized row
+    (functions/bpe.apply_unigram).  The oracle's independent replica
+    re-derives training AND the document folds from the raw text.
+    Eager by contract (training + the unique-word segmentation run at
+    construction)."""
+    from hadoop_3_3_6_spark.functions.bpe import apply_unigram
+
+    docs = load_table(spark, "documents", sf_dir)
+    pieces = _trained_unigram(spark, sf_dir)
+    return apply_unigram(docs, pieces, "text", "doc_id", modulus=_UNI_MOD)
+
+
 @_register("tokenizer_bpe_apply", _bpe_apply_oracle())
 def q_tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLICATION (functions/bpe.apply_bpe): encode the
@@ -8234,6 +8382,7 @@ _DRIVER_HOLDBACK_R8 = [
     "multimodal_phash_dedup",
     "token_shards_roundtrip",
     "similarity_ivf_pq_refined_topk",
+    "tokenizer_unigram_apply",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

@@ -84,3 +84,51 @@ def test_apply_bpe_matches_python_reference(spark):
         assert got[row.doc_id] == want
     # merges compress: token count strictly below character count
     assert all(t < c for t, c in got.values())
+
+
+def test_unigram_train_and_apply_tiny(spark):
+    """Hard-EM unigram training on a hand corpus: frequent whole words
+    become single pieces (the unigram model's defining behavior vs
+    char-BPE's bottom-up merges), per-doc counts follow, and the
+    engine's per-word-hash + 31^n combine equals the naive sequential
+    id fold."""
+    from hadoop_3_3_6_spark.functions.bpe import (
+        _viterbi_segment,
+        apply_unigram,
+        train_unigram,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "table table table scan"), (1, "table scan scan"), (2, "")],
+        "doc_id long, text string",
+    )
+    pieces = train_unigram(df, "text", vocab_size=10, seed_size=50, max_piece_len=6, iters=2)
+    lp = {p: s for p, _i, s in pieces}
+    pid = {p: i for p, i, _s in pieces}
+    assert "table" in lp and "scan" in lp  # whole words won the EM
+    assert _viterbi_segment("table", lp, 6) == ["table"]
+    assert _viterbi_segment("tscan", lp, 6) == ["t", "scan"]
+    out = {r.doc_id: r for r in apply_unigram(df, pieces, "text", "doc_id").collect()}
+    assert out[0].n_pieces == 4 and out[1].n_pieces == 3
+    assert out[2].n_pieces == 0 and out[2].pieces_hash == 0
+    M = 1_000_000_007
+    h = 0
+    for w in "table table table scan".split():
+        for x in ([pid[p] for p in _viterbi_segment(w, lp, 6)]):
+            h = (h * 31 + x) % M
+    assert out[0].pieces_hash == h
+
+
+def test_unigram_oov_char_encodes_unk(spark):
+    """A word containing a character absent from training has no
+    in-vocab segmentation and must encode as exactly one UNK_ID piece
+    — deterministically, with the python-side positive hash."""
+    from hadoop_3_3_6_spark.functions.bpe import UNK_ID, apply_unigram, train_unigram
+
+    train = spark.createDataFrame([(0, "aa bb aa")], "doc_id long, text string")
+    pieces = train_unigram(train, "text", vocab_size=4, seed_size=10, max_piece_len=4, iters=1)
+    test = spark.createDataFrame([(7, "zz")], "doc_id long, text string")
+    out = apply_unigram(test, pieces, "text", "doc_id").collect()[0]
+    M = 1_000_000_007
+    assert out.n_pieces == 1
+    assert out.pieces_hash == UNK_ID % M == M - 1

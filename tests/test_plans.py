@@ -430,6 +430,7 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     "similarity_opq_topk",  # OPQ rotation + PQ training contract
                     "distch_manifest",  # renders + mutates its tree at construction
                     "token_shards_roundtrip",  # renders shard triples at construction
+                    "tokenizer_unigram_apply",  # EM training + unique-word segmentation at construction
                     # round-4 rendered-artifact rows that pay a per-
                     # construction metadata job even after the render
                     # cache: SequenceFile toDF inference, and parquet
