@@ -1736,9 +1736,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(load_table(spark, "documents", sf_dir), "text", "doc_id")
 
 
-@_register(
-    "pipeline_gopher_rules",
-    """
+# shared with pipeline_quality_funnel's composed oracle
+_GOPHER_RULES_SQL = """
     WITH base AS (
       SELECT doc_id,
              list_filter(string_split(text, ' '), w -> w <> '') AS words,
@@ -1779,8 +1778,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             AND alpha_word_frac >= 0.8
             AND stopword_hits >= 2) AS keep
     FROM sig
-    """,
-)
+    """
+
+
+@_register("pipeline_gopher_rules", _GOPHER_RULES_SQL)
 def q_pipeline_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher rule-based quality filter (Rae et al. 2021 Appendix
     A1.1) at published thresholds: every rule's signal plus the
@@ -1794,9 +1795,8 @@ def q_pipeline_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_rules(load_table(spark, "documents", sf_dir), "text", "doc_id")
 
 
-@_register(
-    "text_repetition_gopher",
-    """
+# shared with pipeline_quality_funnel's composed oracle
+_GOPHER_REP_SQL = """
     WITH d AS (
       SELECT doc_id, length(text) AS nc,
              list_filter(string_split(text, ' '), w -> w <> '') AS words,
@@ -1892,8 +1892,10 @@ def q_pipeline_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
             AND dup_10gram_char_frac <= 0.10) AS keep
     FROM sig
-    """,
-)
+    """
+
+
+@_register("text_repetition_gopher", _GOPHER_REP_SQL)
 def q_text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL Gopher repetition filter (Rae et al. 2021 Table A1):
     duplicate line/paragraph (+char) fractions, top-{2,3,4}-gram char
@@ -1907,6 +1909,81 @@ def q_text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_3_3_6_spark.functions.text import gopher_repetition_suite
 
     return gopher_repetition_suite(load_table(spark, "documents", sf_dir), "text", "doc_id")
+
+
+@_register(
+    "pipeline_quality_funnel",
+    f"""
+    WITH rules AS ({_GOPHER_RULES_SQL}),
+    rep AS ({_GOPHER_REP_SQL}),
+    ded AS (SELECT doc_id,
+                   (doc_id = min(doc_id) OVER (PARTITION BY sha256(text))) AS kd
+            FROM documents),
+    base AS (
+      SELECT d.doc_id, d.source, r.n_words,
+             r.keep AS k1, p.keep AS k2, ded.kd AS k3
+      FROM documents d
+      JOIN rules r USING (doc_id)
+      JOIN rep p USING (doc_id)
+      JOIN ded USING (doc_id)
+    )
+    SELECT source,
+           count(*)::BIGINT AS docs_total,
+           sum(CASE WHEN k1 THEN 1 ELSE 0 END)::BIGINT AS pass_rules,
+           sum(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END)::BIGINT AS pass_repetition,
+           sum(CASE WHEN k1 AND k2 AND k3 THEN 1 ELSE 0 END)::BIGINT AS pass_dedup,
+           sum(CASE WHEN k1 AND k2 AND k3 THEN n_words ELSE 0 END)::BIGINT AS words_kept
+    FROM base GROUP BY source
+    """,
+)
+def q_pipeline_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern pretraining quality FUNNEL as one composed plan —
+    the FineWeb/RefinedWeb recipe order: Gopher rule filter → Gopher
+    repetition filter → exact dedup (keep-lowest per content digest),
+    reported as per-source survival counts plus the token volume the
+    funnel keeps.  This is the pipeline-planning query an operator
+    runs before committing a 100-TB crawl to tokenization: every
+    stage's marginal cost is visible in one result.  Plan shape: the
+    two filter verdicts are shuffle-free per-doc projections joined on
+    doc_id (id-sized exchanges, never text); dedup keep is one window
+    over the content digest (digest+id rows only); the final aggregate
+    is a tiny per-source rollup.  The oracle composes the two filter
+    oracles verbatim (shared SQL constants) with the digest window —
+    a green hash certifies the composition end-to-end."""
+    from pyspark.sql.window import Window
+
+    from hadoop_3_3_6_spark.functions.text import (
+        gopher_quality_rules,
+        gopher_repetition_suite,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    rules = gopher_quality_rules(docs).select(
+        "doc_id", "n_words", F.col("keep").alias("_k1")
+    )
+    rep = gopher_repetition_suite(docs).select("doc_id", F.col("keep").alias("_k2"))
+    ded = docs.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy(F.sha2(F.col("text"), 256)))
+        ).alias("_k3"),
+    )
+    base = (
+        docs.select("doc_id", "source")
+        .join(rules, "doc_id")
+        .join(rep, "doc_id")
+        .join(ded, "doc_id")
+    )
+    k12 = F.col("_k1") & F.col("_k2")
+    k123 = k12 & F.col("_k3")
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_total"),
+        F.sum(F.when(F.col("_k1"), 1).otherwise(0)).alias("pass_rules"),
+        F.sum(F.when(k12, 1).otherwise(0)).alias("pass_repetition"),
+        F.sum(F.when(k123, 1).otherwise(0)).alias("pass_dedup"),
+        F.sum(F.when(k123, F.col("n_words")).otherwise(0)).alias("words_kept"),
+    )
 
 
 @_register(
@@ -8383,6 +8460,7 @@ _DRIVER_HOLDBACK_R8 = [
     "token_shards_roundtrip",
     "similarity_ivf_pq_refined_topk",
     "tokenizer_unigram_apply",
+    "pipeline_quality_funnel",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK
