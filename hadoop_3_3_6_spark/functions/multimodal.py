@@ -800,22 +800,7 @@ def phash_near_duplicates(
     closed-form oracle."""
     from pyspark.sql import functions as F
 
-    width = 64 // bands
-    mask = (1 << width) - 1
-    b = hashes.select(
-        F.col(id_col),
-        F.col(hash_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col(hash_col), k * width).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for k in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
-    )
+    b = _hash_bands(hashes, id_col, hash_col, bands)
     a, c = b.alias("a"), b.alias("b")
     pairs = (
         a.join(
@@ -844,4 +829,89 @@ def phash_near_duplicates(
             F.col("dup_with"),
             F.col("dup_with").isNull().alias("keep"),
         )
+    )
+
+
+def _hash_bands(
+    hashes: DataFrame, id_col: str, hash_col: str, bands: int
+) -> DataFrame:
+    """(id, hash) -> one row per (id, hash, band_idx, 16-bit band
+    value) — the banding projection shared by the batch dedup and the
+    incremental index path (unsigned shifts, so sign-bit hashes band
+    correctly)."""
+    from pyspark.sql import functions as F
+
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return hashes.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(hash_col), k * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for k in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+
+
+def build_phash_index(
+    df: DataFrame,
+    path: str,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    bands: int = 4,
+) -> None:
+    """Persist a corpus perceptual-hash index: decode + dHash ONCE,
+    store the banded rows (id, dhash, band_idx, band_val) repartitioned
+    by (band_idx, band_val) so future batch joins co-locate — the
+    build_minhash_index contract for the image tier."""
+    _hash_bands(image_dhash(df, payload_col, id_col), id_col, "dhash", bands).repartition(
+        "band_idx", "band_val"
+    ).write.mode("overwrite").parquet(path)
+
+
+def phash_dedup_incremental(
+    new_hashes: DataFrame,
+    index_bands: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 4,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental image near-dedup: match a NEW batch of perceptual
+    hashes against an existing corpus band index (live from
+    ``_hash_bands`` or persisted by ``build_phash_index``).  Returns
+    distinct verified (new_id, corpus_id, hamming) pairs; new images
+    absent from the result are novel.  The batch side BROADCASTS (a
+    crawl increment is small next to the history), so the only data
+    movement is the increment — dedup a new batch against 100 TB of
+    image history at batch cost, never corpus cost (the
+    dedup_against_index contract for the image tier)."""
+    from pyspark.sql import functions as F
+
+    batch = _hash_bands(new_hashes, id_col, hash_col, bands)
+    a, b = batch.alias("a"), index_bands.alias("b")
+    return (
+        b.join(
+            F.broadcast(a),
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("corpus_id"),
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

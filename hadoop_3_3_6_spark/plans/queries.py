@@ -2088,6 +2088,86 @@ def _phash_fixture_array(i: int):
     return arr.astype(np.uint8)
 
 
+_PHASH_REPLICA_CACHE: dict = {}
+
+
+def _phash_replica(path: str):
+    """Memoized replica core shared by the batch and incremental phash
+    oracles: (sorted ids, unsigned 64-bit dHash per id) — the fixture
+    render + the resize/luma/comparison fold restated independently of
+    the engine (the resize_nearest formula, integer luma, bit fold)."""
+    if path in _PHASH_REPLICA_CACHE:
+        return _PHASH_REPLICA_CACHE[path]
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    ids = sorted(
+        int(i)
+        for i in pq.read_table(path, columns=["doc_id"]).column("doc_id").to_pylist()
+    )
+
+    def dh(arr):
+        rows = np.minimum((np.arange(8) + 0.5) * 16 / 8, 15).astype(np.int64)
+        cols = np.minimum((np.arange(9) + 0.5) * 16 / 9, 15).astype(np.int64)
+        small = arr[rows][:, cols].astype(np.int64)
+        luma = (small[..., 0] * 299 + small[..., 1] * 587 + small[..., 2] * 114) // 1000
+        h = 0
+        for bit in (luma[:, :-1] > luma[:, 1:]).flatten():
+            h = (h << 1) | int(bit)
+        return h
+
+    uh = {i: dh(_phash_fixture_array(i)) for i in ids}
+    _PHASH_REPLICA_CACHE[path] = (ids, uh)
+    return _PHASH_REPLICA_CACHE[path]
+
+
+def _phash_incremental_oracle() -> str | None:
+    """Exact oracle for INCREMENTAL phash dedup: the shared replica's
+    hashes split into index (even ids) and batch (odd ids); each batch
+    hash collects its banding candidates among the index side only and
+    keeps popcount-verified pairs — the dedup_against_index contract
+    replayed independently."""
+    import os
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    try:
+        ids, uh = _phash_replica(path)
+        from collections import defaultdict
+
+        buckets = defaultdict(set)
+        for i in ids:
+            if i % 2 == 0:
+                for k in range(4):
+                    buckets[(k, (uh[i] >> (16 * k)) & 0xFFFF)].add(i)
+        rows = []
+        for o in ids:
+            if o % 2 == 0:
+                continue
+            cands: set = set()
+            for k in range(4):
+                cands |= buckets[(k, (uh[o] >> (16 * k)) & 0xFFFF)]
+            for c in sorted(cands):
+                ham = bin(uh[o] ^ uh[c]).count("1")
+                if ham <= 4:
+                    rows.append((o, c, ham))
+        values = ", ".join(
+            f"({o}::BIGINT, {c}::BIGINT, {h}::INT)" for o, c, h in rows
+        )
+        return (
+            "SELECT * FROM (VALUES "
+            + values
+            + ") AS t(new_id, corpus_id, hamming)"
+        )
+    except Exception as exc:
+        print(
+            f"# WARNING: multimodal_phash_incremental oracle degraded to rows-only: {exc!r}",
+            file=__import__("sys").stderr,
+        )
+        return None
+
+
 def _phash_oracle() -> str | None:
     """Exact oracle for perceptual-hash image dedup: an INDEPENDENT
     python replica of the whole pipeline — the deterministic fixture
@@ -2104,27 +2184,7 @@ def _phash_oracle() -> str | None:
     if not os.path.exists(path):
         return None
     try:
-        import numpy as np
-        import pyarrow.parquet as pq
-
-        ids = sorted(
-            int(i)
-            for i in pq.read_table(path, columns=["doc_id"]).column("doc_id").to_pylist()
-        )
-
-        def dh(arr):
-            rows = np.minimum((np.arange(8) + 0.5) * 16 / 8, 15).astype(np.int64)
-            cols = np.minimum((np.arange(9) + 0.5) * 16 / 9, 15).astype(np.int64)
-            small = arr[rows][:, cols].astype(np.int64)
-            luma = (
-                small[..., 0] * 299 + small[..., 1] * 587 + small[..., 2] * 114
-            ) // 1000
-            h = 0
-            for bit in (luma[:, :-1] > luma[:, 1:]).flatten():
-                h = (h << 1) | int(bit)
-            return h
-
-        uh = {i: dh(_phash_fixture_array(i)) for i in ids}
+        ids, uh = _phash_replica(path)
         from collections import defaultdict
 
         buckets = defaultdict(list)
@@ -2206,6 +2266,51 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = docs.mapInPandas(render, schema="doc_id bigint, payload binary")
     hashes = image_dhash(blobs, "payload", "doc_id")
     return phash_near_duplicates(hashes, "doc_id", "dhash", max_hamming=4, bands=4)
+
+
+@_register("multimodal_phash_incremental", _phash_incremental_oracle())
+def q_multimodal_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL image near-dedup — batch-vs-history parity with the
+    text tier's dedup_incremental: the corpus side (even doc_ids) is
+    decoded + dHashed and banded ONCE (multimodal.build_phash_index
+    persists this shape); the new batch (odd doc_ids) hashes itself,
+    BROADCASTS its banded rows against the index and keeps
+    popcount-verified pairs (multimodal.phash_dedup_incremental) —
+    dedup a crawl increment against 100 TB of image history at batch
+    cost, never corpus cost.  Same deterministic fixture and replica
+    as multimodal_phash_dedup, split into the two roles; the oracle
+    replays banding candidates + Hamming verify independently."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from hadoop_3_3_6_spark.functions.multimodal import (
+        _hash_bands,
+        encode_png,
+        encode_ppm,
+        image_dhash,
+        phash_dedup_incremental,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                arr = _phash_fixture_array(int(i))
+                payloads.append(encode_ppm(arr) if int(i) % 2 == 0 else encode_png(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    blobs = docs.mapInPandas(render, schema="doc_id bigint, payload binary")
+    hashes = image_dhash(blobs, "payload", "doc_id")
+    index_bands = _hash_bands(
+        hashes.filter(F.col("doc_id") % 2 == 0), "doc_id", "dhash", 4
+    )
+    batch = hashes.filter(F.col("doc_id") % 2 == 1)
+    return phash_dedup_incremental(
+        batch, index_bands, "doc_id", "dhash", max_hamming=4, bands=4
+    )
 
 
 def _ivf_trained_oracle() -> str | None:
@@ -8461,6 +8566,7 @@ _DRIVER_HOLDBACK_R8 = [
     "similarity_ivf_pq_refined_topk",
     "tokenizer_unigram_apply",
     "pipeline_quality_funnel",
+    "multimodal_phash_incremental",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

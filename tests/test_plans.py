@@ -379,6 +379,7 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "multimodal_container_meta",
         "multimodal_wav_source",  # Python DataSource scan
         "multimodal_phash_dedup",  # codec decode + dHash IS the semantics
+        "multimodal_phash_incremental",  # codec decode + dHash IS the semantics
         "token_shards_roundtrip",  # binary shard IO IS the semantics
         "distch_manifest",  # executor-side stat: FS metadata IS the semantics
         "warc_source_scan",

@@ -1011,3 +1011,53 @@ def test_ivf_pq_refined_recall_dominates(spark, sf_dir):
     r_ref = len(truth & set(zip(refined.probe_id, refined.neighbor_id))) / len(truth)
     assert r_ref >= r_plain, f"refined {r_ref:.2f} < unrefined {r_plain:.2f}"
     assert r_ref >= 0.15
+
+
+def test_phash_incremental_matches_batch_contract(spark, tmp_path):
+    """Incremental phash dedup on hand-built hashes: exact and 1-bit
+    neighbors of the index are caught with their Hamming distance,
+    far hashes come back novel, and the persisted index
+    (build_phash_index) round-trips to the same pairs as live bands."""
+    import numpy as np
+
+    from hadoop_3_3_6_spark.functions.multimodal import (
+        _hash_bands,
+        build_phash_index,
+        encode_ppm,
+        phash_dedup_incremental,
+    )
+
+    base = 0x0123456789ABCDEF
+    idx = spark.createDataFrame(
+        [(0, base), (2, base ^ 1)], "doc_id long, dhash long"
+    )
+    batch = spark.createDataFrame(
+        [(1, base), (3, base ^ ((1 << 64) - 1) - (1 << 63))],  # far: ~all bits
+        "doc_id long, dhash long",
+    )
+    pairs = {
+        (r.new_id, r.corpus_id): r.hamming
+        for r in phash_dedup_incremental(
+            batch, _hash_bands(idx, "doc_id", "dhash", 4), max_hamming=4
+        ).collect()
+    }
+    assert pairs == {(1, 0): 0, (1, 2): 1}
+
+    # persisted-index roundtrip: build from real images, read back,
+    # same join contract
+    imgs = spark.createDataFrame(
+        [
+            (10, bytearray(encode_ppm(np.full((4, 4, 3), 7, dtype=np.uint8)))),
+            (11, bytearray(encode_ppm(np.full((4, 4, 3), 250, dtype=np.uint8)))),
+        ],
+        "doc_id long, payload binary",
+    )
+    path = str(tmp_path / "phash_index")
+    build_phash_index(imgs, path, "payload", "doc_id")
+    stored = spark.read.parquet(path)
+    assert set(stored.columns) == {"doc_id", "dhash", "band_idx", "band_val"}
+    # constant-color images share the all-equal-luma hash (all zeros)
+    live = phash_dedup_incremental(
+        spark.createDataFrame([(12, 0)], "doc_id long, dhash long"), stored
+    ).collect()
+    assert {(r.new_id, r.corpus_id, r.hamming) for r in live} == {(12, 10, 0), (12, 11, 0)}
