@@ -676,6 +676,112 @@ def q_skipbad_quarantine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "nline_split_scan",
+    "SELECT 25::BIGINT AS n_lines, 4::INT AS n_splits, true AS all_lines_present",
+)
+def q_nline_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NLineInputFormat's parallelism contract as a driver row
+    (MRC/mapreduce/lib/input/NLineInputFormat.java:63 — N input lines
+    per split, so line-oriented work units fan out regardless of file
+    size; SURVEY ruling maps it to an explicit repartition to
+    ceil(lines/N)): a rendered 25-line key|name file (one line per
+    nation row) is read as text and split at N=7 → exactly 4 splits;
+    the closed-form verdict pins (line count, split count, no line
+    lost or duplicated across the re-split).  A reader that dropped a
+    line, an off-by-one in the split arithmetic, or a repartition that
+    duplicated rows turns the row red.  Eager by contract (the verdict
+    is computed from actions at construction; nation is the fixed
+    25-row table at every SF)."""
+    import math
+
+    nation = load_table(spark, "nation", sf_dir)
+
+    def render(d: str) -> None:
+        import os
+
+        os.makedirs(f"{d}/data", exist_ok=True)
+        with open(f"{d}/data/lines.txt", "w") as f:
+            for r in sorted(nation.select("n_nationkey", "n_name").collect()):
+                f.write(f"{r.n_nationkey}|{r.n_name}\n")
+
+    out = _rendered_dir("nline_", sf_dir, render)
+    lines = spark.read.text(f"{out}/data/lines.txt")
+    n_per_split = 7
+    n_lines = lines.count()
+    resplit = lines.repartition(math.ceil(n_lines / n_per_split))
+    keys = resplit.select(
+        F.split(F.col("value"), r"\|").getItem(0).cast("long").alias("k")
+    )
+    all_present = (
+        keys.distinct().count() == 25
+        and keys.count() == 25
+        and resplit.count() == n_lines
+    )
+    return spark.createDataFrame(
+        [(n_lines, resplit.rdd.getNumPartitions(), bool(all_present))],
+        "n_lines long, n_splits int, all_lines_present boolean",
+    )
+
+
+@_register(
+    "inverse_map",
+    "SELECT n_name AS key, n_nationkey AS value FROM nation",
+)
+def q_inverse_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InverseMapper as a driver row (MRX/InverseMapper... reference
+    MRC/mapreduce/lib/map/InverseMapper.java:30 — emit (value, key));
+    the building block of the inverted-index / link-reversal examples.
+    Trivial by design: the row exists so the §2.3 inventory line is
+    driver-checked, not test-only."""
+    from hadoop_3_3_6_spark.operators.mapops import inverse_map
+
+    nation = load_table(spark, "nation", sf_dir)
+    kv = nation.select(
+        F.col("n_nationkey").alias("key"), F.col("n_name").alias("value")
+    )
+    return inverse_map(kv, "key", "value")
+
+
+@_register(
+    "observe_counters",
+    f"""
+    SELECT count(*)::BIGINT AS records,
+           sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS returned,
+           cast(sum({_dec('l_quantity')}) as double) AS qty_sum
+    FROM lineitem
+    """,
+)
+def q_observe_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counters via the Observation API as a driver row (the
+    TaskCounter / user-counter contract, MRC/mapreduce/Counter.java:36
+    — accumulate metrics DURING a pass, read them after the action,
+    never a second scan): operators/counters.with_counters attaches
+    (records, returned, qty_sum) to the lineitem scan, ONE noop-write
+    action drives the pass, and the observed map is returned as a
+    1-row frame pinned against the straight-aggregate oracle.  A
+    counter that missed rows (partial action, wrong merge) turns the
+    row red.  Eager by contract (the observed values exist only after
+    the action)."""
+    from hadoop_3_3_6_spark.operators.counters import with_counters
+
+    li = load_table(spark, "lineitem", sf_dir)
+    observed, obs = with_counters(
+        li,
+        {
+            "records": F.count(F.lit(1)),
+            "returned": F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)),
+            "qty_sum": F.sum(F.expr(_dec("l_quantity"))).cast("double"),
+        },
+    )
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["records"]), int(m["returned"]), float(m["qty_sum"]))],
+        "records long, returned long, qty_sum double",
+    )
+
+
+@_register(
     "db_output_roundtrip",
     f"""
     SELECT event_type, count(*) AS pageviews,
@@ -8567,6 +8673,9 @@ _DRIVER_HOLDBACK_R8 = [
     "tokenizer_unigram_apply",
     "pipeline_quality_funnel",
     "multimodal_phash_incremental",
+    "nline_split_scan",
+    "inverse_map",
+    "observe_counters",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

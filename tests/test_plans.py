@@ -432,6 +432,8 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     "distch_manifest",  # renders + mutates its tree at construction
                     "token_shards_roundtrip",  # renders shard triples at construction
                     "tokenizer_unigram_apply",  # EM training + unique-word segmentation at construction
+                    "nline_split_scan",  # closed-form verdict computed from actions
+                    "observe_counters",  # the observed map exists only after the action
                     # round-4 rendered-artifact rows that pay a per-
                     # construction metadata job even after the render
                     # cache: SequenceFile toDF inference, and parquet
