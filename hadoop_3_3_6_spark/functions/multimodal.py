@@ -780,7 +780,7 @@ def phash_near_duplicates(
     hashes: DataFrame,
     id_col: str = "doc_id",
     hash_col: str = "dhash",
-    max_hamming: int = 4,
+    max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
     """Banded Hamming near-duplicate detection over perceptual hashes
@@ -788,7 +788,11 @@ def phash_near_duplicates(
     pair is a CANDIDATE iff any of its ``bands`` (64/bands)-bit
     segments match exactly (guaranteed to catch every pair with
     Hamming distance < bands; probabilistically more), then verified
-    with the exact popcount of the XOR.  Returns one row per input
+    with the exact popcount of the XOR.  The DEFAULT max_hamming=3
+    satisfies the guarantee (max_hamming < bands, so every in-threshold
+    pair is found); callers raising max_hamming to >= bands get the
+    probabilistic recall regime and should say so — the registered
+    query runs at 4 deliberately, with the boundary pinned in tests.  Returns one row per input
     hash: (id, hash, dup_with = lowest-id near-duplicate or NULL,
     keep) — the semdedup keep-lowest-representative rule.
 
@@ -880,7 +884,7 @@ def phash_dedup_incremental(
     index_bands: DataFrame,
     id_col: str = "doc_id",
     hash_col: str = "dhash",
-    max_hamming: int = 4,
+    max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
     """Incremental image near-dedup: match a NEW batch of perceptual

@@ -1052,9 +1052,7 @@ def ivf_pq_topk(
     neighbor_id, adc_dist, rank), ascending ADC distance; NOTE a probe
     sees only vectors in its probed cells (recall < 1 by construction,
     floor-tested vs exact L2 in tests/test_tools.py)."""
-    cents = emb.filter(F.col(id_col) < num_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
-    )
+    cents = _seed_centroids(emb, id_col, vec_col, num_centroids)
     assigned = assign_clusters(emb, id_col, vec_col, centroids=cents)
     enc = pq_encode(assigned, books, id_col, vec_col, extra_cols=("cluster_id",))
     probe_rows = _restrict_to_probes(emb, id_col, probes, probe_ids)

@@ -709,6 +709,32 @@ def gopher_quality_rules(
     return sig.select("*", keep.alias("keep"))
 
 
+def _materialize_arrays(
+    df: DataFrame, scalars: list[str], arrays: dict, scalar_exprs: dict | None = None
+) -> DataFrame:
+    """Materialize computed ARRAY columns behind a one-element
+    explode(array(struct(...))) generator — the shingle_docs device,
+    generalized: higher-order functions are interpreted (no codegen
+    subexpression elimination) and CollapseProject inlines a projected
+    column's DEFINING EXPRESSION into every downstream reference, so a
+    column referenced inside a downstream lambda would otherwise be
+    re-evaluated once per lambda ELEMENT (an O(G) derivation referenced
+    per-gram turns O(G²)).  Behind the generator the columns are plain
+    attributes: one evaluation per row, O(1) per reference.
+    ``scalar_exprs`` are consumed-once computed columns that ride in
+    the same select without needing the barrier themselves."""
+    named = [c.alias(n) for n, c in arrays.items()]
+    extra = [c.alias(n) for n, c in (scalar_exprs or {}).items()]
+    staged = df.select(
+        *scalars, *extra, F.explode(F.array(F.struct(*named))).alias("_m")
+    )
+    return staged.select(
+        *scalars,
+        *[F.col(n) for n in (scalar_exprs or {})],
+        *[F.col(f"_m.{n}").alias(n) for n in arrays],
+    )
+
+
 def gopher_repetition_suite(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -723,41 +749,57 @@ def gopher_repetition_suite(
     paper's no-double-counting rule), plus the conjunctive ``keep`` at
     the published thresholds.
 
-    Engine shape: per-row higher-order expressions staged over a few
-    fused projections — no shuffle, no UDF, no explode.  Top-gram
-    counts use the O(G log G) sorted-run fold (the
-    repetition_top_ngram discipline); duplicate-gram marking is
-    O(G·n): a per-start duplicate flag array, then each word position
-    checks the ≤ n flags that could cover it via ONE array_max over a
-    slice.  All signals are exact integer counts + single IEEE
-    divisions; the oracle derives the same integers RELATIONALLY
-    (unnest → group-by → θ-join) — an independent formulation of the
-    same definitions, so a green hash certifies both."""
+    Engine shape: per-row higher-order expressions staged over
+    GENERATOR-BARRIERED projections (see _materialize_arrays — without
+    the barriers, CollapseProject turns every lambda-internal column
+    reference into a per-element re-derivation and the suite goes
+    quadratic in document length; measured 64s → ~1s on a single
+    2000-word document).  Per-document cost: O(G log G) for the
+    sorted-run top-gram folds and duplicate detection, O(G·n) for the
+    span marking, plus an adaptive duplicate-membership scan (linear
+    list probe when few distinct grams repeat — every real document —
+    falling to a positional sorted-pairs form when the document is
+    spammy).  No shuffle, no UDF, no corpus-size term.  All signals
+    are exact integer counts + single IEEE divisions; the oracle
+    derives the same integers RELATIONALLY (unnest → group-by →
+    θ-join) — an independent formulation, so a green hash certifies
+    both."""
     df = spread_for_compute(df)
-    base = df.select(
-        F.col(id_col),
-        F.length(F.col(text_col)).alias("_nc"),
-        F.expr(f"filter(split({text_col}, ' '), w -> w <> '')").alias("_w"),
-        F.expr(f"filter(split({text_col}, '\\n'), l -> trim(l) <> '')").alias("_l"),
-        F.expr(f"filter(split({text_col}, '\\n\\n'), p -> trim(p) <> '')").alias("_p"),
+    base = _materialize_arrays(
+        df.select(F.col(id_col), F.length(F.col(text_col)).alias("_nc"), F.col(text_col)),
+        [id_col, "_nc"],
+        {
+            "_w": F.expr(f"filter(split({text_col}, ' '), w -> w <> '')"),
+            "_l": F.expr(f"filter(split({text_col}, '\\n'), l -> trim(l) <> '')"),
+            "_p": F.expr(f"filter(split({text_col}, '\\n\\n'), p -> trim(p) <> '')"),
+        },
     )
-    keep_cols = [id_col, "_nc", "_w", "_l", "_p"]
-    g = base.select(
-        *keep_cols,
-        *[
-            F.expr(
+    g = _materialize_arrays(
+        base,
+        [id_col, "_nc", "_w", "_l", "_p"],
+        {
+            f"_g{n}": F.expr(
                 f"case when size(_w) >= {n} then transform(sequence(1, size(_w) - {n - 1}), "
                 f"i -> array_join(slice(_w, i, {n}), ' ')) else array() end"
-            ).alias(f"_g{n}")
+            )
             for n in range(2, 11)
-        ],
+        },
+    )
+    keep_cols = [id_col, "_nc", "_w", "_l", "_p"]
+    gs = _materialize_arrays(
+        g,
+        keep_cols + [f"_g{n}" for n in range(5, 11)],
+        {
+            **{f"_s{n}": F.expr(f"array_sort(_g{n})") for n in range(2, 11)},
+            "_sl": F.expr("array_sort(_l)"),
+            "_sp": F.expr("array_sort(_p)"),
+        },
     )
 
     def _top_chars(n: int) -> str:
         # sorted-run fold tracking (current run, best count, chars of
         # the best-count gram); ties on count take greater coverage.
-        # The sorted array is a staged COLUMN (_s{n}) so the O(G log G)
-        # sort runs once per row, not once per reference.
+        # _s{n} is a materialized attribute, so each reference is O(1).
         sg = f"_s{n}"
         z = (
             f"zip_with({sg}, slice(concat(array(''), {sg}), 1, size({sg})), "
@@ -777,50 +819,77 @@ def gopher_repetition_suite(
     def _dup_vals(sorted_col: str) -> str:
         # equal neighbors in the sorted copy enumerate every value
         # occurring >= 2 times (if-guard: AND may not short-circuit
-        # element_at's index-0 error); takes a pre-sorted staged column
+        # element_at's index-0 error); takes a materialized column
         return (
             f"array_distinct(filter({sorted_col}, (x, i) -> "
             f"if(i > 0, x = element_at({sorted_col}, i), false)))"
         )
 
-    gs = g.select(
-        *keep_cols,
-        *[F.col(f"_g{n}") for n in range(5, 11)],
-        *[F.expr(f"array_sort(_g{n})").alias(f"_s{n}") for n in range(2, 11)],
-        F.expr("array_sort(_l)").alias("_sl"),
-        F.expr("array_sort(_p)").alias("_sp"),
+    g2 = _materialize_arrays(
+        gs,
+        keep_cols
+        + [f"_g{n}" for n in range(5, 11)]
+        + [f"_s{n}" for n in (2, 3, 4)],
+        {
+            **{f"_dv{n}": F.expr(_dup_vals(f"_s{n}")) for n in range(5, 11)},
+            "_dvl": F.expr(_dup_vals("_sl")),
+            "_dvp": F.expr(_dup_vals("_sp")),
+        },
     )
-    g2 = gs.select(
-        *keep_cols,
-        *[F.col(f"_g{n}") for n in range(5, 11)],
-        *[F.expr(_top_chars(n)).alias(f"_t{n}") for n in (2, 3, 4)],
-        *[F.expr(_dup_vals(f"_s{n}")).alias(f"_dv{n}") for n in range(5, 11)],
-        F.expr(_dup_vals("_sl")).alias("_dvl"),
-        F.expr(_dup_vals("_sp")).alias("_dvp"),
-    )
-    g3 = g2.select(
-        *keep_cols,
-        *[F.col(f"_t{n}") for n in (2, 3, 4)],
-        *[F.col(f"_g{n}") for n in range(5, 11)],
-        *[
-            F.expr(f"transform(_g{n}, x -> if(array_contains(_dv{n}, x), 1, 0))").alias(
-                f"_df{n}"
-            )
-            for n in range(5, 11)
-        ],
-        F.expr("size(filter(_l, x -> array_contains(_dvl, x)))").alias("_dlcnt"),
-        F.expr(
-            "aggregate(filter(_l, x -> array_contains(_dvl, x)), 0L, (a, x) -> a + length(x))"
-        ).alias("_dlch"),
-        F.expr("size(filter(_p, x -> array_contains(_dvp, x)))").alias("_dpcnt"),
-        F.expr(
-            "aggregate(filter(_p, x -> array_contains(_dvp, x)), 0L, (a, x) -> a + length(x))"
-        ).alias("_dpch"),
+
+    _DUP_SCAN_CAP = 16
+
+    def _dup_flags(n: int) -> str:
+        # ADAPTIVE duplicate-gram flags: _dv{n} (the distinct duplicated
+        # values) is a materialized attribute, so the membership scan is
+        # a true O(|dv|) list probe per gram — the fast form whenever few
+        # distinct grams repeat (every real document).  A SPAMMY document
+        # (|dv| > cap, where the probe would degrade toward O(G²)) falls
+        # to the positional O(G log G) branch: flags computed on sorted
+        # (gram, idx) pairs and restored to document order by a second
+        # sort, the whole pipeline bound behind a one-element transform()
+        # lambda so non-spam rows never evaluate it (CASE branches are
+        # lazy per row).
+        contains = f"transform(_g{n}, x -> if(array_contains(_dv{n}, x), 1, 0))"
+        prev_eq = "if(i > 0, element_at(sp, i).g = e.g, false)"
+        next_eq = "if(i + 2 <= size(sp), element_at(sp, i + 2).g = e.g, false)"
+        positional = (
+            f"element_at(transform(array("
+            f"array_sort(transform(_g{n}, (x, i) -> struct(x AS g, i AS idx)))"
+            f"), sp -> transform(array_sort(transform(sp, (e, i) -> "
+            f"struct(e.idx AS idx, if({prev_eq} or {next_eq}, 1, 0) AS f))), "
+            f"s -> s.f)), 1)"
+        )
+        return (
+            f"case when size(_dv{n}) <= {_DUP_SCAN_CAP} then {contains} "
+            f"else {positional} end"
+        )
+
+    # the duplicated-line/paragraph counts and the top-gram folds are
+    # consumed ONCE downstream, so they ride the g3 barrier select as
+    # plain computed scalars (no second branch, no join, no re-scan)
+    g3b = _materialize_arrays(
+        g2,
+        keep_cols + [f"_g{n}" for n in range(5, 11)],
+        {f"_df{n}": F.expr(_dup_flags(n)) for n in range(5, 11)},
+        scalar_exprs={
+            **{f"_t{n}": F.expr(_top_chars(n)) for n in (2, 3, 4)},
+            "_dlcnt": F.expr("size(filter(_l, x -> array_contains(_dvl, x)))"),
+            "_dlch": F.expr(
+                "aggregate(filter(_l, x -> array_contains(_dvl, x)), 0L, (a, x) -> a + length(x))"
+            ),
+            "_dpcnt": F.expr("size(filter(_p, x -> array_contains(_dvp, x)))"),
+            "_dpch": F.expr(
+                "aggregate(filter(_p, x -> array_contains(_dvp, x)), 0L, (a, x) -> a + length(x))"
+            ),
+        },
     )
 
     def _marked(n: int) -> str:
         # word j is inside a duplicated n-gram iff any start in
-        # [j-n+1, j] is flagged; each word counted once
+        # [j-n+1, j] is flagged; each word counted once.  _df{n} and _w
+        # are materialized attributes, so the per-word slice reads the
+        # flag array in place — O(G·n) total, never a re-derivation.
         lo = f"greatest(1, j - {n - 1})"
         hi = f"least(j, size(_g{n}))"
         return (
@@ -830,8 +899,11 @@ def gopher_repetition_suite(
             f"length(element_at(_w, j)), 0)) else 0L end"
         )
 
-    g4 = g3.select(
-        *keep_cols,
+    g4 = g3b.select(
+        F.col(id_col),
+        F.col("_nc"),
+        F.expr("size(_l)").alias("_nl"),
+        F.expr("size(_p)").alias("_np"),
         *[F.col(f"_t{n}") for n in (2, 3, 4)],
         "_dlcnt", "_dlch", "_dpcnt", "_dpch",
         *[F.expr(_marked(n)).alias(f"_m{n}") for n in range(5, 11)],
@@ -844,9 +916,9 @@ def gopher_repetition_suite(
 
     sig = g4.select(
         F.col(id_col),
-        _frac(F.col("_dlcnt"), F.expr("size(_l)")).alias("dup_line_frac"),
+        _frac(F.col("_dlcnt"), F.col("_nl")).alias("dup_line_frac"),
         _frac(F.col("_dlch"), F.col("_nc")).alias("dup_line_char_frac"),
-        _frac(F.col("_dpcnt"), F.expr("size(_p)")).alias("dup_para_frac"),
+        _frac(F.col("_dpcnt"), F.col("_np")).alias("dup_para_frac"),
         _frac(F.col("_dpch"), F.col("_nc")).alias("dup_para_char_frac"),
         *[
             _frac(F.col(f"_t{n}"), F.col("_nc")).alias(f"top_{n}gram_char_frac")

@@ -2274,6 +2274,28 @@ def _phash_incremental_oracle() -> str | None:
         return None
 
 
+def _phash_render_blobs(docs):
+    """Render the deterministic image fixtures (PPM even / PNG odd,
+    real codec roundtrips) — ONE helper shared by the batch and
+    incremental phash queries so both rows always hash the same
+    corpus."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from hadoop_3_3_6_spark.functions.multimodal import encode_png, encode_ppm
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                arr = _phash_fixture_array(int(i))
+                payloads.append(encode_ppm(arr) if int(i) % 2 == 0 else encode_png(arr))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(render, schema="doc_id bigint, payload binary")
+
+
 def _phash_oracle() -> str | None:
     """Exact oracle for perceptual-hash image dedup: an INDEPENDENT
     python replica of the whole pipeline — the deterministic fixture
@@ -2347,30 +2369,13 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's independent replica re-derives render + resample + hash +
     banding + verify, so a green hash certifies codecs, the Arrow hash
     stage and the banded join end-to-end."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
     from hadoop_3_3_6_spark.functions.multimodal import (
-        encode_png,
-        encode_ppm,
         image_dhash,
         phash_near_duplicates,
     )
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
-
-    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for i in pdf["doc_id"]:
-                arr = _phash_fixture_array(int(i))
-                payloads.append(encode_ppm(arr) if int(i) % 2 == 0 else encode_png(arr))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    blobs = docs.mapInPandas(render, schema="doc_id bigint, payload binary")
-    hashes = image_dhash(blobs, "payload", "doc_id")
+    hashes = image_dhash(_phash_render_blobs(docs), "payload", "doc_id")
     return phash_near_duplicates(hashes, "doc_id", "dhash", max_hamming=4, bands=4)
 
 
@@ -2386,30 +2391,14 @@ def q_multimodal_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     cost, never corpus cost.  Same deterministic fixture and replica
     as multimodal_phash_dedup, split into the two roles; the oracle
     replays banding candidates + Hamming verify independently."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
     from hadoop_3_3_6_spark.functions.multimodal import (
         _hash_bands,
-        encode_png,
-        encode_ppm,
         image_dhash,
         phash_dedup_incremental,
     )
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
-
-    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for i in pdf["doc_id"]:
-                arr = _phash_fixture_array(int(i))
-                payloads.append(encode_ppm(arr) if int(i) % 2 == 0 else encode_png(arr))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    blobs = docs.mapInPandas(render, schema="doc_id bigint, payload binary")
-    hashes = image_dhash(blobs, "payload", "doc_id")
+    hashes = image_dhash(_phash_render_blobs(docs), "payload", "doc_id")
     index_bands = _hash_bands(
         hashes.filter(F.col("doc_id") % 2 == 0), "doc_id", "dhash", 4
     )

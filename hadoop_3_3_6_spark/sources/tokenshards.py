@@ -49,7 +49,12 @@ def encode_idx(sizes: list[int], dtype=np.int32) -> bytes:
     out += struct.pack("<Q", 1)  # version
     out += struct.pack("<B", code)
     out += struct.pack("<Q", len(sizes))  # sequence count
-    out += struct.pack("<Q", len(sizes))  # document count (1 seq per doc)
+    # document count = len(doc_idx) = sequences + 1 (doc_idx is the
+    # 0..n cumulative boundary array) — the value the public
+    # Megatron/fairseq readers use to size their doc_idx mmap; writing
+    # len(sizes) here would silently drop the terminal boundary for a
+    # foreign reader
+    out += struct.pack("<Q", len(sizes) + 1)
     out += np.asarray(sizes, dtype=np.int32).tobytes()
     pointers = np.zeros(len(sizes), dtype=np.int64)
     if len(sizes) > 1:
@@ -70,7 +75,12 @@ def decode_idx(payload: bytes):
     code, = struct.unpack_from("<B", payload, 17)
     dtype = _DTYPES[code]
     n_seq, = struct.unpack_from("<Q", payload, 18)
-    _n_doc, = struct.unpack_from("<Q", payload, 26)
+    n_doc, = struct.unpack_from("<Q", payload, 26)
+    if n_doc != n_seq + 1:
+        raise ValueError(
+            f"MMIDIDX doc count {n_doc} != sequences+1 ({n_seq + 1}) — "
+            "not a 1-sequence-per-document shard"
+        )
     off = 34
     sizes = np.frombuffer(payload, dtype=np.int32, count=n_seq, offset=off)
     off += 4 * n_seq
@@ -149,9 +159,11 @@ def read_token_shards(spark: SparkSession, path: str) -> DataFrame:
     )
     if not stems:
         return spark.createDataFrame([], "doc_id bigint, token_ids array<int>")
-    files = spark.createDataFrame([(s,) for s in stems], "stem string").repartition(
-        len(stems), "stem"
-    )
+    # range-partition on a dense index: exactly one shard per task
+    # (hash-repartition on the stem collides and serializes shards)
+    files = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(stems)], "i long, stem string"
+    ).repartitionByRange(len(stems), "i")
 
     def read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -453,7 +453,9 @@ def test_token_shards_format_and_roundtrip(spark, tmp_path):
         assert struct.unpack_from("<Q", payload, 9)[0] == 1
         assert struct.unpack_from("<B", payload, 17)[0] == 4  # int32
         n_seq = struct.unpack_from("<Q", payload, 18)[0]
-        assert struct.unpack_from("<Q", payload, 26)[0] == n_seq
+        # document count sizes the public reader's doc_idx mmap:
+        # len(doc_idx) = sequences + 1 (the 0..n boundary array)
+        assert struct.unpack_from("<Q", payload, 26)[0] == n_seq + 1
         dtype, sizes, pointers = decode_idx(payload)
         assert dtype is np.int32 and len(sizes) == n_seq
         expect_ptrs = np.zeros(n_seq, dtype=np.int64)

@@ -294,3 +294,26 @@ def test_gopher_repetition_suite_values(spark):
     assert abs(r4.dup_para_frac - 2 / 3) < 1e-15
     assert abs(r4.dup_para_char_frac - 6 / 12) < 1e-15
     assert abs(r4.dup_line_frac - 2 / 3) < 1e-15
+
+
+def test_gopher_repetition_spammy_doc_adaptive_branch(spark):
+    """A document where MANY distinct grams repeat (|dup values| above
+    the adaptive cap) takes the positional branch and must produce the
+    same kind of exact fractions — and in bounded time (the barrier +
+    positional rewrite took a single 2000-word spam doc from 64s to
+    ~3s; this pins the semantics, the perf regression would show in
+    the bench tiers)."""
+    from hadoop_3_3_6_spark.functions.text import gopher_repetition_suite
+
+    spam = " ".join(f"w{i % 40}" for i in range(400))  # period-40 repetition
+    clean = " ".join(f"u{i}" for i in range(400))
+    df = _docs(spark, [spam, clean])
+    rows = {r.doc_id: r for r in gopher_repetition_suite(df).collect()}
+    # every 5-gram repeats (period 40 << 400): all words are inside
+    # duplicated 5-grams, so the char fraction is words-chars/total
+    r0 = rows[0]
+    n_chars = len(spam)
+    word_chars = sum(len(w) for w in spam.split())
+    assert abs(r0.dup_5gram_char_frac - word_chars / n_chars) < 1e-15
+    assert not r0.keep
+    assert rows[1].dup_5gram_char_frac == 0.0 and rows[1].dup_10gram_char_frac == 0.0
