@@ -3,7 +3,7 @@
 ``entry(spark)`` — flagship query smoke check at sf0.001.
 ``queries()`` — every implemented operator from SURVEY.md §2 as a
 ``(spark, sf_dir) -> DataFrame`` callable.
-``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents (200 of 205;
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents (all but 5;
 omitted only for the approximate-by-design tiers: the HLL distinct
 estimate, the GK approx-quantiles, and the three xxhash64 ``_fast``
 deployment variants (bloom / minhash / LSH) — the driver records its
