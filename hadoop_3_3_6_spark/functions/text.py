@@ -786,27 +786,25 @@ def gopher_repetition_suite(
         },
     )
     keep_cols = [id_col, "_nc", "_w", "_l", "_p"]
-    gs = _materialize_arrays(
-        g,
-        keep_cols + [f"_g{n}" for n in range(5, 11)],
-        {
-            **{f"_s{n}": F.expr(f"array_sort(_g{n})") for n in range(2, 11)},
-            "_sl": F.expr("array_sort(_l)"),
-            "_sp": F.expr("array_sort(_p)"),
-        },
-    )
+
+    def _bound_sorted(arr: str, body: str) -> str:
+        # evaluate array_sort(arr) ONCE per row by binding it to a
+        # lambda variable `ss` (a one-element transform) — the device
+        # that lets a sorted copy be consumed by a multi-reference
+        # expression without materializing it through a barrier column
+        return f"element_at(transform(array(array_sort({arr})), ss -> {body}), 1)"
 
     def _top_chars(n: int) -> str:
         # sorted-run fold tracking (current run, best count, chars of
         # the best-count gram); ties on count take greater coverage.
-        # _s{n} is a materialized attribute, so each reference is O(1).
-        sg = f"_s{n}"
+        # The sorted grams are lambda-bound (ss), so the sort runs once
+        # per row however many times the fold references it.
         z = (
-            f"zip_with({sg}, slice(concat(array(''), {sg}), 1, size({sg})), "
-            f"(c, p) -> struct(c AS g, c = p AS eq))"
+            "zip_with(ss, slice(concat(array(''), ss), 1, size(ss)), "
+            "(c, p) -> struct(c AS g, c = p AS eq))"
         )
         r = "if(e.eq, acc.run + 1, 1)"
-        return (
+        body = (
             f"aggregate({z}, named_struct('run', 0, 'bc', 0, 'bch', 0), "
             f"(acc, e) -> named_struct("
             f"'run', {r}, "
@@ -815,25 +813,29 @@ def gopher_repetition_suite(
             f"if({r} = acc.bc, greatest(acc.bch, {r} * length(e.g)), acc.bch)))"
             f").bch"
         )
+        return _bound_sorted(f"_g{n}", body)
 
-    def _dup_vals(sorted_col: str) -> str:
-        # equal neighbors in the sorted copy enumerate every value
-        # occurring >= 2 times (if-guard: AND may not short-circuit
-        # element_at's index-0 error); takes a materialized column
-        return (
-            f"array_distinct(filter({sorted_col}, (x, i) -> "
-            f"if(i > 0, x = element_at({sorted_col}, i), false)))"
+    def _dup_vals(arr: str) -> str:
+        # equal neighbors in the lambda-bound sorted copy enumerate
+        # every value occurring >= 2 times (if-guard: AND may not
+        # short-circuit element_at's index-0 error)
+        body = (
+            "array_distinct(filter(ss, (x, i) -> "
+            "if(i > 0, x = element_at(ss, i), false)))"
         )
+        return _bound_sorted(arr, body)
 
+    # ONE barrier stage materializes every duplicate-value list (each
+    # is probed per element downstream, so they must be attributes);
+    # the sorted copies themselves stay lambda-bound and never cross a
+    # barrier
     g2 = _materialize_arrays(
-        gs,
-        keep_cols
-        + [f"_g{n}" for n in range(5, 11)]
-        + [f"_s{n}" for n in (2, 3, 4)],
+        g,
+        keep_cols + [f"_g{n}" for n in range(5, 11)] + [f"_g{n}" for n in (2, 3, 4)],
         {
-            **{f"_dv{n}": F.expr(_dup_vals(f"_s{n}")) for n in range(5, 11)},
-            "_dvl": F.expr(_dup_vals("_sl")),
-            "_dvp": F.expr(_dup_vals("_sp")),
+            **{f"_dv{n}": F.expr(_dup_vals(f"_g{n}")) for n in range(5, 11)},
+            "_dvl": F.expr(_dup_vals("_l")),
+            "_dvp": F.expr(_dup_vals("_p")),
         },
     )
 
