@@ -466,8 +466,9 @@ def test_token_shards_format_and_roundtrip(spark, tmp_path):
         assert bin_len == int(sizes.astype(np.int64).sum()) * 4
         doc_idx = np.frombuffer(payload[34 + 12 * n_seq:], dtype=np.int64)
         assert (doc_idx == np.arange(n_seq + 1)).all()
-    back = {
-        r.doc_id: list(r.token_ids)
-        for r in read_token_shards(spark, out).collect()
-    }
+    rb = read_token_shards(spark, out)
+    # the read side must give exactly one task per shard triple (the
+    # dense-index range partitioning; a hash on the stem collides)
+    assert rb.rdd.getNumPartitions() == len(stems)
+    back = {r.doc_id: list(r.token_ids) for r in rb.collect()}
     assert back == {i: ids for i, ids in rows}

@@ -139,3 +139,31 @@ def test_unigram_viterbi_optimal_vs_bruteforce(word, extra_pieces, rnd):
     # of the optimal segmentations (already asserted) and is a pure
     # function of (word, lp)
     assert _viterbi_segment(word, lp, max_len=4) == got
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 2**31 - 1), max_size=20), min_size=1, max_size=30
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_token_shard_index_roundtrip(docs):
+    """MMIDIDX encode/decode on random document shapes (including
+    zero-token docs): sizes and byte-exact pointers roundtrip, the
+    doc-count header field is sequences+1 (the public reader's doc_idx
+    mmap size), and each document's slice of the packed .bin
+    reconstructs its ids exactly."""
+    import numpy as np
+
+    from hadoop_3_3_6_spark.sources.tokenshards import decode_idx, encode_idx
+
+    sizes = [len(d) for d in docs]
+    payload = encode_idx(sizes, np.int32)
+    dtype, got_sizes, pointers = decode_idx(payload)
+    assert dtype is np.int32 and list(got_sizes) == sizes
+    binblob = b"".join(np.asarray(d, dtype=np.int32).tobytes() for d in docs)
+    for d, sz, ptr in zip(docs, got_sizes, pointers):
+        back = np.frombuffer(binblob, dtype=np.int32, count=int(sz), offset=int(ptr))
+        assert back.tolist() == d
+    doc_idx = np.frombuffer(payload[34 + 12 * len(sizes):], dtype=np.int64)
+    assert len(doc_idx) == len(sizes) + 1 and doc_idx[-1] == len(sizes)
