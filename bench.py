@@ -188,6 +188,10 @@ HEADLINE = [
     # round-8 (cont.): the unigram-LM tokenizer (train cached per
     # process; distributed word-count pass + broadcast-join apply)
     "tokenizer_unigram_apply",
+    # round-8 (cont.): the composed quality funnel (3 filter verdicts
+    # joined on doc_id + digest-window dedup) and incremental phash
+    "pipeline_quality_funnel",
+    "multimodal_phash_incremental",
 ]
 
 
@@ -384,12 +388,18 @@ def _sweep_stale_local_dirs(max_age_s: float = 6 * 3600) -> None:
         p = os.path.join(base, entry)
         try:
             newest = os.path.getmtime(p)
+            live = newest > now - max_age_s
             for root, dirs, files in os.walk(p):
+                if live:
+                    break  # one fresh file already proves the tree live
                 for n in dirs + files:
                     try:
                         newest = max(newest, os.path.getmtime(os.path.join(root, n)))
                     except OSError:
                         pass  # raced with a concurrent cleanup
+                    if newest > now - max_age_s:
+                        live = True
+                        break
         except OSError:
             continue
         if now - newest > max_age_s:
@@ -498,11 +508,15 @@ def main() -> None:
     disk_probe_mb_s = _disk_probe_mb_s()
     if os.environ.get("SPARK_GRAFT_BIG_ANCHOR", "1") == "0":
         pass
-    elif disk_probe_mb_s is not None and disk_probe_mb_s < DISK_PROBE_FLOOR_MB_S:
+    elif disk_probe_mb_s is None or disk_probe_mb_s < DISK_PROBE_FLOOR_MB_S:
+        # None = the probe itself failed (disk full, permissions): the
+        # disk state is UNKNOWN, and an unattributable anchor is exactly
+        # what the gate exists to prevent — skip, don't run
         terasort_200m_skipped = (
-            f"disk_probe {disk_probe_mb_s} MB/s < {DISK_PROBE_FLOOR_MB_S} floor "
-            "(burst-throttled session; best prior healthy session stands in "
-            "terasort_200m_sessions)"
+            f"disk_probe {disk_probe_mb_s} MB/s "
+            + ("(probe failed - disk state unknown)" if disk_probe_mb_s is None
+               else f"< {DISK_PROBE_FLOOR_MB_S} floor (burst-throttled session)")
+            + "; best prior healthy session stands in terasort_200m_sessions"
         )
         print(f"# terasort_200m_records SKIPPED: {terasort_200m_skipped}", file=sys.stderr)
     else:

@@ -958,12 +958,18 @@ def train_opq_rotation(
                 if len(pdf) == 0:  # empty partition/batch: no partial row
                     continue
                 X = np.vstack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
-                C = np.concatenate(
-                    [barr[j][np.vstack(pdf["codes"].to_numpy())[:, j]] for j in range(m)],
-                    axis=1,
-                )
-                prod = C[:, :, None] * X[:, None, :]  # rows × D × D
-                P = np.round(prod * 1e6).astype(np.int64).sum(axis=0)
+                codes = np.vstack(pdf["codes"].to_numpy())  # hoisted: ONE per batch
+                C = np.concatenate([barr[j][codes[:, j]] for j in range(m)], axis=1)
+                # the rows×D×D outer-product tensor is built in CHUNKS:
+                # at the 10k-row Arrow batch and D=64 the full tensor
+                # (+ its round/int64 copies) peaks ~1 GB per Python
+                # worker; 256-row chunks are 1/40th of that and the
+                # int64 partial sum is order-independent, so the result
+                # is bit-identical
+                P = np.zeros((C.shape[1], X.shape[1]), dtype=np.int64)
+                for lo in range(0, len(X), 256):
+                    chunk = C[lo : lo + 256, :, None] * X[lo : lo + 256, None, :]
+                    P += np.round(chunk * 1e6).astype(np.int64).sum(axis=0)
                 yield pd.DataFrame({"a": [P.ravel().tolist()]})
 
         rows = enc.mapInPandas(partials, schema="a array<long>").collect()
@@ -1270,20 +1276,32 @@ def semantic_contamination(
     the LOWER eval id (max over struct(cos, -eval_id)), making the
     result engine-exact: scores are sequential folds rounded to 1e-6,
     so the whole operator is SQL-oracle-checkable."""
-    evals = eval_set.agg(
-        F.collect_list(
-            F.struct(
-                F.col(id_col).alias("eval_id"),
-                F.col(vec_col).cast("array<double>").alias("evec"),
-                F.expr(f"sqrt({_dot(vec_col, vec_col)})").alias("enorm"),
-            )
-        ).alias("_evals")
+    # zero-norm eval vectors are DROPPED before the fold: their cosine
+    # is 0/0 = NaN, and NaN compares greater than any double in Spark,
+    # so one all-zero benchmark row would otherwise become every corpus
+    # row's top match with contaminated=true (the quantized_topk
+    # drop_zero divergence class)
+    evals = (
+        eval_set.withColumn("_enorm", F.expr(f"sqrt({_dot(vec_col, vec_col)})"))
+        .filter(F.col("_enorm") > 0.0)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("eval_id"),
+                    F.col(vec_col).cast("array<double>").alias("evec"),
+                    F.col("_enorm").alias("enorm"),
+                )
+            ).alias("_evals")
+        )
     )
     from hadoop_3_3_6_spark.functions.text import spread_for_compute
 
     v = spread_for_compute(with_norm(corpus, vec_col), id_col)
+    # zero-norm CORPUS rows score the -2.0 sentinel (below any cosine):
+    # deterministic, never NaN, contaminated stays false
     cos = (
-        f"round({_dot(vec_col, 'e.evec')} / (_norm * e.enorm), 6)"
+        f"if(_norm = 0.0D, -2.0D, "
+        f"round({_dot(vec_col, 'e.evec')} / (_norm * e.enorm), 6))"
     )
     best = F.expr(
         f"array_max(transform(_evals, e -> struct({cos} AS cos, -e.eval_id AS neg_id)))"

@@ -479,6 +479,24 @@ def test_quantized_topk_recall_floor(spark, sf_dir):
     assert len(exact & quant) / len(exact) >= 0.9
 
 
+def _exact_l2_truth(emb, n_probes: int = 10, k: int = 5) -> set:
+    """Ground-truth (probe, neighbor) pairs by exact L2 — ONE
+    definition shared by every ANN recall-floor test (stable argsort,
+    self excluded), so a tie-handling fix applies everywhere at once."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    truth = set()
+    for p in range(n_probes):
+        pi = int(np.where(ids == p)[0][0])
+        d = ((vecs - vecs[pi]) ** 2).sum(axis=1)
+        nn = [int(ids[ix]) for ix in np.argsort(d, kind="stable") if int(ids[ix]) != p][:k]
+        truth.update((p, i) for i in nn)
+    return truth
+
+
 def test_pq_topk_recall_floor(spark, sf_dir):
     """PQ/ADC top-k must land a reasonable recall floor vs the exact L2
     baseline.  The fixture's near-uniform 64-dim embeddings are PQ's
@@ -496,15 +514,7 @@ def test_pq_topk_recall_floor(spark, sf_dir):
     )
     probes = emb.filter(F.col("vec_id") < 10).select("vec_id")
     approx = pq_topk(emb, books, "vec_id", "embedding", k=5, probes=probes).toPandas()
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows])
-    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    truth = set()
-    for p in range(10):
-        pi = int(np.where(ids == p)[0][0])
-        d = ((vecs - vecs[pi]) ** 2).sum(axis=1)
-        nn = [int(ids[ix]) for ix in np.argsort(d, kind="stable") if int(ids[ix]) != p][:5]
-        truth.update((p, i) for i in nn)
+    truth = _exact_l2_truth(emb)
     got = set(zip(approx.probe_id, approx.neighbor_id))
     recall = len(truth & got) / len(truth)
     assert recall >= 0.25, f"PQ recall {recall:.2f}"
@@ -531,15 +541,7 @@ def test_ivf_pq_topk_recall_floor(spark, sf_dir):
         emb, books, "vec_id", "embedding", k=5, num_centroids=16, nprobe=4, probes=probes
     ).toPandas()
     assert (approx.groupby("probe_id").size() <= 5).all()
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows])
-    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    truth = set()
-    for p in range(10):
-        pi = int(np.where(ids == p)[0][0])
-        d = ((vecs - vecs[pi]) ** 2).sum(axis=1)
-        nn = [int(ids[ix]) for ix in np.argsort(d, kind="stable") if int(ids[ix]) != p][:5]
-        truth.update((p, i) for i in nn)
+    truth = _exact_l2_truth(emb)
     got = set(zip(approx.probe_id, approx.neighbor_id))
     recall = len(truth & got) / len(truth)
     assert recall >= 0.15, f"IVF-PQ recall {recall:.2f}"
@@ -567,15 +569,7 @@ def test_opq_topk_recall_floor(spark, sf_dir):
     assert np.abs(R @ R.T - np.eye(R.shape[0])).max() < 1e-9
     probes = emb.filter(F.col("vec_id") < 10).select("vec_id")
     approx = opq_topk(emb, rmat, books, "vec_id", "embedding", k=5, probes=probes).toPandas()
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows])
-    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    truth = set()
-    for p in range(10):
-        pi = int(np.where(ids == p)[0][0])
-        d = ((vecs - vecs[pi]) ** 2).sum(axis=1)
-        nn = [int(ids[ix]) for ix in np.argsort(d, kind="stable") if int(ids[ix]) != p][:5]
-        truth.update((p, i) for i in nn)
+    truth = _exact_l2_truth(emb)
     got = set(zip(approx.probe_id, approx.neighbor_id))
     recall = len(truth & got) / len(truth)
     assert recall >= 0.2, f"OPQ recall {recall:.2f}"
@@ -878,15 +872,7 @@ def test_ivf_pq_residual_recall_floor(spark, sf_dir):
         emb, books, "vec_id", "embedding", k=5, num_centroids=16, nprobe=4, probes=probes
     ).toPandas()
     assert (approx.groupby("probe_id").size() <= 5).all()
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows])
-    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    truth = set()
-    for p in range(10):
-        pi = int(np.where(ids == p)[0][0])
-        d = ((vecs - vecs[pi]) ** 2).sum(axis=1)
-        nn = [int(ids[ix]) for ix in np.argsort(d, kind="stable") if int(ids[ix]) != p][:5]
-        truth.update((p, i) for i in nn)
+    truth = _exact_l2_truth(emb)
     got = set(zip(approx.probe_id, approx.neighbor_id))
     recall = len(truth & got) / len(truth)
     assert recall >= 0.15, f"residual IVF-PQ recall {recall:.2f}"
@@ -998,15 +984,7 @@ def test_ivf_pq_refined_recall_dominates(spark, sf_dir):
         shortlist=20, probes=probes,
     ).toPandas()
     assert (refined.groupby("probe_id").size() <= 5).all()
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows])
-    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    truth = set()
-    for p in range(10):
-        pi = int(np.where(ids == p)[0][0])
-        d = ((vecs - vecs[pi]) ** 2).sum(axis=1)
-        nn = [int(ids[ix]) for ix in np.argsort(d, kind="stable") if int(ids[ix]) != p][:5]
-        truth.update((p, i) for i in nn)
+    truth = _exact_l2_truth(emb)
     r_plain = len(truth & set(zip(plain.probe_id, plain.neighbor_id))) / len(truth)
     r_ref = len(truth & set(zip(refined.probe_id, refined.neighbor_id))) / len(truth)
     assert r_ref >= r_plain, f"refined {r_ref:.2f} < unrefined {r_plain:.2f}"
@@ -1061,3 +1039,28 @@ def test_phash_incremental_matches_batch_contract(spark, tmp_path):
         spark.createDataFrame([(12, 0)], "doc_id long, dhash long"), stored
     ).collect()
     assert {(r.new_id, r.corpus_id, r.hamming) for r in live} == {(12, 10, 0), (12, 11, 0)}
+
+
+def test_semantic_contamination_zero_norm_guard(spark):
+    """Zero-norm vectors must never poison the cosine fold: an all-zero
+    EVAL vector is dropped (NaN sorts greater than any double in Spark,
+    so it would otherwise become everyone's top match), and an all-zero
+    CORPUS vector scores the -2.0 sentinel with contaminated=false."""
+    from hadoop_3_3_6_spark.functions.similarity import semantic_contamination
+
+    rows = [
+        (0, [0.0, 0.0]),          # zero eval vector: dropped
+        (1, [1.0, 0.0]),
+        (10, [1.0, 0.0]),         # identical to eval 1 -> cos 1.0
+        (11, [0.0, 0.0]),         # zero corpus vector -> sentinel
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in semantic_contamination(
+            df.filter("vec_id >= 10"), df.filter("vec_id < 10"), threshold=0.9
+        ).collect()
+    }
+    assert out[10].top_eval_id == 1 and out[10].max_eval_cosine == 1.0
+    assert out[10].contaminated
+    assert out[11].max_eval_cosine == -2.0 and not out[11].contaminated
