@@ -15,6 +15,17 @@ Dot products run JVM-side via zip_with/aggregate folds in double
 precision (sequential fold ⇒ bit-reproducible, oracle-matchable).
 Scores are rank-stabilized by rounding to 1e-6 before ordering, with
 id as tiebreaker, so Spark and the SQL oracle agree on the top-k set.
+
+Zero-norm vectors (contract): cosine is undefined for an all-zero
+embedding — in the float cosine paths its score is NULL (Spark's
+non-ANSI 0/0), so a zero-norm row MATCHES NOTHING (NULL fails every
+threshold and every rank comparison drops it behind real scores).
+This is deliberate and uniform: pre-filter zero payloads, or use the
+exact/digest dedup tiers for them.  The two operators where a NaN/NULL
+could have POISONED other rows' results guard explicitly —
+``quantized_topk`` drops zero-norm rows (documented there) and
+``semantic_contamination`` drops zero-norm eval vectors + scores
+zero-norm corpus rows with a -2.0 sentinel.
 """
 
 from __future__ import annotations
@@ -335,16 +346,19 @@ def train_kmeans_centroids(
     seed_rank = F.expr(
         f"conv(substr(md5(concat('kmseed:', cast({id_col} as string))), 1, 15), 16, 10)"
     )
+    # stable small ids 0..k-1 for the seeds: rank directly over the
+    # SAME deterministic total order the limit used ((_r, id)) — the
+    # previous monotonically_increasing_id dance relied on the limit's
+    # output layout preserving sort order, an execution property, not
+    # a contract
     cents = (
         v.withColumn("_r", seed_rank.cast("decimal(20,0)"))
         .orderBy("_r", id_col)
         .limit(k)
-        .select(F.monotonically_increasing_id().alias("_seq"), F.col("v"))
-    )
-    # stable small ids 0..k-1 for the seeds
-    cents = cents.select(
-        (F.row_number().over(Window.orderBy("_seq")) - 1).alias("cent_id"),
-        F.col("v").alias("cvec"),
+        .select(
+            (F.row_number().over(Window.orderBy("_r", id_col)) - 1).alias("cent_id"),
+            F.col("v").alias("cvec"),
+        )
     )
     v = v.persist()
     try:
@@ -624,6 +638,8 @@ def train_pq_codebooks(
     """
     spark = emb.sparkSession
     first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("train_pq_codebooks: empty corpus (no rows to train on)")
     dim = len(first[0])
     if dim % m != 0:
         raise ValueError(f"embedding dim {dim} not divisible by m={m}")
@@ -640,11 +656,9 @@ def train_pq_codebooks(
         .collect()
     )
     books = [[list(r["v"][j * sub : (j + 1) * sub]) for r in seeds] for j in range(m)]
-    slices = F.expr(
-        f"transform(sequence(0, {m - 1}), j -> "
-        f"slice(cast({vec_col} as array<double>), j * {sub} + 1, {sub}))"
-    )
-    vs = emb.select(F.posexplode(slices).alias("sub_id", "sv")).persist()
+    vs = emb.select(
+        F.posexplode(F.expr(_slices_expr(vec_col, m, sub))).alias("sub_id", "sv")
+    ).persist()
     try:
         # Constant expression tree across iterations (broadcast DATA
         # changes, codegen caches) — see _lloyd_iterations.
@@ -825,6 +839,13 @@ def pq_topk(
     by an independent replica (the similarity_ivf_trained pattern).
     Output: (probe_id, neighbor_id, adc_dist, rank), ascending ADC
     distance."""
+    if probes is None and probe_ids is None:
+        raise ValueError(
+            "pq_topk requires a bounded probe set (probes/probe_ids): the ADC "
+            "scan broadcasts one distance table per probe, so unbounded probes "
+            "mean a corpus-sized broadcast and O(N²) candidate work — batch the "
+            "probes, or use ivf_pq_topk's list pruning for all-pairs shapes"
+        )
     enc = pq_encode(emb, books, id_col, vec_col)
     probe_rows = _restrict_to_probes(emb, id_col, probes, probe_ids)
     return adc_topk(enc, probe_rows, books, id_col, vec_col, k)
@@ -844,7 +865,9 @@ def adc_topk(
     probes without ever re-encoding the corpus: the production shape
     for querying 100 TB of history at probe cost, the similarity-tier
     mirror of dedup's build_minhash_index/dedup_against_index.
-    ``probe_rows`` carry raw vectors; ``enc`` is (id, codes)."""
+    ``probe_rows`` carry raw vectors; ``enc`` is (id, codes).
+    ``probe_rows`` must be a BOUNDED batch (the caller's contract —
+    pq_topk enforces it): the per-probe tables broadcast."""
     probe_tabs = _adc_tables(probe_rows, books, id_col, vec_col)
     cand = enc.crossJoin(F.broadcast(probe_tabs)).filter(
         F.col("probe_id") != F.col(id_col)
@@ -1058,20 +1081,31 @@ def ivf_pq_topk(
     neighbor_id, adc_dist, rank), ascending ADC distance; NOTE a probe
     sees only vectors in its probed cells (recall < 1 by construction,
     floor-tested vs exact L2 in tests/test_tools.py)."""
+    if probes is None and probe_ids is None:
+        raise ValueError(
+            "ivf_pq_topk requires a bounded probe set (probes/probe_ids): "
+            "per-probe ADC tables broadcast — batch unbounded probe sweeps"
+        )
     cents = _seed_centroids(emb, id_col, vec_col, num_centroids)
     assigned = assign_clusters(emb, id_col, vec_col, centroids=cents)
     enc = pq_encode(assigned, books, id_col, vec_col, extra_cols=("cluster_id",))
     probe_rows = _restrict_to_probes(emb, id_col, probes, probe_ids)
     probe_cells = assign_clusters(
         probe_rows, id_col, vec_col, centroids=cents, num_probes=nprobe
-    )
-    probe_tabs = _adc_tables(probe_cells, books, id_col, vec_col, extra_cols=("cluster_id",))
-    # probes × nprobe is small by construction — broadcast so the
-    # corpus-sized code table never shuffles (cluster_id has only
-    # num_centroids values: a shuffle join on it would be maximally
-    # skewed — the ivf_topk discipline).
-    cand = enc.join(F.broadcast(probe_tabs), on="cluster_id").filter(
-        F.col("probe_id") != F.col(id_col)
+    ).select(F.col(id_col).alias("probe_id"), "cluster_id")
+    # the raw-space ADC table does not depend on the probed cell, so it
+    # is built ONCE per probe and the (probe, cell) list broadcasts
+    # SEPARATELY — the broadcast carries |probes| tables + nprobe·|probes|
+    # skinny cell rows instead of nprobe duplicate tables per probe.
+    # Both sides are small by construction; the corpus-sized code table
+    # never shuffles (cluster_id has only num_centroids values: a
+    # shuffle join on it would be maximally skewed — the ivf_topk
+    # discipline).
+    probe_tabs = _adc_tables(probe_rows, books, id_col, vec_col)
+    cand = (
+        enc.join(F.broadcast(probe_cells), on="cluster_id")
+        .join(F.broadcast(probe_tabs), on="probe_id")
+        .filter(F.col("probe_id") != F.col(id_col))
     )
     scored = cand.select(
         "probe_id", F.col(id_col).alias("neighbor_id"), F.round(_adc_dist(), 6).alias("adc_dist")
@@ -1172,6 +1206,11 @@ def ivf_pq_residual_topk(
     decimal-grid training, sequential folds, HALF_UP 1e-6, neighbor-id
     tiebreak), so the full composition is pinned end-to-end by the
     independent numpy replica in plans/queries._ivf_pq_residual_oracle."""
+    if probes is None and probe_ids is None:
+        raise ValueError(
+            "ivf_pq_residual_topk requires a bounded probe set "
+            "(probes/probe_ids): per-(probe, cell) ADC tables broadcast"
+        )
     cents = _seed_centroids(emb, id_col, vec_col, num_centroids)
     assigned = assign_clusters(emb, id_col, vec_col, centroids=cents)
     enc = pq_encode(
@@ -1227,6 +1266,11 @@ def ivf_pq_refined_topk(
     sequential with HALF_UP 1e-6 rounding), so the composition is
     pinned by the independent replica in
     plans/queries._ivf_pq_refined_oracle."""
+    if probes is None and probe_ids is None:
+        raise ValueError(
+            "ivf_pq_refined_topk requires a bounded probe set "
+            "(probes/probe_ids): the shortlist and probe vectors broadcast"
+        )
     short = ivf_pq_topk(
         emb, books, id_col, vec_col,
         k=shortlist, num_centroids=num_centroids, nprobe=nprobe,
@@ -1313,7 +1357,12 @@ def semantic_contamination(
             id_col,
             (-F.col("_best.neg_id")).cast("bigint").alias("top_eval_id"),
             F.col("_best.cos").alias("max_eval_cosine"),
-            (F.col("_best.cos") >= threshold).alias("contaminated"),
+            # empty (or all-zero-norm) eval set -> _best is NULL:
+            # contaminated coalesces to false (nothing to match),
+            # top_eval_id / max_eval_cosine stay NULL by contract
+            F.coalesce(F.col("_best.cos") >= threshold, F.lit(False)).alias(
+                "contaminated"
+            ),
         )
     )
 
@@ -1569,7 +1618,11 @@ def lsh_bucketed_topk(
     buckets (and therefore the whole result) are exactly
     oracle-checkable; projections are rounded to 1e-6 before the sign
     test (``>= 0``) on both engines.  The matmul path stays the scale
-    default (one BLAS call per Arrow batch)."""
+    default (one BLAS call per Arrow batch).  NOTE the two modes'
+    bucket boundaries differ at proj ≈ 0 (portable: rounded ``>= 0``;
+    numpy: strict ``> 0``) — results are mode-specific by contract
+    (each mode carries its own oracle/verdict), and only projections
+    within 5e-7 of zero can bucket differently."""
     planes = _plane_vectors(num_tables * bits_per_table, dim)
 
     if portable:
@@ -1584,6 +1637,15 @@ def lsh_bucketed_topk(
             bucket = bits[0]
             for extra in bits[1:]:
                 bucket = bucket + extra
+            # fail FAST on a dim mismatch: zip_with pads the shorter
+            # array with nulls, every sign test would fall to bit 0 and
+            # the bucket join would silently become the full N² cross
+            # product (the numpy path fails naturally with a shape
+            # error; this makes the portable path equally loud)
+            bucket = bucket + F.expr(
+                f"if(size({vec_col}) = {dim}, 0, "
+                f"cast(raise_error('lsh_bucketed_topk: embedding dimension <> dim parameter') as int))"
+            )
             bucket_cols.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
 
         def mk_buckets(df: DataFrame) -> DataFrame:
@@ -1641,7 +1703,11 @@ def lsh_bucketed_topk(
             .filter(F.col("probe_id") != F.col(id_col))
             .select("probe_id", F.col(id_col).alias("neighbor_id"), score.alias("score"))
             .groupBy("probe_id", "neighbor_id")
-            .agg(F.first("score").alias("score"))
+            # every duplicate pair row carries the identical rounded
+            # score; min is value-identical to first but DETERMINISTIC,
+            # so it never blocks exchange-reuse canonicalization (the
+            # assign_clusters max_by discipline)
+            .agg(F.min("score").alias("score"))
         )
         return _rank_topk(deduped, k)
     pairs = (
