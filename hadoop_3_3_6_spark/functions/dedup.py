@@ -47,19 +47,6 @@ def _token_hash(x: str, portable: bool) -> str:
     return portable_hash_expr(x) if portable else f"xxhash64({x})"
 
 
-def _shingles_expr(text_col: str, n: int) -> str:
-    """Distinct word n-gram shingles as a SQL expression.  Documents
-    with fewer than n words produce an empty array (guard needed:
-    sequence(1, 0) would count DOWN in Spark)."""
-    words = f"filter(split({text_col}, ' '), w -> w <> '')"
-    return (
-        f"case when size({words}) >= {n} then "
-        f"array_distinct(transform(sequence(1, size({words}) - {n - 1}), "
-        f"i -> array_join(slice({words}, i, {n}), ' '))) "
-        f"else array() end"
-    )
-
-
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via content digest: per sha256(text) group keep the
     smallest id.  Returns (content_hash, keep_id, dup_count).  Only the
@@ -223,6 +210,13 @@ def minhash_bands(
     precomputed ``sigs`` frame (from :func:`minhash_signatures`, same
     num_perm/portable) to band an existing signature table instead of
     re-deriving it from text."""
+    if not (1 <= bands <= num_perm) or num_perm % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm}): "
+            "a non-divisor silently drops signature lanes, and "
+            "bands > num_perm makes every band key empty (full "
+            "cross-product collision)"
+        )
     rows = num_perm // bands
     if sigs is None:
         sigs = minhash_signatures(df, text_col, id_col, n, num_perm, portable=portable)
@@ -398,16 +392,26 @@ def ngram_jaccard_pairs(
     shingles per pair, Jaccard = shared / (|A| + |B| - shared).
 
     ``max_df`` optionally drops shingles occurring in more than that
-    many docs (stop-shingles) — the standard skew guard at scale (a
-    ubiquitous shingle would otherwise produce a quadratic bucket).
-    Leave None for oracle-exact semantics.
+    many docs (stop-shingles) — the standard skew guard at scale: the
+    SELF-join's pair fan-out is quadratic per bucket, so a ubiquitous
+    shingle genuinely must go.  Jaccard is then computed over the
+    RESTRICTED shingle space — both the shared count AND each doc's
+    size exclude the stop-shingles, so identical documents still score
+    1.0.  Leave None for whole-space oracle-exact semantics.
     """
     sh = shingle_docs(df, text_col, id_col, n).select(
         F.col(id_col), F.size("shingles").alias("n_shingles"), F.explode("shingles").alias("shingle")
     )
     if max_df is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df).select("shingle")
-        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+        filtered = sh.select(id_col, "shingle").join(F.broadcast(hot), on="shingle", how="left_anti")
+        # Jaccard over the RESTRICTED shingle space: the denominators
+        # must count post-filter shingles too, or similarity is
+        # systematically underestimated (identical boilerplate-heavy
+        # docs would fall below any threshold — numerator shrank while
+        # the denominator kept the removed shingles)
+        sizes = filtered.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+        sh = filtered.join(sizes, id_col)
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -442,11 +446,12 @@ def duplicated_span_fraction(
     Shape: inverted index, never all-pairs — explode instances,
     count distinct docs per shingle (two-phase partial agg), join
     back on shingle, re-aggregate per doc.  Only (shingle, id) rows
-    shuffle.  ``max_df`` optionally drops shingles hotter than that
-    many docs before the join-back (skew guard: a boilerplate shingle
-    present in millions of docs is known-duplicated; at scale you cap
-    its fan-out and count it as duplicated without joining).  Leave
-    None for oracle-exact semantics.
+    shuffle.  ``max_df`` selects the SKEW-SAFE FORM (complete-mode
+    per-shingle aggregate + AQE-splittable join-back) instead of the
+    unbounded per-shingle window a runaway boilerplate shingle would
+    pile onto one partition; it never changes SEMANTICS — every
+    duplicated shingle counts, however hot (the join-back has no
+    fan-out: one row per shingle).  Both forms are oracle-exact.
     """
     from hadoop_3_3_6_spark.functions.text import spread_for_compute
 
@@ -472,7 +477,11 @@ def duplicated_span_fraction(
         # benched this op is far from the cost frontier.)
         ex = inst.repartition("shingle")
         docs_per = ex.groupBy("shingle").agg(F.countDistinct(id_col).alias("n_docs"))
-        docs_per = docs_per.filter(F.col("n_docs") <= max_df)
+        # hot shingles (> max_df docs) stay in BOTH counts: they are
+        # duplicated by definition, the join-back has no fan-out (one
+        # row per shingle) and AQE splits join skew — cutting them
+        # would report ~0.0 for exactly the boilerplate-heavy docs the
+        # signal exists to flag
         flagged = ex.join(docs_per, "shingle").withColumn("_dup", F.col("n_docs") >= 2)
     else:
         # "appears in >= 2 docs" == min(doc) != max(doc) computed as an
@@ -527,11 +536,14 @@ def duplicated_spans(
     window.  The single-pass window form scans and explodes the corpus
     once, vs twice for the self-join form (~2x measured at sf0.1).
 
-    With ``max_df`` (the hot-shingle guard) the inverted-index
-    aggregate + join form is used instead: it needs the per-shingle
-    countDistinct anyway, keeps partial aggregation, and its probe
-    join is AQE-skew-splittable — the robust path when a runaway
-    shingle (boilerplate) would otherwise pile one window partition."""
+    With ``max_df`` the inverted-index aggregate + join form is used
+    instead: complete-mode per-shingle countDistinct over one reused
+    exchange, probe join AQE-skew-splittable — the robust path when a
+    runaway shingle (boilerplate) would otherwise pile one window
+    partition.  Semantics are IDENTICAL in both forms: every
+    duplicated shingle marks its positions, including ones hotter
+    than max_df (they are duplicated by definition, and the probe
+    join has no fan-out)."""
     from pyspark.sql.window import Window
 
     from hadoop_3_3_6_spark.functions.text import spread_for_compute
@@ -564,9 +576,15 @@ def duplicated_spans(
         docs_per = ex.groupBy("shingle").agg(
             F.countDistinct(id_col).alias("n_docs"), F.max("pos").alias("_mp")
         )
-        dup = docs_per.filter(
-            (F.col("n_docs") <= max_df) & (F.col("n_docs") >= 2) & (F.col("_mp") >= 0)
-        )
+        # EVERY duplicated shingle marks its positions — including ones
+        # hotter than max_df: a hot shingle is by definition duplicated
+        # (n_docs > max_df >= 2), and the probe join has NO fan-out
+        # (one dup row per shingle), so marking it costs nothing extra;
+        # skew in the shuffle join is AQE-split.  (An earlier form cut
+        # hot shingles out entirely, which ERASED the most-duplicated
+        # spans — the canonical boilerplate the Lee et al. pass exists
+        # to find.)
+        dup = docs_per.filter((F.col("n_docs") >= 2) & (F.col("_mp") >= 0))
         marked = ex.join(dup.select("shingle"), "shingle").select(id_col, "pos")
     else:
         ws = Window.partitionBy("shingle")
@@ -601,7 +619,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", porta
     fingerprint effectively has 60 informative bits."""
     from hadoop_3_3_6_spark.functions.text import spread_for_compute
 
-    df = spread_for_compute(df)
+    df = spread_for_compute(df, id_col)
     words = f"filter(split({text_col}, ' '), w -> w <> '')"
     lanes = (
         f"aggregate(transform({words}, w -> {_token_hash('w', portable)}), "
@@ -660,6 +678,7 @@ def connected_components(
     else:
         verts = vertices.select(F.col(id_col).alias("id")).distinct()
     labels = verts.select("id", F.col("id").alias("label")).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym["e_dst"] == labels["id"])
@@ -682,5 +701,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a silent exit here would report one duplicate cluster as
+        # several (intermediate labels) with nothing signalling it —
+        # a chain of >max_iter near-dup docs needs ~chain-length rounds
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds (a duplicate chain longer than the bound?); raise "
+            "max_iter or pre-collapse chains with a coarser blocking"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -5242,7 +5242,7 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM documents)),
            unnest(range(1, len(grams) + 1)) AS t(idx)),
     dpc AS (SELECT shingle FROM inst GROUP BY shingle
-            HAVING count(DISTINCT doc_id) BETWEEN 2 AND 1000),
+            HAVING count(DISTINCT doc_id) >= 2),
     marked AS (SELECT i.doc_id, i.pos FROM inst i JOIN dpc USING (shingle)),
     runs AS (
       SELECT doc_id, min(pos) AS run_start, max(pos) AS last_pos
@@ -5262,13 +5262,16 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-substring dedup pass would cut
     (functions/dedup.duplicated_spans).
 
-    Registered WITH the hot-shingle guard (``max_df=1000``, mirrored
-    exactly in the oracle's ``BETWEEN 2 AND 1000``): the guarded form
+    Registered WITH the skew guard (``max_df=1000``): the guarded form
     takes the inverted-index aggregate+join path whose probe join is
     AQE-skew-splittable, instead of the unbounded per-shingle window a
     runaway boilerplate shingle would pile onto one partition at scale
     (reference skew concern: hadoop-mapreduce-client-core
-    .../lib/partition/InputSampler.java:97)."""
+    .../lib/partition/InputSampler.java:97).  Semantics are
+    form-independent — EVERY duplicated shingle marks its span,
+    including boilerplate hotter than the cap (the r8 review fixed the
+    earlier form that cut hot shingles out, erasing exactly the
+    most-duplicated spans); the oracle's ``HAVING >= 2`` mirrors it."""
     from hadoop_3_3_6_spark.functions.dedup import duplicated_spans
 
     docs = load_table(spark, "documents", sf_dir)
@@ -5753,8 +5756,7 @@ def q_text_repetition_topgram(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ELSE []::VARCHAR[] END AS grams
             FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words
                   FROM documents))),
-    dpc AS (SELECT shingle, count(DISTINCT doc_id) AS n_docs FROM inst GROUP BY shingle
-            HAVING count(DISTINCT doc_id) <= 1000),
+    dpc AS (SELECT shingle, count(DISTINCT doc_id) AS n_docs FROM inst GROUP BY shingle),
     per_doc AS (
       SELECT i.doc_id, count(*)::BIGINT AS total_shingles,
              sum(CASE WHEN p.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_shingles
@@ -5774,13 +5776,15 @@ def q_dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-granularity exact-substring-dedup signal (inverted-index
     join, never all-pairs; functions/dedup.duplicated_span_fraction).
 
-    Registered WITH the hot-shingle guard (``max_df=1000``, mirrored
-    in the oracle's ``HAVING <= 1000``), same rationale as
-    ``dedup_spans``: instances of shingles hotter than the cap drop
-    out of both the duplicated and total counts, the per-shingle
-    aggregate streams complete-mode over one reused exchange
-    (plan-asserted), and no unbounded shingle window exists to pile a
-    runaway boilerplate shingle onto one partition."""
+    Registered WITH the skew guard (``max_df=1000``), same rationale
+    as ``dedup_spans``: the per-shingle aggregate streams complete-mode
+    over one exchange and no unbounded shingle window exists to pile a
+    runaway boilerplate shingle onto one partition.  Semantics are
+    form-independent — shingles hotter than the cap still count in
+    BOTH the duplicated and total tallies (duplicated by definition;
+    the r8 review fixed the earlier form that dropped them, which
+    reported ~0.0 for exactly the boilerplate-heavy docs the signal
+    exists to flag)."""
     from hadoop_3_3_6_spark.functions.dedup import duplicated_span_fraction
 
     docs = load_table(spark, "documents", sf_dir)
@@ -8621,6 +8625,14 @@ _DRIVER_RECHECK = {
     "similarity_quantized_topk": 8,
     "similarity_pq_topk": 8,
     "similarity_lsh_topk": 8,
+    # round 8 (review fixes): span-dedup max_df no longer cuts hot
+    # shingles out of the semantics (oracles updated to HAVING >= 2 /
+    # unfiltered n_docs); simhash spread keys on the id column.
+    # Fixture outputs identical (no shingle exceeds 1000 docs at any
+    # test SF), but the oracles and plans changed
+    "dedup_spans": 8,
+    "dedup_span_fraction": 8,
+    "dedup_simhash": 8,
     "similarity_lsh_topk_fast": 8,
     "similarity_lsh_topk_fast_verdict": 8,
 }
