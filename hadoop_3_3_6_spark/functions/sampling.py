@@ -26,11 +26,21 @@ from pyspark.sql import functions as F
 from hadoop_3_3_6_spark.functions.dedup import portable_hash_expr
 
 
+def _sq(v: str) -> str:
+    """Single-quote a value for interpolation into a generated SQL
+    literal (doubles embedded quotes — a stratum named o'reilly must
+    not break or subvert the CASE expression)."""
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def split_bucket_expr(id_col: str, buckets: int = 100, salt: str = "split") -> str:
     """Bucket in [0, buckets) from the salted portable hash of the id.
     The salt decorrelates independent decisions (split vs sample vs
-    shuffle) taken over the same id space."""
-    salted = f"concat('{salt}:', cast({id_col} as string))"
+    shuffle) taken over the same id space.  CONTRACT: ``id_col`` must
+    be non-null — a NULL id nulls the hash and the row silently falls
+    out of every downstream comparison (dropped by samplers, split /
+    block = NULL in the splitters); enforce upstream like any key."""
+    salted = f"concat({_sq(salt + ':')}, cast({id_col} as string))"
     return f"{portable_hash_expr(salted)} % {buckets}"
 
 
@@ -44,12 +54,22 @@ def hash_split(
     split = the band the bucket falls in (weights are per-split bucket
     counts, summing to ``buckets``).  Adds (bucket, split)."""
     weights = weights or {"train": 90, "val": 5, "test": 5}
-    assert sum(weights.values()) == buckets
+    if sum(weights.values()) != buckets:
+        raise ValueError(
+            f"split weights sum to {sum(weights.values())}, need {buckets} "
+            "(an uncovered band would silently yield split=NULL rows)"
+        )
+    for c in ("bucket", "split"):
+        if c in df.columns:
+            raise ValueError(f"hash_split output column {c!r} already exists in the input")
+    # NOTE the band layout follows the weights dict's INSERTION ORDER
+    # (deterministic in python >= 3.7) and is part of the split
+    # identity: pipelines sharing a split must share the order too
     bounds, acc = [], 0
     for name, w in weights.items():
         acc += w
         bounds.append((acc, name))
-    branches = " ".join(f"WHEN bucket < {hi} THEN '{name}'" for hi, name in bounds)
+    branches = " ".join(f"WHEN bucket < {hi} THEN {_sq(name)}" for hi, name in bounds)
     return df.withColumn("bucket", F.expr(split_bucket_expr(id_col, buckets))).withColumn(
         "split", F.expr(f"CASE {branches} END")
     )
@@ -64,11 +84,15 @@ def stratified_sample(
     buckets: int = 100,
 ) -> DataFrame:
     """Deterministic per-stratum sampling (data mixing): keep a row iff
-    hash(id) % buckets < rate(stratum), rate in buckets-per-100.
-    Up/down-weighting a source is a one-line rate change, and the kept
-    set is stable under re-runs and data growth."""
+    hash(id) % buckets < rate(stratum) — rates are in units of
+    1/``buckets`` (i.e. PERCENT at the default buckets=100; a custom
+    bucket count changes the unit with it).  Up/down-weighting a
+    source is a one-line rate change, and the kept set is stable under
+    re-runs and data growth."""
     rates = rates or {}
-    branches = " ".join(f"WHEN {stratum_col} = '{s}' THEN {r}" for s, r in rates.items())
+    branches = " ".join(
+        f"WHEN {stratum_col} = {_sq(k)} THEN {int(r)}" for k, r in rates.items()
+    )
     rate = f"CASE {branches} ELSE {default_rate} END" if rates else str(default_rate)
     return df.withColumn("_b", F.expr(split_bucket_expr(id_col, buckets, salt="sample"))).filter(
         F.expr(f"_b < ({rate})")
@@ -94,23 +118,36 @@ def temperature_sample(
     deterministic, engine-reproducible, stable under data growth of
     other sources (a row's fate depends only on its id and its own
     source's rate).  Returns kept rows + their source's rate_ppm."""
+    if "rate_ppm" in df.columns:
+        raise ValueError("temperature_sample output column 'rate_ppm' already exists")
+    from pyspark.sql.window import Window
+
     sizes = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
     ratio = F.pow(F.col("_n").cast("double"), F.lit(alpha)) / F.col("_n").cast("double")
-    rated = sizes.select(F.col(stratum_col), ratio.alias("_ratio"))
-    mx = rated.agg(F.max("_ratio").alias("_max_ratio"))
-    rates = (
-        rated.crossJoin(F.broadcast(mx))
-        .select(
-            stratum_col,
-            F.floor(F.lit(1_000_000) * F.col("_ratio") / F.col("_max_ratio"))
-            .cast("bigint")
-            .alias("rate_ppm"),
-        )
+    # the max ratio comes from a GLOBAL WINDOW over the already-bounded
+    # per-source table (the importance_weights device) — a separate
+    # aggregate + crossJoin would re-execute the full corpus count
+    # subtree a second time (no automatic subtree reuse)
+    rated = sizes.select(F.col(stratum_col), ratio.alias("_ratio")).withColumn(
+        "_max_ratio", F.max("_ratio").over(Window.partitionBy())
+    )
+    rates = rated.select(
+        stratum_col,
+        F.floor(F.lit(1_000_000) * F.col("_ratio") / F.col("_max_ratio"))
+        .cast("bigint")
+        .alias("rate_ppm"),
     )
     salted = f"concat('tmix:', cast({id_col} as string))"
     bucket = F.expr(f"{portable_hash_expr(salted)} % 1000000")
+    # null-safe join: a NULL stratum is a real group in `sizes` and its
+    # rows must keep their rate (the reservoir_per_group discipline) —
+    # a plain equi-join would silently drop every NULL-source row
     return (
-        df.join(F.broadcast(rates), stratum_col)
+        df.join(
+            F.broadcast(rates),
+            df[stratum_col].eqNullSafe(rates[stratum_col]),
+        )
+        .drop(rates[stratum_col])
         .withColumn("_b", bucket)
         .filter(F.col("_b") < F.col("rate_ppm"))
         .drop("_b")
@@ -273,8 +310,14 @@ def pack_sequences(
     so the packing is reproducible across engines and re-runs."""
     from pyspark.sql.window import Window
 
+    for c in ("n_tokens", "block", "bin_id", "start_offset"):
+        if c in df.columns and c != id_col:
+            raise ValueError(f"pack_sequences output column {c!r} already exists in the input")
     key = portable_hash_expr(f"concat('pack:', cast({id_col} as string))")
-    n_tokens = F.expr(f"size(filter(split({text_col}, ' '), w -> w <> ''))")
+    # coalesce: a NULL text must count as 0 tokens — size() of a null
+    # split is NULL (or -1 under the legacy conf), either of which
+    # corrupts every later document's running offset in the block
+    n_tokens = F.expr(f"size(filter(split(coalesce({text_col}, ''), ' '), w -> w <> ''))")
     w = (
         Window.partitionBy("block")
         .orderBy(F.col("_skey").asc(), F.col(id_col).asc())
@@ -309,6 +352,9 @@ def global_shuffle(
     never funnels through a single task, unlike a naive global
     row_number; readers stream blocks in index order to consume the
     permutation."""
+    for c in ("block", "pos"):
+        if c in df.columns:
+            raise ValueError(f"global_shuffle output column {c!r} already exists in the input")
     from pyspark.sql.window import Window
 
     key = portable_hash_expr(f"concat('shuffle:', cast({id_col} as string))")

@@ -8633,6 +8633,11 @@ _DRIVER_RECHECK = {
     "dedup_spans": 8,
     "dedup_span_fraction": 8,
     "dedup_simhash": 8,
+    # round 8 (review fixes): temperature mix joins null-safe and takes
+    # its max ratio from an in-plan window; packing coalesces NULL text
+    # to 0 tokens — outputs identical on the fixtures, plans changed
+    "pipeline_temperature_mix": 8,
+    "pipeline_pack_sequences": 8,
     "similarity_lsh_topk_fast": 8,
     "similarity_lsh_topk_fast_verdict": 8,
 }

@@ -321,3 +321,29 @@ def test_gopher_repetition_spammy_doc_adaptive_branch(spark):
     assert abs(r0.dup_5gram_char_frac - word_chars / n_chars) < 1e-15
     assert not r0.keep
     assert rows[1].dup_5gram_char_frac == 0.0 and rows[1].dup_10gram_char_frac == 0.0
+
+
+def test_sampling_null_edges(spark):
+    """NULL-input contracts from the r8 review: a NULL source is a real
+    stratum that temperature sampling must keep (null-safe join), and a
+    NULL text packs as 0 tokens without corrupting later offsets."""
+    from hadoop_3_3_6_spark.functions.sampling import pack_sequences, temperature_sample
+
+    rows = [(i, "big" if i < 40 else None) for i in range(44)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_sample(df, "doc_id", "source", alpha=1.0)
+    assert out.count() == 44  # alpha=1 keeps everything, NULL stratum included
+    assert out.filter("source IS NULL").count() == 4
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "d e")], "doc_id long, text string"
+    )
+    packed = {r.doc_id: r for r in pack_sequences(docs, seq_len=10, num_blocks=1).collect()}
+    assert packed[1].n_tokens == 0
+    assert all(r.start_offset >= 0 for r in packed.values())
+    # offsets are gapless over the block regardless of the NULL doc
+    ordered = sorted(packed.values(), key=lambda r: r.start_offset)
+    cum = 0
+    for r in ordered:
+        assert r.bin_id * 10 + r.start_offset == cum
+        cum += r.n_tokens
