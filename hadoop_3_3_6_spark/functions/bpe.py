@@ -37,6 +37,7 @@ hash certifies the distributed TRAINING OUTCOME end-to-end.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -289,6 +290,7 @@ def train_unigram(
     seed_size: int = 400,
     max_piece_len: int = 6,
     iters: int = 2,
+    max_train_words: int = 200_000,
 ) -> list[tuple[str, int, int]]:
     """Unigram-LM tokenizer training (Kudo 2018, "Subword
     Regularization" §3 — the SentencePiece unigram model), in the
@@ -304,7 +306,17 @@ def train_unigram(
     distributed word-count aggregate; seeding, EM sweeps and pruning
     run over that vocabulary-sized table on the driver — at 100 TB
     the corpus pass dominates and distributes, driver state stays
-    vocab-sized.  Exactness: counts are integers and every log-prob
+    vocab-sized.  The driver table is BOUNDED: only the
+    ``max_train_words`` most frequent distinct words reach the driver
+    (deterministic (-count, word) top-N — a TakeOrdered, never a full
+    collect), because a web-scale corpus's distinct-token set (URLs,
+    hashes, typos) grows with corpus size and an uncapped collect
+    would OOM the driver long before the corpus pass became the
+    bottleneck (round-9 ADVICE fix; SentencePiece bounds its trainer
+    input the same way).  The frequency tail this drops contributes
+    negligibly to piece statistics by construction — it is the same
+    cap every public subword trainer applies.  Exactness: counts are
+    integers and every log-prob
     quantizes to integer micro-nats before any comparison (round()
     half-even on a float whose inputs are exact integer ratios), with
     lexicographic piece tie-breaks in seeding and pruning — the whole
@@ -314,12 +326,16 @@ def train_unigram(
     with piece_id = rank in lexicographic piece order."""
     import math
 
-    rows = (
+    wc = (
         df.select(
             F.explode(F.expr(f"filter(split({text_col}, ' '), w -> w <> '')")).alias("w")
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rows = (
+        wc.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(max_train_words)
         .collect()
     )
     word_counts = sorted((r["w"], int(r["c"])) for r in rows)
@@ -369,11 +385,17 @@ def apply_unigram(
 ) -> DataFrame:
     """Encode documents with a trained unigram inventory — the
     Spark-first apply shape: the UNIQUE words of the apply corpus come
-    from one distributed aggregate, each is Viterbi-segmented ONCE on
-    the driver (vocabulary-sized loop, not corpus-sized), and the
-    word → (n_pieces, hash, 31^n) map broadcasts back for an equi
-    join; the per-document combine is a position-ordered integer fold
-    in pure HOFs.  No Python touches a corpus-sized row.  A word with
+    from one distributed aggregate and each is Viterbi-segmented ONCE
+    EXECUTOR-SIDE (an Arrow-batched pandas UDF over the distinct-word
+    frame; the vocab-sized piece inventory ships in the closure — the
+    DistributedCache role), and the word → (n_pieces, hash, 31^n) map
+    equi-joins back; the per-document combine is a position-ordered
+    integer fold in pure HOFs.  NOTHING corpus-sized ever reaches the
+    driver: a web corpus's distinct-word set grows with corpus size,
+    so the earlier collect-and-segment-on-the-driver form would OOM
+    at scale (round-9 ADVICE fix) — now driver state is exactly the
+    inventory, and the segment map stays distributed (AQE broadcasts
+    it when it is small, which is every fixture tier).  A word with
     no in-vocab segmentation (OOV character) encodes as one UNK_ID
     piece — deterministic, replica-mirrorable.  Output: (id, n_pieces,
     pieces_hash) where pieces_hash folds piece ids document-wide in
@@ -381,20 +403,26 @@ def apply_unigram(
     lp = {p: s for p, _pid, s in pieces}
     pid = {p: i for p, i, _s in pieces}
     max_len = max((len(p) for p in lp), default=1)
-    spark = df.sparkSession
     words_expr = f"filter(split({text_col}, ' '), w -> w <> '')"
     toks = df.select(F.col(id_col), F.posexplode(F.expr(words_expr)).alias("pos", "w"))
-    uniq = [r["w"] for r in toks.select("w").distinct().collect()]
-    seg_rows = []
-    for w in sorted(uniq):
-        ps = _viterbi_segment(w, lp, max_len)
-        ids = [pid[p] for p in ps] if ps is not None else [UNK_ID]
-        h = 0
-        for x in ids:
-            h = (h * 31 + x) % modulus
-        seg_rows.append((w, len(ids), h, pow(31, len(ids), modulus)))
-    seg = F.broadcast(
-        spark.createDataFrame(seg_rows, "w string, np int, hw bigint, pw bigint")
+
+    @F.pandas_udf("struct<np: int, hw: bigint, pw: bigint>")
+    def _segment(ws: pd.Series) -> pd.DataFrame:
+        out = []
+        for w in ws:
+            ps = _viterbi_segment(w, lp, max_len)
+            ids = [pid[p] for p in ps] if ps is not None else [UNK_ID]
+            h = 0
+            for x in ids:
+                h = (h * 31 + x) % modulus
+            out.append((len(ids), h, pow(31, len(ids), modulus)))
+        return pd.DataFrame(out, columns=["np", "hw", "pw"])
+
+    seg = (
+        toks.select("w")
+        .distinct()
+        .select("w", _segment("w").alias("_s"))
+        .select("w", "_s.np", "_s.hw", "_s.pw")
     )
     per_doc = (
         toks.join(seg, "w")

@@ -842,9 +842,18 @@ def _hash_bands(
     """(id, hash) -> one row per (id, hash, band_idx, 16-bit band
     value) — the banding projection shared by the batch dedup and the
     incremental index path (unsigned shifts, so sign-bit hashes band
-    correctly)."""
+    correctly).  ``bands`` must divide 64: a non-divisor would
+    silently drop the top ``64 mod bands`` bits from banding and
+    degrade candidate recall with no error (round-9 ADVICE fix,
+    mirroring the minhash_bands divisor guard)."""
     from pyspark.sql import functions as F
 
+    if bands < 1 or 64 % bands != 0:
+        raise ValueError(
+            f"bands must be a positive divisor of 64 (1, 2, 4, 8, 16, 32, 64); "
+            f"got {bands} — a non-divisor silently ignores the top "
+            f"{64 % bands if bands >= 1 else 64} hash bits in banding"
+        )
     width = 64 // bands
     mask = (1 << width) - 1
     return hashes.select(

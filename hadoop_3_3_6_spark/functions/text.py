@@ -636,8 +636,11 @@ def gopher_quality_rules(
       - ``mean_word_len`` in [3, 10] — EXACT sum of word lengths over
         word count (not the separator approximation quality_score
         uses, because the rule thresholds assume the true mean);
-      - ``symbol_word_ratio`` ('#' chars + '...' occurrences, per
-        word) <= 0.1;
+      - ``symbol_word_ratio`` ('#' chars + '...' occurrences + '…'
+        chars, per word) <= 0.1 — the rule is the "#"-or-ellipsis
+        ratio and the single-char ellipsis counts exactly like the
+        3-dot spelling (round-9 ADVICE fix: '…' was recognized by
+        ellipsis_line_frac but omitted here);
       - ``bullet_line_frac`` (lines starting with a bullet) < 0.9 and
         ``ellipsis_line_frac`` (lines ending with an ellipsis) < 0.3;
       - ``alpha_word_frac`` (words containing an ASCII letter) >= 0.8;
@@ -665,6 +668,8 @@ def gopher_quality_rules(
         (
             F.length(F.col(text_col))
             - F.length(F.expr(f"replace({text_col}, '#', '')"))
+            + F.length(F.col(text_col))
+            - F.length(F.expr(f"replace({text_col}, '…', '')"))
             + F.expr(f"(length({text_col}) - length(replace({text_col}, '...', ''))) div 3")
         ).alias("_symbols"),
         F.expr(f"size(filter({words}, w -> w rlike '[a-zA-Z]'))").alias("_alpha_words"),
@@ -742,12 +747,23 @@ def gopher_repetition_suite(
     the 13-signal suite MassiveWeb ships next to the rule filter):
     duplicate line / paragraph fractions and their character
     fractions, top-{2,3,4}-gram character fractions (characters of the
-    most FREQUENT n-gram; ties among equal-count grams take the larger
-    coverage — the fraction is then well-defined), and duplicate-
-    {5..10}-gram character fractions (characters inside ANY n-gram
-    occurring more than once, each word position counted ONCE — the
-    paper's no-double-counting rule), plus the conjunctive ``keep`` at
-    the published thresholds.
+    most FREQUENT n-gram across ALL its occurrences; ties among
+    equal-count grams take the larger coverage — the fraction is then
+    well-defined), and duplicate-{5..10}-gram character fractions
+    (characters inside any REPEAT occurrence of an n-gram, each word
+    position counted ONCE — the paper's no-double-counting rule), plus
+    the conjunctive ``keep`` at the published thresholds.
+
+    Duplicate counting follows the published filter (and its public
+    reference implementations, e.g. DataTrove's
+    GopherRepetitionFilter): only occurrences BEYOND THE FIRST count
+    as duplicates — a doc whose every line appears exactly twice has
+    dup_line_frac 0.5, not 1.0, and the FIRST occurrence of a
+    duplicated n-gram does not mark its words (round-9 ADVICE fix;
+    the earlier form counted all occurrences, systematically
+    over-filtering against the published Table A1 thresholds).
+    Top-{2,3,4}-gram coverage intentionally keeps ALL occurrences of
+    the winning gram — that is the published top-gram definition.
 
     Engine shape: per-row higher-order expressions staged over
     GENERATOR-BARRIERED projections (see _materialize_arrays — without
@@ -815,51 +831,65 @@ def gopher_repetition_suite(
         )
         return _bound_sorted(f"_g{n}", body)
 
-    def _dup_vals(arr: str) -> str:
-        # equal neighbors in the lambda-bound sorted copy enumerate
-        # every value occurring >= 2 times (if-guard: AND may not
-        # short-circuit element_at's index-0 error)
+    def _dup_firsts(arr: str) -> str:
+        # sorted (value, idx) pairs — array_sort on structs orders by
+        # (g, idx), so each run's first element carries the value's
+        # FIRST document-order index.  A run START (prev value
+        # differs) with an equal successor enumerates each duplicated
+        # value exactly once as struct(g, idx-of-first-occurrence);
+        # downstream flags can then exclude the first occurrence (the
+        # published beyond-the-first duplicate rule).  if-guards: AND
+        # may not short-circuit element_at's index-0 error.
         body = (
-            "array_distinct(filter(ss, (x, i) -> "
-            "if(i > 0, x = element_at(ss, i), false)))"
+            "filter(sp, (e, i) -> "
+            "if(i + 2 <= size(sp), element_at(sp, i + 2).g = e.g, false) "
+            "and if(i > 0, element_at(sp, i).g <> e.g, true))"
         )
-        return _bound_sorted(arr, body)
+        return (
+            f"element_at(transform(array(array_sort("
+            f"transform({arr}, (x, i) -> struct(x AS g, i + 1 AS idx)))"
+            f"), sp -> {body}), 1)"
+        )
 
     # ONE barrier stage materializes every duplicate-value list (each
     # is probed per element downstream, so they must be attributes);
     # the sorted copies themselves stay lambda-bound and never cross a
-    # barrier
+    # barrier.  Line/paragraph duplicate tallies need no value list:
+    # sum(count-1) over duplicated values == total - distinct, so both
+    # ride the later select as closed-form scalar pairs.
     g2 = _materialize_arrays(
         g,
         keep_cols + [f"_g{n}" for n in range(5, 11)] + [f"_g{n}" for n in (2, 3, 4)],
-        {
-            **{f"_dv{n}": F.expr(_dup_vals(f"_g{n}")) for n in range(5, 11)},
-            "_dvl": F.expr(_dup_vals("_l")),
-            "_dvp": F.expr(_dup_vals("_p")),
-        },
+        {f"_dv{n}": F.expr(_dup_firsts(f"_g{n}")) for n in range(5, 11)},
     )
 
     _DUP_SCAN_CAP = 16
 
     def _dup_flags(n: int) -> str:
-        # ADAPTIVE duplicate-gram flags: _dv{n} (the distinct duplicated
-        # values) is a materialized attribute, so the membership scan is
-        # a true O(|dv|) list probe per gram — the fast form whenever few
-        # distinct grams repeat (every real document).  A SPAMMY document
-        # (|dv| > cap, where the probe would degrade toward O(G²)) falls
-        # to the positional O(G log G) branch: flags computed on sorted
-        # (gram, idx) pairs and restored to document order by a second
-        # sort, the whole pipeline bound behind a one-element transform()
-        # lambda so non-spam rows never evaluate it (CASE branches are
-        # lazy per row).
-        contains = f"transform(_g{n}, x -> if(array_contains(_dv{n}, x), 1, 0))"
+        # ADAPTIVE duplicate-gram flags — a gram START is flagged iff
+        # its value occurred EARLIER in the document (repeat beyond the
+        # first occurrence; the published duplicate rule).  _dv{n} (the
+        # distinct duplicated values, each with its first-occurrence
+        # index) is a materialized attribute, so the membership scan is
+        # a true O(|dv|) list probe per gram — the fast form whenever
+        # few distinct grams repeat (every real document).  A SPAMMY
+        # document (|dv| > cap, where the probe would degrade toward
+        # O(G²)) falls to the positional O(G log G) branch: a pair in
+        # the (gram, idx)-sorted order is a repeat exactly when its
+        # PREDECESSOR holds the same gram, flags restored to document
+        # order by a second sort, the whole pipeline bound behind a
+        # one-element transform() lambda so non-spam rows never
+        # evaluate it (CASE branches are lazy per row).
+        contains = (
+            f"transform(_g{n}, (x, i) -> "
+            f"if(exists(_dv{n}, e -> e.g = x and e.idx < i + 1), 1, 0))"
+        )
         prev_eq = "if(i > 0, element_at(sp, i).g = e.g, false)"
-        next_eq = "if(i + 2 <= size(sp), element_at(sp, i + 2).g = e.g, false)"
         positional = (
             f"element_at(transform(array("
             f"array_sort(transform(_g{n}, (x, i) -> struct(x AS g, i AS idx)))"
             f"), sp -> transform(array_sort(transform(sp, (e, i) -> "
-            f"struct(e.idx AS idx, if({prev_eq} or {next_eq}, 1, 0) AS f))), "
+            f"struct(e.idx AS idx, if({prev_eq}, 1, 0) AS f))), "
             f"s -> s.f)), 1)"
         )
         return (
@@ -876,13 +906,18 @@ def gopher_repetition_suite(
         {f"_df{n}": F.expr(_dup_flags(n)) for n in range(5, 11)},
         scalar_exprs={
             **{f"_t{n}": F.expr(_top_chars(n)) for n in (2, 3, 4)},
-            "_dlcnt": F.expr("size(filter(_l, x -> array_contains(_dvl, x)))"),
+            # duplicates-beyond-the-first: sum over duplicated values
+            # of (count - 1) == total - distinct, elementwise and in
+            # characters — closed forms, no duplicate-value list needed
+            "_dlcnt": F.expr("size(_l) - size(array_distinct(_l))"),
             "_dlch": F.expr(
-                "aggregate(filter(_l, x -> array_contains(_dvl, x)), 0L, (a, x) -> a + length(x))"
+                "aggregate(_l, 0L, (a, x) -> a + length(x)) "
+                "- aggregate(array_distinct(_l), 0L, (a, x) -> a + length(x))"
             ),
-            "_dpcnt": F.expr("size(filter(_p, x -> array_contains(_dvp, x)))"),
+            "_dpcnt": F.expr("size(_p) - size(array_distinct(_p))"),
             "_dpch": F.expr(
-                "aggregate(filter(_p, x -> array_contains(_dvp, x)), 0L, (a, x) -> a + length(x))"
+                "aggregate(_p, 0L, (a, x) -> a + length(x)) "
+                "- aggregate(array_distinct(_p), 0L, (a, x) -> a + length(x))"
             ),
         },
     )

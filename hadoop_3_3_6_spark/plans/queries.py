@@ -1849,6 +1849,7 @@ _GOPHER_RULES_SQL = """
              list_filter(string_split(text, ' '), w -> w <> '') AS words,
              list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
              (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '…', '')))
                + (length(text) - length(replace(text, '...', ''))) // 3 AS symbols
       FROM documents
     ), sig AS (
@@ -1926,9 +1927,11 @@ _GOPHER_REP_SQL = """
       GROUP BY c.doc_id, c.n
     ),
     dupstart AS (
-      SELECT gi.doc_id, gi.n, gi.i
-      FROM gi JOIN cnt ON cnt.doc_id = gi.doc_id AND cnt.n = gi.n AND cnt.g = gi.g
-      WHERE cnt.c >= 2 AND gi.n >= 5
+      SELECT doc_id, n, i
+      FROM (SELECT doc_id, n, i,
+                   min(i) OVER (PARTITION BY doc_id, n, g) AS fi
+            FROM gi WHERE n >= 5)
+      WHERE i > fi
     ),
     wpos AS (
       SELECT doc_id,
@@ -1962,14 +1965,14 @@ _GOPHER_REP_SQL = """
     li AS (SELECT doc_id, unnest(lines) AS v FROM d),
     lcn AS (SELECT doc_id, v, count(*) AS c FROM li GROUP BY doc_id, v),
     ls AS (SELECT doc_id,
-                  coalesce(sum(c) FILTER (WHERE c >= 2), 0)::BIGINT AS dcnt,
-                  coalesce(sum(c * length(v)) FILTER (WHERE c >= 2), 0)::BIGINT AS dch
+                  coalesce(sum(c - 1) FILTER (WHERE c >= 2), 0)::BIGINT AS dcnt,
+                  coalesce(sum((c - 1) * length(v)) FILTER (WHERE c >= 2), 0)::BIGINT AS dch
            FROM lcn GROUP BY doc_id),
     pri AS (SELECT doc_id, unnest(paras) AS v FROM d),
     pcn AS (SELECT doc_id, v, count(*) AS c FROM pri GROUP BY doc_id, v),
     ps AS (SELECT doc_id,
-                  coalesce(sum(c) FILTER (WHERE c >= 2), 0)::BIGINT AS dcnt,
-                  coalesce(sum(c * length(v)) FILTER (WHERE c >= 2), 0)::BIGINT AS dch
+                  coalesce(sum(c - 1) FILTER (WHERE c >= 2), 0)::BIGINT AS dcnt,
+                  coalesce(sum((c - 1) * length(v)) FILTER (WHERE c >= 2), 0)::BIGINT AS dch
            FROM pcn GROUP BY doc_id),
     sig AS (
       SELECT d.doc_id,
@@ -2007,7 +2010,11 @@ def q_text_repetition_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate line/paragraph (+char) fractions, top-{2,3,4}-gram char
     fractions, duplicate-{5..10}-gram char fractions with the paper's
     count-each-character-once rule, and the conjunctive keep at
-    published thresholds (functions/text.gopher_repetition_suite —
+    published thresholds.  Duplicates count occurrences BEYOND THE
+    FIRST (the published rule, matching public reference
+    implementations such as DataTrove — round-9 ADVICE fix); top-gram
+    coverage keeps all occurrences of the winning gram by definition
+    (functions/text.gopher_repetition_suite —
     per-row HOFs, sorted-run top-gram fold, O(G·n) duplicate-span
     marking; no shuffle).  The oracle derives the same integers
     RELATIONALLY (unnest → group-by → θ-join) — an independent
@@ -8640,6 +8647,20 @@ _DRIVER_RECHECK = {
     "pipeline_pack_sequences": 8,
     "similarity_lsh_topk_fast": 8,
     "similarity_lsh_topk_fast_verdict": 8,
+    # round 9 (ADVICE fixes): Gopher duplicate counting now counts
+    # occurrences beyond the first (sum(c-1) for lines/paragraphs;
+    # first occurrence of a duplicated n-gram no longer marks words)
+    # and symbol_word_ratio counts the single-char ellipsis '…';
+    # oracles updated to the same published definitions
+    "text_repetition_gopher": 9,
+    "pipeline_gopher_rules": 9,
+    "pipeline_quality_funnel": 9,
+    # round 9 (ADVICE fixes, outputs identical / plans changed):
+    # unigram apply segments distinct words EXECUTOR-side (no driver
+    # collect); token-shard reads widen to array<bigint> (int64 shards
+    # no longer truncate)
+    "tokenizer_unigram_apply": 9,
+    "token_shards_roundtrip": 9,
 }
 
 _DRIVER_HOLDBACK_R5 = [

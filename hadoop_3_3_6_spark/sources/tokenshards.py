@@ -149,7 +149,13 @@ def write_token_shards(
 
 def read_token_shards(spark: SparkSession, path: str) -> DataFrame:
     """Read a shard directory back to (doc_id, token_ids) — one task
-    per shard triple, executor-side IO, ids restored from the sidecar."""
+    per shard triple, executor-side IO, ids restored from the sidecar.
+
+    Output schema is ``array<bigint>``: the public dtype registry this
+    reader honors includes int64 shards, and the earlier unconditional
+    ``astype(int32)`` silently truncated token ids above 2^31 when
+    reading a foreign int64-written shard (round-9 ADVICE fix) — every
+    registered integer dtype widens into int64 losslessly."""
     import pandas as pd
 
     stems = sorted(
@@ -158,7 +164,7 @@ def read_token_shards(spark: SparkSession, path: str) -> DataFrame:
         if n.endswith(".idx") and not n.endswith(".tmp")
     )
     if not stems:
-        return spark.createDataFrame([], "doc_id bigint, token_ids array<int>")
+        return spark.createDataFrame([], "doc_id bigint, token_ids array<bigint>")
     # range-partition on a dense index: exactly one shard per task
     # (hash-repartition on the stem collides and serializes shards)
     files = spark.createDataFrame(
@@ -178,10 +184,10 @@ def read_token_shards(spark: SparkSession, path: str) -> DataFrame:
                 rows = [
                     np.frombuffer(
                         data, dtype=dtype, count=int(sz), offset=int(ptr)
-                    ).astype(np.int32).tolist()
+                    ).astype(np.int64).tolist()
                     for sz, ptr in zip(sizes, pointers)
                 ]
                 assert len(data) == int(sizes.astype(np.int64).sum()) * itemsize
                 yield pd.DataFrame({"doc_id": doc_ids, "token_ids": rows})
 
-    return files.mapInPandas(read, schema="doc_id bigint, token_ids array<int>")
+    return files.mapInPandas(read, schema="doc_id bigint, token_ids array<bigint>")

@@ -472,3 +472,27 @@ def test_token_shards_format_and_roundtrip(spark, tmp_path):
     assert rb.rdd.getNumPartitions() == len(stems)
     back = {r.doc_id: list(r.token_ids) for r in rb.collect()}
     assert back == {i: ids for i, ids in rows}
+
+
+def test_token_shards_int64_reads_losslessly(spark, tmp_path):
+    """The reader honors the FULL public dtype registry: an
+    int64-written shard with token ids above 2^31 must round-trip
+    exactly — the earlier unconditional astype(int32) silently
+    truncated them (round-9 ADVICE fix), so the output schema is
+    array<bigint>."""
+    import numpy as np
+
+    from hadoop_3_3_6_spark.sources.tokenshards import (
+        read_token_shards,
+        write_token_shards,
+    )
+
+    big = 2**33 + 7
+    rows = [(0, [big, 1]), (1, [2**31, 2**40])]
+    df = spark.createDataFrame(rows, "doc_id long, token_ids array<long>")
+    out = str(tmp_path / "shards64")
+    write_token_shards(df.coalesce(1), out, "doc_id", "token_ids", dtype=np.int64).collect()
+    rb = read_token_shards(spark, out)
+    assert dict(rb.dtypes)["token_ids"] == "array<bigint>"
+    back = {r.doc_id: list(r.token_ids) for r in rb.collect()}
+    assert back == {i: ids for i, ids in rows}

@@ -244,6 +244,7 @@ def test_gopher_rules_thresholds(spark):
             + " ".join(f"w{i}" for i in range(50)),
             ("the of " + "9 " * 60).strip(),        # 5: alpha fraction blown
             " ".join(f"tok{i}" for i in range(60)), # 6: zero stopword hits
+            good + " " + "…" * 10,                  # 7: single-char ellipsis
         ],
     )
     rows = {
@@ -262,6 +263,9 @@ def test_gopher_rules_thresholds(spark):
     assert not rows[6].keep and rows[6].stopword_hits == 0
     # '...' occurrences count once per 3 chars, on top of '#' chars
     assert rows[4].symbol_word_ratio * rows[4].n_words == 3.0
+    # the single-char ellipsis '…' counts per char like '#' (the rule
+    # is the '#'-or-ellipsis ratio; round-9 ADVICE fix)
+    assert not rows[7].keep and round(rows[7].symbol_word_ratio * rows[7].n_words) == 10
 
 
 def test_gopher_repetition_suite_values(spark):
@@ -284,20 +288,23 @@ def test_gopher_repetition_suite_values(spark):
     # tiny docs fail the 3-gram threshold by construction (5/19 > .18)
     assert abs(r0.top_2gram_char_frac - 3 / 19) < 1e-15 and not r0.keep
     r1 = rows[1]
-    # dup starts {1,2,7,8} (n=5) and {1,7} (n=6) both mark words 1..12
-    # = 44 of 60 chars; no 7-gram repeats
-    assert abs(r1.dup_5gram_char_frac - 44 / 60) < 1e-15
-    assert abs(r1.dup_6gram_char_frac - 44 / 60) < 1e-15
+    # duplicates count occurrences BEYOND the first (the published
+    # rule): repeat starts {7,8} (n=5) and {7} (n=6) mark words 7..12
+    # = 22 of 60 chars; no 7-gram repeats
+    assert abs(r1.dup_5gram_char_frac - 22 / 60) < 1e-15
+    assert abs(r1.dup_6gram_char_frac - 22 / 60) < 1e-15
     assert r1.dup_7gram_char_frac == 0.0
     r2 = rows[2]
-    assert r2.dup_line_frac == 0.5 and abs(r2.dup_line_char_frac - 4 / 11) < 1e-15
+    # 'l1' twice in 4 lines -> ONE duplicate (beyond-first) = 1/4,
+    # 2 duplicate chars of 11
+    assert r2.dup_line_frac == 0.25 and abs(r2.dup_line_char_frac - 2 / 11) < 1e-15
     # count tie at 2 between 'aa bb' (5 ch) and 'cc dddd' (7 ch):
-    # larger coverage wins, so the fraction is well-defined
+    # larger coverage wins (ALL occurrences — the top-gram definition)
     assert abs(rows[3].top_2gram_char_frac - 14 / 27) < 1e-15
     r4 = rows[4]
-    assert abs(r4.dup_para_frac - 2 / 3) < 1e-15
-    assert abs(r4.dup_para_char_frac - 6 / 12) < 1e-15
-    assert abs(r4.dup_line_frac - 2 / 3) < 1e-15
+    assert abs(r4.dup_para_frac - 1 / 3) < 1e-15
+    assert abs(r4.dup_para_char_frac - 3 / 12) < 1e-15
+    assert abs(r4.dup_line_frac - 1 / 3) < 1e-15
 
 
 def test_gopher_repetition_spammy_doc_adaptive_branch(spark):
@@ -313,12 +320,14 @@ def test_gopher_repetition_spammy_doc_adaptive_branch(spark):
     clean = " ".join(f"u{i}" for i in range(400))
     df = _docs(spark, [spam, clean])
     rows = {r.doc_id: r for r in gopher_repetition_suite(df).collect()}
-    # every 5-gram repeats (period 40 << 400): all words are inside
-    # duplicated 5-grams, so the char fraction is words-chars/total
+    # every 5-gram REPEATS after the first period (period 40 << 400):
+    # words 41..400 sit inside a repeat-occurrence 5-gram (the first
+    # period holds only first occurrences), so the char fraction is
+    # the chars of words 41..400 over total
     r0 = rows[0]
     n_chars = len(spam)
-    word_chars = sum(len(w) for w in spam.split())
-    assert abs(r0.dup_5gram_char_frac - word_chars / n_chars) < 1e-15
+    marked_chars = sum(len(w) for w in spam.split()[40:])
+    assert abs(r0.dup_5gram_char_frac - marked_chars / n_chars) < 1e-15
     assert not r0.keep
     assert rows[1].dup_5gram_char_frac == 0.0 and rows[1].dup_10gram_char_frac == 0.0
 

@@ -976,6 +976,22 @@ def test_phash_near_duplicates_hamming_edges(spark):
     assert not out[6].keep and out[6].dup_with == 5
 
 
+def test_phash_bands_requires_divisor_of_64(spark):
+    """Non-divisor band counts would silently ignore the top hash bits
+    in banding (degraded recall, no error) — the guard mirrors
+    minhash_bands' divisor check (round-9 ADVICE fix)."""
+    import pytest
+
+    from hadoop_3_3_6_spark.functions.multimodal import phash_near_duplicates
+
+    df = spark.createDataFrame([(0, 1), (1, 1)], "doc_id long, dhash long")
+    for bad in (0, 3, 5, -4, 48):
+        with pytest.raises(ValueError, match="divisor of 64"):
+            phash_near_duplicates(df, "doc_id", "dhash", bands=bad).collect()
+    # every true divisor still works
+    assert phash_near_duplicates(df, "doc_id", "dhash", bands=2).count() == 2
+
+
 def test_ivf_pq_refined_recall_dominates(spark, sf_dir):
     """The refine stage's whole point: at the same shortlist source,
     exact re-scoring must reach at-least the unrefined composition's
