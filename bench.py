@@ -192,6 +192,10 @@ HEADLINE = [
     # joined on doc_id + digest-window dedup) and incremental phash
     "pipeline_quality_funnel",
     "multimodal_phash_incremental",
+    # round-9: HTML -> text extraction (Arrow-batched markup stripping)
+    # and the WARC -> extract -> Gopher-rules Common-Crawl chain
+    "text_html_extract",
+    "pipeline_web_e2e",
 ]
 
 

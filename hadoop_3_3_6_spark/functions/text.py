@@ -11,6 +11,9 @@ reproduce them bit-for-bit.
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -983,3 +986,169 @@ def gopher_repetition_suite(
         & (F.col("dup_10gram_char_frac") <= 0.10)
     )
     return sig.select("*", keep.alias("keep"))
+
+
+# === HTML -> text extraction (the trafilatura/resiliparse role) ========
+#
+# The step every Common-Crawl pretraining pipeline runs between WARC
+# ingestion (sources/warc.py) and quality filtering
+# (gopher_quality_rules / gopher_repetition_suite): strip markup,
+# scripts, styles and comments from raw HTML, decode character
+# references, and segment the remaining text into blocks.  The
+# reference's era-equivalent markup-aware scan is the streaming XML
+# record reader (hadoop-streaming StreamXmlRecordReader.java:46);
+# this is its modern role re-expressed for web corpora.
+#
+# Like the image/audio codecs (functions/multimodal.py), parsing HTML
+# is genuinely imperative per document — Python IS the semantics — so
+# the operator is an Arrow-batched pandas UDF over the html column
+# (the allowlisted slow-path tier), with everything around it (the
+# render, the joins, the downstream filters) staying JVM-side.  The
+# extraction rules are deterministic and closed-form so fixture
+# corpora carry an exact SQL oracle.
+
+#: block-level elements: entering OR leaving one terminates the
+#: current text block (the segmentation rule; the HTML5 flow-content
+#: block set plus table/list internals)
+HTML_BLOCK_TAGS = frozenset(
+    "p div h1 h2 h3 h4 h5 h6 li ul ol dl dt dd blockquote pre table thead tbody "
+    "tr td th section article header footer nav aside main figure figcaption "
+    "form fieldset address br hr".split()
+)
+#: elements whose content is never text (CDATA-ish containers)
+HTML_SKIP_TAGS = frozenset({"script", "style", "noscript", "template"})
+
+#: C0/C1 control characters (tab/newline/CR excluded — those are
+#: whitespace and collapse anyway); stripped from extracted blocks
+_CONTROL_CHARS = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]")
+
+
+def _make_html_extractor(drop_tags: frozenset):
+    """Build the per-document extractor class (module-level factory so
+    the pandas UDF closure pickles cleanly)."""
+    from html.parser import HTMLParser
+
+    class _Extractor(HTMLParser):
+        """Tag/script/style/comment stripper + block segmenter.
+
+        Rules (each SQL-oracle-predictable):
+          - character references decode (convert_charrefs);
+          - <script>/<style>/<noscript>/<template> content is dropped,
+            nesting-safe, and ``drop_tags`` subtrees (e.g. nav/footer
+            boilerplate) drop the same way;
+          - entering or leaving a BLOCK tag flushes the pending text
+            as one block; inline tags (a, em, b, span, ...) do not
+            break text;
+          - within a block, whitespace runs collapse to single spaces,
+            C0/C1 control characters strip (binary junk in real crawl
+            payloads must not leak into training text), and empty
+            blocks vanish;
+          - blocks join with a single newline; <title> text is
+            captured separately and excluded from the body.
+        HTMLParser is lenient by design: malformed markup (unclosed
+        tags, stray '<', bad entities) never raises — the permissive
+        contract the PERMISSIVE reader modes set elsewhere.
+        """
+
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.blocks: list[str] = []
+            self._buf: list[str] = []
+            self._skip = 0
+            self._drop = 0
+            self._in_title = False
+            self._title: list[str] = []
+
+        def _flush(self):
+            text = " ".join(_CONTROL_CHARS.sub("", "".join(self._buf)).split())
+            if text:
+                self.blocks.append(text)
+            self._buf = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag in HTML_SKIP_TAGS:
+                self._skip += 1
+            elif tag in drop_tags:
+                self._drop += 1
+                if tag in HTML_BLOCK_TAGS:
+                    self._flush()
+            elif tag == "title":
+                self._in_title = True
+            elif tag in HTML_BLOCK_TAGS:
+                self._flush()
+
+        def handle_endtag(self, tag):
+            if tag in HTML_SKIP_TAGS:
+                self._skip = max(0, self._skip - 1)
+            elif tag in drop_tags:
+                self._drop = max(0, self._drop - 1)
+            elif tag == "title":
+                self._in_title = False
+            elif tag in HTML_BLOCK_TAGS:
+                self._flush()
+
+        def handle_data(self, data):
+            if self._skip or self._drop:
+                return
+            if self._in_title:
+                self._title.append(data)
+            else:
+                self._buf.append(data)
+
+        def result(self) -> tuple:
+            self._flush()
+            title = " ".join("".join(self._title).split())
+            return (title or None, "\n".join(self.blocks), len(self.blocks))
+
+    return _Extractor
+
+
+def html_to_text(
+    df: DataFrame,
+    html_col: str = "html",
+    drop_tags: tuple = (),
+    errors: str = "permissive",
+) -> DataFrame:
+    """Extract visible text from an HTML column: adds ``title`` (from
+    <title>, NULL when absent), ``text`` (newline-joined blocks) and
+    ``n_blocks`` columns next to the input columns.
+
+    ``drop_tags`` names extra element subtrees to drop whole — the
+    boilerplate-removal knob (('nav', 'footer', 'aside') reproduces
+    the common main-content recipe).  ``errors='permissive'`` maps a
+    document that defeats even the lenient parser to (NULL, NULL, 0)
+    instead of failing the task (the SkipBadRecords disposition);
+    'strict' re-raises.
+
+    Scale shape: ONE Arrow-batched stage over the html column — no
+    shuffle, no driver involvement, linear in corpus bytes; at 100 TB
+    the decode scales with cores exactly like the image codecs, and
+    the html column itself never shuffles (spread_for_compute
+    rebalances the scan when the file layout under-splits)."""
+    if errors not in ("permissive", "strict"):
+        raise ValueError(f"errors must be 'permissive' or 'strict', got {errors!r}")
+    dropset = frozenset(drop_tags)
+    df = spread_for_compute(df)
+
+    @F.pandas_udf("struct<title: string, text: string, n_blocks: int>")
+    def _extract(html: pd.Series) -> pd.DataFrame:
+        extractor_cls = _make_html_extractor(dropset)
+        out = []
+        for doc in html:
+            if doc is None:
+                out.append((None, None, 0))
+                continue
+            try:
+                p = extractor_cls()
+                p.feed(doc)
+                p.close()
+                out.append(p.result())
+            except Exception:
+                if errors == "strict":
+                    raise
+                out.append((None, None, 0))
+        return pd.DataFrame(out, columns=["title", "text", "n_blocks"])
+
+    return df.select(
+        "*", _extract(F.col(html_col)).alias("_x")
+    ).select("*", "_x.title", "_x.text", "_x.n_blocks").drop("_x")

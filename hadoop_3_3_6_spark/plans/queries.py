@@ -3984,6 +3984,142 @@ def q_warc_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# === round 9: HTML -> text extraction (the trafilatura role) ===========
+# The step between WARC ingestion and the quality funnel that every
+# Common-Crawl pretraining pipeline runs.  The fixture template renders
+# each document into a deterministic HTML page that exercises the hard
+# cases — script/style CDATA (with markup inside), comments, character
+# references (named + numeric), inline-vs-block tags, boilerplate
+# nav/footer blocks — so the extraction oracle is closed-form, like the
+# image/audio codec rows.
+
+
+def _html_page_expr():
+    """Column: deterministic HTML page for (doc_id, text).  The body
+    text is escaped on render and unescaped by the extractor, so the
+    identity holds whatever the corpus contains; the first word rides
+    inside an inline <em> (must NOT break the block)."""
+    esc = "replace(replace(replace({0}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    first = "substring_index(text, ' ', 1)"
+    rest = f"substring(text, length({first}) + 2)"
+    return F.expr(
+        "concat('<html><head><title>Doc ', doc_id, '</title>',"
+        "'<script type=\"text/javascript\">var x = 1 < 2; // <p>not text</p></script>',"
+        "'<style>.c { color: red }</style></head>',"
+        "'<body><!-- comment <p>ignored</p> -->',"
+        "'<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a></nav>',"
+        "'<h1>Doc ', doc_id, '</h1>',"
+        f"'<p><em>', {esc.format(first)}, '</em> ', {esc.format(rest)}, '</p>',"
+        "'<footer>Copyright &amp; Terms &lt;2024&gt; &#169; Example</footer>',"
+        "'</body></html>')"
+    )
+
+
+@_register(
+    "text_html_extract",
+    """
+    SELECT doc_id,
+           'Doc ' || doc_id AS title,
+           'Home | About' || chr(10) || 'Doc ' || doc_id || chr(10) || text
+             || chr(10) || 'Copyright & Terms <2024> ' || chr(169) || ' Example' AS text,
+           4::INT AS n_blocks
+    FROM documents
+    """,
+)
+def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/text.html_to_text — the
+    trafilatura/resiliparse role): strip tags/scripts/styles/comments,
+    decode character references, segment block-level text, capture the
+    <title>.  The page renders IN-PLAN from the documents table
+    (JVM-side concat with entity escaping), the extractor is ONE
+    Arrow-batched stage, and the oracle predicts the exact extracted
+    string closed-form from the raw text — a green hash certifies
+    CDATA skipping, comment stripping, entity decoding (named AND
+    numeric), inline-tag transparency, block segmentation and
+    whitespace collapse end-to-end.  Reference-era analogue: the
+    markup-aware streaming scan
+    (hadoop-streaming StreamXmlRecordReader.java:46)."""
+    from hadoop_3_3_6_spark.functions.text import html_to_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    pages = docs.select("doc_id", _html_page_expr().alias("html"))
+    return html_to_text(pages, "html").select("doc_id", "title", "text", "n_blocks")
+
+
+@_register(
+    "pipeline_web_e2e",
+    f"""
+    WITH documents AS (
+      SELECT doc_id, 'Doc ' || doc_id || chr(10) || text AS text
+      FROM main.documents
+    ),
+    rules AS ({_GOPHER_RULES_SQL})
+    SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stopword_hits, keep
+    FROM rules
+    """,
+)
+def q_pipeline_web_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Common-Crawl recipe END-TO-END in one composed plan:
+    WARC segments (rendered with text/html response records) → WARC
+    source scan → HTML → text extraction with nav/footer boilerplate
+    dropped (html_to_text drop_tags) → Gopher rule filter over the
+    EXTRACTED text.  This is the chain a real 100-TB pretraining user
+    runs on day one; plan shape: record streaming out of the Python
+    data source, ONE Arrow stage for extraction, then the shuffle-free
+    rule projection — no corpus-sized shuffle anywhere.  The oracle
+    re-derives the extracted text closed-form (the boilerplate blocks
+    drop, leaving heading + body) and composes the SHARED Gopher rules
+    SQL over it via a shadowing CTE — a green hash certifies WARC IO,
+    extraction, boilerplate dropping and the filter in one number.
+    Eager by contract (renders its WARC corpus once per (process,
+    sf_dir) at construction)."""
+    from hadoop_3_3_6_spark.functions.text import gopher_quality_rules, html_to_text
+    from hadoop_3_3_6_spark.sources.warc import register_warc_source
+
+    register_warc_source(spark)
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", _html_page_expr().alias("html")
+    )
+
+    def render(out: str) -> None:
+        def write_part(rows):
+            from pyspark import TaskContext
+
+            from hadoop_3_3_6_spark.sources.warc import encode_warc
+
+            recs = [
+                {
+                    "warc_type": "response",
+                    "target_uri": f"http://example.org/page/{int(r.doc_id)}",
+                    "content_type": "text/html",
+                    "payload": r.html,
+                }
+                for r in rows
+            ]
+            if recs:
+                pid = TaskContext.get().partitionId()
+                with open(f"{out}/seg{pid:05d}.warc.gz", "wb") as f:
+                    f.write(encode_warc(recs, compress=True))
+
+        docs.foreachPartition(write_part)
+
+    out = _rendered_dir("warchtml_", sf_dir, render)
+    pages = (
+        spark.read.format("warc")
+        .option("record_types", "response")
+        .load(out)
+        .filter(F.col("content_type") == "text/html")
+        .select(
+            F.regexp_extract("target_uri", r"(\d+)$", 1).cast("bigint").alias("doc_id"),
+            F.decode(F.col("payload"), "UTF-8").alias("html"),
+        )
+    )
+    extracted = html_to_text(pages, "html", drop_tags=("nav", "footer"))
+    return gopher_quality_rules(
+        extracted.select("doc_id", "text"), "text", "doc_id"
+    ).select("doc_id", "n_words", "mean_word_len", "alpha_word_frac", "stopword_hits", "keep")
+
+
 @_register(
     "text_vocab",
     """
@@ -8704,12 +8840,17 @@ _DRIVER_HOLDBACK_R8 = [
     "inverse_map",
     "observe_counters",
 ]
+_DRIVER_HOLDBACK_R9 = [
+    "text_html_extract",
+    "pipeline_web_e2e",
+]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK
     + _DRIVER_HOLDBACK_R5
     + _DRIVER_HOLDBACK_R6
     + _DRIVER_HOLDBACK_R7
     + _DRIVER_HOLDBACK_R8
+    + _DRIVER_HOLDBACK_R9
 )
 
 

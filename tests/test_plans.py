@@ -391,6 +391,12 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         # measure its recall in-plan
         "similarity_lsh_topk_fast_verdict",
         "tokenizer_bpe_apply",  # iterative merge rewriting per word IS the semantics
+        # round-9: Viterbi segmentation of DISTINCT words moved
+        # executor-side (the ADVICE driver-collect fix) — one Arrow
+        # stage over the distinct-word frame, never the corpus
+        "tokenizer_unigram_apply",
+        "text_html_extract",  # HTML parsing IS the semantics (codec tier)
+        "pipeline_web_e2e",  # WARC PythonDataSource + the HTML parse stage
     }
     python_nodes = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "PythonDataSource")
     offenders = {}
@@ -442,7 +448,8 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     # round-4 rows are pure and stay under the sweep)
                     "seqfile_filter_percent", "timetravel_nation_versions",
                     "compaction_orders_scan", "zorder_orders_scan",
-                    "routed_outputs_scan"}
+                    "routed_outputs_scan",
+                    "pipeline_web_e2e"}  # renders its WARC corpus at construction
     }
     lazy = [n for n in QUERIES if n not in eager_by_contract]
     # Warm pass: pays the one-time parquet schema-inference jobs that

@@ -356,3 +356,78 @@ def test_sampling_null_edges(spark):
     for r in ordered:
         assert r.bin_id * 10 + r.start_offset == cum
         cum += r.n_tokens
+
+
+def test_html_to_text_extraction_rules(spark):
+    """The extraction contract feature by feature: CDATA containers
+    (with markup inside) drop nesting-safe, comments strip, named +
+    numeric + hex character references decode, inline tags are
+    transparent while block tags segment, br/hr break blocks,
+    whitespace collapses per block, <title> is captured and excluded
+    from the body, and drop_tags subtrees vanish whole."""
+    from hadoop_3_3_6_spark.functions.text import html_to_text
+
+    pages = [
+        (
+            0,
+            '<html><head><title> My  Title </title>'
+            '<script>if (a < b) { x = "<div>no</div>"; }</script>'
+            "<style>p { margin: 0 }</style></head>"
+            "<body><p>alpha <b>beta</b> gamma</p>"
+            "<noscript><p>fallback</p></noscript>"
+            "<div>x&amp;y &#65; &#x42; &lt;tag&gt;</div></body></html>",
+        ),
+        (1, "one<br>two<hr>three"),
+        (2, "<ul><li>a</li><li>b</li></ul><pre>  keep   collapsing  </pre>"),
+        (
+            3,
+            '<nav><a href="/">Home</a></nav><article>body text</article>'
+            "<footer>legal</footer>",
+        ),
+        (4, None),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    out = {r.doc_id: r for r in html_to_text(df, "html").collect()}
+    assert out[0].title == "My Title"
+    assert out[0].text == "alpha beta gamma\nx&y A B <tag>"
+    assert out[0].n_blocks == 2
+    assert out[1].text == "one\ntwo\nthree" and out[1].title is None
+    assert out[2].text == "a\nb\nkeep collapsing" and out[2].n_blocks == 3
+    assert out[3].text == "Home\nbody text\nlegal"
+    assert out[4].text is None and out[4].n_blocks == 0
+    # boilerplate dropping: nav/footer subtrees vanish whole
+    dropped = {
+        r.doc_id: r
+        for r in html_to_text(df, "html", drop_tags=("nav", "footer")).collect()
+    }
+    assert dropped[3].text == "body text" and dropped[3].n_blocks == 1
+
+
+def test_html_to_text_malformed_is_permissive(spark):
+    """Malformed markup never fails the task: unclosed tags, stray
+    '<', unterminated entities, truncated attributes and binary junk
+    all extract best-effort (HTMLParser's lenient grammar), and the
+    errors knob validates."""
+    import pytest
+
+    from hadoop_3_3_6_spark.functions.text import html_to_text
+
+    pages = [
+        (0, "<p>unclosed <b>bold <div>next</p>"),
+        (1, "stray < bracket & naked ampersand &#; bad ref"),
+        (2, "<p abc"),           # truncated mid-attribute
+        (3, "<!"),               # bogus declaration
+        (4, "\x00\x01<p>ok</p>"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    out = {r.doc_id: r for r in html_to_text(df, "html").collect()}
+    assert out[0].text == "unclosed bold\nnext"
+    assert "naked ampersand" in out[1].text
+    # a tag truncated mid-attribute is un-parseable as markup; the
+    # lenient grammar surfaces it as literal text rather than dropping
+    # bytes (and never crashes)
+    assert out[2].text == "<p abc" and out[2].n_blocks == 1
+    assert out[3].text == "<!" and out[3].n_blocks == 1
+    assert out[4].text == "ok"
+    with pytest.raises(ValueError, match="permissive"):
+        html_to_text(df, "html", errors="bogus")
