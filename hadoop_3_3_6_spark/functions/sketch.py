@@ -297,11 +297,20 @@ def hll_estimate(registers: dict[int, int], p: int = 8) -> float:
     """Finish the cardinality estimate from a collected register dict
     (raw HLL harmonic mean + small-range linear counting).  Driver-side
     math over 2^p integers — NOT part of any query plan; exposed so
-    tests/consumers can turn register state into a number."""
+    tests/consumers can turn register state into a number.
+
+    Alpha follows the published table (Flajolet et al. 2007 §4 /
+    Heule et al. 2013): fixed constants for m in {16, 32, 64} and the
+    asymptotic 0.7213/(1 + 1.079/m) only from m >= 128 — applying the
+    asymptotic form at small m biases the raw estimate up to ~4%
+    (round-9 semantic-review fix; the registered query uses p=8 where
+    the two forms coincide, so driver verdicts are unaffected)."""
     import math
 
+    if p < 4:
+        raise ValueError(f"p must be >= 4 (m >= 16) for the published alpha table; got {p}")
     m = 1 << p
-    alpha = 0.7213 / (1 + 1.079 / m)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
     s = sum(2.0 ** -registers.get(b, 0) for b in range(m))
     est = alpha * m * m / s
     zeros = m - len([b for b in registers if registers.get(b, 0) > 0])

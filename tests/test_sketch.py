@@ -334,3 +334,28 @@ def test_hll_estimate_both_ranges(spark):
         regs = {r.bucket: r.register for r in hll_registers(df, "k", p=8).collect()}
         est = hll_estimate(regs, p=8)
         assert abs(est - n) / n < 0.26, (n, est)
+
+
+def test_hll_alpha_published_table(spark):
+    """Small-m alpha must come from the published table (0.673 / 0.697
+    / 0.709 for m = 16/32/64), not the asymptotic formula — at p=4 the
+    two differ ~4% and the sketch would systematically over-estimate
+    (round-9 semantic-review fix).  Accuracy check: a p=4 sketch over
+    5000 distinct keys lands within the ~3x-sigma band (sigma =
+    1.04/sqrt(16) ~ 26%)."""
+    import pytest
+
+    from hadoop_3_3_6_spark.functions.sketch import hll_estimate, hll_registers
+
+    df = spark.range(5000).selectExpr("cast(id as string) AS k")
+    regs = {
+        r.bucket: r.register
+        for r in hll_registers(df, "k", p=4).collect()
+    }
+    est = hll_estimate(regs, p=4)
+    assert abs(est - 5000) / 5000 < 0.8
+    # the published-vs-asymptotic delta is material at m=16
+    asymptotic = 0.7213 / (1 + 1.079 / 16)
+    assert abs(asymptotic - 0.673) / 0.673 > 0.003
+    with pytest.raises(ValueError, match="p must be >= 4"):
+        hll_estimate(regs, p=3)
