@@ -609,6 +609,66 @@ def duplicated_spans(
     return runs
 
 
+def apply_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """APPLY the span-dedup cut — the step that closes the
+    ``duplicated_spans`` loop the way ``compact_files`` closes
+    ``storage_file_profile``: rewrite every document with its
+    corpus-duplicated token runs REMOVED, which is the actual output
+    of Lee et al. 2022's exact-substring deduplication pass (the
+    operator a pretraining pipeline runs, not just the report).
+
+    Output: (id, clean_text, kept_tokens, cut_tokens) — clean_text is
+    the surviving words re-joined with single spaces ('' when the doc
+    is entirely duplicated or empty), and kept + cut always equals the
+    document's word count (the runs are disjoint merged islands, so
+    cut_tokens also equals the sum of the doc's run_tokens).
+
+    Shape: the span table comes from :func:`duplicated_spans`
+    (inverted index / windowed marking — only (shingle, id, pos) rows
+    shuffle); each doc's few runs fold to ONE array via collect_list
+    and join back on the id (id-sized exchange), and the rewrite is a
+    per-row HOF filter over word positions — O(words · runs_per_doc),
+    no UDF, no second corpus shuffle.  At 100 TB the corpus text
+    moves through exactly one narrow projection."""
+    runs = duplicated_spans(df, text_col, id_col, n=n, max_df=max_df)
+    per_doc = runs.groupBy(id_col).agg(
+        F.collect_list(F.struct("run_start", "run_end")).alias("_runs")
+    )
+    words = f"filter(split({text_col}, ' '), w -> w <> '')"
+    kept = (
+        f"transform(filter(transform({words}, (w, i) -> struct(w AS w, i AS i)), "
+        f"s -> not exists(_runs, r -> s.i >= r.run_start and s.i <= r.run_end)), "
+        f"s -> s.w)"
+    )
+    empty_runs = "cast(array() as array<struct<run_start:int,run_end:int>>)"
+    # the kept-words array is consumed three times (join/size/size);
+    # HOFs are interpreted (no codegen CSE), so materialize it ONCE
+    # behind a one-element generator barrier (the _materialize_arrays
+    # device) instead of re-deriving the filter chain per reference
+    staged = (
+        df.join(per_doc, id_col, "left")
+        .withColumn("_runs", F.coalesce(F.col("_runs"), F.expr(empty_runs)))
+        .select(
+            F.col(id_col),
+            F.expr(f"size({words})").alias("_nw"),
+            F.explode(F.array(F.struct(F.expr(kept).alias("k")))).alias("_m"),
+        )
+        .select(id_col, "_nw", F.col("_m.k").alias("_kept"))
+    )
+    return staged.select(
+        F.col(id_col),
+        F.array_join(F.col("_kept"), " ").alias("clean_text"),
+        F.size("_kept").cast("bigint").alias("kept_tokens"),
+        (F.col("_nw") - F.size("_kept")).cast("bigint").alias("cut_tokens"),
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", portable: bool = False) -> DataFrame:
     """64-bit SimHash: per token hash, each bit contributes +1/-1 to a
      64-lane counter; fingerprint bit i = sign of lane i.  One aggregate

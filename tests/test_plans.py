@@ -449,7 +449,9 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     "seqfile_filter_percent", "timetravel_nation_versions",
                     "compaction_orders_scan", "zorder_orders_scan",
                     "routed_outputs_scan",
-                    "pipeline_web_e2e"}  # renders its WARC corpus at construction
+                    "pipeline_web_e2e",  # renders its WARC corpus at construction
+                    # index build + availableNow maintenance stream at construction
+                    "similarity_pq_incremental"}
     }
     lazy = [n for n in QUERIES if n not in eager_by_contract]
     # Warm pass: pays the one-time parquet schema-inference jobs that

@@ -431,3 +431,35 @@ def test_html_to_text_malformed_is_permissive(spark):
     assert out[4].text == "ok"
     with pytest.raises(ValueError, match="permissive"):
         html_to_text(df, "html", errors="bogus")
+
+
+def test_apply_span_dedup_conservation(spark):
+    """The apply-the-cut contract: duplicated runs vanish from the
+    rewritten text, unique docs pass through verbatim, kept + cut
+    equals the word count for every doc, and cut equals the sum of
+    the doc's run_tokens (runs are disjoint merged islands)."""
+    from hadoop_3_3_6_spark.functions.dedup import apply_span_dedup, duplicated_spans
+
+    df = _docs(
+        spark,
+        [
+            "a b c d Z p q r s",   # shares 'a b c d' and 'p q r s' with doc 1
+            "a b c d w w w p q r s",
+            "u v x y z1 z2 z3",    # nothing shared -> verbatim
+            "",                    # empty doc
+        ],
+    )
+    out = {r.doc_id: r for r in apply_span_dedup(df, "text", "doc_id", n=3).collect()}
+    assert out[0].clean_text == "Z" and (out[0].kept_tokens, out[0].cut_tokens) == (1, 8)
+    assert out[1].clean_text == "w w w" and out[1].cut_tokens == 8
+    assert out[2].clean_text == "u v x y z1 z2 z3" and out[2].cut_tokens == 0
+    assert out[3].clean_text == "" and out[3].kept_tokens == 0 and out[3].cut_tokens == 0
+    # conservation vs the span table itself
+    runs = duplicated_spans(df, "text", "doc_id", n=3).collect()
+    cut_by_doc: dict[int, int] = {}
+    for r in runs:
+        cut_by_doc[r.doc_id] = cut_by_doc.get(r.doc_id, 0) + r.run_tokens
+    for i, text in [(0, "a b c d Z p q r s"), (1, "a b c d w w w p q r s"), (2, "u v x y z1 z2 z3"), (3, "")]:
+        total = len([w for w in text.split(" ") if w])
+        assert out[i].kept_tokens + out[i].cut_tokens == total
+        assert out[i].cut_tokens == cut_by_doc.get(i, 0)
