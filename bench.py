@@ -856,6 +856,17 @@ SF1_QUERIES = [
     # per-row HOF family yet (O(G log G) + O(G·n) per doc); linear by
     # construction, sf3 exponent check pins it
     "text_repetition_gopher",
+    # round-9: the composed IVF-PQ serving tier — per-probe candidates
+    # O(N·nprobe/K); with K and nprobe FIXED at the registered
+    # hyperparameters the serving cost is linear in N (designed exp
+    # ~1.0), which the sf3 point pins.  K(N) policy at real scale:
+    # K ∝ sqrt(N) (the FAISS guideline — per-list size sqrt(N)) keeps
+    # per-probe candidates at sqrt(N)·nprobe; the fixed-K measurement
+    # here upper-bounds that.  Candidate-count ≪ N·P is separately
+    # pinned by tests/test_tools.py::
+    # test_ivf_pq_candidate_count_is_list_pruned (measured 0.246 of
+    # full-scan at nprobe/K = 0.25).
+    "similarity_ivf_pq_topk",
 ]
 _SF1_SCALED = {"orders", "lineitem", "events", "documents", "embeddings", "part"}
 # Each scaled table's columns map to the OFFSET-SOURCE table whose key
@@ -1072,6 +1083,10 @@ SF3_QUERIES = {
     "text_repetition_topgram": 1.0,
     # per-row HOF suite: cost scales with document length, not corpus
     "text_repetition_gopher": 1.0,
+    # composed IVF-PQ: fixed K/nprobe/probe-count -> candidates, encode
+    # and training all linear in N (see the _SF1 list note for the
+    # K ∝ sqrt(N) policy this fixed-K run upper-bounds)
+    "similarity_ivf_pq_topk": 1.0,
 }
 
 

@@ -349,30 +349,39 @@ def repetition_top_ngram(
         f"i -> array_join(slice({words}, i, {n}), ' ')) "
         f"else array() end"
     )
-    sg = f"array_sort({grams})"
     # (gram, same-as-previous?) pairs: equal neighbors in the sorted
     # array extend a run; runs enumerate distinct grams with counts.
-    # prev = [''] ++ sg, sliced to EXACTLY size(sg) elements — zip_with
+    # prev = [''] ++ ss, sliced to EXACTLY size(ss) elements — zip_with
     # pads the shorter side with nulls, so an unsliced sentinel array
     # would give an empty gram list one phantom element (the <n-word
     # document edge, pinned in test_repetition_top_ngram_counts).
+    # The sorted gram array is LAMBDA-BOUND (one-element transform, the
+    # gopher suite's _bound_sorted device) so array_sort — and the
+    # grams build under it — evaluates ONCE per row; HOFs are
+    # interpreted with no subexpression elimination, and the earlier
+    # inlined form re-sorted per reference (3x per row; the round-8
+    # vs-prev bench flag on this query).
     z = (
-        f"zip_with({sg}, slice(concat(array(''), {sg}), 1, size({sg})), "
-        f"(c, p) -> struct(c AS g, c = p AS eq))"
+        "zip_with(ss, slice(concat(array(''), ss), 1, size(ss)), "
+        "(c, p) -> struct(c AS g, c = p AS eq))"
     )
     runs = (
+        f"element_at(transform(array(array_sort({grams})), ss -> "
         f"aggregate({z}, "
         f"named_struct('run', 0, 'best', 0, 'bestch', 0), "
         f"(acc, e) -> named_struct("
         f"'run', if(e.eq, acc.run + 1, 1), "
         f"'best', greatest(acc.best, if(e.eq, acc.run + 1, 1)), "
         f"'bestch', greatest(acc.bestch, if(e.eq, acc.run + 1, 1) * length(e.g))))"
+        f"), 1)"
     )
     n_chars = F.length(F.col(text_col))
     counted = df.select(
         F.col(id_col),
         n_chars.alias("_nc"),
-        F.expr(f"size({grams})").alias("total_ngrams"),
+        # the gram COUNT has a closed form in the word count — no
+        # second build of the gram array just to size it
+        F.expr(f"greatest(size({words}) - {n - 1}, 0)").alias("total_ngrams"),
         F.expr(runs).alias("_r"),
     )
     return counted.select(

@@ -8949,6 +8949,10 @@ _DRIVER_RECHECK = {
     # no longer truncate)
     "tokenizer_unigram_apply": 9,
     "token_shards_roundtrip": 9,
+    # round 9 (perf, outputs identical / plan changed): the sorted gram
+    # array is lambda-bound so array_sort evaluates once per row (was
+    # 3x), and total_ngrams derives from the word count
+    "text_repetition_topgram": 9,
 }
 
 _DRIVER_HOLDBACK_R5 = [
