@@ -8910,31 +8910,18 @@ _DRIVER_RECHECK = {
     "fuzzy_join_titles": 6,
     "embedding_neardup": 6,
     # round 6: k-means assignment rewritten from corpus x broadcast(k)
-    # round 8: the shared rank stage became two-phase salted top-k
-    # (functions/similarity._rank_topk — the r7 verdict's one `weak`);
-    # rows and ranks bit-identical (re-verified against every oracle
-    # at sf0.01 before landing), plans changed
-    "similarity_ivf_trained": 8,
-    "similarity_topk": 8,
-    "similarity_ivf_topk": 8,
-    "similarity_quantized_topk": 8,
-    "similarity_pq_topk": 8,
-    "similarity_lsh_topk": 8,
-    # round 8 (review fixes): span-dedup max_df no longer cuts hot
-    # shingles out of the semantics (oracles updated to HAVING >= 2 /
-    # unfiltered n_docs); simhash spread keys on the id column.
-    # Fixture outputs identical (no shingle exceeds 1000 docs at any
-    # test SF), but the oracles and plans changed
-    "dedup_spans": 8,
-    "dedup_span_fraction": 8,
-    "dedup_simhash": 8,
-    # round 8 (review fixes): temperature mix joins null-safe and takes
-    # its max ratio from an in-plan window; packing coalesces NULL text
-    # to 0 tokens — outputs identical on the fixtures, plans changed
-    "pipeline_temperature_mix": 8,
-    "pipeline_pack_sequences": 8,
-    "similarity_lsh_topk_fast": 8,
-    "similarity_lsh_topk_fast_verdict": 8,
+    #
+    # (round-9 pruning: the 13 round-8 recheck entries — the
+    # two-phase-rank similarity family, the span-dedup/simhash review
+    # fixes, temperature-mix/packing null handling, and the LSH fast
+    # tier — GRADUATED manually.  The conservative same-round rule
+    # would re-queue them because their green rows carry round 8, but
+    # the r8 VERDICT explicitly confirms those CORRECTNESS_r08 rows
+    # were recorded by the end-of-round driver run AFTER the changes
+    # landed ("re-verified fresh exact-green in r08"), so the verdicts
+    # certify the changed forms; keeping them queued would crowd the
+    # ~50-slot budget and strand the r4 rotation tail this round is
+    # tasked to drain.)
     # round 9 (ADVICE fixes): Gopher duplicate counting now counts
     # occurrences beyond the first (sum(c-1) for lines/paragraphs;
     # first occurrence of a duplicated n-gram no longer marks words)
