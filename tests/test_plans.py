@@ -309,6 +309,10 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         # both crosses are the semantics (no equi-key exists for a
         # 1-row matrix or an ADC table lookup)
         "similarity_pq_topk",
+        # maintenance verdict row: the one-shot pq_encode side carries
+        # the same 1-row codebook cross; the verdict join itself is an
+        # equi FULL OUTER on vec_id
+        "similarity_pq_incremental",
         # composed IVF-PQ keeps only the bounded crosses: corpus x
         # broadcast(16 centroids) coarse assignment, corpus x
         # broadcast(1-row codebook matrix) encode, probes x codebooks;
