@@ -196,6 +196,10 @@ HEADLINE = [
     # and the WARC -> extract -> Gopher-rules Common-Crawl chain
     "text_html_extract",
     "pipeline_web_e2e",
+    # round-9 (cont.): streaming PQ-index maintenance verdict and the
+    # apply-the-cut span-dedup corpus rewrite
+    "similarity_pq_incremental",
+    "dedup_spans_apply",
 ]
 
 

@@ -1087,8 +1087,14 @@ def ivf_pq_topk(
             "per-probe ADC tables broadcast — batch unbounded probe sweeps"
         )
     cents = _seed_centroids(emb, id_col, vec_col, num_centroids)
-    assigned = assign_clusters(emb, id_col, vec_col, centroids=cents)
-    enc = pq_encode(assigned, books, id_col, vec_col, extra_cols=("cluster_id",))
+    # rowwise assignment: the corpus never shuffles — assignment AND
+    # the PQ encode are one projection over the (spread) scan stage,
+    # barriered so the candidates join consumes code ATTRIBUTES (the
+    # argmins must evaluate once per corpus row, not per candidate)
+    assigned = assign_clusters_rowwise(emb, cents, id_col, vec_col)
+    enc = _plan_barrier(
+        pq_encode(assigned, books, id_col, vec_col, extra_cols=("cluster_id",))
+    )
     probe_rows = _restrict_to_probes(emb, id_col, probes, probe_ids)
     probe_cells = assign_clusters(
         probe_rows, id_col, vec_col, centroids=cents, num_probes=nprobe
@@ -1111,6 +1117,82 @@ def ivf_pq_topk(
         "probe_id", F.col(id_col).alias("neighbor_id"), F.round(_adc_dist(), 6).alias("adc_dist")
     )
     return _rank_topk(scored, k, order_col="adc_dist", ascending=True)
+
+
+def _plan_barrier(df: DataFrame) -> DataFrame:
+    """One-element explode(array(struct(...))) generator barrier (the
+    _materialize_arrays device, column-generic): downstream operators
+    consume plain ATTRIBUTES instead of CollapseProject-inlined
+    defining expressions.  Needed wherever a projection computed ONCE
+    per row (e.g. the PQ code argmin) feeds a FANOUT join — without
+    the barrier the optimizer inlines the defining expression into
+    every post-join reference and the per-row cost multiplies by the
+    join's fanout (measured: ivf_pq_topk's encode CPU ×10 when the
+    rowwise assignment removed the old aggregate, whose exchange had
+    been an accidental barrier)."""
+    cols = df.columns
+    staged = df.select(
+        F.explode(F.array(F.struct(*[F.col(c) for c in cols]))).alias("_b")
+    )
+    return staged.select(*[F.col(f"_b.{c}").alias(c) for c in cols])
+
+
+def assign_clusters_rowwise(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """SHUFFLE-FREE nearest-centroid assignment — the corpus-side form
+    for operators that only need each vector's winning cell id
+    (IVF-PQ's encode path): the k centroids fold to ONE broadcast row
+    of struct(cvec, cent_id, _cnorm) and every vector picks its cell
+    with a per-row HOF argmin (array_min over struct(-cscore,
+    cent_id)), exactly the 1-row-matrix device Lloyd training uses.
+    Scoring is bit-identical to :func:`assign_clusters` (round(cosine,
+    6), ties to the LOWER cent_id — array_min's struct order
+    reproduces max_by(cent_id, struct(cscore, -cent_id))), but the
+    plan is a pure projection: no k× row expansion, NO groupBy, and —
+    decisively — no corpus exchange, so the downstream CPU-bound
+    encode rides the (spread) scan stage at full width instead of an
+    AQE-size-coalesced post-aggregate stage (round-9 stage-audit
+    finding: ivf_pq_topk's encode+score ran 7.4 s on 5 of 32 slots at
+    the sf1 tier behind the old aggregate).  At 100 TB this also
+    removes a full corpus shuffle of vector payloads from the IVF-PQ
+    build.  Output: (id, vec, *keep_cols, cluster_id).
+
+    :func:`assign_clusters` remains the shared form for the
+    cluster-BLOCKED pair families, whose groupBy exchange is
+    load-bearing (reused as the pair join's own non-coalescible
+    exchange) and whose multi-probe/score variants it carries."""
+    from hadoop_3_3_6_spark.functions.text import spread_for_compute
+
+    cents = cents.select("cent_id", F.col("cvec").cast("array<double>").alias("cvec"))
+    cents = cents.withColumn("_cnorm", F.expr(f"sqrt({_dot('cvec', 'cvec')})"))
+    one_row = F.broadcast(
+        cents.agg(F.collect_list(F.struct("cvec", "cent_id", "_cnorm")).alias("_cents"))
+    )
+    # _plan_barrier: _norm is referenced INSIDE the argmin lambda, and
+    # CollapseProject would otherwise inline its defining sqrt-fold
+    # into the transform — re-deriving it once per CENTROID element
+    # (the per-element re-derivation trap _materialize_arrays exists
+    # for); behind the barrier it is a plain attribute, one fold/row
+    v = _plan_barrier(spread_for_compute(with_norm(emb, vec_col), id_col))
+    # the SAME textual cosine as assign_clusters' cscore (shared _dot
+    # fold, round 6) so scores — and therefore every tie — are
+    # bit-identical between the two forms
+    pick = F.expr(
+        "array_min(transform(_cents, c -> struct("
+        f"-round({_dot(vec_col, 'c.cvec')} / (_norm * c._cnorm), 6) AS _ns, "
+        "c.cent_id AS cent_id))).cent_id"
+    )
+    return v.crossJoin(one_row).select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[F.col(c) for c in keep_cols],
+        pick.alias("cluster_id"),
+    )
 
 
 def _seed_centroids(
@@ -1167,7 +1249,7 @@ def train_residual_pq_codebooks(
     same md5 seed ranking over the SAME ids — so an independent numpy
     replica reproduces the books exactly from (vecs - cents[assign])."""
     cents = _seed_centroids(emb, id_col, vec_col, num_centroids)
-    assigned = assign_clusters(emb, id_col, vec_col, centroids=cents)
+    assigned = assign_clusters_rowwise(emb, cents, id_col, vec_col)
     res = _residualize(assigned, cents, id_col, vec_col)
     return train_pq_codebooks(
         res, id_col, "resid", m=m, codes=codes, iters=iters,
@@ -1212,10 +1294,16 @@ def ivf_pq_residual_topk(
             "(probes/probe_ids): per-(probe, cell) ADC tables broadcast"
         )
     cents = _seed_centroids(emb, id_col, vec_col, num_centroids)
-    assigned = assign_clusters(emb, id_col, vec_col, centroids=cents)
-    enc = pq_encode(
-        _residualize(assigned, cents, id_col, vec_col),
-        books, id_col, "resid", extra_cols=("cluster_id",),
+    # rowwise assignment (no corpus exchange); residualize is a k-row
+    # broadcast equi join, so assignment + residual + encode all ride
+    # the (spread) scan stage at full width, barriered before the
+    # fanout join (codes evaluate once per corpus row)
+    assigned = assign_clusters_rowwise(emb, cents, id_col, vec_col)
+    enc = _plan_barrier(
+        pq_encode(
+            _residualize(assigned, cents, id_col, vec_col),
+            books, id_col, "resid", extra_cols=("cluster_id",),
+        )
     )
     probe_rows = _restrict_to_probes(emb, id_col, probes, probe_ids)
     probe_cells = assign_clusters(

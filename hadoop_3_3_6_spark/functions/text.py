@@ -66,6 +66,21 @@ def spread_for_compute(df: DataFrame, key_col: str | None = None) -> DataFrame:
     an id()-keyed entry from a dead session could silently skip the
     spread in a new one and re-serialize the CPU stage on ~1 task
     (round-6 ADVICE item)."""
+    if needs_spread(df):
+        target = df.sparkSession.sparkContext.defaultParallelism
+        return df.repartition(target, F.col(key_col or df.columns[0]))
+    return df
+
+
+def needs_spread(df: DataFrame) -> bool:
+    """The memoized under-split probe behind spread_for_compute,
+    exposed so consumers can gate OTHER remedies on the same signal —
+    e.g. the explicit post-aggregation REPARTITION_BY_NUM the IVF-PQ
+    family applies when a small-in-bytes corpus would let AQE
+    size-coalesce a CPU-bound post-shuffle stage (round-9 stage-audit
+    fix).  True iff the frame's pre-AQE partition count is below the
+    session parallelism; at real scale the scan yields enough splits
+    and every remedy gated on this is a plan no-op."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
@@ -73,16 +88,13 @@ def spread_for_compute(df: DataFrame, key_col: str | None = None) -> DataFrame:
     except Exception:  # semanticHash unavailable (e.g. connect-mode frame)
         memo_key = None
     if memo_key is not None and memo_key in _SPREAD_MEMO:
-        need = _SPREAD_MEMO[memo_key]
-    else:
-        need = df.rdd.getNumPartitions() < target
-        if memo_key is not None:
-            if len(_SPREAD_MEMO) > 4096:
-                _SPREAD_MEMO.clear()
-            _SPREAD_MEMO[memo_key] = need
-    if need:
-        return df.repartition(target, F.col(key_col or df.columns[0]))
-    return df
+        return _SPREAD_MEMO[memo_key]
+    need = df.rdd.getNumPartitions() < target
+    if memo_key is not None:
+        if len(_SPREAD_MEMO) > 4096:
+            _SPREAD_MEMO.clear()
+        _SPREAD_MEMO[memo_key] = need
+    return need
 
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

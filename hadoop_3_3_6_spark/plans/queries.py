@@ -8940,6 +8940,14 @@ _DRIVER_RECHECK = {
     # array is lambda-bound so array_sort evaluates once per row (was
     # 3x), and total_ngrams derives from the word count
     "text_repetition_topgram": 9,
+    # round 9 (stage-audit fix, outputs bit-identical at sf0.01 AND
+    # sf1 / plans changed): the IVF-PQ corpus side moved to the
+    # shuffle-free rowwise assignment (assign_clusters_rowwise) with
+    # generator barriers — the corpus never shuffles before the
+    # candidates join and the encode runs at full scan width
+    "similarity_ivf_pq_topk": 9,
+    "similarity_ivf_pq_residual_topk": 9,
+    "similarity_ivf_pq_refined_topk": 9,
 }
 
 _DRIVER_HOLDBACK_R5 = [
