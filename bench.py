@@ -196,10 +196,12 @@ HEADLINE = [
     # and the WARC -> extract -> Gopher-rules Common-Crawl chain
     "text_html_extract",
     "pipeline_web_e2e",
-    # round-9 (cont.): streaming PQ-index maintenance verdict and the
-    # apply-the-cut span-dedup corpus rewrite
+    # round-9 (cont.): streaming PQ-index maintenance verdict, the
+    # apply-the-cut span-dedup corpus rewrite, and CCNet-style
+    # corpus-wide duplicated-line removal
     "similarity_pq_incremental",
     "dedup_spans_apply",
+    "dedup_lines_apply",
 ]
 
 

@@ -669,6 +669,75 @@ def apply_span_dedup(
     )
 
 
+def remove_duplicate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus-level duplicated-LINE removal — the first dedup stage of
+    the CCNet / RefinedWeb recipes (line-wise deduplication before any
+    document-level pass): a non-empty line whose exact text appears in
+    at least ``min_df`` DISTINCT documents is boilerplate (navigation,
+    cookie banners, copyright footers) and is removed from EVERY
+    document; whitespace-only lines are document structure and always
+    survive.  Complements :func:`apply_span_dedup` (n-gram spans) at
+    line granularity — the pair covers both Lee et al. substring dedup
+    and the production line-dedup stage.
+
+    Output: (id, clean_text, kept_lines, cut_lines) — surviving lines
+    re-joined with newlines in original order; kept + cut equals the
+    document's split('\\n') line count.
+
+    Shape: positional line explode → ONE exchange keyed by line text
+    for the distinct-doc count (repartition-first, so the count runs
+    complete-mode with constant per-key memory — the duplicated_spans
+    skew discipline: the HOT lines are exactly the boilerplate this
+    operator exists to find), the ≥min_df line set equi-joins back
+    (AQE-skew-splittable; its fanout IS the answer), and the rewrite
+    is one per-doc position-sorted reassembly.  At 100 TB: lines
+    shuffle once for the count, the reassembly moves each document
+    once — both unavoidable for a corpus rewrite, and nothing hotter
+    than a line's own duplication count ever concentrates."""
+    from hadoop_3_3_6_spark.functions.text import spread_for_compute
+
+    df = spread_for_compute(df, id_col)
+    inst = df.select(
+        F.col(id_col), F.posexplode(F.expr(f"split({text_col}, '\\n')")).alias("pos", "l")
+    )
+    hot = (
+        inst.filter(F.expr("trim(l) <> ''"))
+        .repartition("l")
+        .groupBy("l")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_df)
+        .select("l", F.lit(True).alias("_hot"))
+    )
+    kept = inst.join(hot, "l", "left").filter(
+        F.expr("trim(l) = ''") | F.col("_hot").isNull()
+    )
+    per_doc = kept.groupBy(id_col).agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(pos, l))), s -> s.l), '\\n')"
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("kept_lines"),
+    )
+    totals = df.select(
+        F.col(id_col), F.expr(f"size(split({text_col}, '\\n'))").alias("_nl")
+    )
+    return (
+        totals.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("kept_lines", F.lit(0)).cast("bigint").alias("kept_lines"),
+            (F.col("_nl") - F.coalesce("kept_lines", F.lit(0)))
+            .cast("bigint")
+            .alias("cut_lines"),
+        )
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", portable: bool = False) -> DataFrame:
     """64-bit SimHash: per token hash, each bit contributes +1/-1 to a
      64-lane counter; fingerprint bit i = sign of lane i.  One aggregate

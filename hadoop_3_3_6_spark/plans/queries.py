@@ -5574,6 +5574,64 @@ def q_dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_lines_apply",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'NAV ' || source || chr(10) || text || chr(10)
+               || 'Copyright 2024 Example Corp' AS ltext
+      FROM documents
+    ),
+    li AS (
+      SELECT doc_id,
+             unnest(string_split(ltext, chr(10))) AS l,
+             unnest(range(1, len(string_split(ltext, chr(10))) + 1)) AS pos
+      FROM d
+    ),
+    hot AS (SELECT l FROM li WHERE trim(l) <> ''
+            GROUP BY l HAVING count(DISTINCT doc_id) >= 10),
+    kept AS (
+      SELECT li.doc_id, li.l, li.pos
+      FROM li LEFT JOIN (SELECT l, true AS hot FROM hot) h USING (l)
+      WHERE trim(li.l) = '' OR h.hot IS NULL
+    ),
+    agg AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY pos) AS clean_text,
+                   count(*)::BIGINT AS kept_lines
+            FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, len(string_split(ltext, chr(10)))::BIGINT AS n_lines FROM d)
+    SELECT d.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           coalesce(a.kept_lines, 0)::BIGINT AS kept_lines,
+           (t.n_lines - coalesce(a.kept_lines, 0))::BIGINT AS cut_lines
+    FROM d JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_dedup_lines_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-LINE removal — the first dedup stage of
+    the CCNet / RefinedWeb recipes (functions/dedup.
+    remove_duplicate_lines): any non-empty line shared by >= 10
+    documents is boilerplate and is cut from every document, empties
+    survive as structure.  The fixture documents are single-line, so
+    the page renders IN-PLAN with the boilerplate a real crawl
+    carries — a per-source 'NAV <source>' header (each source has
+    >= 10 docs at every driver SF, so every header cuts) and a
+    corpus-global copyright footer — leaving the body line unless the
+    document text itself is duplicated 10+ times.  The oracle derives
+    the same counts and performs the same surgery relationally; line
+    granularity complements dedup_spans_apply's n-gram spans."""
+    from hadoop_3_3_6_spark.functions.dedup import remove_duplicate_lines
+
+    docs = load_table(spark, "documents", sf_dir)
+    pages = docs.select(
+        "doc_id",
+        F.expr(
+            "concat('NAV ', source, '\\n', text, '\\n', 'Copyright 2024 Example Corp')"
+        ).alias("ltext"),
+    )
+    return remove_duplicate_lines(pages, "ltext", "doc_id", min_df=10)
+
+
+@_register(
     "pipeline_pretraining_e2e",
     r"""
     WITH injected AS (
@@ -8996,6 +9054,7 @@ _DRIVER_HOLDBACK_R9 = [
     "pipeline_web_e2e",
     "similarity_pq_incremental",
     "dedup_spans_apply",
+    "dedup_lines_apply",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

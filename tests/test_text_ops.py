@@ -463,3 +463,41 @@ def test_apply_span_dedup_conservation(spark):
         total = len([w for w in text.split(" ") if w])
         assert out[i].kept_tokens + out[i].cut_tokens == total
         assert out[i].cut_tokens == cut_by_doc.get(i, 0)
+
+
+def test_remove_duplicate_lines_semantics(spark):
+    """Line-dedup contract: a line shared by >= min_df docs cuts from
+    EVERY doc (including the first), under-threshold duplicates and
+    unique lines survive, whitespace-only lines always survive as
+    structure, order is preserved, and kept + cut equals the line
+    count per doc."""
+    from hadoop_3_3_6_spark.functions.dedup import remove_duplicate_lines
+
+    header = "SHARED NAV HEADER"
+    df = _docs(
+        spark,
+        [
+            f"{header}\nbody zero\n\nfooter zero",
+            f"{header}\nbody one\npair line",
+            f"{header}\nbody two\npair line",
+            "no boilerplate here\n   \nat all",
+            "",
+        ],
+    )
+    out = {
+        r.doc_id: r for r in remove_duplicate_lines(df, "text", "doc_id", min_df=3).collect()
+    }
+    # header in 3 docs >= min_df -> cut everywhere; 'pair line' in 2 < 3 -> kept
+    assert out[0].clean_text == "body zero\n\nfooter zero"
+    assert (out[0].kept_lines, out[0].cut_lines) == (3, 1)
+    assert out[1].clean_text == "body one\npair line"
+    assert out[2].clean_text == "body two\npair line"
+    # whitespace-only line survives as structure
+    assert out[3].clean_text == "no boilerplate here\n   \nat all"
+    assert out[3].cut_lines == 0
+    # empty doc: one empty line, kept
+    assert out[4].clean_text == "" and (out[4].kept_lines, out[4].cut_lines) == (1, 0)
+    # conservation per doc
+    texts = {r.doc_id: r.text for r in df.collect()}
+    for i, t in texts.items():
+        assert out[i].kept_lines + out[i].cut_lines == len(t.split("\n"))
