@@ -437,8 +437,69 @@ def main() -> None:
             print(f"# {name}: {timings[name]:.3f}s ({result_rows[name]} rows)", file=sys.stderr)
         spark.stop()
 
-    # anchors in their own fresh session, min-of-N like the queries
+    # anchors in their own fresh session, min-of-N like the queries.
+    # The BIG anchor runs FIRST: its disk gate must read the session's
+    # ENTRY state — through round 8 it probed after dfsio + the 2M/20M
+    # teragen reps had already written ~12 GB, so on burst-credit
+    # sandboxes the probe measured the bench's own drain and skipped a
+    # healthy machine (round-9 finding: a session that probed 570 MB/s
+    # at start read 31 MB/s at the old gate position).
     spark = _fresh_session("bench-anchors")
+
+    from hadoop_3_3_6_spark.sources.terasort import teragen, terasort
+
+    terasort_200m_sec = None
+    terasort_200m_shuffle_parts = None
+    terasort_200m_skipped = None
+    # probe the disk BEFORE deciding to run the big anchor: in the
+    # throttled regime the measurement is the hypervisor's IO budget,
+    # not the engine (VERDICT r7 "What's wrong #3").  A below-floor
+    # first reading gets a bounded settle-retry (2 × 60 s): a drained
+    # burst bucket refills on idle, and one extra minute is cheap next
+    # to publishing no anchor at all.
+    disk_probe_mb_s = _disk_probe_mb_s()
+    if os.environ.get("SPARK_GRAFT_BIG_ANCHOR", "1") != "0":
+        for _retry in range(2):
+            if disk_probe_mb_s is not None and disk_probe_mb_s >= DISK_PROBE_FLOOR_MB_S:
+                break
+            print(
+                f"# big-anchor gate: disk_probe {disk_probe_mb_s} MB/s below "
+                f"{DISK_PROBE_FLOOR_MB_S} floor; settling 60s (retry {_retry + 1}/2)",
+                file=sys.stderr,
+            )
+            time.sleep(60)
+            disk_probe_mb_s = _disk_probe_mb_s()
+    if os.environ.get("SPARK_GRAFT_BIG_ANCHOR", "1") == "0":
+        pass
+    elif disk_probe_mb_s is None or disk_probe_mb_s < DISK_PROBE_FLOOR_MB_S:
+        # None = the probe itself failed (disk full, permissions): the
+        # disk state is UNKNOWN, and an unattributable anchor is exactly
+        # what the gate exists to prevent — skip, don't run
+        terasort_200m_skipped = (
+            f"disk_probe {disk_probe_mb_s} MB/s "
+            + ("(probe failed - disk state unknown)" if disk_probe_mb_s is None
+               else f"< {DISK_PROBE_FLOOR_MB_S} floor (burst-throttled session)")
+            + "; best prior healthy session stands in terasort_200m_sessions"
+        )
+        print(f"# terasort_200m_records SKIPPED: {terasort_200m_skipped}", file=sys.stderr)
+    else:
+        from hadoop_3_3_6_spark.session import sized_shuffle_partitions
+
+        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        terasort_200m_shuffle_parts = sized_shuffle_partitions(spark, 200_000_000 * 100)
+        spark.conf.set("spark.sql.shuffle.partitions", str(terasort_200m_shuffle_parts))
+        try:
+            t0 = time.perf_counter()
+            terasort(teragen(spark, 200_000_000, partitions=640)).write.mode("overwrite").format("noop").save()
+            terasort_200m_sec = round(time.perf_counter() - t0, 1)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        print(
+            f"# terasort_200m_records: {terasort_200m_sec:.1f}s"
+            f" (shuffle partitions {terasort_200m_shuffle_parts},"
+            f" disk probe {disk_probe_mb_s} MB/s)",
+            file=sys.stderr,
+        )
 
     # MRBench analogue (BASELINE.md): avg latency of a minimal job —
     # the scheduler round-trip floor, averaged over 5 runs.
@@ -468,8 +529,6 @@ def main() -> None:
     # TeraSort-analogue throughput: generate + total-order sort + write
     # 2M 100-byte records (~200 MB), the reference's headline benchmark
     # (BASELINE.md TeraSuite).
-    from hadoop_3_3_6_spark.sources.terasort import teragen, terasort
-
     # min-of-3: this is the headline baseline anchor
     timings["terasort_2m_records"] = round(
         _min_of(3, lambda: terasort(teragen(spark, 2_000_000, partitions=32)).write.mode("overwrite").format("noop").save()), 3
@@ -509,46 +568,8 @@ def main() -> None:
     # (min(128 MB, exec-mem-per-task / 3) ≈ 52 MB at 8g/32 slots)
     # lands ~390 partitions — the fast regime — so the anchor
     # demonstrates the knob rather than measuring the un-tuned regime.
-    terasort_200m_sec = None
-    terasort_200m_shuffle_parts = None
-    terasort_200m_skipped = None
-    # probe the disk BEFORE deciding to run the big anchor: in the
-    # throttled regime the measurement is the hypervisor's IO budget,
-    # not the engine (VERDICT r7 "What's wrong #3")
-    disk_probe_mb_s = _disk_probe_mb_s()
-    if os.environ.get("SPARK_GRAFT_BIG_ANCHOR", "1") == "0":
-        pass
-    elif disk_probe_mb_s is None or disk_probe_mb_s < DISK_PROBE_FLOOR_MB_S:
-        # None = the probe itself failed (disk full, permissions): the
-        # disk state is UNKNOWN, and an unattributable anchor is exactly
-        # what the gate exists to prevent — skip, don't run
-        terasort_200m_skipped = (
-            f"disk_probe {disk_probe_mb_s} MB/s "
-            + ("(probe failed - disk state unknown)" if disk_probe_mb_s is None
-               else f"< {DISK_PROBE_FLOOR_MB_S} floor (burst-throttled session)")
-            + "; best prior healthy session stands in terasort_200m_sessions"
-        )
-        print(f"# terasort_200m_records SKIPPED: {terasort_200m_skipped}", file=sys.stderr)
-    else:
-        from hadoop_3_3_6_spark.session import sized_shuffle_partitions
-
-        prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        terasort_200m_shuffle_parts = sized_shuffle_partitions(spark, 200_000_000 * 100)
-        spark.conf.set("spark.sql.shuffle.partitions", str(terasort_200m_shuffle_parts))
-        try:
-            t0 = time.perf_counter()
-            terasort(teragen(spark, 200_000_000, partitions=640)).write.mode("overwrite").format("noop").save()
-            terasort_200m_sec = round(time.perf_counter() - t0, 1)
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-        print(
-            f"# terasort_200m_records: {terasort_200m_sec:.1f}s"
-            f" (shuffle partitions {terasort_200m_shuffle_parts},"
-            f" disk probe {disk_probe_mb_s} MB/s)",
-            file=sys.stderr,
-        )
-
-
+    # (The 200M run itself happens FIRST in this session — see the gate
+    # above the small anchors — so its probe reads the entry state.)
 
     spark.stop()
 
