@@ -167,3 +167,35 @@ def test_token_shard_index_roundtrip(docs):
         assert back.tolist() == d
     doc_idx = np.frombuffer(payload[34 + 12 * len(sizes):], dtype=np.int64)
     assert len(doc_idx) == len(sizes) + 1 and doc_idx[-1] == len(sizes)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cc", "Cs")),
+        max_size=300,
+    )
+)
+def test_html_extract_roundtrip_property(text):
+    """Adversarial render→extract round-trip on the PURE extractor (no
+    Spark per example): for ANY control-free text, escaping it into a
+    <p> and extracting must yield exactly the whitespace-collapsed
+    original — entity escape/decode, tag transparency and block
+    collapse are mutually consistent over the full unicode range the
+    operator admits (C0/C1 are stripped by contract, surrogates are
+    not valid text)."""
+    import html as html_mod
+
+    from hadoop_3_3_6_spark.functions.text import _make_html_extractor
+
+    extractor_cls = _make_html_extractor(frozenset())
+    page = (
+        "<html><head><title>t</title></head><body><p>"
+        + html_mod.escape(text)
+        + "</p></body></html>"
+    )
+    p = extractor_cls()
+    p.feed(page)
+    p.close()
+    _title, out, _nb = p.result()
+    assert out == " ".join(text.split())
