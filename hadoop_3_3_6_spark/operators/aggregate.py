@@ -79,12 +79,25 @@ def value_histogram(df: DataFrame, key_cols: list[str], value_col: str) -> DataF
     (SURVEY.md §7.4).  Two-level aggregation: count per (key, value),
     then stats over the counts — both stages hash aggregates with
     map-side partials.
-    """
+
+    Median is the reference's EXACT definition — the middle ELEMENT of
+    the sorted counts array (``counts[counts.length / 2]``, the upper
+    middle for even n; ValueHistogram.java:111), NOT an interpolated
+    percentile (round-9 semantic-review fix: the earlier
+    ``percentile(0.5)`` interpolated between the two middles for even
+    n — self-consistent with its oracle but unfaithful to the cited
+    report).  The per-key sorted-counts list is bounded by the key's
+    distinct-value count — the same in-memory bound the reference's
+    items map carries.  stddev is population (sd/count), matching
+    getReport's formula."""
     per_value = df.groupBy(*key_cols, value_col).agg(F.count(F.lit(1)).alias("_vcount"))
     return per_value.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("distinct_values"),
         F.min("_vcount").alias("min_count"),
-        F.expr("cast(percentile(_vcount, 0.5) as double)").alias("median_count"),
+        F.expr(
+            "cast(element_at(array_sort(collect_list(_vcount)), "
+            "cast(count(1) div 2 as int) + 1) as double)"
+        ).alias("median_count"),
         F.max("_vcount").alias("max_count"),
         F.avg("_vcount").alias("avg_count"),
         F.coalesce(F.stddev_pop("_vcount"), F.lit(0.0)).alias("stddev_count"),

@@ -94,11 +94,19 @@ def grouped_sorted_apply(
             if pdf.empty:
                 carry = None
                 continue
-            # hold back the trailing group: it may continue next batch
+            # hold back the trailing group: it may continue next batch.
+            # NULL-SAFE group comparison (round-9 review fix): pandas
+            # `== None` / NaN equality is elementwise False, so a null
+            # group key straddling a batch boundary would otherwise be
+            # emitted split in two — exactly the bug the carry exists
+            # to prevent
             last = tuple(pdf[c].iloc[-1] for c in group_cols)
             tail_mask = pd.Series(True, index=pdf.index)
             for c, v in zip(group_cols, last):
-                tail_mask &= pdf[c] == v
+                if pd.isna(v):
+                    tail_mask &= pdf[c].isna()
+                else:
+                    tail_mask &= pdf[c] == v
             carry = pdf[tail_mask]
             head = pdf[~tail_mask]
             if not head.empty:
@@ -188,6 +196,11 @@ def key_field_sort(df: DataFrame, text_col: str, spec: str, sep: str = "\t") -> 
             length = (char_end - (char_start or 0)) if char_end is not None else 1_000_000
             c = F.substring(c, start, length)
         if numeric:
+            # cast('double'): unparsable fields sort as NULL (first in
+            # asc).  GNU sort -n would treat them as 0; the reference
+            # comparator parses leading digits.  Deliberate, documented
+            # divergence — the oracle mirrors cast semantics, and every
+            # registered spec sorts numeric-clean fields.
             c = c.cast("double")
         order.append(c.desc() if reverse else c.asc())
     return df.orderBy(*order)

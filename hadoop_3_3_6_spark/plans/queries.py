@@ -901,7 +901,7 @@ def q_uniq_value_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            count(*) AS distinct_values,
            min(c) AS min_count,
-           cast(quantile_cont(c, 0.5) as double) AS median_count,
+           cast(list_sort(list(c))[count(*) // 2 + 1] as double) AS median_count,
            max(c) AS max_count,
            cast(sum(c) as double) / count(*) AS avg_count,
            round(coalesce(stddev_pop(c), 0.0), 6) AS stddev_count
@@ -3463,7 +3463,7 @@ def q_aggregatewordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT count(*) AS distinct_values,
            min(c) AS min_count,
-           cast(quantile_cont(c, 0.5) as double) AS median_count,
+           cast(list_sort(list(c))[count(*) // 2 + 1] as double) AS median_count,
            max(c) AS max_count,
            cast(sum(c) as double) / count(*) AS avg_count,
            round(coalesce(stddev_pop(c), 0.0), 6) AS stddev_count
@@ -9006,6 +9006,15 @@ _DRIVER_RECHECK = {
     "similarity_ivf_pq_topk": 9,
     "similarity_ivf_pq_residual_topk": 9,
     "similarity_ivf_pq_refined_topk": 9,
+    # round 9 (review fix, VALUES change for even distinct-value
+    # counts): ValueHistogram's median is the reference's sorted
+    # middle ELEMENT (counts[n/2], ValueHistogram.java:111), not an
+    # interpolated percentile; oracles updated to the same definition
+    "value_histogram": 9,
+    "aggregatewordhist": 9,
+    # round 9 (review fix, outputs identical on non-null keys): the
+    # streamed secondary sort's group-boundary carry is null-safe
+    "secondarysort": 9,
 }
 
 _DRIVER_HOLDBACK_R5 = [

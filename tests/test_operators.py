@@ -609,3 +609,55 @@ def test_fuzzy_join_distinct_mode_preserves_multiplicity(spark):
     assert a == b
     # duplicates expanded: ids 1,2,4 x 12,13(dist1),14... spot-check one
     assert (1, 14, 0) in a and (2, 13, 1) in a
+
+
+def test_value_histogram_median_is_reference_element(spark):
+    """The median must be ValueHistogram.java:111's sorted middle
+    ELEMENT (counts[n/2], the upper middle for even n), not an
+    interpolated percentile — with counts [1, 3] the reference reports
+    3.0 where percentile(0.5) would say 2.0 (round-9 review fix)."""
+    from hadoop_3_3_6_spark.operators.aggregate import value_histogram
+
+    rows = [("k", "a")] * 1 + [("k", "b")] * 3 + [("odd", "x")] * 2 + [("odd", "y")] * 5 + [("odd", "z")] * 1
+    df = spark.createDataFrame(rows, "key string, v string")
+    out = {r.key: r for r in value_histogram(df, ["key"], "v").collect()}
+    # even n=2: counts [1,3] -> element at index 1 (0-based n/2) = 3
+    assert out["k"].median_count == 3.0 and out["k"].distinct_values == 2
+    assert out["k"].avg_count == 2.0
+    # odd n=3: counts [1,2,5] -> element at index 1 = 2 (both
+    # definitions agree on odd n)
+    assert out["odd"].median_count == 2.0
+
+
+def test_grouped_sorted_apply_null_group_carry(spark):
+    """A NULL group key straddling an Arrow batch boundary must stay
+    ONE group: the carry's pandas comparison is null-safe (round-9
+    review fix — `== None`/NaN equality is elementwise False, which
+    silently split the trailing null group in two)."""
+    import pandas as pd
+
+    from hadoop_3_3_6_spark.operators.sort import grouped_sorted_apply
+
+    rows = [("g1", i) for i in range(3)] + [(None, i) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+            return (
+                pdf.groupby("g", dropna=False)
+                .agg(n=("v", "size"), first_v=("v", "min"), last_v=("v", "max"))
+                .reset_index()
+            )
+
+        out = grouped_sorted_apply(
+            df, ["g"], ["v"], summarize, "g string, n long, first_v int, last_v int",
+            num_partitions=1,
+        ).collect()
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    got = {r.g: (r.n, r.first_v, r.last_v) for r in out}
+    # the null group spans many 64-row batches; it must come back as
+    # exactly one row covering all 500 values
+    assert len(out) == 2
+    assert got[None] == (500, 0, 499)
+    assert got["g1"] == (3, 0, 2)
