@@ -42,12 +42,21 @@ def with_counters(df: DataFrame, counters: dict[str, Column] | None = None):
 def skip_bad_records(df: DataFrame, predicate: Column, counter_name: str = "skipped_records"):
     """SkipBadRecords mode (MRC/mapred/SkipBadRecords.java:55): drop
     rows failing ``predicate`` while counting them — tolerant scan with
-    an audit trail instead of a job failure.  Returns (clean_df, obs)."""
+    an audit trail instead of a job failure.  Returns (clean_df, obs).
+
+    The counter counts EVERY dropped row: ``filter`` keeps only
+    predicate-TRUE rows, so rows where the predicate evaluates NULL
+    (a comparison against a corrupt/missing field — exactly the rows
+    this mode exists for) are dropped too and must hit the counter.
+    The earlier ``count_if(~predicate)`` missed them (~NULL is NULL,
+    which count_if skips), leaving input - kept != skipped on NULL-y
+    data (round-9 review fix)."""
     obs = Observation()
+    dropped = ~F.coalesce(predicate, F.lit(False))
     observed = df.observe(
         obs,
         F.count(F.lit(1)).alias("input_records"),
-        F.count_if(~predicate).alias(counter_name),
+        F.count_if(dropped).alias(counter_name),
     )
     return observed.filter(predicate), obs
 
@@ -69,9 +78,15 @@ def audit_checks(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
     # SQL identifiers (a quote/backtick in a name must not parse), and
     # cannot collide with the total column
     keyed = {f"_chk{i}": (name, pred) for i, (name, pred) in enumerate(checks.items())}
-    aggs = [F.count_if(~pred).alias(k) for k, (_, pred) in keyed.items()] + [
-        F.count(F.lit(1)).alias("_audit_total")
-    ]
+    # a row violates a check iff its predicate is NOT TRUE — NULL
+    # counts as a violation (a constraint that cannot be verified is
+    # not satisfied; the conservative audit stance).  The earlier
+    # count_if(~pred) skipped NULL evaluations (~NULL is NULL), so a
+    # range check over a NULL field under-reported (round-9 review fix)
+    aggs = [
+        F.count_if(~F.coalesce(pred, F.lit(False))).alias(k)
+        for k, (_, pred) in keyed.items()
+    ] + [F.count(F.lit(1)).alias("_audit_total")]
     row = df.agg(*aggs)
     pairs = F.array(
         *[

@@ -3744,10 +3744,10 @@ def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
     agg AS (
       SELECT count(*)::BIGINT AS n_rows,
-             count_if(NOT (o_orderkey IS NOT NULL))::BIGINT AS key_not_null,
-             count_if(NOT (o_totalprice > 0))::BIGINT AS price_positive,
-             count_if(NOT (o_orderstatus IN ('F', 'O', 'P')))::BIGINT AS status_in_domain,
-             count_if(NOT (_ck IS NOT NULL))::BIGINT AS custkey_references_customer
+             count_if(NOT coalesce(o_orderkey IS NOT NULL, false))::BIGINT AS key_not_null,
+             count_if(NOT coalesce(o_totalprice > 0, false))::BIGINT AS price_positive,
+             count_if(NOT coalesce(o_orderstatus IN ('F', 'O', 'P'), false))::BIGINT AS status_in_domain,
+             count_if(NOT coalesce(_ck IS NOT NULL, false))::BIGINT AS custkey_references_customer
       FROM base)
     SELECT 'key_not_null' AS "check", n_rows, key_not_null AS n_bad, key_not_null = 0 AS passed FROM agg
     UNION ALL
@@ -9015,6 +9015,10 @@ _DRIVER_RECHECK = {
     # round 9 (review fix, outputs identical on non-null keys): the
     # streamed secondary sort's group-boundary carry is null-safe
     "secondarysort": 9,
+    # round 9 (review fix, fixture values identical): audit checks
+    # count NULL predicate evaluations as violations (conservative
+    # stance); oracle moved to the same coalesce form
+    "audit_orders": 9,
 }
 
 _DRIVER_HOLDBACK_R5 = [

@@ -481,8 +481,11 @@ def test_audit_checks_counts_violations(spark):
         "s_in_domain": F.col("s").isin("A", "B"),
     }).collect()}
     assert out["k_not_null"]["n_bad"] == 1 and not out["k_not_null"]["passed"]
-    # NULL v is not counted bad under three-valued NOT (count_if skips NULL)
-    assert out["v_positive"]["n_bad"] == 2
+    # a NULL v VIOLATES v > 0 (round-9 contract: a check is violated
+    # when its predicate is not TRUE — Deequ's compliance counting;
+    # the earlier three-valued-NOT form silently passed NULL fields
+    # through range/domain checks)
+    assert out["v_positive"]["n_bad"] == 3
     assert out["s_in_domain"]["n_bad"] == 1
     assert all(r["n_rows"] == 4 for r in out.values())
 
@@ -661,3 +664,26 @@ def test_grouped_sorted_apply_null_group_carry(spark):
     assert len(out) == 2
     assert got[None] == (500, 0, 499)
     assert got["g1"] == (3, 0, 2)
+
+
+def test_skip_bad_and_audit_count_null_predicates(spark):
+    """NULL predicate evaluations are DROPPED rows / VIOLATIONS and
+    must be counted: a qty>=0 check on a NULL qty row is exactly the
+    corrupt-record case SkipBadRecords exists for, and input - kept
+    must equal skipped (round-9 review fix — count_if(~pred) skipped
+    NULLs)."""
+    from hadoop_3_3_6_spark.operators.counters import audit_checks, skip_bad_records
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, -1), (3, None), (4, 7)], "id int, qty int"
+    )
+    clean, obs = skip_bad_records(df, F.col("qty") >= 0)
+    kept = clean.count()
+    assert kept == 2
+    got = obs.get
+    assert got["input_records"] == 4
+    assert got["skipped_records"] == 2  # the -1 AND the NULL
+    assert got["input_records"] - kept == got["skipped_records"]
+
+    audit = {r.check: r for r in audit_checks(df, {"qty_nonneg": F.col("qty") >= 0}).collect()}
+    assert audit["qty_nonneg"].n_bad == 2 and not audit["qty_nonneg"].passed
