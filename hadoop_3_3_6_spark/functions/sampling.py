@@ -384,11 +384,17 @@ def reservoir_per_group(
 
     Scale shape: rank over a NARROW projection (group, hash, id) —
     the shuffle carries three columns, not the full rows — then the
-    winners (<= groups * n rows, small by construction) broadcast-join
-    back to recover full rows, so the wide table itself never
-    shuffles.  The join-back is on (group, id) so ids only need to be
-    unique WITHIN a group, not globally; a pre-existing ``sample_rank``
-    column would collide with the output and is rejected."""
+    winners (<= groups * n rows) join back to recover full rows.  The
+    join strategy is LEFT TO THE OPTIMIZER (round-9 review fix: the
+    earlier forced broadcast hint assumed winners are always tiny, but
+    they scale with GROUP CARDINALITY — at 10M groups × n=20 that is
+    200M rows, an un-broadcastable frame the hint would have pushed at
+    the driver anyway; AQE broadcasts when the winners are actually
+    small, which is every bounded-group corpus, and falls back to a
+    shuffle join on the null-safe (group, id) key otherwise).  The
+    join-back is on (group, id) so ids only need to be unique WITHIN a
+    group, not globally; a pre-existing ``sample_rank`` column would
+    collide with the output and is rejected."""
     from pyspark.sql.window import Window
 
     if "sample_rank" in df.columns:
@@ -408,4 +414,4 @@ def reservoir_per_group(
         .select(F.col(group_col).alias("_rpg_g"), F.col(id_col).alias("_rpg_i"), "sample_rank")
     )
     cond = df[group_col].eqNullSafe(winners["_rpg_g"]) & df[id_col].eqNullSafe(winners["_rpg_i"])
-    return df.join(F.broadcast(winners), cond).drop("_rpg_g", "_rpg_i")
+    return df.join(winners, cond).drop("_rpg_g", "_rpg_i")

@@ -9019,6 +9019,10 @@ _DRIVER_RECHECK = {
     # count NULL predicate evaluations as violations (conservative
     # stance); oracle moved to the same coalesce form
     "audit_orders": 9,
+    # round 9 (review fix, outputs identical / plan strategy freed):
+    # the reservoir join-back no longer forces a broadcast of a frame
+    # that scales with group cardinality — AQE picks the strategy
+    "pipeline_sample_per_group": 9,
 }
 
 _DRIVER_HOLDBACK_R5 = [
