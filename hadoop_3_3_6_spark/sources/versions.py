@@ -71,7 +71,16 @@ def latest_version(path: str) -> int | None:
 def write_version(df: DataFrame, path: str) -> int:
     """Publish ``df`` as the table's next version: write the parquet
     under ``v=NNNNN``, then atomically flip ``_latest`` (tmp file +
-    rename).  Returns the new version number."""
+    rename).  Returns the new version number.
+
+    SINGLE-WRITER publish contract (round-9 review note): two
+    concurrent ``write_version`` calls can pick the same next number —
+    the later completer overwrites the earlier's directory and wins
+    the pointer flip.  Readers are still never torn (the pointer only
+    ever names a completed write), but writers must serialize
+    externally — the same contract as every rename-published layout;
+    optimistic-concurrency commit logs are the lakehouse formats'
+    answer and out of this minimal layer's scope."""
     os.makedirs(path, exist_ok=True)
     # next number from ALL version dirs (torn ones included — never
     # reuse their number); a torn dir in the way is overwritten
