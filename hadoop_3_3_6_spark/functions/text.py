@@ -73,14 +73,14 @@ def spread_for_compute(df: DataFrame, key_col: str | None = None) -> DataFrame:
 
 
 def needs_spread(df: DataFrame) -> bool:
-    """The memoized under-split probe behind spread_for_compute,
-    exposed so consumers can gate OTHER remedies on the same signal —
-    e.g. the explicit post-aggregation REPARTITION_BY_NUM the IVF-PQ
-    family applies when a small-in-bytes corpus would let AQE
-    size-coalesce a CPU-bound post-shuffle stage (round-9 stage-audit
-    fix).  True iff the frame's pre-AQE partition count is below the
-    session parallelism; at real scale the scan yields enough splits
-    and every remedy gated on this is a plan no-op."""
+    """The memoized under-split probe behind spread_for_compute.
+    True iff the frame's pre-AQE partition count is below the session
+    parallelism; at real scale the scan yields enough splits and the
+    spread gated on this is a plan no-op.  (The IVF-PQ pair family's
+    post-aggregation REPARTITION_BY_NUM is deliberately NOT gated on
+    this signal: that exchange doubles as the pair join's own
+    co-partitioning shuffle, so it must exist at every scale —
+    similarity._spread_for_pair_join.)"""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
@@ -1148,6 +1148,16 @@ def html_to_text(
     rebalances the scan when the file layout under-splits)."""
     if errors not in ("permissive", "strict"):
         raise ValueError(f"errors must be 'permissive' or 'strict', got {errors!r}")
+    # The natural re-extraction case — a frame that already carries a
+    # text (or title/n_blocks) column — would otherwise yield duplicate
+    # column names and ambiguous-reference failures downstream (the
+    # sample_rank-collision stance reservoir_per_group takes).
+    taken = sorted({"title", "text", "n_blocks"} & set(df.columns))
+    if taken:
+        raise ValueError(
+            f"html_to_text output column(s) {taken} already exist in the "
+            "input frame; drop or rename them first"
+        )
     dropset = frozenset(drop_tags)
     df = spread_for_compute(df)
 

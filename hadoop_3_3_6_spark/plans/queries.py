@@ -7832,19 +7832,25 @@ def _bpe_apply_oracle() -> str | None:
 
 _UNI_VOCAB, _UNI_SEED, _UNI_MAXLEN, _UNI_ITERS = 80, 400, 6, 2
 _UNI_MOD = 1_000_000_007
+_UNI_MAX_TRAIN = 200_000  # train_unigram's max_train_words default
 
 
 def _unigram_oracle() -> str | None:
     """Exact oracle for the unigram tokenizer: an INDEPENDENT python
     replica of the whole pipeline — word counts straight from the
-    parquet text, substring seeding, the hard-EM sweeps (same integer
-    micro-nat quantization, same strict-greater/ascending-split
-    Viterbi tie rule, same char floor), and the apply fold written the
-    OTHER way (one sequential id fold per document instead of the
-    engine's per-word hash + 31^n combine — algebraically identical,
-    structurally independent).  A green hash certifies the distributed
-    word-count pass, training, the broadcast segmentation join and the
-    HOF document fold end-to-end."""
+    parquet text, the trainer's deterministic (-count, word) top
+    ``max_train_words`` truncation (the replica must mirror the bound
+    or it would diverge on any fixture tier whose distinct-word count
+    crosses the cap — round-9 ADVICE), substring seeding, the hard-EM
+    sweeps (same integer micro-nat quantization, same
+    strict-greater/ascending-split Viterbi tie rule, same char floor),
+    and the apply fold written the OTHER way (one sequential id fold
+    per document instead of the engine's per-word hash + 31^n combine
+    — algebraically identical, structurally independent).  Apply
+    segments EVERY document word, trained or not, in both forms.  A
+    green hash certifies the distributed word-count pass, training,
+    the broadcast segmentation join and the HOF document fold
+    end-to-end."""
     import os
 
     path = "/root/testdata/sf0.01/documents.parquet"
@@ -7864,6 +7870,10 @@ def _unigram_oracle() -> str | None:
         wc: Counter = Counter()
         for ws in doc_words.values():
             wc.update(ws)
+        # the trainer's input bound: top max_train_words by (-count, word)
+        wc = Counter(
+            dict(sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:_UNI_MAX_TRAIN])
+        )
         subs: Counter = Counter()
         chars: set = set()
         for w, c in wc.items():
@@ -8980,49 +8990,45 @@ _DRIVER_RECHECK = {
     # certify the changed forms; keeping them queued would crowd the
     # ~50-slot budget and strand the r4 rotation tail this round is
     # tasked to drain.)
-    # round 9 (ADVICE fixes): Gopher duplicate counting now counts
-    # occurrences beyond the first (sum(c-1) for lines/paragraphs;
-    # first occurrence of a duplicated n-gram no longer marks words)
-    # and symbol_word_ratio counts the single-char ellipsis '…';
-    # oracles updated to the same published definitions
-    "text_repetition_gopher": 9,
-    "pipeline_gopher_rules": 9,
-    "pipeline_quality_funnel": 9,
-    # round 9 (ADVICE fixes, outputs identical / plans changed):
-    # unigram apply segments distinct words EXECUTOR-side (no driver
-    # collect); token-shard reads widen to array<bigint> (int64 shards
-    # no longer truncate)
-    "tokenizer_unigram_apply": 9,
-    "token_shards_roundtrip": 9,
-    # round 9 (perf, outputs identical / plan changed): the sorted gram
-    # array is lambda-bound so array_sort evaluates once per row (was
-    # 3x), and total_ngrams derives from the word count
-    "text_repetition_topgram": 9,
-    # round 9 (stage-audit fix, outputs bit-identical at sf0.01 AND
-    # sf1 / plans changed): the IVF-PQ corpus side moved to the
-    # shuffle-free rowwise assignment (assign_clusters_rowwise) with
-    # generator barriers — the corpus never shuffles before the
-    # candidates join and the encode runs at full scan width
-    "similarity_ivf_pq_topk": 9,
-    "similarity_ivf_pq_residual_topk": 9,
-    "similarity_ivf_pq_refined_topk": 9,
-    # round 9 (review fix, VALUES change for even distinct-value
-    # counts): ValueHistogram's median is the reference's sorted
-    # middle ELEMENT (counts[n/2], ValueHistogram.java:111), not an
-    # interpolated percentile; oracles updated to the same definition
-    "value_histogram": 9,
-    "aggregatewordhist": 9,
-    # round 9 (review fix, outputs identical on non-null keys): the
-    # streamed secondary sort's group-boundary carry is null-safe
-    "secondarysort": 9,
-    # round 9 (review fix, fixture values identical): audit checks
-    # count NULL predicate evaluations as violations (conservative
-    # stance); oracle moved to the same coalesce form
-    "audit_orders": 9,
-    # round 9 (review fix, outputs identical / plan strategy freed):
-    # the reservoir join-back no longer forces a broadcast of a frame
-    # that scales with group cardinality — AQE picks the strategy
-    "pipeline_sample_per_group": 9,
+    # (round-10 pruning: all twelve round-9 recheck entries — the
+    # Gopher counting suite, token shards, topgram, ValueHistogram x2,
+    # secondarysort, audit_orders, pipeline_sample_per_group, and the
+    # unigram/IVF-PQ entries superseded by round-10 changes below —
+    # GRADUATED manually.  The conservative same-round rule would
+    # re-queue them, but the r9 VERDICT explicitly confirms their
+    # CORRECTNESS_r09 rows were recorded by the end-of-round driver run
+    # AFTER the changes landed ("re-verified fresh exact-green in
+    # r09"), so those verdicts certify the changed forms; keeping them
+    # queued would crowd the ~50-slot budget and strand the r4
+    # rotation tail this round is tasked to drain — the same
+    # crowd-out that stranded it in round 9.)
+    # round 10 (ADVICE fix, outputs identical on fixtures / expression
+    # changed): rowwise assignment coalesces NULL cosines to -2 so a
+    # zero-norm centroid or vector ties bit-identically to max_by
+    "similarity_ivf_pq_topk": 10,
+    "similarity_ivf_pq_residual_topk": 10,
+    "similarity_ivf_pq_refined_topk": 10,
+    # round 10 (ADVICE fix, values identical below the cap): the
+    # unigram oracle replica now mirrors the trainer's top
+    # max_train_words truncation
+    "tokenizer_unigram_apply": 10,
+}
+
+# Freshness pulls — NOT changed queries: standing verdicts whose
+# vintage has drifted past the rotation contract's spirit are pulled
+# into the mid tier until a green row NEWER than stale_round exists,
+# then graduate automatically (same auto-graduation rule as
+# _DRIVER_RECHECK, different reason: these rows kept losing the
+# oldest-first race to recheck/holdback crowding — the r4 cohort stood
+# five rounds).  VERDICT r9 task 1.
+_DRIVER_REFRESH = {
+    "timetravel_nation_versions": 4,
+    "compaction_orders_scan": 4,
+    "zorder_orders_scan": 4,
+    "routed_outputs_scan": 4,
+    "archive_restore_scan": 4,
+    "db_range_split_scan": 4,
+    "codec_gzip_scan": 4,
 }
 
 _DRIVER_HOLDBACK_R5 = [
@@ -9104,16 +9110,22 @@ def _reorder_for_driver() -> None:
         if n in QUERIES and n not in front
         and verified_rounds.get(n, 0) <= changed_round
     ]
+    refresh = [
+        n for n, stale_round in _DRIVER_REFRESH.items()
+        if n in QUERIES and n not in front and n not in recheck
+        and verified_rounds.get(n, 0) <= stale_round
+    ]
     # Mid-tier priority maximizes exact-green coverage per budget slot:
     # (1) materially-changed queries needing a fresh verdict,
-    # (2) held-back NEW exact-oracle queries (first hash check),
-    # (3) no-oracle entries (first rows-only row — weaker, so after),
-    # (4) deferred unverified names (explicitly pushed back).
+    # (2) freshness pulls (standing verdicts past the staleness bound),
+    # (3) held-back NEW exact-oracle queries (first hash check),
+    # (4) no-oracle entries (first rows-only row — weaker, so after),
+    # (5) deferred unverified names (explicitly pushed back).
     no_oracle = [
         n for n in QUERIES
         if n not in verified and n not in ORACLES and n not in recheck
     ]
-    mid = recheck + holdback + no_oracle + [
+    mid = recheck + refresh + holdback + no_oracle + [
         n for n in _DRIVER_DEFERRED if n in QUERIES and n not in verified
     ]
     placed = set(front) | set(mid)
@@ -9124,13 +9136,33 @@ def _reorder_for_driver() -> None:
         (n for n in QUERIES if n not in placed),
         key=lambda n: verified_rounds.get(n, 0),
     )
+    order: list[str] = []
+    emitted: set[str] = set()
+    for name in front + mid + back:
+        if name in emitted:
+            continue
+        # Companion-pairing rule (VERDICT r9 task 2): an approximate
+        # *_fast/no-oracle row and its exact *_verdict twin certify ONE
+        # contract, so whichever member the rotation reaches first
+        # drags its partner into the adjacent slot — the pair always
+        # lands in the same round's CORRECTNESS file instead of the
+        # companion's verdict aging independently.
+        pair = [name]
+        if name.endswith("_verdict") and name[: -len("_verdict")] in QUERIES:
+            pair.append(name[: -len("_verdict")])
+        elif name + "_verdict" in QUERIES:
+            pair.append(name + "_verdict")
+        for p in pair:
+            if p not in emitted:
+                order.append(p)
+                emitted.add(p)
     for registry in (QUERIES, ORACLES):
         snapshot = dict(registry)
         registry.clear()
-        for name in front + mid + back:
+        for name in order:
             if name in snapshot:
                 registry[name] = snapshot[name]
-    assert set(QUERIES) == placed | set(back), "reorder dropped queries"
+    assert set(QUERIES) == emitted == placed | set(back), "reorder dropped queries"
 
 
 _reorder_for_driver()

@@ -132,3 +132,28 @@ def test_unigram_oov_char_encodes_unk(spark):
     M = 1_000_000_007
     assert out.n_pieces == 1
     assert out.pieces_hash == UNK_ID % M == M - 1
+
+
+def test_unigram_train_word_cap_is_frequency_topn(spark):
+    """The max_train_words bound is the deterministic (-count, word)
+    top-N: training on a corpus whose distinct words exceed the cap
+    must yield the SAME inventory as training on a corpus holding only
+    the surviving words at the same counts — the contract the driver
+    oracle's replica mirrors (round-9 ADVICE: the replica truncates
+    too, so the pair stays exact past the cap)."""
+    from hadoop_3_3_6_spark.functions.bpe import train_unigram
+
+    full = spark.createDataFrame(
+        [(0, "table table table scan scan lamp"), (1, "table scan rug")],
+        "doc_id long, text string",
+    )
+    # top-3 by (-count, word): table(4) scan(3) lamp/rug tie -> lamp(1)
+    top3 = spark.createDataFrame(
+        [(0, "table table table scan scan lamp"), (1, "table scan")],
+        "doc_id long, text string",
+    )
+    kw = dict(vocab_size=8, seed_size=30, max_piece_len=6, iters=2)
+    capped = train_unigram(full, "text", max_train_words=3, **kw)
+    want = train_unigram(top3, "text", **kw)
+    assert capped == want
+    assert capped != train_unigram(full, "text", **kw)  # the cap bit

@@ -844,3 +844,28 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
         assert "dynamicpruning" in plan.lower(), plan[:3000]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_driver_rotation_refresh_and_companion_pairing():
+    """Round-10 rotation contract additions: (a) _DRIVER_REFRESH names
+    whose standing verdict is still at/under their stale_round ride the
+    mid tier (inside the ~50-slot budget), and (b) a *_fast/no-oracle
+    row and its exact *_verdict twin always occupy ADJACENT slots so
+    both land in the same round's CORRECTNESS file."""
+    from hadoop_3_3_6_spark.plans.queries import (
+        _DRIVER_REFRESH,
+        _driver_verified_rounds,
+    )
+
+    names = list(QUERIES)
+    pos = {n: i for i, n in enumerate(names)}
+    rounds = _driver_verified_rounds()
+    for n, stale in _DRIVER_REFRESH.items():
+        if n in QUERIES and rounds.get(n, 0) <= stale:
+            assert pos[n] < 50, f"refresh name {n} outside the driver budget"
+    for n in names:
+        if n.endswith("_verdict") and n[: -len("_verdict")] in pos:
+            base = n[: -len("_verdict")]
+            assert abs(pos[n] - pos[base]) == 1, (
+                f"companion {n} not adjacent to {base}: {pos[n]} vs {pos[base]}"
+            )

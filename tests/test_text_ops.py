@@ -501,3 +501,22 @@ def test_remove_duplicate_lines_semantics(spark):
     texts = {r.doc_id: r.text for r in df.collect()}
     for i, t in texts.items():
         assert out[i].kept_lines + out[i].cut_lines == len(t.split("\n"))
+
+
+def test_html_to_text_rejects_output_column_collision(spark):
+    """Re-extracting alongside an existing text/title/n_blocks column
+    must fail fast with a named-column ValueError instead of yielding
+    duplicate column names and ambiguous references downstream
+    (round-9 ADVICE)."""
+    import pytest
+
+    from hadoop_3_3_6_spark.functions.text import html_to_text
+
+    df = spark.createDataFrame(
+        [(1, "<p>hi</p>", "old text")], "doc_id long, html string, text string"
+    )
+    with pytest.raises(ValueError, match=r"\['text'\].*already exist"):
+        html_to_text(df, "html")
+    # renamed input extracts fine
+    ok = html_to_text(df.withColumnRenamed("text", "old_text"), "html").collect()[0]
+    assert ok.text == "hi" and ok.old_text == "old text"

@@ -1132,3 +1132,43 @@ def test_ivf_pq_candidate_count_is_list_pruned(spark, sf_dir):
     frac = cand / (n * P)
     assert cand >= P * 5          # enough candidates to rank top-5
     assert frac <= 1.8 * NPROBE / K, f"fraction {frac:.3f} not list-pruned"
+
+
+def test_rowwise_assignment_matches_with_zero_norm_centroid(spark):
+    """The bit-identical-ties claim under NULL scores (round-9 ADVICE):
+    a zero-norm centroid makes round(cos, 6) NULL, which array_min
+    would sort FIRST (always wins) while max_by orders it SMALLEST
+    (never wins).  With the coalesce(-2) pin the two forms must agree
+    everywhere — including the all-NULL case (a zero-norm VECTOR),
+    where both fall through to the lowest cent_id."""
+    from hadoop_3_3_6_spark.functions.similarity import (
+        assign_clusters,
+        assign_clusters_rowwise,
+    )
+
+    rows = [
+        (0, [0.0, 0.0]),            # zero-norm CENTROID (id < k seeds it)
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (10, [0.9, 0.1]),           # nearest real centroid: 1
+        (11, [0.1, 0.9]),           # nearest real centroid: 2
+        (12, [-1.0, -1.0]),         # negative cosines everywhere
+        (13, [0.0, 0.0]),           # zero-norm VECTOR: all scores NULL
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    grouped = {
+        r.vec_id: r.cluster_id
+        for r in assign_clusters(
+            emb, "vec_id", "embedding", centroids=cents
+        ).collect()
+    }
+    rowwise = {
+        r.vec_id: r.cluster_id
+        for r in assign_clusters_rowwise(emb, cents, "vec_id", "embedding").collect()
+    }
+    assert rowwise == grouped
+    assert rowwise[10] == 1 and rowwise[11] == 2
+    assert rowwise[10] != 0 and rowwise[12] != 0   # zero-norm centroid never wins
