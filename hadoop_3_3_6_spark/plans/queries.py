@@ -4211,6 +4211,366 @@ def q_pipeline_web_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_words", "mean_word_len", "alpha_word_frac", "stopword_hits", "keep")
 
 
+# ---------------------------------------------------------------------------
+# The capstone: the FULL pretraining corpus pipeline as ONE JobControl-
+# chained flow (VERDICT r9 task 3) — WARC -> html_to_text -> line dedup ->
+# exact dedup -> span-dedup apply -> Gopher rules -> tokenize -> token
+# shards, with per-stage survival/token accounting and a closed-form
+# end-of-chain shard-roundtrip verdict row.
+#
+# Stage order is the RefinedWeb recipe order (exact dedup BEFORE the
+# substring pass): the WARC corpus carries MIRROR pages (each 50th page is
+# also served at a second URL — the real-web duplication exact dedup
+# exists for), and running the span cut first would instead mark both
+# mirror bodies as corpus-duplicated runs and destroy BOTH copies.
+#
+# Fixture-tuned Gopher thresholds (min_words=30, min_stopword_hits=1,
+# every other threshold published): the synthetic corpus vocabulary
+# contains exactly ONE of Gopher's 8 stopwords ('the'), so the published
+# >= 2 can never pass here — threshold tuning per corpus is itself the
+# documented production practice (Rae et al. A1.1 tuned on MassiveWeb).
+_PRETRAIN_SPAN_N = 10  # Lee et al. cut LONG duplicated runs, not 3-grams
+
+_PRETRAIN_GOPHER_SQL = _GOPHER_RULES_SQL.replace(
+    "(n_words BETWEEN 50 AND 100000", "(n_words BETWEEN 30 AND 100000"
+).replace("AND stopword_hits >= 2)", "AND stopword_hits >= 1)")
+assert "BETWEEN 30 AND 100000" in _PRETRAIN_GOPHER_SQL
+assert "stopword_hits >= 1)" in _PRETRAIN_GOPHER_SQL
+
+
+@_register(
+    "pipeline_pretraining_full",
+    f"""
+    WITH pages AS (
+      SELECT doc_id, doc_id AS page_id, text FROM main.documents
+      UNION ALL
+      SELECT doc_id + 10000000, doc_id, text FROM main.documents WHERE doc_id % 50 = 0),
+    ext AS (
+      SELECT doc_id,
+             'Home | About' || chr(10) || 'Doc ' || page_id || chr(10) || text
+               || chr(10) || 'Copyright & Terms <2024> ' || chr(169) || ' Example' AS text
+      FROM pages),
+    li AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS l,
+                  unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+           FROM ext),
+    hot AS (SELECT l FROM li WHERE trim(l) <> '' GROUP BY l HAVING count(DISTINCT doc_id) >= 10),
+    ld AS (SELECT li.doc_id, string_agg(li.l, chr(10) ORDER BY li.pos) AS text
+           FROM li LEFT JOIN (SELECT l, true AS hot FROM hot) h USING (l)
+           WHERE trim(li.l) = '' OR h.hot IS NULL
+           GROUP BY li.doc_id),
+    ld_full AS (SELECT e.doc_id, coalesce(d.text, '') AS text FROM ext e LEFT JOIN ld d USING (doc_id)),
+    ed AS (SELECT f.doc_id, f.text
+           FROM ld_full f JOIN (SELECT sha256(text) AS h, min(doc_id) AS kid FROM ld_full GROUP BY 1) e
+             ON sha256(f.text) = e.h AND f.doc_id = e.kid),
+    sd_words AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words FROM ed),
+    inst AS (
+      SELECT doc_id, idx - 1 AS pos, grams[idx] AS shingle
+      FROM (SELECT doc_id,
+                   CASE WHEN len(words) >= {_PRETRAIN_SPAN_N}
+                        THEN list_transform(range(1, len(words) - {_PRETRAIN_SPAN_N} + 2),
+                                            i -> array_to_string(words[i:i+{_PRETRAIN_SPAN_N}-1], ' '))
+                        ELSE []::VARCHAR[] END AS grams
+            FROM sd_words),
+           unnest(range(1, len(grams) + 1)) AS t(idx)),
+    dpc AS (SELECT shingle FROM inst GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2),
+    marked AS (SELECT i.doc_id, i.pos FROM inst i JOIN dpc USING (shingle)),
+    runs AS (SELECT doc_id, min(pos) AS run_start, max(pos) + {_PRETRAIN_SPAN_N} - 1 AS run_end
+             FROM (SELECT doc_id, pos, pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                   FROM marked) GROUP BY doc_id, grp),
+    wp AS (SELECT doc_id, unnest(words) AS w, unnest(range(0, len(words))) AS pos FROM sd_words),
+    cut AS (SELECT DISTINCT wp.doc_id, wp.pos FROM wp JOIN runs r
+            ON r.doc_id = wp.doc_id AND wp.pos BETWEEN r.run_start AND r.run_end),
+    sd AS (SELECT wp.doc_id, string_agg(wp.w, ' ' ORDER BY wp.pos) AS text, count(*)::BIGINT AS kept
+           FROM wp ANTI JOIN cut USING (doc_id, pos) GROUP BY wp.doc_id),
+    sd_full AS (SELECT w.doc_id, coalesce(s.text, '') AS text, coalesce(s.kept, 0)::BIGINT AS kept
+                FROM sd_words w LEFT JOIN sd s USING (doc_id)),
+    documents AS (SELECT doc_id, text FROM sd_full),
+    rules AS ({_PRETRAIN_GOPHER_SQL}),
+    gk AS (SELECT r.doc_id, d.text, r.n_words FROM rules r JOIN documents d USING (doc_id) WHERE r.keep),
+    st AS (SELECT doc_id, unnest(words) AS token, unnest(range(1, len(words) + 1)) AS pos
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words FROM gk)),
+    vocab AS (SELECT token, (row_number() OVER (ORDER BY count(*) DESC, token) - 1)::BIGINT AS token_id
+              FROM st GROUP BY token),
+    ids AS (SELECT st.doc_id, list(v.token_id ORDER BY st.pos) AS ids
+            FROM st JOIN vocab v USING (token) GROUP BY st.doc_id),
+    tok AS (SELECT g.doc_id, coalesce(len(i.ids), 0)::BIGINT AS n,
+                   coalesce(list_reduce(list_prepend(0::BIGINT, i.ids),
+                                        (acc, x) -> (acc * 31 + x) % 1000000007), 0)::BIGINT AS h
+            FROM gk g LEFT JOIN ids i USING (doc_id))
+    SELECT stage, docs, tokens FROM (
+      SELECT 'extract' AS stage, count(*)::BIGINT AS docs,
+             coalesce(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))), 0)::BIGINT AS tokens
+      FROM ext
+      UNION ALL
+      SELECT 'line_dedup', count(*)::BIGINT,
+             coalesce(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))), 0)::BIGINT
+      FROM ld_full
+      UNION ALL
+      SELECT 'exact_dedup', count(*)::BIGINT,
+             coalesce(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))), 0)::BIGINT
+      FROM ed
+      UNION ALL
+      SELECT 'span_dedup', count(*)::BIGINT, coalesce(sum(kept), 0)::BIGINT FROM sd_full
+      UNION ALL
+      SELECT 'gopher', count(*)::BIGINT, coalesce(sum(n_words), 0)::BIGINT FROM gk
+      UNION ALL
+      SELECT 'tokenize_shards', count(*)::BIGINT, coalesce(sum(n), 0)::BIGINT FROM tok
+      UNION ALL
+      SELECT 'shards_verdict', 0::BIGINT, (coalesce(sum(h), 0) % 1000000007)::BIGINT FROM tok
+    )
+    """,
+)
+def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CAPSTONE: the full pretraining corpus pipeline a 100-TB user
+    ships, as a JobControl DAG across MATERIALIZING parquet boundaries
+    (the chained-MR-jobs idiom; reference JobControl.java:57,
+    MRX/Grep.java:60-96): WARC segments (with mirror-URL duplicate
+    pages) → source scan → html_to_text extraction → corpus line dedup
+    (CCNet/RefinedWeb boilerplate stage, min_df=10) → EXACT dedup
+    (keep-lowest per content digest — removes the mirrors) →
+    apply_span_dedup (Lee et al. substring cut, n=10 runs) → Gopher
+    rule filter (fixture-tuned thresholds, see _PRETRAIN_GOPHER_SQL) →
+    build_vocab tokenization → Megatron token-shard export → read-back.
+
+    Output: per-stage accounting (stage, docs, tokens) — docs surviving
+    and whitespace tokens after each stage — plus the end-of-chain
+    'shards_verdict' row, where docs = count of documents whose
+    READ-BACK shard ids differ from an in-plan re-encoding (0 = the
+    binary roundtrip is exact) and tokens = the summed per-doc
+    polynomial id fold mod 1e9+7.  The oracle replays every stage
+    relationally from the raw table (composing the SHARED Gopher SQL
+    and the span/line-surgery formulations) and pins the verdict row
+    closed-form — ONE green hash certifies WARC IO, extraction, three
+    dedup tiers, the filter, tokenization, the shard binary layout and
+    the accounting arithmetic end-to-end.
+
+    Scale shape: each stage materializes once and reads the PREVIOUS
+    stage's parquet (linear chain, no recomputation); every stage
+    keeps its operator's own 100-TB contract (extraction: one Arrow
+    stage; line dedup: one line-keyed exchange; exact dedup:
+    digest+id rows only; span cut: inverted index + id-sized
+    join-back; Gopher: shuffle-free projection; shards: one file per
+    partition).  Eager by contract (renders once per (process,
+    sf_dir)); the returned accounting plan reads the rendered stage
+    tables lazily."""
+    import tempfile
+
+    from hadoop_3_3_6_spark.functions.dedup import (
+        apply_span_dedup,
+        exact_dedup,
+        remove_duplicate_lines,
+    )
+    from hadoop_3_3_6_spark.functions.text import (
+        build_vocab,
+        gopher_quality_rules,
+        html_to_text,
+    )
+    from hadoop_3_3_6_spark.plans.jobcontrol import ControlledJob, JobControl
+    from hadoop_3_3_6_spark.sources.tokenshards import (
+        read_token_shards,
+        write_token_shards,
+    )
+    from hadoop_3_3_6_spark.sources.warc import register_warc_source
+
+    register_warc_source(spark)
+
+    def render_warc(out: str) -> None:
+        docs = load_table(spark, "documents", sf_dir).select(
+            "doc_id", _html_page_expr().alias("html")
+        )
+        # mirror pages: every 50th page is also served at a second URL
+        # with an UNCHANGED body — the duplication exact dedup exists for
+        pages = docs.select("doc_id", "html").unionByName(
+            docs.filter(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"), "html"
+            )
+        )
+
+        def write_part(rows):
+            from pyspark import TaskContext
+
+            from hadoop_3_3_6_spark.sources.warc import encode_warc
+
+            recs = [
+                {
+                    "warc_type": "response",
+                    "target_uri": f"http://example.org/page/{int(r.doc_id)}",
+                    "content_type": "text/html",
+                    "payload": r.html,
+                }
+                for r in rows
+            ]
+            if recs:
+                pid = TaskContext.get().partitionId()
+                with open(f"{out}/seg{pid:05d}.warc.gz", "wb") as f:
+                    f.write(encode_warc(recs, compress=True))
+
+        pages.foreachPartition(write_part)
+
+    warc_dir = _rendered_dir("pretrainwarc_", sf_dir, render_warc)
+
+    def _encode_ids(corpus: DataFrame, vocab: DataFrame) -> DataFrame:
+        toks = corpus.select(
+            "doc_id",
+            F.posexplode(F.expr("filter(split(text, ' '), w -> w <> '')")).alias(
+                "pos", "token"
+            ),
+        )
+        enc = (
+            toks.join(vocab, "token")
+            .groupBy("doc_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, token_id))), s -> s.token_id)"
+                ).alias("token_ids")
+            )
+        )
+        return corpus.select("doc_id").join(enc, "doc_id", "left").select(
+            "doc_id", F.coalesce("token_ids", F.expr("array()")).alias("token_ids")
+        )
+
+    key = ("pretrain_full", sf_dir)
+    if key not in _RENDER_CACHE:
+        base = tempfile.mkdtemp(prefix="pretrain_full_")
+
+        def j_extract(deps) -> DataFrame:
+            pages = (
+                spark.read.format("warc")
+                .option("record_types", "response")
+                .load(warc_dir)
+                .filter(F.col("content_type") == "text/html")
+                .select(
+                    F.regexp_extract("target_uri", r"(\d+)$", 1)
+                    .cast("bigint")
+                    .alias("doc_id"),
+                    F.decode(F.col("payload"), "UTF-8").alias("html"),
+                )
+            )
+            out = html_to_text(pages, "html").select("doc_id", "text")
+            out.write.mode("overwrite").parquet(f"{base}/s1_extract")
+            return spark.read.parquet(f"{base}/s1_extract")
+
+        def j_lines(deps) -> DataFrame:
+            out = remove_duplicate_lines(
+                deps["extract"], "text", "doc_id", min_df=10
+            ).select("doc_id", F.col("clean_text").alias("text"))
+            out.write.mode("overwrite").parquet(f"{base}/s2_lines")
+            return spark.read.parquet(f"{base}/s2_lines")
+
+        def j_exact(deps) -> DataFrame:
+            keep = exact_dedup(deps["lines"], "text", "doc_id").select(
+                F.col("keep_id").alias("doc_id")
+            )
+            out = deps["lines"].join(keep, "doc_id")
+            out.write.mode("overwrite").parquet(f"{base}/s3_exact")
+            return spark.read.parquet(f"{base}/s3_exact")
+
+        def j_spans(deps) -> DataFrame:
+            out = apply_span_dedup(
+                deps["exact"], "text", "doc_id", n=_PRETRAIN_SPAN_N, max_df=1000
+            ).select(
+                "doc_id", F.col("clean_text").alias("text"), "kept_tokens"
+            )
+            out.write.mode("overwrite").parquet(f"{base}/s4_spans")
+            return spark.read.parquet(f"{base}/s4_spans")
+
+        def j_gopher(deps) -> DataFrame:
+            sig = gopher_quality_rules(
+                deps["spans"], "text", "doc_id", min_words=30, min_stopword_hits=1
+            )
+            out = (
+                sig.filter(F.col("keep"))
+                .select("doc_id", "n_words")
+                .join(deps["spans"].select("doc_id", "text"), "doc_id")
+            )
+            out.write.mode("overwrite").parquet(f"{base}/s5_gopher")
+            return spark.read.parquet(f"{base}/s5_gopher")
+
+        def j_tokenize(deps) -> DataFrame:
+            vocab = build_vocab(deps["gopher"], "text", "doc_id").select(
+                "token", "token_id"
+            )
+            vocab.write.mode("overwrite").parquet(f"{base}/s6_vocab")
+            enc = _encode_ids(
+                deps["gopher"].select("doc_id", "text"),
+                spark.read.parquet(f"{base}/s6_vocab"),
+            )
+            write_token_shards(
+                enc.repartition(8, "doc_id"), f"{base}/shards", "doc_id", "token_ids"
+            ).collect()
+            return read_token_shards(spark, f"{base}/shards")
+
+        jc = JobControl()
+        jc.add_job(ControlledJob("extract", j_extract))
+        jc.add_job(ControlledJob("lines", j_lines, deps=["extract"]))
+        jc.add_job(ControlledJob("exact", j_exact, deps=["lines"]))
+        jc.add_job(ControlledJob("spans", j_spans, deps=["exact"]))
+        jc.add_job(ControlledJob("gopher", j_gopher, deps=["spans"]))
+        jc.add_job(ControlledJob("tokenize", j_tokenize, deps=["gopher"]))
+        jobs = jc.run()
+        failed = {
+            n: repr(j.error) for n, j in jobs.items() if j.state.value != "SUCCESS"
+        }
+        assert not failed, failed
+        _RENDER_CACHE[key] = base
+    base = _RENDER_CACHE[key]
+
+    wc = F.expr("size(filter(split(text, ' '), w -> w <> ''))").cast("bigint")
+
+    def stage_row(name: str, df: DataFrame, tokens_col=None) -> DataFrame:
+        tokens = tokens_col if tokens_col is not None else F.sum(wc)
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            F.coalesce(tokens, F.lit(0)).cast("bigint").alias("tokens"),
+        ).select(F.lit(name).alias("stage"), "docs", "tokens")
+
+    s1 = spark.read.parquet(f"{base}/s1_extract")
+    s2 = spark.read.parquet(f"{base}/s2_lines")
+    s3 = spark.read.parquet(f"{base}/s3_exact")
+    s4 = spark.read.parquet(f"{base}/s4_spans")
+    s5 = spark.read.parquet(f"{base}/s5_gopher")
+    rb = read_token_shards(spark, f"{base}/shards")
+    # the end-of-chain verdict: read-back ids vs an in-plan re-encoding
+    reenc = _encode_ids(
+        s5.select("doc_id", "text"), spark.read.parquet(f"{base}/s6_vocab")
+    ).withColumnRenamed("token_ids", "_expect")
+    verdict = (
+        rb.join(reenc, "doc_id", "full")
+        .agg(
+            F.sum(
+                F.when(F.col("token_ids").eqNullSafe(F.col("_expect")), 0).otherwise(1)
+            )
+            .cast("bigint")
+            .alias("docs"),
+            (
+                F.coalesce(
+                    F.sum(
+                        F.expr(
+                            "aggregate(token_ids, 0L, (acc, x) -> (acc * 31 + x) % 1000000007)"
+                        )
+                    ),
+                    F.lit(0),
+                )
+                % 1_000_000_007
+            )
+            .cast("bigint")
+            .alias("tokens"),
+        )
+        .select(F.lit("shards_verdict").alias("stage"), "docs", "tokens")
+    )
+    return (
+        stage_row("extract", s1)
+        .unionByName(stage_row("line_dedup", s2))
+        .unionByName(stage_row("exact_dedup", s3))
+        .unionByName(stage_row("span_dedup", s4, F.sum("kept_tokens")))
+        .unionByName(stage_row("gopher", s5, F.sum(F.col("n_words").cast("bigint"))))
+        .unionByName(
+            stage_row("tokenize_shards", rb, F.sum(F.size("token_ids").cast("bigint")))
+        )
+        .unionByName(verdict)
+    )
+
+
 @_register(
     "text_vocab",
     """
@@ -9079,6 +9439,9 @@ _DRIVER_HOLDBACK_R9 = [
     "dedup_spans_apply",
     "dedup_lines_apply",
 ]
+_DRIVER_HOLDBACK_R10 = [
+    "pipeline_pretraining_full",
+]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK
     + _DRIVER_HOLDBACK_R5
@@ -9086,6 +9449,7 @@ _DRIVER_HOLDBACK = (
     + _DRIVER_HOLDBACK_R7
     + _DRIVER_HOLDBACK_R8
     + _DRIVER_HOLDBACK_R9
+    + _DRIVER_HOLDBACK_R10
 )
 
 
