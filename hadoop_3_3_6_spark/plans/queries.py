@@ -9700,6 +9700,12 @@ _DRIVER_RECHECK = {
     # unigram oracle replica now mirrors the trainer's top
     # max_train_words truncation
     "tokenizer_unigram_apply": 10,
+    # round 10 (binary-source review, outputs identical on all
+    # fixtures): the WARC parser reassembles RFC 5322-folded header
+    # values and rejects records missing the mandatory Content-Length;
+    # the MMIDIDX reader names its integer-only dtype contract
+    "warc_source_scan": 10,
+    "token_shards_roundtrip": 10,
 }
 
 # Freshness pulls — NOT changed queries: standing verdicts whose

@@ -73,6 +73,14 @@ def decode_idx(payload: bytes):
     if version != 1:
         raise ValueError(f"unsupported MMIDIDX version {version}")
     code, = struct.unpack_from("<B", payload, 17)
+    if code not in _DTYPES:
+        # codes 6/7 are float32/float64 in the public registry — valid
+        # MMIDIDX, but not token-id data; name the contract instead of
+        # surfacing a bare KeyError (round-10 binary-source review)
+        raise ValueError(
+            f"MMIDIDX dtype code {code} is not an integer token dtype; "
+            f"this reader supports codes {sorted(_DTYPES)}"
+        )
     dtype = _DTYPES[code]
     n_seq, = struct.unpack_from("<Q", payload, 18)
     n_doc, = struct.unpack_from("<Q", payload, 26)

@@ -134,14 +134,31 @@ def iter_warc_records(stream, permissive: bool = False):
                 return
             raise ValueError(f"not a WARC record header: {line[:40]!r}")
         headers: dict[str, str] = {}
+        last_key: str | None = None
         while True:
             hl = stream.readline()
             if hl in (b"\r\n", b"\n", b""):
                 break
-            k, _, v = hl.decode("utf-8", "replace").partition(":")
-            headers[k.strip().lower()] = v.strip()
+            text = hl.decode("utf-8", "replace")
+            # ISO 28500 §4 named-field format follows RFC 5322 folding:
+            # a line starting with SP/HT continues the PREVIOUS field's
+            # value (long URIs fold in real crawls); parsing it as a new
+            # field would both corrupt that header and invent a bogus key
+            if text[:1] in (" ", "\t") and last_key is not None:
+                headers[last_key] = (headers[last_key] + " " + text.strip()).strip()
+                continue
+            k, _, v = text.partition(":")
+            last_key = k.strip().lower()
+            headers[last_key] = v.strip()
+        if "content-length" not in headers:
+            # Content-Length is mandatory (ISO 28500 §5.3): without it
+            # the record cannot be framed and the "block" would be parsed
+            # as the next record's header — fail loudly, don't guess 0
+            if permissive:
+                return
+            raise ValueError("WARC record missing mandatory Content-Length")
         try:
-            n = int(headers.get("content-length", "0"))
+            n = int(headers["content-length"])
         except ValueError:
             if permissive:
                 return

@@ -159,9 +159,17 @@ def streaming_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming dedup on event_id within the watermark
-    (dropDuplicates — the reference's nearest concept is identity
-    reduce on key); returns per-type distinct counts."""
+    """Stateful streaming dedup on event_id via plain
+    ``dropDuplicates`` (the reference's nearest concept is identity
+    reduce on key); returns per-type distinct counts.  NOTE the state
+    contract (round-10 review fix — the old docstring claimed "within
+    the watermark"): with the event-time column absent from the dedup
+    keys, plain dropDuplicates state is NEVER evicted regardless of
+    the upstream watermark — key state grows with distinct-key
+    cardinality.  That is the correct tool for a bounded replay like
+    this query; for unbounded streams use
+    :func:`streaming_dedup_within_watermark`, whose state is bounded
+    by the watermark delay."""
     stream = _event_stream(spark, sf_dir)
     deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))

@@ -176,3 +176,57 @@ def test_avro_reader_single_split_small_file(spark, tmp_path):
     back = read_avro(spark, out)  # default 32 MB split ≫ file size
     assert back.rdd.getNumPartitions() == 1
     assert {(r.id, r.s) for r in back.collect()} == {(i, f"v{i}") for i in range(50)}
+
+
+def test_avro_split_ownership_at_exact_block_boundaries():
+    """Round-10 binary-source review pin (DataFileReader.sync
+    semantics): a split whose start lands EXACTLY on a block boundary
+    (= one byte past the previous block's sync) owns the block that
+    starts there; a split ending exactly there does not re-read it;
+    and a start landing mid-sync resolves to the same boundary.
+    Exercised by calling the reader on hand-chosen byte ranges."""
+    import hashlib
+
+    from hadoop_3_3_6_spark.sources.avro_io import (
+        AvroReader,
+        _AvroSplit,
+        encode_container_block,
+        encode_container_header,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    sync = hashlib.md5(b"spark-graft-avro:boundary-test").digest()
+    header = encode_container_header(schema, "null", sync)
+    blocks = [
+        encode_container_block([(i,) for i in range(k * 10, k * 10 + 10)], ["long"], "null", sync)
+        for k in range(3)
+    ]
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "b.avro")
+    with open(path, "wb") as f:
+        f.write(header + b"".join(blocks))
+    hlen = len(header)
+    e1 = hlen + len(blocks[0])
+    e2 = e1 + len(blocks[1])
+    e3 = e2 + len(blocks[2])
+
+    rdr = AvroReader({"path": path})
+
+    def ids(start, end):
+        out = []
+        for rb in rdr.read(_AvroSplit(path, start, end)):
+            out += rb.column(0).to_pylist()
+        return out
+
+    assert ids(0, e3) == list(range(30))          # whole file
+    assert ids(0, e1) == list(range(10))          # ends exactly at boundary
+    assert ids(e1, e3) == list(range(10, 30))     # starts exactly at boundary
+    assert ids(e1, e2) == list(range(10, 20))     # one interior block
+    assert ids(e1 - 8, e2) == list(range(10, 20)) # start mid-sync -> same boundary
+    assert ids(0, e1) + ids(e1, e2) + ids(e2, e3) == list(range(30))  # 3-way, exactly once

@@ -496,3 +496,20 @@ def test_token_shards_int64_reads_losslessly(spark, tmp_path):
     assert dict(rb.dtypes)["token_ids"] == "array<bigint>"
     back = {r.doc_id: list(r.token_ids) for r in rb.collect()}
     assert back == {i: ids for i, ids in rows}
+
+
+def test_mmididx_float_dtype_code_fails_actionably():
+    """Round-10 binary-source review: codes 6/7 (float32/float64) are
+    valid MMIDIDX dtypes in the public registry but not token-id data —
+    the reader must name its integer-only contract, not KeyError."""
+    import struct
+
+    import pytest
+
+    from hadoop_3_3_6_spark.sources.tokenshards import decode_idx, encode_idx
+
+    payload = bytearray(encode_idx([3, 2]))
+    assert struct.unpack_from("<B", payload, 17)[0] == 4  # int32 written
+    payload[17] = 6  # float32 per the public registry
+    with pytest.raises(ValueError, match="dtype code 6"):
+        decode_idx(bytes(payload))

@@ -302,3 +302,45 @@ def test_warc_stream_offsets_survive_producer_deletion(spark, tmp_path):
     uris = {r.target_uri for r in rows}
     # BOTH post-deletion segments arrived (count offsets would drop one)
     assert "http://a/0" in uris and "http://b/0" in uris
+
+
+def test_warc_folded_header_and_missing_content_length():
+    """ISO 28500 §4/§5.3 conformance (round-10 binary-source review):
+    a header value folded across lines (leading SP/HT, RFC 5322 style)
+    reassembles into ONE value instead of corrupting the header map
+    with a bogus key; a record missing the mandatory Content-Length
+    raises in strict mode (guessing 0 would mis-frame the stream) and
+    cleanly ends the stream in permissive mode."""
+    import io
+
+    import pytest
+
+    folded = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:1>\r\n"
+        b"WARC-Target-URI: http://example.org/very/long\r\n"
+        b"\tpath/continues/here\r\n"
+        b"Content-Length: 2\r\n"
+        b"\r\n"
+        b"ok\r\n\r\n"
+    )
+    recs = list(iter_warc_records(io.BytesIO(folded)))
+    assert len(recs) == 1
+    headers, block = recs[0]
+    assert headers["warc-target-uri"] == "http://example.org/very/long path/continues/here"
+    assert "path/continues/here" not in {k for k in headers}  # no bogus key
+    assert block == b"ok"
+
+    missing = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:2>\r\n"
+        b"\r\n"
+        b"body\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(iter_warc_records(io.BytesIO(missing)))
+    good_then_missing = folded + missing
+    kept = list(iter_warc_records(io.BytesIO(good_then_missing), permissive=True))
+    assert len(kept) == 1 and kept[0][1] == b"ok"
