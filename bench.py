@@ -202,6 +202,14 @@ HEADLINE = [
     "similarity_pq_incremental",
     "dedup_spans_apply",
     "dedup_lines_apply",
+    # round-10: the capstone pretraining chain (JobControl DAG across
+    # materialized stage tables; min-of-2 times the accounting plan,
+    # the render is cached per process), its streaming twin, and the
+    # two storage verdict rows upgraded from test-only coverage
+    "pipeline_pretraining_full",
+    "pipeline_web_streaming",
+    "bloommapfile_point_skip",
+    "lazyoutput_empty_parts",
 ]
 
 
@@ -943,6 +951,19 @@ SF1_QUERIES = [
     # test_ivf_pq_candidate_count_is_list_pruned (measured 0.246 of
     # full-scan at nprobe/K = 0.25).
     "similarity_ivf_pq_topk",
+    # round-10 (VERDICT r9 task 6): scale rows for the r9 newcomers —
+    # the WARC -> extract -> rules chain (record streaming + one Arrow
+    # stage, linear in corpus bytes; the rendered corpus is cached per
+    # (process, sf_dir) and min-of-2 excludes the render), the span
+    # apply-the-cut (inverted index + id-sized join-back; the vowel
+    # permutation keeps duplicated shingles within-copy so work is
+    # linear in copies), and the line dedup whose ONE line-keyed
+    # exchange is the deliberately-hot-key stage to watch under skew
+    # (the per-source NAV headers get 10x hotter at sf1 by design —
+    # exactly the boilerplate concentration a real crawl shows).
+    "pipeline_web_e2e",
+    "dedup_spans_apply",
+    "dedup_lines_apply",
 ]
 _SF1_SCALED = {"orders", "lineitem", "events", "documents", "embeddings", "part"}
 # Each scaled table's columns map to the OFFSET-SOURCE table whose key
@@ -1163,6 +1184,14 @@ SF3_QUERIES = {
     # and training all linear in N (see the _SF1 list note for the
     # K ∝ sqrt(N) policy this fixed-K run upper-bounds)
     "similarity_ivf_pq_topk": 1.0,
+    # round-10: the r9 newcomers, all designed-linear — WARC record
+    # streaming + per-row Arrow extraction; span cut's inverted index
+    # (within-copy duplicates only under the vowel permutation) with
+    # id-sized join-back; line dedup's single line-keyed exchange
+    # (hot boilerplate keys grow in COUNT-PER-KEY, not key work)
+    "pipeline_web_e2e": 1.0,
+    "dedup_spans_apply": 1.0,
+    "dedup_lines_apply": 1.0,
 }
 
 
