@@ -9723,6 +9723,21 @@ _DRIVER_REFRESH = {
     "archive_restore_scan": 4,
     "db_range_split_scan": 4,
     "codec_gzip_scan": 4,
+    # the five approximate-tier pairs re-sync in one file (VERDICT r9
+    # task 2: companions drifted up to two rounds behind their fast
+    # rows — e.g. sketch_bloom_prefilter_fast r9 vs its _verdict r7);
+    # the adjacency rule in _reorder_for_driver keeps each pair in
+    # the same round's CORRECTNESS file from here on
+    "sketch_bloom_prefilter_fast": 9,
+    "sketch_bloom_prefilter_fast_verdict": 9,
+    "dedup_minhash_fast": 9,
+    "dedup_minhash_fast_verdict": 9,
+    "similarity_lsh_topk_fast": 9,
+    "similarity_lsh_topk_fast_verdict": 9,
+    "approx_distinct_suppliers": 9,
+    "approx_distinct_suppliers_verdict": 9,
+    "approx_quantiles_lineitem": 9,
+    "approx_quantiles_lineitem_verdict": 9,
 }
 
 _DRIVER_HOLDBACK_R5 = [
