@@ -366,6 +366,10 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "similarity_lsh_topk_fast_verdict",
         # combine job: 1-row totals x 1-row long-word stats
         "jobcontrol_word_pipeline",
+        # round-10 streaming twin: 1-row streamed-count aggregate x
+        # 1-row digest-set verdict aggregate — the same scalar-combine
+        # cross as jobcontrol_word_pipeline
+        "pipeline_web_streaming",
     }
     # Arrow-batched Python stages are allowed only where Python IS the
     # semantics (multimodal codecs, secondary-sort carry, pandas UDAF,
@@ -401,6 +405,12 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         "tokenizer_unigram_apply",
         "text_html_extract",  # HTML parsing IS the semantics (codec tier)
         "pipeline_web_e2e",  # WARC PythonDataSource + the HTML parse stage
+        # round-10: the capstone's accounting plan reads token shards
+        # back (MapInPandas shard decode — binary IO IS the semantics);
+        # the streaming twin's one-shot verdict side re-runs the HTML
+        # parse stage (ArrowEvalPython) over the batch WARC read
+        "pipeline_pretraining_full",
+        "pipeline_web_streaming",
     }
     python_nodes = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "PythonDataSource")
     offenders = {}
