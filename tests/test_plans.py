@@ -465,7 +465,14 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     "routed_outputs_scan",
                     "pipeline_web_e2e",  # renders its WARC corpus at construction
                     # index build + availableNow maintenance stream at construction
-                    "similarity_pq_incremental"}
+                    "similarity_pq_incremental",
+                    # round-10 eager-by-contract rows: the capstone runs
+                    # its JobControl DAG at construction; the streaming
+                    # twin runs its two checkpointed stream phases; the
+                    # two storage verdict rows render artifacts and
+                    # compute their scan/footer metrics
+                    "pipeline_pretraining_full", "pipeline_web_streaming",
+                    "bloommapfile_point_skip", "lazyoutput_empty_parts"}
     }
     lazy = [n for n in QUERIES if n not in eager_by_contract]
     # Warm pass: pays the one-time parquet schema-inference jobs that
