@@ -886,3 +886,41 @@ def test_driver_rotation_refresh_and_companion_pairing():
             assert abs(pos[n] - pos[base]) == 1, (
                 f"companion {n} not adjacent to {base}: {pos[n]} vs {pos[base]}"
             )
+
+
+def test_pretraining_full_stage_conservation(spark):
+    """The capstone chain's accounting invariants, independent of the
+    DuckDB oracle (fast structural pin at sf0.001): monotone token
+    survival through the cut stages, doc conservation where stages
+    only rewrite, exact mirror-count removal at exact dedup, token
+    identity between the gopher survivors and the shards read-back,
+    and a zero-mismatch shard roundtrip verdict."""
+    rows = {
+        r["stage"]: (r["docs"], r["tokens"])
+        for r in QUERIES["pipeline_pretraining_full"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    from hadoop_3_3_6_spark.session import load_table
+
+    n_docs = load_table(spark, "documents", "/root/testdata/sf0.001").count()
+    n_mirrors = (
+        load_table(spark, "documents", "/root/testdata/sf0.001")
+        .filter("doc_id % 50 = 0")
+        .count()
+    )
+    assert rows["extract"][0] == n_docs + n_mirrors
+    assert rows["line_dedup"][0] == rows["extract"][0]   # rewrite, not drop
+    assert rows["exact_dedup"][0] == n_docs              # mirrors removed exactly
+    assert rows["span_dedup"][0] == rows["exact_dedup"][0]
+    assert rows["gopher"][0] <= rows["span_dedup"][0]
+    # monotone token survival through every cutting stage
+    assert (
+        rows["extract"][1]
+        >= rows["line_dedup"][1]
+        >= rows["span_dedup"][1]
+        >= rows["gopher"][1]
+    )
+    # every surviving token reaches the shards (vocab covers survivors)
+    assert rows["tokenize_shards"] == (rows["gopher"][0], rows["gopher"][1])
+    assert rows["shards_verdict"][0] == 0                # zero roundtrip mismatches
