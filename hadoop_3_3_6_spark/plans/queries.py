@@ -9706,6 +9706,11 @@ _DRIVER_RECHECK = {
     # the MMIDIDX reader names its integer-only dtype contract
     "warc_source_scan": 10,
     "token_shards_roundtrip": 10,
+    # round 10 (review fix, verdict values identical): teravalidate
+    # now checks EVERY record's order per partition (the
+    # TeraValidate.java record-level contract) instead of trusting
+    # the sort operator's within-partition guarantee
+    "terasort_validate": 10,
 }
 
 # Freshness pulls — NOT changed queries: standing verdicts whose

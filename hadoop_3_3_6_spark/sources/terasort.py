@@ -52,29 +52,65 @@ def terachecksum(df: DataFrame) -> int:
 
 
 def teravalidate(sorted_df: DataFrame, input_checksum: int) -> Row:
-    """TeraValidate: (1) keys globally non-decreasing — checked
-    distributed via per-partition (first, last, is_locally_sorted) then
-    a tiny driver-side boundary scan; (2) checksum equality."""
-    part_stats = (
-        sorted_df.select("key", F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .agg(
-            F.min("key").alias("first_key"),
-            F.max("key").alias("last_key"),
-            F.count(F.lit(1)).alias("rows"),
-        )
-        .orderBy("pid")
-        .collect()
+    """TeraValidate: (1) keys globally non-decreasing, checked the way
+    TeraValidate.java:63-126 checks its output files — EVERY record in
+    partition-iteration order (one Arrow-batched fold per partition
+    carrying first/last/sorted across batch boundaries; pandas'
+    lexicographic string compare equals Spark's binary UTF8 ordering
+    on these ASCII hex keys), then a tiny driver-side scan over the
+    per-partition boundaries; (2) checksum equality (content
+    preservation).  Round-10 review fix: the previous form trusted
+    within-partition order ("guaranteed by the sort") — true of
+    Spark's sort operator, but the reference's validator checks the
+    records, not the operator contract, and so does this one now."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        first = last = None
+        ok = True
+        n = 0
+        for pdf in batches:
+            keys = pdf["key"]
+            if len(keys) == 0:
+                continue
+            if first is None:
+                first = keys.iloc[0]
+            if last is not None and keys.iloc[0] < last:
+                ok = False
+            if not keys.is_monotonic_increasing:
+                ok = False
+            last = keys.iloc[-1]
+            n += len(keys)
+        if n:
+            yield pd.DataFrame(
+                {
+                    "pid": [pid],
+                    "first_key": [first],
+                    "last_key": [last],
+                    "rows": [n],
+                    "locally_sorted": [ok],
+                }
+            )
+
+    part_stats = sorted(
+        sorted_df.select("key").mapInPandas(
+            check,
+            "pid int, first_key string, last_key string, rows long, locally_sorted boolean",
+        ).collect(),
+        key=lambda r: r["pid"],
     )
-    globally_sorted = True
+    globally_sorted = all(r["locally_sorted"] for r in part_stats)
     prev_last = None
     for r in part_stats:
         if prev_last is not None and r["first_key"] < prev_last:
             globally_sorted = False
             break
         prev_last = r["last_key"]
-    # within-partition order is guaranteed by the sort; cross-check the
-    # checksum invariant (content preservation)
     out_checksum = terachecksum(sorted_df)
     return Row(
         rows=sum(r["rows"] for r in part_stats),

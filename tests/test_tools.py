@@ -1172,3 +1172,33 @@ def test_rowwise_assignment_matches_with_zero_norm_centroid(spark):
     assert rowwise == grouped
     assert rowwise[10] == 1 and rowwise[11] == 2
     assert rowwise[10] != 0 and rowwise[12] != 0   # zero-norm centroid never wins
+
+
+def test_teravalidate_detects_out_of_order_records(spark):
+    """The faithful record-level validator (round-10 review): an
+    UNSORTED frame must fail globally_sorted even when every
+    partition's min/max ranges happen not to overlap — the case the
+    old per-partition min/max check could never catch."""
+    from hadoop_3_3_6_spark.sources.terasort import (
+        teragen,
+        terachecksum,
+        terasort,
+        teravalidate,
+    )
+
+    gen = teragen(spark, 5000, partitions=4)
+    cksum = terachecksum(gen)
+    good = teravalidate(terasort(gen), cksum)
+    assert good.globally_sorted and good.checksum_match and good.rows == 5000
+    # shuffle WITHIN partitions but keep the global range structure:
+    # sort, then reverse each partition's rows (ranges still disjoint)
+    import pandas as pd
+
+    def rev(batches):
+        for pdf in batches:
+            yield pdf.iloc[::-1]
+
+    scrambled = terasort(gen).mapInPandas(rev, "key string, value string")
+    bad = teravalidate(scrambled, cksum)
+    assert not bad.globally_sorted          # record-level check catches it
+    assert bad.checksum_match               # content untouched
