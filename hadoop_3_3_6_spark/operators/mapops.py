@@ -56,14 +56,28 @@ def token_counter(df: DataFrame, text_col: str, out_col: str = "word", sep: str 
 # of single field indices and ranges over separator-split fields, e.g.
 # "4,3,0,1-3,7-" where "a-b" is the closed range [a,b] and "a-" means
 # "field a through the last field".  Indices are 0-based.
+#
+# Reference-exact semantics (round-10 conformance review of
+# FieldSelectionHelper.extractFields/selectFields):
+# - an empty range START means 0 ("-5" == "0-5", "-" == "0-");
+# - of multiple open ranges the LAST one wins (extractFields keeps
+#   overwriting allFieldsFrom), and in a key:value spec the KEY side's
+#   open range is parsed but DISCARDED (parseOutputKeyValueSpec drops
+#   extractFields' return value for the key list — the javadoc's "open
+#   range applies value fields only");
+# - an out-of-range index contributes an EMPTY slot: selectFields
+#   appends the separator unconditionally per selected index, so
+#   "0,7,1" over a 3-field row yields "f0<sep><sep>f1" — the missing
+#   field keeps its position;
+# - a closed range enumerates its indices (each possibly empty), and a
+#   reversed range (5-2) enumerates nothing.
 
 
 def parse_field_spec(spec: str) -> list[tuple[int, int | None]]:
-    """Parse a field-selection spec into (start, end_inclusive|None) pairs.
-
-    ``None`` end means open range ("through last field").  A single
-    index i becomes (i, i).
-    """
+    """Parse a field-selection spec into (start, end_inclusive|None)
+    pairs in spec order.  ``None`` end means open range ("through last
+    field"); a single index i becomes (i, i); an empty start means 0
+    (extractFields substitutes "0" — "-5" and "-" are legal specs)."""
     out: list[tuple[int, int | None]] = []
     for piece in spec.split(","):
         piece = piece.strip()
@@ -71,7 +85,7 @@ def parse_field_spec(spec: str) -> list[tuple[int, int | None]]:
             continue
         if "-" in piece:
             lo_s, hi_s = piece.split("-", 1)
-            lo = int(lo_s)
+            lo = int(lo_s) if lo_s else 0
             out.append((lo, int(hi_s) if hi_s else None))
         else:
             i = int(piece)
@@ -91,7 +105,9 @@ def field_selection(
 
     Compiles the spec to a pure ``select`` over ``split()`` slices —
     the reference's FieldSelectionMapper.java:61 re-joined selected
-    fields with the separator, reproduced here with concat_ws.
+    fields with the separator, reproduced here with concat_ws.  Open
+    ranges are honored (the VALUE-spec rule; use field_selection_kv
+    for the key:value contract where the key side ignores them).
     """
     return df.select(F.expr(_spec_sql(text_col, spec, sep, out_sep)).alias(out_col))
 
@@ -105,28 +121,45 @@ def field_selection_kv(
 ) -> DataFrame:
     """The full FieldSelectionMapper contract: ``keySpec:valueSpec``
     (FieldSelectionHelper.java:27-56 — e.g. ``6,5,1-3:0-``) producing
-    (key, value) columns, each a separator-joined projection."""
+    (key, value) columns, each a separator-joined projection.  Per
+    parseOutputKeyValueSpec, an open range on the KEY side is parsed
+    but has no effect."""
     if ":" not in spec:
         raise ValueError(f"key:value spec expected, got {spec!r}")
     key_spec, value_spec = spec.split(":", 1)
     return df.select(
-        F.expr(_spec_sql(text_col, key_spec, sep, out_sep)).alias("key"),
+        F.expr(_spec_sql(text_col, key_spec, sep, out_sep, open_ranges=False)).alias("key"),
         F.expr(_spec_sql(text_col, value_spec, sep, out_sep)).alias("value"),
     )
 
 
-def _spec_sql(text_col: str, spec: str, sep: str, out_sep: str) -> str:
+def _spec_sql(
+    text_col: str, spec: str, sep: str, out_sep: str, open_ranges: bool = True
+) -> str:
+    """Compile a field spec to one SQL expression with selectFields'
+    exact output shape: one slot per selected index (empty when the
+    row has no such field), then the single winning open-range tail
+    (omitted entirely when it selects nothing — matching the
+    trailing-separator strip)."""
     esc = _regex_escape(sep)
-    parts = []
+    arr = f"split({text_col}, '{esc}')"
+    parts: list[str] = []
+    all_fields_from: int | None = None
     for lo, hi in parse_field_spec(spec):
         if hi is None:
-            parts.append(
-                f"array_join(slice(split({text_col}, '{esc}'), {lo + 1}, size(split({text_col}, '{esc}'))), '{out_sep}')"
-            )
-        elif hi == lo:
-            parts.append(f"element_at(split({text_col}, '{esc}'), {lo + 1})")
-        else:
-            parts.append(f"array_join(slice(split({text_col}, '{esc}'), {lo + 1}, {hi - lo + 1}), '{out_sep}')")
+            all_fields_from = lo  # last open range wins
+            continue
+        for i in range(lo, hi + 1):  # reversed ranges enumerate nothing
+            # empty-slot rule: out-of-range keeps its separator position
+            parts.append(f"coalesce(element_at({arr}, {i + 1}), '')")
+    if open_ranges and all_fields_from is not None:
+        tail_n = f"size({arr}) - {all_fields_from}"
+        parts.append(
+            f"CASE WHEN {tail_n} > 0 THEN "
+            f"array_join(slice({arr}, {all_fields_from + 1}, {tail_n}), '{out_sep}') END"
+        )
+    if not parts:
+        return "''"
     return "concat_ws('{0}', {1})".format(out_sep, ", ".join(parts))
 
 

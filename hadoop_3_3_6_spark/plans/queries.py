@@ -9711,6 +9711,11 @@ _DRIVER_RECHECK = {
     # TeraValidate.java record-level contract) instead of trusting
     # the sort operator's within-partition guarantee
     "terasort_validate": 10,
+    # round 10 (conformance review, registered-spec outputs identical):
+    # the field-selection DSL now matches FieldSelectionHelper exactly
+    # (out-of-range empty slots, key-side open ranges ignored, last
+    # open range wins, empty range start = 0)
+    "fieldsel": 10,
 }
 
 # Freshness pulls — NOT changed queries: standing verdicts whose

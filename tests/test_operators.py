@@ -687,3 +687,33 @@ def test_skip_bad_and_audit_count_null_predicates(spark):
 
     audit = {r.check: r for r in audit_checks(df, {"qty_nonneg": F.col("qty") >= 0}).collect()}
     assert audit["qty_nonneg"].n_bad == 2 and not audit["qty_nonneg"].passed
+
+
+def test_field_selection_reference_exact_semantics(spark):
+    """Round-10 conformance review vs FieldSelectionHelper.java
+    (extractFields/selectFields/parseOutputKeyValueSpec):
+    (a) an out-of-range index keeps its separator slot (empty field);
+    (b) the KEY side of a key:value spec IGNORES open ranges;
+    (c) of several open ranges the LAST wins;
+    (d) an empty range start means 0 ('-1' == '0-1');
+    (e) a reversed range enumerates nothing."""
+    from hadoop_3_3_6_spark.operators.mapops import (
+        field_selection,
+        field_selection_kv,
+    )
+
+    df = spark.createDataFrame([("a\tb\tc",)], "line string")
+
+    def sel(spec):
+        return field_selection(df, "line", spec).collect()[0].selected
+
+    assert sel("0,7,1") == "a\t\tb"          # (a) empty slot preserved
+    assert sel("0-4") == "a\tb\tc\t\t"       # (a) range slots preserved
+    assert sel("-1") == "a\tb"               # (d)
+    assert sel("0-,2-") == "c"               # (c) last open range wins
+    assert sel("2-0") == ""                  # (e)
+    kv = field_selection_kv(df, "line", "2,0-:1").collect()[0]
+    assert kv.key == "c"                     # (b) key-side '0-' ignored
+    assert kv.value == "b"
+    kv2 = field_selection_kv(df, "line", "1:0-").collect()[0]
+    assert kv2.key == "b" and kv2.value == "a\tb\tc"
