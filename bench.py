@@ -210,6 +210,10 @@ HEADLINE = [
     "pipeline_web_streaming",
     "bloommapfile_point_skip",
     "lazyoutput_empty_parts",
+    # round-10: the CCNet/LLaMA-style quality classifier (training is
+    # cached per process; the benched plan is the shuffle-free scoring
+    # projection)
+    "pipeline_quality_classifier",
 ]
 
 

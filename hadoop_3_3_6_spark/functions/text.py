@@ -1183,3 +1183,192 @@ def html_to_text(
     return df.select(
         "*", _extract(F.col(html_col)).alias("_x")
     ).select("*", "_x.title", "_x.text", "_x.n_blocks").drop("_x")
+
+
+# --- fasttext-style linear quality classifier -----------------------------
+# The "gold vs crawl" quality-classifier stage of the CCNet / LLaMA
+# pretraining recipes: a linear (logistic) model over hashed bag-of-words
+# features, trained on a labeled split (wikipedia-like = 1, raw crawl = 0)
+# and applied corpus-wide as a keep/score signal.  This is fastText's
+# supervised model at wordNgrams=1 minus the embedding layer — the
+# published ablations show the linear head carries almost all of the
+# quality signal at this task shape.
+
+QC_SIGMOID_BINS = 512
+QC_SIGMOID_RANGE = 8.0
+
+
+def qc_sigmoid_table_micro() -> list[int]:
+    """fastText's precomputed sigmoid lookup (src/utils — the
+    SIGMOID_TABLE_SIZE device), quantized to integer micro-units over
+    bin MIDPOINTS of [-8, 8].  The distributed path never evaluates a
+    transcendental: JVM, DuckDB and any python replica read the SAME
+    integer table, so scores are bit-identical across engines (libm
+    exp() differs by ulps between runtimes — the table removes it from
+    the exactness surface entirely)."""
+    import math
+
+    step = 2 * QC_SIGMOID_RANGE / QC_SIGMOID_BINS
+    return [
+        round(1_000_000 / (1 + math.exp(QC_SIGMOID_RANGE - (i + 0.5) * step)))
+        for i in range(QC_SIGMOID_BINS)
+    ]
+
+
+def qc_bucket_expr(tok_sql: str, buckets: int) -> str:
+    """Portable feature hash: pmod of the md5-ring 60-bit hash — the
+    same cross-engine device the minhash family uses."""
+    from hadoop_3_3_6_spark.functions.dedup import portable_hash_expr
+
+    salted = f"concat('qc1:', {tok_sql})"
+    return f"pmod({portable_hash_expr(salted)}, {buckets})"
+
+
+def _qc_features(df: DataFrame, text_col: str, id_col: str, buckets: int) -> DataFrame:
+    """(id, bucket) BINARY hashed unigram presence features plus the
+    always-on bias feature (bucket == ``buckets``) — set-of-words
+    logistic regression, the formulation that keeps every quantity in
+    the training loop a plain integer (dots are sums of weights over a
+    doc's distinct buckets; no count scaling, no division anywhere).
+    ONE corpus-sized exchange, built once and reused by every training
+    iteration."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")).alias("t"),
+    )
+    feats = (
+        toks.select(F.col(id_col), F.expr(qc_bucket_expr("t", buckets)).alias("bucket"))
+        .distinct()
+    )
+    bias = df.select(F.col(id_col), F.lit(buckets).cast("bigint").alias("bucket"))
+    return feats.select(
+        F.col(id_col), F.col("bucket").cast("bigint")
+    ).unionByName(bias)
+
+
+def _qc_sig_idx_sql(dot_col: str) -> str:
+    """All-integer sigmoid-table index: clamp(((dot + R) * BINS) div 2R)
+    with everything in micro-units — no float touches the index."""
+    r_micro = int(QC_SIGMOID_RANGE * 1_000_000)
+    return (
+        f"least(greatest(cast((({dot_col} + {r_micro}) * {QC_SIGMOID_BINS}) "
+        f"div {2 * r_micro} as int), 0), {QC_SIGMOID_BINS - 1})"
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+    iters: int = 5,
+    lr: float = 0.5,
+) -> list[int]:
+    """Full-batch logistic regression over hashed unigram counts;
+    returns the weight vector in integer micro-units (length
+    ``buckets + 1``, bias last).
+
+    Distribution contract (the BPE/unigram/Lloyd discipline): the
+    corpus pass is ONE cached (id, bucket, cnt) feature exchange; each
+    iteration runs two aggregates over it (per-doc dots, per-bucket
+    gradients) and the driver state is exactly ``buckets + 1``
+    integers.  At 100 TB the feature build dominates and distributes;
+    iterations re-scan the cached columnar feature table.
+
+    Exactness: per-doc dots are integer sums of w_micro x cnt; the
+    logistic response is the shared integer sigmoid TABLE (index
+    arithmetic all-integer, :func:`qc_sigmoid_table_micro`); per-doc
+    residuals are exact integer micro-units (table value minus
+    y x 1e6); gradients are integer sums accumulated in decimal(38,0)
+    (order-independent, overflow-proof at any corpus size); the driver
+    update rounds an exact integer ratio.  An independent replica
+    reproduces every weight bit-for-bit."""
+    table = qc_sigmoid_table_micro()
+    feats = _qc_features(df, text_col, id_col, buckets).persist()
+    labels = df.select(
+        F.col(id_col), (F.col(label_col).cast("bigint") * 1_000_000).alias("_y_micro")
+    )
+    n_docs = df.count()
+    w = [0] * (buckets + 1)
+    table_arr = "array(" + ",".join(str(v) for v in table) + ")"
+    try:
+        for _ in range(iters):
+            w_arr = "array(" + ",".join(str(x) + "L" for x in w) + ")"
+            dots = feats.groupBy(id_col).agg(
+                F.sum(F.expr(f"element_at({w_arr}, cast(bucket as int) + 1)")).alias("_dot")
+            )
+            resid = dots.join(labels, id_col).select(
+                F.col(id_col),
+                (
+                    F.expr(f"element_at({table_arr}, {_qc_sig_idx_sql('_dot')} + 1)")
+                    - F.col("_y_micro")
+                ).alias("_r_micro"),
+            )
+            grad_rows = (
+                feats.join(resid, id_col)
+                .groupBy("bucket")
+                .agg(F.sum(F.col("_r_micro").cast("decimal(38,0)")).alias("_g"))
+                .collect()
+            )
+            grad = {int(r["bucket"]): int(r["_g"]) for r in grad_rows}
+            w = [
+                w[b] - round(lr * grad.get(b, 0) / n_docs)
+                for b in range(buckets + 1)
+            ]
+    finally:
+        feats.unpersist()
+    return w
+
+
+def apply_quality_classifier(
+    df: DataFrame,
+    w_micro: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score documents with a trained weight vector: (id, *keep_cols,
+    score, predicted).  Pure per-row HOF projection — the weight array
+    and sigmoid table ride the plan as literals, the corpus never
+    shuffles, and scoring fuses into the scan (the Gopher-rules scale
+    shape).  score = table[idx(dot)] / 1e6 rounded to 6 dp; predicted
+    = score >= 0.5."""
+    buckets = len(w_micro) - 1
+    w_arr = "array(" + ",".join(str(x) + "L" for x in w_micro) + ")"
+    table_arr = "array(" + ",".join(str(v) for v in qc_sigmoid_table_micro()) + ")"
+    df = spread_for_compute(df, id_col)
+    # the bucket array is materialized behind a generator barrier so
+    # the per-distinct-bucket count filter re-reads a plain attribute
+    # instead of re-hashing every token per bucket (HOFs have no CSE)
+    staged = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.explode(
+            F.array(
+                F.struct(
+                    F.expr(
+                        f"transform(filter(split({text_col}, ' '), t -> t <> ''), "
+                        f"t -> {qc_bucket_expr('t', buckets)})"
+                    ).alias("b")
+                )
+            )
+        ).alias("_m"),
+    ).select(F.col(id_col), *[F.col(c) for c in keep_cols], F.col("_m.b").alias("_barr"))
+    # dot = sum of weights over the doc's DISTINCT buckets + bias:
+    # term-for-term the training aggregate, so scores match the loop's
+    dot = (
+        f"aggregate(array_distinct(_barr), 0L, (acc, b) -> acc + "
+        f"element_at({w_arr}, cast(b as int) + 1)) "
+        f"+ element_at({w_arr}, {buckets + 1})"
+    )
+    staged = staged.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], F.expr(dot).alias("_dot")
+    )
+    sig = f"element_at({table_arr}, {_qc_sig_idx_sql('_dot')} + 1)"
+    return staged.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.expr(f"round({sig} / 1e6, 6)").alias("score"),
+        F.expr(f"{sig} >= 500000").alias("predicted"),
+    )

@@ -4732,6 +4732,147 @@ def q_pipeline_web_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QC_BUCKETS, _QC_ITERS, _QC_LR = 256, 15, 1.0
+_QC_GOLD = ("src0", "src1", "src2", "src3")
+
+
+def _quality_classifier_oracle() -> str | None:
+    """Exact oracle for the fasttext-style quality classifier: an
+    INDEPENDENT python replica of the whole loop — md5-ring feature
+    hashing, the integer sigmoid table recomputed from its published
+    formula, per-doc integer dots over distinct buckets, integer
+    residuals, gradient sums and the same driver update — rendered as
+    VALUES.  Spark's `div` truncates toward zero; the replica's tdiv
+    mirrors that (python // floors).  A green hash certifies the
+    distributed feature pass, all 15 training iterations and the
+    shuffle-free scoring projection end-to-end."""
+    import os
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    try:
+        import hashlib
+        import math
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["doc_id", "text", "source"])
+        docs = sorted(
+            zip(
+                t.column("doc_id").to_pylist(),
+                t.column("text").to_pylist(),
+                t.column("source").to_pylist(),
+            )
+        )
+        B, ITERS, LR = _QC_BUCKETS, _QC_ITERS, _QC_LR
+        BINS, R = 512, 8.0
+        step = 2 * R / BINS
+        table = [
+            round(1_000_000 / (1 + math.exp(R - (i + 0.5) * step))) for i in range(BINS)
+        ]
+
+        def bucket(tok: str) -> int:
+            return int(hashlib.md5(f"qc1:{tok}".encode()).hexdigest()[:15], 16) % B
+
+        def tdiv(a: int, b: int) -> int:
+            q = abs(a) // abs(b)
+            return -q if (a < 0) != (b < 0) else q
+
+        def sig_idx(dot: int) -> int:
+            return min(max(tdiv((dot + 8_000_000) * BINS, 16_000_000), 0), BINS - 1)
+
+        feats, labels = {}, {}
+        for i, tx, src in docs:
+            y = 1 if src in _QC_GOLD else 0
+            text2 = (tx or "") + (" hqmarker" if y else "")
+            bs = {bucket(w) for w in text2.split(" ") if w}
+            feats[int(i)] = bs
+            labels[int(i)] = y
+        n = len(docs)
+        w = [0] * (B + 1)
+        for _ in range(ITERS):
+            grad = [0] * (B + 1)
+            for i, bs in feats.items():
+                dot = sum(w[b] for b in bs) + w[B]
+                r = table[sig_idx(dot)] - labels[i] * 1_000_000
+                for b in bs:
+                    grad[b] += r
+                grad[B] += r
+            w = [w[b] - round(LR * grad[b] / n) for b in range(B + 1)]
+        rows = []
+        for i in sorted(feats):
+            dot = sum(w[b] for b in feats[i]) + w[B]
+            s = table[sig_idx(dot)]
+            rows.append((i, labels[i], s / 1e6, s >= 500_000))
+        values = ", ".join(
+            f"({i}::BIGINT, {y}::INT, {s}::DOUBLE, {str(p).lower()})"
+            for i, y, s, p in rows
+        )
+        return (
+            "SELECT * FROM (VALUES "
+            + values
+            + ") t(doc_id, label, score, predicted)"
+        )
+    except Exception as exc:
+        print(
+            f"# WARNING: pipeline_quality_classifier oracle degraded to rows-only: {exc!r}",
+            file=__import__("sys").stderr,
+        )
+        return None
+
+
+@_register("pipeline_quality_classifier", _quality_classifier_oracle())
+def q_pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-CLASSIFIER stage of the CCNet / LLaMA pretraining
+    recipes (the fasttext-supervised 'gold vs crawl' model the rule
+    filters hand off to): logistic regression over md5-hashed binary
+    set-of-words features, trained full-batch on a labeled corpus
+    (sources src0-3 = gold, with a deterministic in-plan marker token
+    standing in for the distributional signal a real wiki split
+    carries — the PII-injection fixture idiom), then applied
+    corpus-wide as a per-document score + keep decision.
+
+    Exactness device: fastText's own precomputed sigmoid TABLE,
+    quantized to integer micro-units — the distributed path never
+    evaluates a transcendental, dots/residuals/gradients are plain
+    integer sums (order-independent, decimal(38) accumulated), so an
+    independent replica reproduces every weight and score bit-for-bit
+    (functions/text.train_quality_classifier docstring).
+
+    Scale shape: training is ONE cached (id, bucket) feature exchange
+    + two aggregates per iteration with driver state of buckets+1
+    ints (the BPE/unigram/Lloyd discipline); APPLYING the trained
+    model — the 100-TB hot path — is a shuffle-free per-row HOF
+    projection that fuses into the scan (the Gopher-rules shape).
+    Reference-era analogue: the aggregate-descriptor training loops
+    (ValueAggregatorJob.java:85) driving a broadcast-side scoring
+    pass.  Eager by contract (training runs at construction; weights
+    cached per (process, sf_dir))."""
+    from hadoop_3_3_6_spark.functions.text import (
+        apply_quality_classifier,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    gold = F.col("source").isin(*_QC_GOLD)
+    labeled = docs.select(
+        "doc_id",
+        F.concat(
+            "text", F.when(gold, F.lit(" hqmarker")).otherwise(F.lit(""))
+        ).alias("text"),
+        gold.cast("int").alias("label"),
+    )
+    key = ("qc_weights", sf_dir)
+    if key not in _RENDER_CACHE:
+        _RENDER_CACHE[key] = train_quality_classifier(
+            labeled, buckets=_QC_BUCKETS, iters=_QC_ITERS, lr=_QC_LR
+        )
+    return apply_quality_classifier(
+        labeled, _RENDER_CACHE[key], keep_cols=("label",)
+    ).select("doc_id", "label", "score", "predicted")
+
+
 @_register(
     "bloommapfile_point_skip",
     """
@@ -9803,6 +9944,7 @@ _DRIVER_HOLDBACK_R10 = [
     "bloommapfile_point_skip",
     "lazyoutput_empty_parts",
     "pipeline_web_streaming",
+    "pipeline_quality_classifier",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

@@ -472,7 +472,9 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     # two storage verdict rows render artifacts and
                     # compute their scan/footer metrics
                     "pipeline_pretraining_full", "pipeline_web_streaming",
-                    "bloommapfile_point_skip", "lazyoutput_empty_parts"}
+                    "bloommapfile_point_skip", "lazyoutput_empty_parts",
+                    # classifier training loop runs at construction
+                    "pipeline_quality_classifier"}
     }
     lazy = [n for n in QUERIES if n not in eager_by_contract]
     # Warm pass: pays the one-time parquet schema-inference jobs that

@@ -520,3 +520,48 @@ def test_html_to_text_rejects_output_column_collision(spark):
     # renamed input extracts fine
     ok = html_to_text(df.withColumnRenamed("text", "old_text"), "html").collect()[0]
     assert ok.text == "hi" and ok.old_text == "old text"
+
+
+def test_quality_classifier_learns_and_is_integer_exact(spark):
+    """The fasttext-style linear quality classifier: (a) learns a
+    separating marker on a hand corpus (gold scores above crawl,
+    correct keep decisions); (b) the shuffle-free apply projection
+    reproduces the training loop's dots exactly (same distinct-bucket
+    integer sum), pinned by re-deriving one doc's score from the
+    returned weights in pure python."""
+    import hashlib
+    import math
+
+    from hadoop_3_3_6_spark.functions.text import (
+        QC_SIGMOID_BINS,
+        QC_SIGMOID_RANGE,
+        apply_quality_classifier,
+        qc_sigmoid_table_micro,
+        train_quality_classifier,
+    )
+
+    rows = [
+        (i, f"common filler words plus {'goldsign' if i % 2 else 'dross'} tail {i % 3}", i % 2)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w = train_quality_classifier(df, buckets=64, iters=15, lr=1.0)
+    out = {r.doc_id: r for r in apply_quality_classifier(df, w, keep_cols=("label",)).collect()}
+    gold = [r for r in out.values() if r.label == 1]
+    crawl = [r for r in out.values() if r.label == 0]
+    assert min(r.score for r in gold) > max(r.score for r in crawl)
+    assert all(r.predicted for r in gold) and not any(r.predicted for r in crawl)
+
+    # python re-derivation of doc 1's score from the returned weights
+    def bucket(tok):
+        return int(hashlib.md5(f"qc1:{tok}".encode()).hexdigest()[:15], 16) % 64
+
+    table = qc_sigmoid_table_micro()
+    bs = {bucket(t) for t in rows[1][1].split(" ") if t}
+    dot = sum(w[b] for b in bs) + w[64]
+    idx = min(max(((dot + 8_000_000) * QC_SIGMOID_BINS) // 16_000_000, 0), QC_SIGMOID_BINS - 1)
+    assert out[1].score == table[idx] / 1e6
+    # the table is the published logistic curve at bin midpoints
+    mid = table[QC_SIGMOID_BINS // 2]
+    z = (0.5) * (2 * QC_SIGMOID_RANGE / QC_SIGMOID_BINS)
+    assert mid == round(1e6 / (1 + math.exp(-z)))
