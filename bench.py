@@ -214,6 +214,7 @@ HEADLINE = [
     # cached per process; the benched plan is the shuffle-free scoring
     # projection)
     "pipeline_quality_classifier",
+    "pipeline_classifier_eval",
 ]
 
 

@@ -4736,87 +4736,123 @@ _QC_BUCKETS, _QC_ITERS, _QC_LR = 256, 15, 1.0
 _QC_GOLD = ("src0", "src1", "src2", "src3")
 
 
-def _quality_classifier_oracle() -> str | None:
-    """Exact oracle for the fasttext-style quality classifier: an
-    INDEPENDENT python replica of the whole loop — md5-ring feature
-    hashing, the integer sigmoid table recomputed from its published
-    formula, per-doc integer dots over distinct buckets, integer
-    residuals, gradient sums and the same driver update — rendered as
-    VALUES.  Spark's `div` truncates toward zero; the replica's tdiv
-    mirrors that (python // floors).  A green hash certifies the
-    distributed feature pass, all 15 training iterations and the
-    shuffle-free scoring projection end-to-end."""
+def _qc_replica_rows(train_even_only: bool) -> list[tuple[int, int, int, bool]] | None:
+    """Shared replica core for the classifier oracles: an INDEPENDENT
+    python re-derivation of the whole loop — md5-ring feature hashing,
+    the integer sigmoid table recomputed from its published formula,
+    per-doc integer dots over distinct buckets, integer residuals,
+    gradient sums and the same driver update.  Spark's `div` truncates
+    toward zero; the replica's tdiv mirrors that (python // floors).
+    Returns ALL docs as (id, label, score_micro, predicted), trained
+    on every doc or on the even-id half only."""
     import os
 
     path = "/root/testdata/sf0.01/documents.parquet"
     if not os.path.exists(path):
         return None
-    try:
-        import hashlib
-        import math
+    import hashlib
+    import math
 
-        import pyarrow.parquet as pq
+    import pyarrow.parquet as pq
 
-        t = pq.read_table(path, columns=["doc_id", "text", "source"])
-        docs = sorted(
-            zip(
-                t.column("doc_id").to_pylist(),
-                t.column("text").to_pylist(),
-                t.column("source").to_pylist(),
-            )
+    t = pq.read_table(path, columns=["doc_id", "text", "source"])
+    docs = sorted(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("source").to_pylist(),
         )
-        B, ITERS, LR = _QC_BUCKETS, _QC_ITERS, _QC_LR
-        BINS, R = 512, 8.0
-        step = 2 * R / BINS
-        table = [
-            round(1_000_000 / (1 + math.exp(R - (i + 0.5) * step))) for i in range(BINS)
-        ]
+    )
+    B, ITERS, LR = _QC_BUCKETS, _QC_ITERS, _QC_LR
+    BINS, R = 512, 8.0
+    step = 2 * R / BINS
+    table = [
+        round(1_000_000 / (1 + math.exp(R - (i + 0.5) * step))) for i in range(BINS)
+    ]
 
-        def bucket(tok: str) -> int:
-            return int(hashlib.md5(f"qc1:{tok}".encode()).hexdigest()[:15], 16) % B
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(f"qc1:{tok}".encode()).hexdigest()[:15], 16) % B
 
-        def tdiv(a: int, b: int) -> int:
-            q = abs(a) // abs(b)
-            return -q if (a < 0) != (b < 0) else q
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
 
-        def sig_idx(dot: int) -> int:
-            return min(max(tdiv((dot + 8_000_000) * BINS, 16_000_000), 0), BINS - 1)
+    def sig_idx(dot: int) -> int:
+        return min(max(tdiv((dot + 8_000_000) * BINS, 16_000_000), 0), BINS - 1)
 
-        feats, labels = {}, {}
-        for i, tx, src in docs:
-            y = 1 if src in _QC_GOLD else 0
-            text2 = (tx or "") + (" hqmarker" if y else "")
-            bs = {bucket(w) for w in text2.split(" ") if w}
-            feats[int(i)] = bs
-            labels[int(i)] = y
-        n = len(docs)
-        w = [0] * (B + 1)
-        for _ in range(ITERS):
-            grad = [0] * (B + 1)
-            for i, bs in feats.items():
-                dot = sum(w[b] for b in bs) + w[B]
-                r = table[sig_idx(dot)] - labels[i] * 1_000_000
-                for b in bs:
-                    grad[b] += r
-                grad[B] += r
-            w = [w[b] - round(LR * grad[b] / n) for b in range(B + 1)]
-        rows = []
-        for i in sorted(feats):
+    feats, labels = {}, {}
+    for i, tx, src in docs:
+        y = 1 if src in _QC_GOLD else 0
+        text2 = (tx or "") + (" hqmarker" if y else "")
+        feats[int(i)] = {bucket(w) for w in text2.split(" ") if w}
+        labels[int(i)] = y
+    train_ids = [i for i in feats if not train_even_only or i % 2 == 0]
+    n = len(train_ids)
+    w = [0] * (B + 1)
+    for _ in range(ITERS):
+        grad = [0] * (B + 1)
+        for i in train_ids:
             dot = sum(w[b] for b in feats[i]) + w[B]
-            s = table[sig_idx(dot)]
-            rows.append((i, labels[i], s / 1e6, s >= 500_000))
+            r = table[sig_idx(dot)] - labels[i] * 1_000_000
+            for b in feats[i]:
+                grad[b] += r
+            grad[B] += r
+        w = [w[b] - round(LR * grad[b] / n) for b in range(B + 1)]
+    rows = []
+    for i in sorted(feats):
+        dot = sum(w[b] for b in feats[i]) + w[B]
+        s = table[sig_idx(dot)]
+        rows.append((i, labels[i], s, s >= 500_000))
+    return rows
+
+
+def _quality_classifier_oracle() -> str | None:
+    """Exact oracle: replica-trained on the full corpus, every doc's
+    score rendered as VALUES.  A green hash certifies the distributed
+    feature pass, all training iterations and the shuffle-free scoring
+    projection end-to-end."""
+    try:
+        rows = _qc_replica_rows(train_even_only=False)
+        if rows is None:
+            return None
         values = ", ".join(
-            f"({i}::BIGINT, {y}::INT, {s}::DOUBLE, {str(p).lower()})"
+            f"({i}::BIGINT, {y}::INT, {s / 1e6}::DOUBLE, {str(p).lower()})"
             for i, y, s, p in rows
         )
         return (
-            "SELECT * FROM (VALUES "
-            + values
-            + ") t(doc_id, label, score, predicted)"
+            "SELECT * FROM (VALUES " + values + ") t(doc_id, label, score, predicted)"
         )
     except Exception as exc:
         print(
             f"# WARNING: pipeline_quality_classifier oracle degraded to rows-only: {exc!r}",
+            file=__import__("sys").stderr,
+        )
+        return None
+
+
+def _quality_classifier_eval_oracle() -> str | None:
+    """Exact oracle for the HELD-OUT evaluation row: replica-trained on
+    the even-id half, confusion counts over the odd-id half, accuracy
+    as integer ppm (truncating div — no float rounding ambiguity)."""
+    try:
+        rows = _qc_replica_rows(train_even_only=True)
+        if rows is None:
+            return None
+        test = [(y, p) for i, y, _s, p in rows if i % 2 == 1]
+        tp = sum(1 for y, p in test if y == 1 and p)
+        fp = sum(1 for y, p in test if y == 0 and p)
+        fn = sum(1 for y, p in test if y == 1 and not p)
+        tn = sum(1 for y, p in test if y == 0 and not p)
+        n_test = len(test)
+        acc_ppm = (tp + tn) * 1_000_000 // n_test
+        return (
+            f"SELECT {len(rows) - n_test}::BIGINT AS n_train, {n_test}::BIGINT AS n_test, "
+            f"{tp}::BIGINT AS tp, {fp}::BIGINT AS fp, {fn}::BIGINT AS fn, "
+            f"{tn}::BIGINT AS tn, {acc_ppm}::BIGINT AS accuracy_ppm"
+        )
+    except Exception as exc:
+        print(
+            f"# WARNING: pipeline_classifier_eval oracle degraded to rows-only: {exc!r}",
             file=__import__("sys").stderr,
         )
         return None
@@ -4854,15 +4890,7 @@ def q_pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame
         train_quality_classifier,
     )
 
-    docs = load_table(spark, "documents", sf_dir)
-    gold = F.col("source").isin(*_QC_GOLD)
-    labeled = docs.select(
-        "doc_id",
-        F.concat(
-            "text", F.when(gold, F.lit(" hqmarker")).otherwise(F.lit(""))
-        ).alias("text"),
-        gold.cast("int").alias("label"),
-    )
+    labeled = _qc_labeled(spark, sf_dir)
     key = ("qc_weights", sf_dir)
     if key not in _RENDER_CACHE:
         _RENDER_CACHE[key] = train_quality_classifier(
@@ -4871,6 +4899,74 @@ def q_pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame
     return apply_quality_classifier(
         labeled, _RENDER_CACHE[key], keep_cols=("label",)
     ).select("doc_id", "label", "score", "predicted")
+
+
+def _qc_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    gold = F.col("source").isin(*_QC_GOLD)
+    return docs.select(
+        "doc_id",
+        F.concat(
+            "text", F.when(gold, F.lit(" hqmarker")).otherwise(F.lit(""))
+        ).alias("text"),
+        gold.cast("int").alias("label"),
+    )
+
+
+@_register("pipeline_classifier_eval", _quality_classifier_eval_oracle())
+def q_pipeline_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT evaluation of the quality classifier — the train/test
+    hygiene a production quality gate ships with: train on the even-id
+    half, score the unseen odd-id half, one confusion-matrix verdict
+    row (n_train, n_test, tp, fp, fn, tn, accuracy_ppm).  accuracy is
+    integer parts-per-million via truncating division, so no float
+    rounding ever touches the row.  The oracle replays the split
+    replica closed-form.  Same exactness and scale contracts as
+    pipeline_quality_classifier (weights cached per (process,
+    sf_dir); scoring is the shuffle-free HOF projection)."""
+    from hadoop_3_3_6_spark.functions.text import (
+        apply_quality_classifier,
+        train_quality_classifier,
+    )
+
+    labeled = _qc_labeled(spark, sf_dir)
+    key = ("qc_weights_even", sf_dir)
+    if key not in _RENDER_CACHE:
+        _RENDER_CACHE[key] = train_quality_classifier(
+            labeled.filter(F.col("doc_id") % 2 == 0),
+            buckets=_QC_BUCKETS,
+            iters=_QC_ITERS,
+            lr=_QC_LR,
+        )
+    test = labeled.filter(F.col("doc_id") % 2 == 1)
+    scored = apply_quality_classifier(test, _RENDER_CACHE[key], keep_cols=("label",))
+    n_train = F.lit(
+        labeled.filter(F.col("doc_id") % 2 == 0).count()
+    ).cast("bigint")
+    conf = scored.agg(
+        F.sum(F.when((F.col("label") == 1) & F.col("predicted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when((F.col("label") == 0) & F.col("predicted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when((F.col("label") == 1) & ~F.col("predicted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when((F.col("label") == 0) & ~F.col("predicted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+    )
+    return conf.select(
+        n_train.alias("n_train"),
+        "n_test",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("((tp + tn) * 1000000) div n_test").cast("bigint").alias("accuracy_ppm"),
+    )
 
 
 @_register(
@@ -9945,6 +10041,7 @@ _DRIVER_HOLDBACK_R10 = [
     "lazyoutput_empty_parts",
     "pipeline_web_streaming",
     "pipeline_quality_classifier",
+    "pipeline_classifier_eval",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

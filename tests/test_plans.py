@@ -473,8 +473,8 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     # compute their scan/footer metrics
                     "pipeline_pretraining_full", "pipeline_web_streaming",
                     "bloommapfile_point_skip", "lazyoutput_empty_parts",
-                    # classifier training loop runs at construction
-                    "pipeline_quality_classifier"}
+                    # classifier training loops run at construction
+                    "pipeline_quality_classifier", "pipeline_classifier_eval"}
     }
     lazy = [n for n in QUERIES if n not in eager_by_contract]
     # Warm pass: pays the one-time parquet schema-inference jobs that
