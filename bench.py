@@ -969,6 +969,9 @@ SF1_QUERIES = [
     "pipeline_web_e2e",
     "dedup_spans_apply",
     "dedup_lines_apply",
+    # round-10: classifier scoring is per-row HOF (linear); training
+    # is cached per (process, sf_dir) so min-of-2 times the scorer
+    "pipeline_quality_classifier",
 ]
 _SF1_SCALED = {"orders", "lineitem", "events", "documents", "embeddings", "part"}
 # Each scaled table's columns map to the OFFSET-SOURCE table whose key
@@ -1197,6 +1200,8 @@ SF3_QUERIES = {
     "pipeline_web_e2e": 1.0,
     "dedup_spans_apply": 1.0,
     "dedup_lines_apply": 1.0,
+    # per-row HOF scorer over a pruned scan — the gopher-rules family
+    "pipeline_quality_classifier": 1.0,
 }
 
 
