@@ -41,12 +41,21 @@ def aggregate_job(df: DataFrame, key_cols: list[str], descriptors: dict[str, tup
     """Config-driven aggregation: ``descriptors`` maps output column ->
     (descriptor_name, value_column), e.g. ``{"qty_sum": ("DoubleValueSum",
     "l_quantity")}``.  The Spark analogue of ValueAggregatorJob.java:85.
-    """
+
+    Descriptor names match CASE-INSENSITIVELY — the reference resolves
+    types with compareToIgnoreCase (ValueAggregatorBaseDescriptor.
+    generateValueAggregator :102; round-10 conformance review).  One
+    documented divergence: an unparsable numeric value makes the
+    reference's Long.parseLong throw and fail the task, while Spark's
+    non-ANSI cast yields NULL and the aggregate skips it — the
+    PERMISSIVE/SkipBadRecords disposition this engine applies
+    uniformly (route through operators/counters.py's quarantine tier
+    when bad records must be surfaced instead of skipped)."""
+    lookup = {k.lower(): v for k, v in _DESCRIPTORS.items()}
     aggs: list[Column] = []
     for out_name, (desc, value_col) in descriptors.items():
-        try:
-            builder = _DESCRIPTORS[desc]
-        except KeyError:
+        builder = lookup.get(desc.lower())
+        if builder is None:
             raise ValueError(f"unknown aggregate descriptor {desc!r}; known: {sorted(_DESCRIPTORS)}")
         aggs.append(builder(value_col).alias(out_name))
     return df.groupBy(*key_cols).agg(*aggs)

@@ -717,3 +717,21 @@ def test_field_selection_reference_exact_semantics(spark):
     assert kv.value == "b"
     kv2 = field_selection_kv(df, "line", "1:0-").collect()[0]
     assert kv2.key == "b" and kv2.value == "a\tb\tc"
+
+
+def test_aggregate_descriptors_match_case_insensitively(spark):
+    """ValueAggregatorBaseDescriptor.generateValueAggregator resolves
+    descriptor types with compareToIgnoreCase — 'longvaluesum' is a
+    legal spec (round-10 conformance review)."""
+    import pytest
+
+    from hadoop_3_3_6_spark.operators.aggregate import aggregate_job
+
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 5)], "k string, v int")
+    out = {
+        r.k: r.s
+        for r in aggregate_job(df, ["k"], {"s": ("longvaluesum", "v")}).collect()
+    }
+    assert out == {"a": 3, "b": 5}
+    with pytest.raises(ValueError, match="unknown aggregate descriptor"):
+        aggregate_job(df, ["k"], {"s": ("NoSuchThing", "v")})
