@@ -215,6 +215,7 @@ HEADLINE = [
     # projection)
     "pipeline_quality_classifier",
     "pipeline_classifier_eval",
+    "keyfield_partitioner_colocation",
 ]
 
 

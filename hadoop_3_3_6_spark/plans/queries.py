@@ -9305,6 +9305,61 @@ def q_keyfield_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "keyfield_partitioner_colocation",
+    """
+    SELECT (SELECT count(DISTINCT o_custkey::VARCHAR || chr(9) || o_orderpriority)
+            FROM orders)::BIGINT AS n_keys,
+           1::BIGINT AS max_partitions_per_key,
+           (SELECT count(*) FROM orders)::BIGINT AS rows_total,
+           8::BIGINT AS n_partitions
+    """,
+)
+def q_keyfield_partitioner_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyFieldBasedPartitioner as a driver verdict row (MRC/mapreduce/
+    lib/partition/KeyFieldBasedPartitioner.java:46 — the streaming
+    idiom that partitions on selected KEY FIELDS of delimited text;
+    its CONTRACT is co-location: every record sharing the key fields
+    reaches one reduce partition).  Checked against the REAL exchange:
+    orders render as tab-joined lines, the partition key is fields 0-1
+    (custkey, priority) extracted through the FieldSelection DSL (the
+    two operators compose exactly as a streaming job composes them),
+    the frame repartitions to 8 partitions on that derived key, and
+    the verdict reads spark_partition_id back off the post-exchange
+    frame: max physical partitions any key's rows landed in == 1 (the
+    invariant), distinct-key and row-count conservation, and the
+    explicit partition count (REPARTITION_BY_NUM — AQE never
+    re-coalesces it).  The groupBy(key) that follows reuses the same
+    exchange (hash(key) satisfies its distribution), so the check adds
+    no extra shuffle."""
+    from hadoop_3_3_6_spark.operators.mapops import field_selection_kv
+
+    orders = load_table(spark, "orders", sf_dir)
+    lines = orders.select(
+        F.concat_ws("\t", "o_custkey", "o_orderpriority", "o_orderkey").alias("line")
+    )
+    kv = field_selection_kv(lines, "line", "0,1:2")
+    parts = kv.repartition(8, "key")
+    per_key = (
+        parts.select("key", F.spark_partition_id().alias("_pid"))
+        .groupBy("key")
+        .agg(
+            F.countDistinct("_pid").alias("_np"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("_np").cast("bigint").alias("max_partitions_per_key"),
+        F.sum("_n").cast("bigint").alias("rows_total"),
+    ).select(
+        "n_keys",
+        "max_partitions_per_key",
+        "rows_total",
+        F.lit(8).cast("bigint").alias("n_partitions"),
+    )
+
+
+@_register(
     "db_range_split_scan",
     f"""
     SELECT count(*)::BIGINT AS n_rows, sum(o_orderkey)::BIGINT AS key_sum,
@@ -10042,6 +10097,7 @@ _DRIVER_HOLDBACK_R10 = [
     "pipeline_web_streaming",
     "pipeline_quality_classifier",
     "pipeline_classifier_eval",
+    "keyfield_partitioner_colocation",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK
