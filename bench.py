@@ -216,6 +216,7 @@ HEADLINE = [
     "pipeline_quality_classifier",
     "pipeline_classifier_eval",
     "keyfield_partitioner_colocation",
+    "seqfile_as_text_scan",
 ]
 
 

@@ -7912,6 +7912,32 @@ def q_seqfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "seqfile_as_text_scan",
+    "SELECT n_nationkey::VARCHAR AS key, n_name AS value FROM nation",
+)
+def q_seqfile_as_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SequenceFileAsTextInputFormat as a driver row (MRC/mapreduce/
+    lib/input/SequenceFileAsTextInputFormat.java:38): the SAME
+    rendered (LongWritable, Text) SequenceFiles seqfile_roundtrip
+    writes are re-read with every field surfaced in its Text string
+    form — the reference reader's Writable.toString() hop, here a
+    string cast over the Java SequenceFile.Reader scan.  The oracle
+    renders the keys as VARCHAR, so a green hash pins the
+    numeric→text conversion exactly.  Eager by contract (shares
+    seqfile_roundtrip's per-(process, sf_dir) rendered dir)."""
+    from hadoop_3_3_6_spark.sources.containers import (
+        read_sequence_file_as_text,
+        write_sequence_file,
+    )
+
+    nation = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    out = _rendered_dir(
+        "seqfile_roundtrip_", sf_dir, lambda d: write_sequence_file(nation, d)
+    )
+    return read_sequence_file_as_text(spark, out)
+
+
+@_register(
     "multimodal_container_meta",
     """
     SELECT doc_id,
@@ -10098,6 +10124,7 @@ _DRIVER_HOLDBACK_R10 = [
     "pipeline_quality_classifier",
     "pipeline_classifier_eval",
     "keyfield_partitioner_colocation",
+    "seqfile_as_text_scan",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

@@ -36,6 +36,20 @@ def read_sequence_file(spark: SparkSession, path: str) -> DataFrame:
     return rdd.toDF(["key", "value"])
 
 
+def read_sequence_file_as_text(spark: SparkSession, path: str) -> DataFrame:
+    """SequenceFileAsTextInputFormat (MRC/mapreduce/lib/input/
+    SequenceFileAsTextInputFormat.java:38): every key and value
+    surfaced as its Text string form regardless of the stored Writable
+    types — the reference's record reader calls Writable.toString();
+    Spark's string cast renders LongWritable/IntWritable/Double the
+    same decimal way, so the hop is value-identical."""
+    df = read_sequence_file(spark, path)
+    return df.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
+
+
 def write_sequence_file(df: DataFrame, path: str, codec: str | None = None) -> None:
     """Write the first two columns as a SequenceFile (Writable-encoded,
     splittable, sync-marked — SequenceFile.Writer semantics).

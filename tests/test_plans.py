@@ -474,7 +474,10 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     "pipeline_pretraining_full", "pipeline_web_streaming",
                     "bloommapfile_point_skip", "lazyoutput_empty_parts",
                     # classifier training loops run at construction
-                    "pipeline_quality_classifier", "pipeline_classifier_eval"}
+                    "pipeline_quality_classifier", "pipeline_classifier_eval",
+                    # shares seqfile_roundtrip's rendered dir + the
+                    # sequenceFile toDF inference job
+                    "seqfile_as_text_scan"}
     }
     lazy = [n for n in QUERIES if n not in eager_by_contract]
     # Warm pass: pays the one-time parquet schema-inference jobs that
