@@ -217,6 +217,7 @@ HEADLINE = [
     "pipeline_classifier_eval",
     "keyfield_partitioner_colocation",
     "seqfile_as_text_scan",
+    "rangestream_drain",
 ]
 
 

@@ -7912,6 +7912,79 @@ def q_seqfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "rangestream_drain",
+    """
+    SELECT 5000::BIGINT AS rows_total, 5000::BIGINT AS distinct_n,
+           0::BIGINT AS min_n, 4999::BIGINT AS max_n,
+           0::BIGINT AS h_mismatches,
+           (SELECT sum((n * n) % 997) FROM range(5000) t(n))::BIGINT AS h_sum
+    """,
+)
+def q_rangestream_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python STREAMING source as a driver verdict row
+    (sources/streamsource.py — the micro-batch twin of TeraGen's
+    RangeInputFormat; offsets are row counters, so exactly-once is the
+    offset/commit/replay contract itself): the bounded range stream
+    drains through foreachBatch parquet appends across MANY
+    checkpointed availableNow restarts (the simple-reader prefetch
+    contract admits one micro-batch per availableNow run, so each cap
+    is drained by restart-until-no-progress — every single batch
+    boundary doubles as a recovery point), in two phases (cap 3000,
+    then cap 5000 — the second phase must resume at the committed
+    offset and produce rows 3000-4999 only).  The verdict row is
+    closed-form:
+    exact row/distinct counts (any replay or skip breaks them), the
+    0/4999 bounds, zero h-column mismatches against the generator's
+    n²%997 definition recomputed in-plan, and the full h-sum.  Eager
+    by contract (both stream phases run at construction; the sink dir
+    caches per (process, sf_dir))."""
+    import tempfile
+
+    from hadoop_3_3_6_spark.sources.streamsource import register_range_stream
+
+    register_range_stream(spark)
+    key = ("rangestream_drain", sf_dir)
+    if key not in _RENDER_CACHE:
+        base = tempfile.mkdtemp(prefix="rangestream_")
+        sink, ckpt = f"{base}/rows", f"{base}/ckpt"
+
+        appended = [0]
+
+        def ingest(bdf: DataFrame, _bid: int) -> None:
+            appended[0] += bdf.count()
+            bdf.write.mode("append").parquet(sink)
+
+        for cap in (3000, 5000):
+            for _restart in range(16):  # 5000/700 < 16: progress bound
+                before = appended[0]
+                q = (
+                    spark.readStream.format("rangestream")
+                    .option("batch_size", "700")
+                    .option("max_rows", str(cap))
+                    .load()
+                    .writeStream.foreachBatch(ingest)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                if appended[0] == before:
+                    break  # cap drained: a full restart added nothing
+        _RENDER_CACHE[key] = sink
+    rows = spark.read.parquet(_RENDER_CACHE[key])
+    return rows.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_total"),
+        F.countDistinct("n").cast("bigint").alias("distinct_n"),
+        F.min("n").cast("bigint").alias("min_n"),
+        F.max("n").cast("bigint").alias("max_n"),
+        F.sum(F.when(F.col("h") != (F.col("n") * F.col("n")) % 997, 1).otherwise(0))
+        .cast("bigint")
+        .alias("h_mismatches"),
+        F.sum("h").cast("bigint").alias("h_sum"),
+    )
+
+
+@_register(
     "seqfile_as_text_scan",
     "SELECT n_nationkey::VARCHAR AS key, n_name AS value FROM nation",
 )
@@ -10125,6 +10198,7 @@ _DRIVER_HOLDBACK_R10 = [
     "pipeline_classifier_eval",
     "keyfield_partitioner_colocation",
     "seqfile_as_text_scan",
+    "rangestream_drain",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

@@ -477,7 +477,9 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     "pipeline_quality_classifier", "pipeline_classifier_eval",
                     # shares seqfile_roundtrip's rendered dir + the
                     # sequenceFile toDF inference job
-                    "seqfile_as_text_scan"}
+                    "seqfile_as_text_scan",
+                    # two checkpointed stream phases run at construction
+                    "rangestream_drain"}
     }
     lazy = [n for n in QUERIES if n not in eager_by_contract]
     # Warm pass: pays the one-time parquet schema-inference jobs that
