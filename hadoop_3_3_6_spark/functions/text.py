@@ -1334,6 +1334,14 @@ def apply_quality_classifier(
     shuffles, and scoring fuses into the scan (the Gopher-rules scale
     shape).  score = table[idx(dot)] / 1e6 rounded to 6 dp; predicted
     = score >= 0.5."""
+    taken = sorted({"score", "predicted"} & set(keep_cols))
+    if taken:
+        # the html_to_text collision stance: fail fast with the named
+        # columns instead of emitting ambiguous duplicates downstream
+        raise ValueError(
+            f"apply_quality_classifier output column(s) {taken} collide with "
+            "keep_cols; rename them first"
+        )
     buckets = len(w_micro) - 1
     w_arr = "array(" + ",".join(str(x) + "L" for x in w_micro) + ")"
     table_arr = "array(" + ",".join(str(v) for v in qc_sigmoid_table_micro()) + ")"

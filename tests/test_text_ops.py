@@ -565,3 +565,15 @@ def test_quality_classifier_learns_and_is_integer_exact(spark):
     mid = table[QC_SIGMOID_BINS // 2]
     z = (0.5) * (2 * QC_SIGMOID_RANGE / QC_SIGMOID_BINS)
     assert mid == round(1e6 / (1 + math.exp(-z)))
+
+
+def test_quality_classifier_apply_rejects_output_collision(spark):
+    """keep_cols naming score/predicted must fail fast with the named
+    columns (the html_to_text collision stance)."""
+    import pytest
+
+    from hadoop_3_3_6_spark.functions.text import apply_quality_classifier
+
+    df = spark.createDataFrame([(1, "a b", 0.5)], "doc_id long, text string, score double")
+    with pytest.raises(ValueError, match=r"\['score'\].*keep_cols"):
+        apply_quality_classifier(df, [0] * 65, keep_cols=("score",))
