@@ -10107,6 +10107,10 @@ _DRIVER_RECHECK = {
     # (out-of-range empty slots, key-side open ranges ignored, last
     # open range wins, empty range start = 0)
     "fieldsel": 10,
+    # round 10 (conformance review, outputs identical): descriptor
+    # names resolve case-insensitively in aggregate_job
+    "aggregate_framework": 10,
+    "aggregatewordcount": 10,
 }
 
 # Freshness pulls — NOT changed queries: standing verdicts whose
