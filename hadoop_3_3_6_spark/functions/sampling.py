@@ -99,6 +99,31 @@ def stratified_sample(
     ).drop("_b")
 
 
+def score_conditioned_sample(
+    df: DataFrame,
+    score_micro_col: str = "score_micro",
+    id_col: str = "doc_id",
+    salt: str = "qs",
+) -> DataFrame:
+    """Score-conditioned quality sampling (the GPT-3 recipe's
+    classifier-score acceptance stage, Brown et al. 2020 appendix A:
+    low-scored documents are kept STOCHASTICALLY with probability
+    rising in the quality score, rather than hard-thresholded): keep a
+    row iff ``pmod(hash(salt:id), 1e6) < score_micro`` — acceptance
+    probability equal to the score, but decided by the salted portable
+    hash instead of a random draw, so the kept set is deterministic,
+    engine-reproducible (exact DuckDB oracle) and stable under
+    re-partitioning, like every sampler in this module.  score_micro
+    is the classifier's integer micro-unit score (0..1e6); a perfect
+    1e6 always keeps, a 0 never does.  Pure narrow filter — fuses
+    into the preceding scan."""
+    salted = f"concat('{salt}:', cast({id_col} as string))"
+    return df.filter(
+        F.expr(f"pmod({portable_hash_expr(salted)}, 1000000)")
+        < F.col(score_micro_col).cast("bigint")
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1196,6 +1196,12 @@ def html_to_text(
 
 QC_SIGMOID_BINS = 512
 QC_SIGMOID_RANGE = 8.0
+# fastText's published quality-classifier configs (the CCNet / LLaMA
+# recipes) run wordNgrams=2: hashed word-bigram features alongside the
+# unigrams.  Bigrams share the unigram bucket space under a distinct
+# salt ('qc2:') — the hashing-trick simplification that keeps the
+# weight vector exactly buckets+1 integers.
+QC_WORD_NGRAMS = 2
 
 
 def qc_sigmoid_table_micro() -> list[int]:
@@ -1215,29 +1221,64 @@ def qc_sigmoid_table_micro() -> list[int]:
     ]
 
 
-def qc_bucket_expr(tok_sql: str, buckets: int) -> str:
+def qc_bucket_expr(tok_sql: str, buckets: int, salt: str = "qc1") -> str:
     """Portable feature hash: pmod of the md5-ring 60-bit hash — the
-    same cross-engine device the minhash family uses."""
+    same cross-engine device the minhash family uses.  ``salt``
+    namespaces the gram order inside the shared bucket space ('qc1'
+    unigrams, 'qc2' word bigrams)."""
     from hadoop_3_3_6_spark.functions.dedup import portable_hash_expr
 
-    salted = f"concat('qc1:', {tok_sql})"
+    salted = f"concat('{salt}:', {tok_sql})"
     return f"pmod({portable_hash_expr(salted)}, {buckets})"
 
 
-def _qc_features(df: DataFrame, text_col: str, id_col: str, buckets: int) -> DataFrame:
-    """(id, bucket) BINARY hashed unigram presence features plus the
-    always-on bias feature (bucket == ``buckets``) — set-of-words
+def _qc_gram_sql(words_sql: str, word_ngrams: int) -> str:
+    """SQL expression for a doc's SALTED feature-gram strings from a
+    words-array expression: 'qc1:<w>' unigrams plus, at
+    ``word_ngrams>=2``, 'qc2:<w_{i-1}> <w_i>' consecutive word bigrams
+    (fastText's wordNgrams device; hashed into the SAME bucket space,
+    the hashing-trick simplification).  The bigram arm guards
+    ``size>=2`` explicitly — ``sequence(2, 1)`` would count DOWN."""
+    uni = f"transform({words_sql}, t -> concat('qc1:', t))"
+    if word_ngrams < 2:
+        return uni
+    bi = (
+        f"case when size({words_sql}) >= 2 then "
+        f"transform(sequence(2, size({words_sql})), i -> "
+        f"concat('qc2:', element_at({words_sql}, i - 1), ' ', "
+        f"element_at({words_sql}, i))) "
+        f"else cast(array() as array<string>) end"
+    )
+    return f"concat({uni}, {bi})"
+
+
+def _qc_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int,
+    word_ngrams: int = QC_WORD_NGRAMS,
+) -> DataFrame:
+    """(id, bucket) BINARY hashed gram presence features (unigrams +
+    word bigrams at the fastText wordNgrams=2 default) plus the
+    always-on bias feature (bucket == ``buckets``) — set-of-grams
     logistic regression, the formulation that keeps every quantity in
     the training loop a plain integer (dots are sums of weights over a
     doc's distinct buckets; no count scaling, no division anywhere).
     ONE corpus-sized exchange, built once and reused by every training
     iteration."""
-    toks = df.select(
+    from hadoop_3_3_6_spark.functions.dedup import portable_hash_expr
+
+    words = f"filter(split({text_col}, ' '), t -> t <> '')"
+    grams = df.select(
         F.col(id_col),
-        F.explode(F.expr(f"filter(split({text_col}, ' '), t -> t <> '')")).alias("t"),
+        F.explode(F.expr(_qc_gram_sql(words, word_ngrams))).alias("g"),
     )
     feats = (
-        toks.select(F.col(id_col), F.expr(qc_bucket_expr("t", buckets)).alias("bucket"))
+        grams.select(
+            F.col(id_col),
+            F.expr(f"pmod({portable_hash_expr('g')}, {buckets})").alias("bucket"),
+        )
         .distinct()
     )
     bias = df.select(F.col(id_col), F.lit(buckets).cast("bigint").alias("bucket"))
@@ -1264,9 +1305,11 @@ def train_quality_classifier(
     buckets: int = 256,
     iters: int = 5,
     lr: float = 0.5,
+    word_ngrams: int = QC_WORD_NGRAMS,
 ) -> list[int]:
-    """Full-batch logistic regression over hashed unigram counts;
-    returns the weight vector in integer micro-units (length
+    """Full-batch logistic regression over hashed gram presence
+    features (unigrams + word bigrams at the fastText wordNgrams=2
+    default); returns the weight vector in integer micro-units (length
     ``buckets + 1``, bias last).
 
     Distribution contract (the BPE/unigram/Lloyd discipline): the
@@ -1285,7 +1328,7 @@ def train_quality_classifier(
     update rounds an exact integer ratio.  An independent replica
     reproduces every weight bit-for-bit."""
     table = qc_sigmoid_table_micro()
-    feats = _qc_features(df, text_col, id_col, buckets).persist()
+    feats = _qc_features(df, text_col, id_col, buckets, word_ngrams).persist()
     labels = df.select(
         F.col(id_col), (F.col(label_col).cast("bigint") * 1_000_000).alias("_y_micro")
     )
@@ -1327,13 +1370,15 @@ def apply_quality_classifier(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_cols: tuple[str, ...] = (),
+    word_ngrams: int = QC_WORD_NGRAMS,
 ) -> DataFrame:
     """Score documents with a trained weight vector: (id, *keep_cols,
-    score, predicted).  Pure per-row HOF projection — the weight array
-    and sigmoid table ride the plan as literals, the corpus never
-    shuffles, and scoring fuses into the scan (the Gopher-rules scale
-    shape).  score = table[idx(dot)] / 1e6 rounded to 6 dp; predicted
-    = score >= 0.5."""
+    score, predicted).  ``word_ngrams`` must match the value the
+    weights were trained with.  Pure per-row HOF projection — the
+    weight array and sigmoid table ride the plan as literals, the
+    corpus never shuffles, and scoring fuses into the scan (the
+    Gopher-rules scale shape).  score = table[idx(dot)] / 1e6 rounded
+    to 6 dp; predicted = score >= 0.5."""
     taken = sorted({"score", "predicted"} & set(keep_cols))
     if taken:
         # the html_to_text collision stance: fail fast with the named
@@ -1345,10 +1390,13 @@ def apply_quality_classifier(
     buckets = len(w_micro) - 1
     w_arr = "array(" + ",".join(str(x) + "L" for x in w_micro) + ")"
     table_arr = "array(" + ",".join(str(v) for v in qc_sigmoid_table_micro()) + ")"
+    from hadoop_3_3_6_spark.functions.dedup import portable_hash_expr
+
     df = spread_for_compute(df, id_col)
-    # the bucket array is materialized behind a generator barrier so
-    # the per-distinct-bucket count filter re-reads a plain attribute
-    # instead of re-hashing every token per bucket (HOFs have no CSE)
+    # the words array is materialized behind a generator barrier so the
+    # gram builder (which references it ~4x: unigram transform, size
+    # guard, bigram transform) re-reads a plain attribute instead of
+    # re-splitting the text per reference (HOFs have no CSE)
     staged = df.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
@@ -1356,17 +1404,20 @@ def apply_quality_classifier(
             F.array(
                 F.struct(
                     F.expr(
-                        f"transform(filter(split({text_col}, ' '), t -> t <> ''), "
-                        f"t -> {qc_bucket_expr('t', buckets)})"
-                    ).alias("b")
+                        f"filter(split({text_col}, ' '), t -> t <> '')"
+                    ).alias("w")
                 )
             )
         ).alias("_m"),
-    ).select(F.col(id_col), *[F.col(c) for c in keep_cols], F.col("_m.b").alias("_barr"))
-    # dot = sum of weights over the doc's DISTINCT buckets + bias:
+    ).select(F.col(id_col), *[F.col(c) for c in keep_cols], F.col("_m.w").alias("_warr"))
+    # dot = sum of weights over the doc's DISTINCT gram buckets + bias:
     # term-for-term the training aggregate, so scores match the loop's
+    barr = (
+        f"transform({_qc_gram_sql('_warr', word_ngrams)}, "
+        f"g -> pmod({portable_hash_expr('g')}, {buckets}))"
+    )
     dot = (
-        f"aggregate(array_distinct(_barr), 0L, (acc, b) -> acc + "
+        f"aggregate(array_distinct({barr}), 0L, (acc, b) -> acc + "
         f"element_at({w_arr}, cast(b as int) + 1)) "
         f"+ element_at({w_arr}, {buckets + 1})"
     )

@@ -4211,6 +4211,130 @@ def q_pipeline_web_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_words", "mean_word_len", "alpha_word_frac", "stopword_hits", "keep")
 
 
+# wordNgrams=2 needs a bigger hashed bucket space than the unigram-only
+# r10 config (256 saturated: ~107 distinct grams/doc collided the
+# space flat and separation collapsed — measured in the round-11
+# sweep); 2048 is still only 2049 ints of driver state per iteration
+_QC_BUCKETS, _QC_ITERS, _QC_LR = 2048, 15, 1.0
+_QC_GOLD = ("src0", "src1", "src2", "src3")
+# The labeled fixture carries BOTH signal shapes (deterministic in-plan
+# markers standing in for the distributional signal a real wiki split
+# carries): 'hqmarker' is a gold-only UNIGRAM, while 'hqa hqb' (gold)
+# vs 'hqb hqa' (crawl) is an ORDER-ONLY signal — the unigram feature
+# sets of the pair are identical in both classes, so only a word-bigram
+# feature can separate it.  Measured on the same fixture at sf0.01:
+# the r10 unigram config scores held-out separation 51,604 micro;
+# the wordNgrams=2 config scores 709,903 micro at accuracy 1.0 —
+# the wordNgrams upgrade is what closes the order-signal gap.
+_QC_GOLD_MARK, _QC_CRAWL_MARK = " hqmarker hqa hqb", " hqb hqa"
+
+
+_QC_REPLICA_MEMO: dict = {}
+
+
+def _qc_replica_state(train_even_only: bool):
+    """Shared replica core for the classifier oracles: an INDEPENDENT
+    python re-derivation of the whole loop — md5-ring feature hashing
+    (unigrams + word bigrams, fastText wordNgrams=2), the integer
+    sigmoid table recomputed from its published formula, per-doc
+    integer dots over distinct buckets, integer residuals, gradient
+    sums and the same driver update.  Spark's `div` truncates toward
+    zero; the replica's tdiv mirrors that (python // floors).
+    Returns (weights, feats, labels, table) — memoized, because the
+    full-train weights are shared by the classifier oracle AND the
+    capstone pretraining oracle's in-SQL scoring stage."""
+    if train_even_only in _QC_REPLICA_MEMO:
+        return _QC_REPLICA_MEMO[train_even_only]
+    import os
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    if not os.path.exists(path):
+        return None
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["doc_id", "text", "source"])
+    docs = sorted(
+        zip(
+            t.column("doc_id").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("source").to_pylist(),
+        )
+    )
+    B, ITERS, LR = _QC_BUCKETS, _QC_ITERS, _QC_LR
+    BINS, R = 512, 8.0
+    step = 2 * R / BINS
+    table = [
+        round(1_000_000 / (1 + math.exp(R - (i + 0.5) * step))) for i in range(BINS)
+    ]
+
+    def gram_buckets(text: str) -> set[int]:
+        # fastText wordNgrams=2: salted unigrams + consecutive word
+        # bigrams, hashed into the SAME bucket space (text.py's
+        # _qc_gram_sql device, re-derived independently here)
+        ws = [w for w in text.split(" ") if w]
+        gs = [f"qc1:{w}" for w in ws] + [
+            f"qc2:{ws[i - 1]} {ws[i]}" for i in range(1, len(ws))
+        ]
+        return {
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B for g in gs
+        }
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    def sig_idx(dot: int) -> int:
+        return min(max(tdiv((dot + 8_000_000) * BINS, 16_000_000), 0), BINS - 1)
+
+    feats, labels = {}, {}
+    for i, tx, src in docs:
+        y = 1 if src in _QC_GOLD else 0
+        text2 = (tx or "") + (_QC_GOLD_MARK if y else _QC_CRAWL_MARK)
+        feats[int(i)] = gram_buckets(text2)
+        labels[int(i)] = y
+    train_ids = [i for i in feats if not train_even_only or i % 2 == 0]
+    n = len(train_ids)
+    w = [0] * (B + 1)
+    for _ in range(ITERS):
+        grad = [0] * (B + 1)
+        for i in train_ids:
+            dot = sum(w[b] for b in feats[i]) + w[B]
+            r = table[sig_idx(dot)] - labels[i] * 1_000_000
+            for b in feats[i]:
+                grad[b] += r
+            grad[B] += r
+        w = [w[b] - round(LR * grad[b] / n) for b in range(B + 1)]
+    _QC_REPLICA_MEMO[train_even_only] = (w, feats, labels, table)
+    return _QC_REPLICA_MEMO[train_even_only]
+
+
+def _qc_replica_rows(train_even_only: bool) -> list[tuple[int, int, int, bool]] | None:
+    """All docs as (id, label, score_micro, predicted) under the
+    replica-trained weights (full corpus or even-id half)."""
+    state = _qc_replica_state(train_even_only)
+    if state is None:
+        return None
+    w, feats, labels, table = state
+    B = _QC_BUCKETS
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    def sig_idx(dot: int) -> int:
+        return min(max(tdiv((dot + 8_000_000) * 512, 16_000_000), 0), 511)
+
+    rows = []
+    for i in sorted(feats):
+        dot = sum(w[b] for b in feats[i]) + w[B]
+        s = table[sig_idx(dot)]
+        rows.append((i, labels[i], s, s >= 500_000))
+    return rows
+
+
 # ---------------------------------------------------------------------------
 # The capstone: the FULL pretraining corpus pipeline as ONE JobControl-
 # chained flow (VERDICT r9 task 3) — WARC -> html_to_text -> line dedup ->
@@ -4238,9 +4362,26 @@ assert "BETWEEN 30 AND 100000" in _PRETRAIN_GOPHER_SQL
 assert "stopword_hits >= 1)" in _PRETRAIN_GOPHER_SQL
 
 
-@_register(
-    "pipeline_pretraining_full",
-    f"""
+def _pretraining_full_oracle() -> str | None:
+    """Closed-form relational replay of the capstone chain INCLUDING
+    the classifier + score-conditioned sampling stages (the published
+    CCNet/LLaMA order: rules → classifier → sampling → tokenize).
+    The classifier weights come from the python training replica
+    (full-corpus train — the SAME weights pipeline_quality_classifier's
+    oracle certifies, memoized in _qc_replica_state) and ride the SQL
+    as a literal array; the wordNgrams=2 scoring, the >=0.5 keep
+    decision and the hash-acceptance sampling are then fully
+    relational over the chain-derived text, so ONE green hash
+    certifies the composition end-to-end."""
+    state = _qc_replica_state(train_even_only=False)
+    if state is None:
+        return None
+    w, _feats, _labels, table = state
+    B = _QC_BUCKETS
+    w_arr = "[" + ",".join(str(x) for x in w) + "]::BIGINT[]"
+    t_arr = "[" + ",".join(str(v) for v in table) + "]::BIGINT[]"
+    gold_in = ", ".join(f"'{s}'" for s in _QC_GOLD)
+    return f"""
     WITH pages AS (
       SELECT doc_id, doc_id AS page_id, text FROM main.documents
       UNION ALL
@@ -4287,8 +4428,30 @@ assert "stopword_hits >= 1)" in _PRETRAIN_GOPHER_SQL
     documents AS (SELECT doc_id, text FROM sd_full),
     rules AS ({_PRETRAIN_GOPHER_SQL}),
     gk AS (SELECT r.doc_id, d.text, r.n_words FROM rules r JOIN documents d USING (doc_id) WHERE r.keep),
+    wt AS (SELECT {w_arr} AS w, {t_arr} AS t),
+    cw AS (SELECT g.doc_id, g.text, g.n_words,
+                  list_filter(string_split(g.text ||
+                    CASE WHEN d.source IN ({gold_in})
+                         THEN '{_QC_GOLD_MARK}' ELSE '{_QC_CRAWL_MARK}' END,
+                    ' '), x -> x <> '') AS ws
+           FROM gk g JOIN main.documents d USING (doc_id)),
+    cd AS (SELECT doc_id, text, n_words,
+                  (coalesce(list_sum(list_transform(
+                     list_distinct(list_transform(
+                       list_transform(ws, x -> 'qc1:' || x)
+                       || list_transform(range(2, len(ws) + 1),
+                                         i -> 'qc2:' || ws[i - 1] || ' ' || ws[i]),
+                       g2 -> ('0x' || substr(md5(g2), 1, 15))::BIGINT % {B})),
+                     b -> wt.w[b + 1])), 0) + wt.w[{B + 1}])::BIGINT AS dot
+           FROM cw, wt),
+    cls AS (SELECT doc_id, text, n_words,
+                   wt.t[least(greatest(((dot + 8000000) * 512) // 16000000, 0), 511) + 1] AS score_micro
+            FROM cd, wt),
+    ck AS (SELECT * FROM cls WHERE score_micro >= 500000),
+    samp AS (SELECT * FROM ck
+             WHERE ('0x' || substr(md5('qs:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 < score_micro),
     st AS (SELECT doc_id, unnest(words) AS token, unnest(range(1, len(words) + 1)) AS pos
-           FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words FROM gk)),
+           FROM (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS words FROM samp)),
     vocab AS (SELECT token, (row_number() OVER (ORDER BY count(*) DESC, token) - 1)::BIGINT AS token_id
               FROM st GROUP BY token),
     ids AS (SELECT st.doc_id, list(v.token_id ORDER BY st.pos) AS ids
@@ -4296,7 +4459,7 @@ assert "stopword_hits >= 1)" in _PRETRAIN_GOPHER_SQL
     tok AS (SELECT g.doc_id, coalesce(len(i.ids), 0)::BIGINT AS n,
                    coalesce(list_reduce(list_prepend(0::BIGINT, i.ids),
                                         (acc, x) -> (acc * 31 + x) % 1000000007), 0)::BIGINT AS h
-            FROM gk g LEFT JOIN ids i USING (doc_id))
+            FROM samp g LEFT JOIN ids i USING (doc_id))
     SELECT stage, docs, tokens FROM (
       SELECT 'extract' AS stage, count(*)::BIGINT AS docs,
              coalesce(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))), 0)::BIGINT AS tokens
@@ -4314,12 +4477,18 @@ assert "stopword_hits >= 1)" in _PRETRAIN_GOPHER_SQL
       UNION ALL
       SELECT 'gopher', count(*)::BIGINT, coalesce(sum(n_words), 0)::BIGINT FROM gk
       UNION ALL
+      SELECT 'classifier', count(*)::BIGINT, coalesce(sum(n_words), 0)::BIGINT FROM ck
+      UNION ALL
+      SELECT 'quality_sample', count(*)::BIGINT, coalesce(sum(n_words), 0)::BIGINT FROM samp
+      UNION ALL
       SELECT 'tokenize_shards', count(*)::BIGINT, coalesce(sum(n), 0)::BIGINT FROM tok
       UNION ALL
       SELECT 'shards_verdict', 0::BIGINT, (coalesce(sum(h), 0) % 1000000007)::BIGINT FROM tok
     )
-    """,
-)
+    """
+
+
+@_register("pipeline_pretraining_full", _pretraining_full_oracle())
 def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE CAPSTONE: the full pretraining corpus pipeline a 100-TB user
     ships, as a JobControl DAG across MATERIALIZING parquet boundaries
@@ -4330,6 +4499,11 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keep-lowest per content digest — removes the mirrors) →
     apply_span_dedup (Lee et al. substring cut, n=10 runs) → Gopher
     rule filter (fixture-tuned thresholds, see _PRETRAIN_GOPHER_SQL) →
+    QUALITY CLASSIFIER (fastText-style wordNgrams=2 LR, trained inside
+    the DAG on the curated gold-vs-crawl split — the published
+    CCNet/LLaMA order: rules hand off to the classifier) →
+    score-conditioned sampling (GPT-3-style hash acceptance with
+    p = score, functions/sampling.score_conditioned_sample) →
     build_vocab tokenization → Megatron token-shard export → read-back.
 
     Output: per-stage accounting (stage, docs, tokens) — docs surviving
@@ -4339,20 +4513,25 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary roundtrip is exact) and tokens = the summed per-doc
     polynomial id fold mod 1e9+7.  The oracle replays every stage
     relationally from the raw table (composing the SHARED Gopher SQL
-    and the span/line-surgery formulations) and pins the verdict row
-    closed-form — ONE green hash certifies WARC IO, extraction, three
-    dedup tiers, the filter, tokenization, the shard binary layout and
-    the accounting arithmetic end-to-end.
+    and the span/line-surgery formulations; the classifier stage
+    scores in-SQL with the python-replica weights as literals, see
+    _pretraining_full_oracle) and pins the verdict row closed-form —
+    ONE green hash certifies WARC IO, extraction, three dedup tiers,
+    the rule filter, the classifier, the sampler, tokenization, the
+    shard binary layout and the accounting arithmetic end-to-end.
 
     Scale shape: each stage materializes once and reads the PREVIOUS
     stage's parquet (linear chain, no recomputation); every stage
     keeps its operator's own 100-TB contract (extraction: one Arrow
     stage; line dedup: one line-keyed exchange; exact dedup:
     digest+id rows only; span cut: inverted index + id-sized
-    join-back; Gopher: shuffle-free projection; shards: one file per
-    partition).  Eager by contract (renders once per (process,
-    sf_dir)); the returned accounting plan reads the rendered stage
-    tables lazily."""
+    join-back; Gopher: shuffle-free projection; classifier train:
+    one cached feature exchange + 2 aggregates/iter with buckets+1
+    ints of driver state, apply: shuffle-free HOF projection;
+    sampling: narrow hash filter; shards: one file per partition).
+    Eager by contract (renders once per (process, sf_dir)); the
+    returned accounting plan reads the rendered stage tables
+    lazily."""
     import tempfile
 
     from hadoop_3_3_6_spark.functions.dedup import (
@@ -4360,10 +4539,13 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_dedup,
         remove_duplicate_lines,
     )
+    from hadoop_3_3_6_spark.functions.sampling import score_conditioned_sample
     from hadoop_3_3_6_spark.functions.text import (
+        apply_quality_classifier,
         build_vocab,
         gopher_quality_rules,
         html_to_text,
+        train_quality_classifier,
     )
     from hadoop_3_3_6_spark.plans.jobcontrol import ControlledJob, JobControl
     from hadoop_3_3_6_spark.sources.tokenshards import (
@@ -4486,14 +4668,63 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.write.mode("overwrite").parquet(f"{base}/s5_gopher")
             return spark.read.parquet(f"{base}/s5_gopher")
 
+        def j_classify(deps) -> DataFrame:
+            # the published CCNet/LLaMA order: rule filters hand off to
+            # the fastText-style quality classifier.  Training runs on
+            # the CURATED labeled split (the raw gold-vs-crawl table,
+            # the same set pipeline_quality_classifier certifies —
+            # weights shared via _RENDER_CACHE); applying to the
+            # chain's cleaned text is this stage's 100-TB hot path.
+            wkey = ("qc_weights", sf_dir)
+            if wkey not in _RENDER_CACHE:
+                _RENDER_CACHE[wkey] = train_quality_classifier(
+                    _qc_labeled(spark, sf_dir),
+                    buckets=_QC_BUCKETS,
+                    iters=_QC_ITERS,
+                    lr=_QC_LR,
+                )
+            gold = (
+                load_table(spark, "documents", sf_dir)
+                .select("doc_id", F.col("source").isin(*_QC_GOLD).alias("_gold"))
+            )
+            marked = deps["gopher"].join(gold, "doc_id").select(
+                "doc_id",
+                "n_words",
+                F.col("text").alias("_clean"),
+                F.concat(
+                    "text",
+                    F.when(F.col("_gold"), F.lit(_QC_GOLD_MARK)).otherwise(
+                        F.lit(_QC_CRAWL_MARK)
+                    ),
+                ).alias("text"),
+            )
+            scored = apply_quality_classifier(
+                marked, _RENDER_CACHE[wkey], keep_cols=("n_words", "_clean")
+            )
+            out = scored.filter(F.col("predicted")).select(
+                "doc_id",
+                F.col("_clean").alias("text"),
+                "n_words",
+                F.expr("cast(round(score * 1e6) as bigint)").alias("score_micro"),
+            )
+            out.write.mode("overwrite").parquet(f"{base}/s6_classifier")
+            return spark.read.parquet(f"{base}/s6_classifier")
+
+        def j_sample(deps) -> DataFrame:
+            out = score_conditioned_sample(
+                deps["classify"], "score_micro", "doc_id", salt="qs"
+            )
+            out.write.mode("overwrite").parquet(f"{base}/s7_sample")
+            return spark.read.parquet(f"{base}/s7_sample")
+
         def j_tokenize(deps) -> DataFrame:
-            vocab = build_vocab(deps["gopher"], "text", "doc_id").select(
+            vocab = build_vocab(deps["sample"], "text", "doc_id").select(
                 "token", "token_id"
             )
-            vocab.write.mode("overwrite").parquet(f"{base}/s6_vocab")
+            vocab.write.mode("overwrite").parquet(f"{base}/s8_vocab")
             enc = _encode_ids(
-                deps["gopher"].select("doc_id", "text"),
-                spark.read.parquet(f"{base}/s6_vocab"),
+                deps["sample"].select("doc_id", "text"),
+                spark.read.parquet(f"{base}/s8_vocab"),
             )
             write_token_shards(
                 enc.repartition(8, "doc_id"), f"{base}/shards", "doc_id", "token_ids"
@@ -4506,7 +4737,9 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         jc.add_job(ControlledJob("exact", j_exact, deps=["lines"]))
         jc.add_job(ControlledJob("spans", j_spans, deps=["exact"]))
         jc.add_job(ControlledJob("gopher", j_gopher, deps=["spans"]))
-        jc.add_job(ControlledJob("tokenize", j_tokenize, deps=["gopher"]))
+        jc.add_job(ControlledJob("classify", j_classify, deps=["gopher"]))
+        jc.add_job(ControlledJob("sample", j_sample, deps=["classify"]))
+        jc.add_job(ControlledJob("tokenize", j_tokenize, deps=["sample"]))
         jobs = jc.run()
         failed = {
             n: repr(j.error) for n, j in jobs.items() if j.state.value != "SUCCESS"
@@ -4529,10 +4762,12 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = spark.read.parquet(f"{base}/s3_exact")
     s4 = spark.read.parquet(f"{base}/s4_spans")
     s5 = spark.read.parquet(f"{base}/s5_gopher")
+    s6 = spark.read.parquet(f"{base}/s6_classifier")
+    s7 = spark.read.parquet(f"{base}/s7_sample")
     rb = read_token_shards(spark, f"{base}/shards")
     # the end-of-chain verdict: read-back ids vs an in-plan re-encoding
     reenc = _encode_ids(
-        s5.select("doc_id", "text"), spark.read.parquet(f"{base}/s6_vocab")
+        s7.select("doc_id", "text"), spark.read.parquet(f"{base}/s8_vocab")
     ).withColumnRenamed("token_ids", "_expect")
     verdict = (
         rb.join(reenc, "doc_id", "full")
@@ -4564,6 +4799,10 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage_row("exact_dedup", s3))
         .unionByName(stage_row("span_dedup", s4, F.sum("kept_tokens")))
         .unionByName(stage_row("gopher", s5, F.sum(F.col("n_words").cast("bigint"))))
+        .unionByName(stage_row("classifier", s6, F.sum(F.col("n_words").cast("bigint"))))
+        .unionByName(
+            stage_row("quality_sample", s7, F.sum(F.col("n_words").cast("bigint")))
+        )
         .unionByName(
             stage_row("tokenize_shards", rb, F.sum(F.size("token_ids").cast("bigint")))
         )
@@ -4732,78 +4971,6 @@ def q_pipeline_web_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QC_BUCKETS, _QC_ITERS, _QC_LR = 256, 15, 1.0
-_QC_GOLD = ("src0", "src1", "src2", "src3")
-
-
-def _qc_replica_rows(train_even_only: bool) -> list[tuple[int, int, int, bool]] | None:
-    """Shared replica core for the classifier oracles: an INDEPENDENT
-    python re-derivation of the whole loop — md5-ring feature hashing,
-    the integer sigmoid table recomputed from its published formula,
-    per-doc integer dots over distinct buckets, integer residuals,
-    gradient sums and the same driver update.  Spark's `div` truncates
-    toward zero; the replica's tdiv mirrors that (python // floors).
-    Returns ALL docs as (id, label, score_micro, predicted), trained
-    on every doc or on the even-id half only."""
-    import os
-
-    path = "/root/testdata/sf0.01/documents.parquet"
-    if not os.path.exists(path):
-        return None
-    import hashlib
-    import math
-
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(path, columns=["doc_id", "text", "source"])
-    docs = sorted(
-        zip(
-            t.column("doc_id").to_pylist(),
-            t.column("text").to_pylist(),
-            t.column("source").to_pylist(),
-        )
-    )
-    B, ITERS, LR = _QC_BUCKETS, _QC_ITERS, _QC_LR
-    BINS, R = 512, 8.0
-    step = 2 * R / BINS
-    table = [
-        round(1_000_000 / (1 + math.exp(R - (i + 0.5) * step))) for i in range(BINS)
-    ]
-
-    def bucket(tok: str) -> int:
-        return int(hashlib.md5(f"qc1:{tok}".encode()).hexdigest()[:15], 16) % B
-
-    def tdiv(a: int, b: int) -> int:
-        q = abs(a) // abs(b)
-        return -q if (a < 0) != (b < 0) else q
-
-    def sig_idx(dot: int) -> int:
-        return min(max(tdiv((dot + 8_000_000) * BINS, 16_000_000), 0), BINS - 1)
-
-    feats, labels = {}, {}
-    for i, tx, src in docs:
-        y = 1 if src in _QC_GOLD else 0
-        text2 = (tx or "") + (" hqmarker" if y else "")
-        feats[int(i)] = {bucket(w) for w in text2.split(" ") if w}
-        labels[int(i)] = y
-    train_ids = [i for i in feats if not train_even_only or i % 2 == 0]
-    n = len(train_ids)
-    w = [0] * (B + 1)
-    for _ in range(ITERS):
-        grad = [0] * (B + 1)
-        for i in train_ids:
-            dot = sum(w[b] for b in feats[i]) + w[B]
-            r = table[sig_idx(dot)] - labels[i] * 1_000_000
-            for b in feats[i]:
-                grad[b] += r
-            grad[B] += r
-        w = [w[b] - round(LR * grad[b] / n) for b in range(B + 1)]
-    rows = []
-    for i in sorted(feats):
-        dot = sum(w[b] for b in feats[i]) + w[B]
-        s = table[sig_idx(dot)]
-        rows.append((i, labels[i], s, s >= 500_000))
-    return rows
 
 
 def _quality_classifier_oracle() -> str | None:
@@ -4838,17 +5005,22 @@ def _quality_classifier_eval_oracle() -> str | None:
         rows = _qc_replica_rows(train_even_only=True)
         if rows is None:
             return None
-        test = [(y, p) for i, y, _s, p in rows if i % 2 == 1]
-        tp = sum(1 for y, p in test if y == 1 and p)
-        fp = sum(1 for y, p in test if y == 0 and p)
-        fn = sum(1 for y, p in test if y == 1 and not p)
-        tn = sum(1 for y, p in test if y == 0 and not p)
+        test = [(y, s, p) for i, y, s, p in rows if i % 2 == 1]
+        tp = sum(1 for y, _s, p in test if y == 1 and p)
+        fp = sum(1 for y, _s, p in test if y == 0 and p)
+        fn = sum(1 for y, _s, p in test if y == 1 and not p)
+        tn = sum(1 for y, _s, p in test if y == 0 and not p)
         n_test = len(test)
         acc_ppm = (tp + tn) * 1_000_000 // n_test
+        gold_mean = sum(s for y, s, _p in test if y == 1) // (tp + fn)
+        crawl_mean = sum(s for y, s, _p in test if y == 0) // (fp + tn)
         return (
             f"SELECT {len(rows) - n_test}::BIGINT AS n_train, {n_test}::BIGINT AS n_test, "
             f"{tp}::BIGINT AS tp, {fp}::BIGINT AS fp, {fn}::BIGINT AS fn, "
-            f"{tn}::BIGINT AS tn, {acc_ppm}::BIGINT AS accuracy_ppm"
+            f"{tn}::BIGINT AS tn, {acc_ppm}::BIGINT AS accuracy_ppm, "
+            f"{gold_mean}::BIGINT AS gold_mean_score_micro, "
+            f"{crawl_mean}::BIGINT AS crawl_mean_score_micro, "
+            f"{gold_mean - crawl_mean}::BIGINT AS separation_micro"
         )
     except Exception as exc:
         print(
@@ -4863,11 +5035,15 @@ def q_pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame
     """The quality-CLASSIFIER stage of the CCNet / LLaMA pretraining
     recipes (the fasttext-supervised 'gold vs crawl' model the rule
     filters hand off to): logistic regression over md5-hashed binary
-    set-of-words features, trained full-batch on a labeled corpus
-    (sources src0-3 = gold, with a deterministic in-plan marker token
-    standing in for the distributional signal a real wiki split
-    carries — the PII-injection fixture idiom), then applied
-    corpus-wide as a per-document score + keep decision.
+    set-of-grams features — unigrams PLUS consecutive word bigrams,
+    fastText's published wordNgrams=2 quality config — trained
+    full-batch on a labeled corpus (sources src0-3 = gold, with
+    deterministic in-plan marker tokens standing in for the
+    distributional signal a real wiki split carries — the
+    PII-injection fixture idiom; the marker pair 'hqa hqb' vs
+    'hqb hqa' is an ORDER-ONLY signal only a bigram feature can see,
+    see _QC_GOLD_MARK), then applied corpus-wide as a per-document
+    score + keep decision.
 
     Exactness device: fastText's own precomputed sigmoid TABLE,
     quantized to integer micro-units — the distributed path never
@@ -4907,7 +5083,8 @@ def _qc_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.concat(
-            "text", F.when(gold, F.lit(" hqmarker")).otherwise(F.lit(""))
+            "text",
+            F.when(gold, F.lit(_QC_GOLD_MARK)).otherwise(F.lit(_QC_CRAWL_MARK)),
         ).alias("text"),
         gold.cast("int").alias("label"),
     )
@@ -4918,9 +5095,12 @@ def q_pipeline_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HELD-OUT evaluation of the quality classifier — the train/test
     hygiene a production quality gate ships with: train on the even-id
     half, score the unseen odd-id half, one confusion-matrix verdict
-    row (n_train, n_test, tp, fp, fn, tn, accuracy_ppm).  accuracy is
-    integer parts-per-million via truncating division, so no float
-    rounding ever touches the row.  The oracle replays the split
+    row (n_train, n_test, tp, fp, fn, tn, accuracy_ppm) plus the
+    SEPARATION audit (per-class mean score in integer micro-units and
+    their difference — the number the wordNgrams=2 upgrade moves, see
+    _QC_GOLD_MARK).  accuracy and the means are integer micro-units
+    via truncating division, so no float rounding ever touches the
+    row.  The oracle replays the split
     replica closed-form.  Same exactness and scale contracts as
     pipeline_quality_classifier (weights cached per (process,
     sf_dir); scoring is the shuffle-free HOF projection)."""
@@ -4957,6 +5137,21 @@ def q_pipeline_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tn"),
         F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        # separation audit: per-class mean score in integer micro-units
+        # (score is table_micro/1e6 at 6 dp, so round(score*1e6) is the
+        # exact table value — no float ambiguity re-enters)
+        F.sum(
+            F.when(F.col("label") == 1, F.expr("cast(round(score * 1e6) as bigint)"))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("_gold_micro"),
+        F.sum(
+            F.when(F.col("label") == 0, F.expr("cast(round(score * 1e6) as bigint)"))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("_crawl_micro"),
     )
     return conf.select(
         n_train.alias("n_train"),
@@ -4966,6 +5161,11 @@ def q_pipeline_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fn",
         "tn",
         F.expr("((tp + tn) * 1000000) div n_test").cast("bigint").alias("accuracy_ppm"),
+        F.expr("_gold_micro div (tp + fn)").cast("bigint").alias("gold_mean_score_micro"),
+        F.expr("_crawl_micro div (fp + tn)").cast("bigint").alias("crawl_mean_score_micro"),
+        F.expr("_gold_micro div (tp + fn) - _crawl_micro div (fp + tn)")
+        .cast("bigint")
+        .alias("separation_micro"),
     )
 
 
@@ -10081,36 +10281,30 @@ _DRIVER_RECHECK = {
     # queued would crowd the ~50-slot budget and strand the r4
     # rotation tail this round is tasked to drain — the same
     # crowd-out that stranded it in round 9.)
-    # round 10 (ADVICE fix, outputs identical on fixtures / expression
-    # changed): rowwise assignment coalesces NULL cosines to -2 so a
-    # zero-norm centroid or vector ties bit-identically to max_by
-    "similarity_ivf_pq_topk": 10,
-    "similarity_ivf_pq_residual_topk": 10,
-    "similarity_ivf_pq_refined_topk": 10,
-    # round 10 (ADVICE fix, values identical below the cap): the
-    # unigram oracle replica now mirrors the trainer's top
-    # max_train_words truncation
-    "tokenizer_unigram_apply": 10,
-    # round 10 (binary-source review, outputs identical on all
-    # fixtures): the WARC parser reassembles RFC 5322-folded header
-    # values and rejects records missing the mandatory Content-Length;
-    # the MMIDIDX reader names its integer-only dtype contract
-    "warc_source_scan": 10,
-    "token_shards_roundtrip": 10,
-    # round 10 (review fix, verdict values identical): teravalidate
-    # now checks EVERY record's order per partition (the
-    # TeraValidate.java record-level contract) instead of trusting
-    # the sort operator's within-partition guarantee
-    "terasort_validate": 10,
-    # round 10 (conformance review, registered-spec outputs identical):
-    # the field-selection DSL now matches FieldSelectionHelper exactly
-    # (out-of-range empty slots, key-side open ranges ignored, last
-    # open range wins, empty range start = 0)
-    "fieldsel": 10,
-    # round 10 (conformance review, outputs identical): descriptor
-    # names resolve case-insensitively in aggregate_job
-    "aggregate_framework": 10,
-    "aggregatewordcount": 10,
+    # (round-11 pruning: all ten round-10 recheck entries — the three
+    # IVF-PQ tiers, tokenizer_unigram_apply, warc_source_scan,
+    # token_shards_roundtrip, terasort_validate, fieldsel, and the two
+    # aggregate-framework rows — GRADUATED manually.  The conservative
+    # same-round rule would re-queue them because their green rows
+    # carry round 10, but the r10 VERDICT explicitly confirms every
+    # materially-changed query "was force-rechecked and is fresh green
+    # in r10" (recorded by the end-of-round driver run AFTER the
+    # changes landed), so those verdicts certify the changed forms;
+    # keeping them queued would crowd the ~50-slot budget and strand
+    # the r5 vintage cohort this round is tasked to drain.)
+    # round 11 (bigram upgrade, outputs CHANGE): the quality
+    # classifier gains fastText wordNgrams=2 hashed bigram features
+    # (buckets 256 -> 2048, order-signal marker pair in the fixture;
+    # train/apply/replica all updated together), and the eval row
+    # gains the separation-audit columns
+    "pipeline_quality_classifier": 11,
+    "pipeline_classifier_eval": 11,
+    # round 11 (recipe completion, output rows CHANGE): the capstone
+    # threads the classifier + score-conditioned sampling stages
+    # between Gopher and tokenize (the published CCNet/LLaMA order);
+    # the accounting gains 'classifier' and 'quality_sample' rows and
+    # the tokenize/shard stages read the sampled corpus
+    "pipeline_pretraining_full": 11,
 }
 
 # Freshness pulls — NOT changed queries: standing verdicts whose

@@ -921,13 +921,22 @@ def test_pretraining_full_stage_conservation(spark):
     assert rows["exact_dedup"][0] == n_docs              # mirrors removed exactly
     assert rows["span_dedup"][0] == rows["exact_dedup"][0]
     assert rows["gopher"][0] <= rows["span_dedup"][0]
+    # the r11 recipe-completion stages: classifier keep then
+    # score-conditioned acceptance, each a pure row cut
+    assert rows["classifier"][0] <= rows["gopher"][0]
+    assert rows["quality_sample"][0] <= rows["classifier"][0]
     # monotone token survival through every cutting stage
     assert (
         rows["extract"][1]
         >= rows["line_dedup"][1]
         >= rows["span_dedup"][1]
         >= rows["gopher"][1]
+        >= rows["classifier"][1]
+        >= rows["quality_sample"][1]
     )
-    # every surviving token reaches the shards (vocab covers survivors)
-    assert rows["tokenize_shards"] == (rows["gopher"][0], rows["gopher"][1])
+    # every sampled token reaches the shards (vocab covers survivors)
+    assert rows["tokenize_shards"] == (
+        rows["quality_sample"][0],
+        rows["quality_sample"][1],
+    )
     assert rows["shards_verdict"][0] == 0                # zero roundtrip mismatches

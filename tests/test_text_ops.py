@@ -125,6 +125,29 @@ def test_temperature_sample_rates(spark):
     assert 0 < by_src["big"] < 400
 
 
+def test_score_conditioned_sample(spark):
+    """GPT-3-style score acceptance: keep iff hash('qs:'+id)%1e6 <
+    score_micro — deterministic, python-rederivable per row; score 1e6
+    always keeps, 0 never, and acceptance tracks the score."""
+    import hashlib
+
+    from hadoop_3_3_6_spark.functions.sampling import score_conditioned_sample
+
+    rows = [(i, [0, 250_000, 750_000, 1_000_000][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, score_micro bigint")
+    kept = {r.doc_id for r in score_conditioned_sample(df).collect()}
+
+    def h(i):
+        return int(hashlib.md5(f"qs:{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+
+    expect = {i for i, s in rows if h(i) < s}
+    assert kept == expect
+    assert all(i in kept for i, s in rows if s == 1_000_000)
+    assert all(i not in kept for i, s in rows if s == 0)
+    # determinism under re-evaluation
+    assert {r.doc_id for r in score_conditioned_sample(df).collect()} == kept
+
+
 def test_pack_sequences_invariants(spark):
     """Packing invariants: offsets stay inside the bin, each block's
     layout is gapless (start = previous start + previous n_tokens), and
@@ -553,11 +576,17 @@ def test_quality_classifier_learns_and_is_integer_exact(spark):
     assert all(r.predicted for r in gold) and not any(r.predicted for r in crawl)
 
     # python re-derivation of doc 1's score from the returned weights
-    def bucket(tok):
-        return int(hashlib.md5(f"qc1:{tok}".encode()).hexdigest()[:15], 16) % 64
+    # (wordNgrams=2: salted unigrams + consecutive word bigrams share
+    # the bucket space)
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % 64
 
     table = qc_sigmoid_table_micro()
-    bs = {bucket(t) for t in rows[1][1].split(" ") if t}
+    ws = [t for t in rows[1][1].split(" ") if t]
+    gs = [f"qc1:{w}" for w in ws] + [
+        f"qc2:{ws[i - 1]} {ws[i]}" for i in range(1, len(ws))
+    ]
+    bs = {bucket(g) for g in gs}
     dot = sum(w[b] for b in bs) + w[64]
     idx = min(max(((dot + 8_000_000) * QC_SIGMOID_BINS) // 16_000_000, 0), QC_SIGMOID_BINS - 1)
     assert out[1].score == table[idx] / 1e6
