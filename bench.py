@@ -249,6 +249,42 @@ def _fresh_session(app_name: str, warm_dir: str | None = None, ui: bool = False)
     return spark
 
 
+def _spill_totals(spark) -> tuple[int, int]:
+    """(memoryBytesSpilled, diskBytesSpilled) summed over every
+    completed stage of the given UI-enabled session, via the same REST
+    surface the stage audit reads.  (0, 0) when the UI is off or the
+    REST call fails — attempts then record spill deltas of 0 with the
+    probe row still carrying disk/cpu attribution."""
+    import urllib.request
+
+    sc = spark.sparkContext
+    if not sc.uiWebUrl:
+        return (0, 0)
+    try:
+        with urllib.request.urlopen(
+            f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages?status=complete",
+            timeout=10,
+        ) as r:
+            stages = json.load(r)
+        return (
+            sum(s.get("memoryBytesSpilled") or 0 for s in stages),
+            sum(s.get("diskBytesSpilled") or 0 for s in stages),
+        )
+    except Exception:
+        return (0, 0)
+
+
+def _cpu_probe_sec(n: int = 300_000) -> float:
+    """The fixed driver-side machine-speed probe (chained sha256)."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b""
+    for i in range(n):
+        h = hashlib.sha256(h + str(i).encode()).digest()
+    return round(time.perf_counter() - t0, 3)
+
+
 def _stage_audit(spark, min_stage_sec: float = 3.0, min_per_task_sec: float = 1.0) -> dict:
     """Stage-parallelism audit over everything the given UI-enabled
     session has run (the round-6 detector for the AQE-coalesce hazard
@@ -460,7 +496,9 @@ def main() -> None:
     # sandboxes the probe measured the bench's own drain and skipped a
     # healthy machine (round-9 finding: a session that probed 570 MB/s
     # at start read 31 MB/s at the old gate position).
-    spark = _fresh_session("bench-anchors")
+    # UI on: the per-attempt spill deltas of the 200M anchor read the
+    # same REST stage metrics the sf1 stage audit uses
+    spark = _fresh_session("bench-anchors", ui=True)
 
     from hadoop_3_3_6_spark.sources.terasort import teragen, terasort
 
@@ -468,6 +506,7 @@ def main() -> None:
     terasort_200m_shuffle_parts = None
     terasort_200m_skipped = None
     terasort_200m_throttled = None
+    terasort_200m_attempts: list[dict] = []
     # probe the disk BEFORE deciding to run the big anchor: in the
     # throttled regime the measurement is the hypervisor's IO budget,
     # not the engine (VERDICT r7 "What's wrong #3").  A below-floor
@@ -552,16 +591,45 @@ def main() -> None:
         prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
         terasort_200m_shuffle_parts = sized_shuffle_partitions(spark, 200_000_000 * 100)
         spark.conf.set("spark.sql.shuffle.partitions", str(terasort_200m_shuffle_parts))
+        # min-of-3 WITHIN one session, each attempt carrying its own
+        # disk/cpu probes and spill deltas (VERDICT r10 task 2: three
+        # healthy sessions spanned 49.5-111.4 s with the slowest on the
+        # fastest disk — per-attempt attribution is the only way to
+        # separate machine drift from a lucky draw).  The headline
+        # contract is unchanged: terasort_200m_sec = min of attempts,
+        # feeding the same min-of-sessions table; the attempts list and
+        # the in-session median travel beside it as evidence.
+        reps_200m = int(os.environ.get("SPARK_GRAFT_200M_REPS", "3"))
         try:
-            t0 = time.perf_counter()
-            terasort(teragen(spark, 200_000_000, partitions=640)).write.mode("overwrite").format("noop").save()
-            terasort_200m_sec = round(time.perf_counter() - t0, 1)
+            for _att in range(max(reps_200m, 1)):
+                att_disk = disk_probe_mb_s if _att == 0 else _disk_probe_mb_s()
+                att_cpu = _cpu_probe_sec()
+                spill0 = _spill_totals(spark)
+                t0 = time.perf_counter()
+                terasort(teragen(spark, 200_000_000, partitions=640)).write.mode("overwrite").format("noop").save()
+                sec = round(time.perf_counter() - t0, 1)
+                spill1 = _spill_totals(spark)
+                terasort_200m_attempts.append({
+                    "sec": sec,
+                    "disk_probe_mb_s": att_disk,
+                    "cpu_probe_sec": att_cpu,
+                    "mem_spill_gb": round((spill1[0] - spill0[0]) / 2**30, 2),
+                    "disk_spill_gb": round((spill1[1] - spill0[1]) / 2**30, 2),
+                })
+                print(
+                    f"# terasort_200m attempt {_att + 1}/{reps_200m}: {sec:.1f}s"
+                    f" (disk {att_disk} MB/s, cpu {att_cpu}s,"
+                    f" spill {terasort_200m_attempts[-1]['mem_spill_gb']}/"
+                    f"{terasort_200m_attempts[-1]['disk_spill_gb']} GB)",
+                    file=sys.stderr,
+                )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        terasort_200m_sec = min(a["sec"] for a in terasort_200m_attempts)
         print(
-            f"# terasort_200m_records: {terasort_200m_sec:.1f}s"
+            f"# terasort_200m_records: {terasort_200m_sec:.1f}s min-of-{len(terasort_200m_attempts)}"
             f" (shuffle partitions {terasort_200m_shuffle_parts},"
-            f" disk probe {disk_probe_mb_s} MB/s)",
+            f" entry disk probe {disk_probe_mb_s} MB/s)",
             file=sys.stderr,
         )
 
@@ -665,13 +733,7 @@ def main() -> None:
     # from sandbox speed — the round-3 "uniform 1.66x regression" was
     # the machine (bisected in round 4: round-2 CODE re-run on the
     # round-4 machine was SLOWER than round-4 code on the same machine).
-    import hashlib
-
-    t0 = time.perf_counter()
-    h = b""
-    for i in range(300_000):
-        h = hashlib.sha256(h + str(i).encode()).digest()
-    cpu_probe = round(time.perf_counter() - t0, 3)
+    cpu_probe = _cpu_probe_sec()
 
     # disk_probe_mb_s was measured just before the big anchor (gating
     # it); reused here for the record and the vs_prev annotation.
@@ -710,6 +772,17 @@ def main() -> None:
             # no 200M measurement.
             "terasort_200m_skipped": terasort_200m_skipped,
             "terasort_200m_throttled": terasort_200m_throttled,
+            # r11: the in-session min-of-3 evidence — per-attempt
+            # disk/cpu probes + spill deltas, and the session median
+            # as the variance-honest companion to best-of-sessions
+            "terasort_200m_attempts": terasort_200m_attempts,
+            "terasort_200m_median_sec": (
+                sorted(a["sec"] for a in terasort_200m_attempts)[
+                    len(terasort_200m_attempts) // 2
+                ]
+                if terasort_200m_attempts
+                else None
+            ),
             "terasort_200m_sessions": (ts200_sessions := _terasort_200m_sessions(
                 terasort_200m_sec, disk_probe_mb_s
             )),

@@ -418,6 +418,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = data[pos + 1]
+        if marker == 0xFF:
+            # optional fill byte before a marker (B.1.1.2: any number
+            # of 0xFF fill bytes may precede the marker code) — skip
+            # ONE fill byte and re-test, instead of misreading the
+            # second 0xFF as a marker code and its payload as a length
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -448,6 +455,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 o += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:
             prec, fh, fw, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                # B.2.2: baseline is 8-bit only; a 12-bit extended
+                # stream must fail loudly, not decode to garbage
+                raise ValueError(
+                    f"unsupported sample precision {prec} (baseline is 8-bit)"
+                )
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
@@ -461,6 +474,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns < len(frame["comps"]):
+                # A.2.3: a scan covering fewer components than the
+                # frame is NON-interleaved (per-component MCU grid,
+                # multiple scans) — decoding it on the interleaved MCU
+                # grid would silently return a partial image
+                raise ValueError(
+                    "non-interleaved multi-scan baseline stream is not "
+                    "supported (single interleaved scan only)"
+                )
             scan_sel = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]

@@ -157,7 +157,18 @@ def decode_png(payload: bytes) -> np.ndarray:
     pos, idat, meta = 8, [], None
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        if pos + 12 + length > len(payload):
+            raise ValueError(f"PNG {ctype.decode('ascii', 'replace')} chunk truncated")
         data = payload[pos + 8 : pos + 8 + length]
+        # 5.3: every chunk carries a CRC-32 over type+data; verify the
+        # CRITICAL chunks (bit 5 of the first type byte clear) — a
+        # flipped bit in IHDR/IDAT must fail loudly, not decode to
+        # garbage (ancillary chunks are skipped unread, so their CRCs
+        # are not load-bearing here)
+        if not (ctype[0] & 0x20):
+            (crc_stored,) = struct.unpack_from(">I", payload, pos + 8 + length)
+            if zlib.crc32(payload[pos + 4 : pos + 8 + length]) & 0xFFFFFFFF != crc_stored:
+                raise ValueError(f"PNG {ctype.decode('ascii', 'replace')} chunk CRC mismatch")
         if ctype == b"IHDR":
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
             meta = (w, h, depth, color, interlace)
@@ -245,18 +256,27 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     raises ValueError for non-WAV or compressed formats."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data = 12, None, b"", None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are padded to even size
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = fmt
+    if audio_format == 0xFFFE and len(fmt_body) >= 40:
+        # WAVE_FORMAT_EXTENSIBLE (the public multichannel/unambiguous
+        # form): the real format is the SubFormat GUID at offset 24 —
+        # KSDATAFORMAT_SUBTYPE_PCM begins 01 00 00 00; the container
+        # bits (already parsed) drive the sample layout even when
+        # wValidBitsPerSample is smaller
+        if fmt_body[24:28] == b"\x01\x00\x00\x00":
+            audio_format = 1
     if audio_format != 1 or bits not in (8, 16):
         raise ValueError(f"only PCM 8/16-bit supported (format={audio_format}, bits={bits})")
     if bits == 16:
@@ -379,7 +399,12 @@ def decode_y4m(payload: bytes) -> tuple[dict, list[bytes]]:
         if payload[pos : pos + 5] != b"FRAME":
             raise ValueError("malformed y4m FRAME marker")
         fnl = payload.index(b"\n", pos)
-        frames.append(payload[fnl + 1 : fnl + 1 + frame_bytes])
+        frame = payload[fnl + 1 : fnl + 1 + frame_bytes]
+        if len(frame) < frame_bytes:
+            raise ValueError(
+                f"y4m truncated frame: {len(frame)} of {frame_bytes} bytes"
+            )
+        frames.append(frame)
         pos = fnl + 1 + frame_bytes
     return meta, frames
 
@@ -665,8 +690,10 @@ def parse_mp4_metadata(payload: bytes) -> dict:
                 track = {"type": "", "width": 0, "height": 0}
                 for ttype, t0, t1 in boxes(m0, m1):
                     if ttype == b"tkhd":
-                        ver = data[t0]
-                        off = t1 - 8  # width/height: last 8 bytes, 16.16 fixed
+                        # width/height sit in the last 8 bytes of BOTH
+                        # tkhd versions (v0 and v1 differ only in the
+                        # leading time/id field widths)
+                        off = t1 - 8  # 16.16 fixed
                         w_fx, h_fx = struct.unpack_from(">II", data, off)
                         track["width"] = w_fx >> 16
                         track["height"] = h_fx >> 16

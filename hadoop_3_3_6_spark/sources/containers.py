@@ -50,6 +50,39 @@ def read_sequence_file_as_text(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_sequence_file_as_binary(spark: SparkSession, path: str) -> DataFrame:
+    """SequenceFileAsBinaryInputFormat (MRC/mapreduce/lib/input/
+    SequenceFileAsBinaryInputFormat.java:44): keys and values surfaced
+    as BytesWritable pairs carrying the RAW serialized Writable wire
+    bytes — the reference's SequenceFileAsBinaryRecordReader hands
+    back nextRawKey/nextRawValue without deserializing.  The Java
+    reader hop here deserializes, so the wire form is re-derived per
+    record with the SAME public Writable serializations the sink
+    writes (sources/seqfile._WRITABLES: Text = vint+utf8,
+    BytesWritable = int+bytes, numerics big-endian fixed width) in one
+    Arrow-batched stage — byte-identical to what the raw reader would
+    have returned, including multi-byte vints past 127 bytes."""
+    from hadoop_3_3_6_spark.sources.seqfile import _writable_for
+
+    df = read_sequence_file(spark, path)
+    k_t, v_t = (f.dataType.simpleString() for f in df.schema.fields)
+    _, enc_k = _writable_for(k_t)
+    _, enc_v = _writable_for(v_t)
+
+    def reserialize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "key": [enc_k(v) for v in pdf.iloc[:, 0]],
+                    "value": [enc_v(v) for v in pdf.iloc[:, 1]],
+                }
+            )
+
+    return df.mapInPandas(reserialize, "key binary, value binary")
+
+
 def write_sequence_file(df: DataFrame, path: str, codec: str | None = None) -> None:
     """Write the first two columns as a SequenceFile (Writable-encoded,
     splittable, sync-marked — SequenceFile.Writer semantics).

@@ -245,3 +245,35 @@ def test_media_metadata_distributed_scan(spark):
     assert got[1].fmt == "mp3" and got[1].ok and got[1].sample_rate == 44100
     assert got[2].fmt == "mp4" and got[2].ok and got[2].duration_ms == 2000
     assert got[3].ok is False and got[3].fmt == "unknown"
+
+
+def test_wav_format_extensible_pcm():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping PCM — the standard
+    multichannel/unambiguous fmt variant — must decode identically to
+    the plain PCM form (round-11 conformance fix); a non-PCM SubFormat
+    GUID stays rejected."""
+    import struct
+
+    import pytest
+
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-32768, 32767, size=(200, 2), dtype=np.int64).astype(np.int16)
+    data = samples.astype("<i2").tobytes()
+    pcm_guid = b"\x01\x00\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+    def wav_ext(guid: bytes) -> bytes:
+        fmt = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, 2, 44100, 44100 * 4, 4, 16, 22, 16, 0x3
+        ) + guid
+        return (
+            struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+            + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+            + struct.pack("<4sI", b"data", len(data)) + data
+        )
+
+    decoded, rate = decode_wav(wav_ext(pcm_guid))
+    assert rate == 44100
+    assert np.array_equal(decoded, samples)
+    ieee_float_guid = b"\x03" + pcm_guid[1:]
+    with pytest.raises(ValueError, match="PCM"):
+        decode_wav(wav_ext(ieee_float_guid))

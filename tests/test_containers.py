@@ -60,6 +60,49 @@ def test_seqfile_arrow_sink_java_reader_conformance(spark, tmp_path):
     assert got2 == {i: bytes([i % 256, 9]) for i in range(50)}
 
 
+def test_seqfile_as_binary_raw_wire_bytes(spark, tmp_path):
+    """SequenceFileAsBinaryInputFormat surfacing: key/value come back
+    as the RAW serialized Writable wire bytes (nextRawKey/nextRawValue
+    BytesWritable contract) — byte-pinned against an independent
+    python rendering of the public formats, including a Text value
+    past 127 bytes (multi-byte Hadoop vint prefix) and the 8-byte
+    big-endian LongWritable key."""
+    import struct
+
+    from hadoop_3_3_6_spark.sources.containers import (
+        read_sequence_file_as_binary,
+        write_sequence_file,
+    )
+
+    long_text = "x" * 300  # vint -> 2-byte length prefix (0x8e, 0x01 form)
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, long_text), (130, "")], "k bigint, v string"
+    ).coalesce(1)
+    out = str(tmp_path / "seqbin")
+    write_sequence_file(df, out)
+    got = {
+        bytes(r.key): bytes(r.value)
+        for r in read_sequence_file_as_binary(spark, out).collect()
+    }
+
+    def vint(i: int) -> bytes:
+        # positive form of the public WritableUtils encoding: single
+        # byte through 127, else marker -112-n (two's complement) then
+        # n big-endian bytes
+        if i <= 127:
+            return struct.pack("b", i)
+        body = i.to_bytes((i.bit_length() + 7) // 8, "big")
+        return bytes([256 - 112 - len(body)]) + body
+
+    assert vint(300) == bytes([0x8E, 0x01, 0x2C])
+    expect = {
+        struct.pack(">q", 1): vint(3) + b"abc",
+        struct.pack(">q", 2): vint(300) + long_text.encode(),
+        struct.pack(">q", 130): vint(0),
+    }
+    assert got == expect
+
+
 def test_seqfile_sink_rejects_nulls(spark, tmp_path):
     """Writables are not nullable — a null key/value must fail the
     write loudly, not serialize garbage."""

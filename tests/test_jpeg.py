@@ -92,6 +92,48 @@ def test_jpeg_rejects_non_baseline():
         decode_jpeg(bytes(data))
 
 
+def test_jpeg_fill_bytes_before_markers():
+    """B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    code — the header walk must skip them instead of misreading the
+    second 0xFF as a marker whose 'payload' is then parsed as a
+    length (the round-11 conformance fix)."""
+    img = _gradient(16, 16)
+    data = encode_jpeg(img)
+    baseline = decode_jpeg(data)
+    sof = data.find(b"\xff\xc0")
+    padded = data[:sof] + b"\xff\xff\xff" + data[sof:]
+    assert np.array_equal(decode_jpeg(padded), baseline)
+
+
+def test_jpeg_rejects_12bit_precision():
+    """B.2.2: baseline is 8-bit; a 12-bit SOF must fail loudly."""
+    img = _gradient(16, 16)
+    data = bytearray(encode_jpeg(img))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 4] = 12  # precision byte (after marker + 2-byte length)
+    with pytest.raises(ValueError, match="precision"):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_rejects_non_interleaved_multi_scan():
+    """A.2.3: a scan naming fewer components than the frame is a
+    non-interleaved multi-scan stream; decoding it on the interleaved
+    MCU grid would silently drop components — refuse instead."""
+    img = _gradient(16, 16)
+    data = bytearray(encode_jpeg(img))
+    sos = data.find(b"\xff\xda")
+    # rewrite the SOS header in place: Ns 3 -> 1 (keep component 1's
+    # entry, then Ss/Se/AhAl); the remaining bytes join the entropy
+    # stream, which the decoder must never reach
+    (orig_len,) = struct.unpack_from(">H", data, sos + 2)
+    assert orig_len == 12  # 6 + 2*3
+    data[sos + 2 : sos + 2 + 12] = struct.pack(">HB", 8, 1) + bytes(
+        [1, 0x00, 0x00, 0x3F, 0x00]
+    ) + bytes(4)
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(bytes(data))
+
+
 def test_jpeg_grayscale_single_component_decode():
     """A 1-component frame (grayscale mode) decodes with luma
     replicated to 3 channels and tracks the source luma closely."""

@@ -411,6 +411,9 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         # parse stage (ArrowEvalPython) over the batch WARC read
         "pipeline_pretraining_full",
         "pipeline_web_streaming",
+        # round-11: raw Writable wire-byte reserialization (MapInPandas
+        # — the BytesWritable surfacing IS the semantics)
+        "seqfile_as_binary_scan",
     }
     python_nodes = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "PythonDataSource")
     offenders = {}
@@ -479,7 +482,12 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     # sequenceFile toDF inference job
                     "seqfile_as_text_scan",
                     # two checkpointed stream phases run at construction
-                    "rangestream_drain"}
+                    "rangestream_drain",
+                    # round-11 eager-by-contract rows: shares
+                    # seqfile_roundtrip's rendered dir + sequenceFile
+                    # toDF inference; the noop write action runs at
+                    # construction
+                    "seqfile_as_binary_scan", "nulloutput_noop"}
     }
     lazy = [n for n in QUERIES if n not in eager_by_contract]
     # Warm pass: pays the one-time parquet schema-inference jobs that

@@ -104,3 +104,29 @@ def test_unsupported_png_flavors_rejected():
         decode_png(bad)
     with pytest.raises(ValueError, match="not a PNG"):
         decode_png(b"JFIF....")
+
+
+def test_png_critical_chunk_crc_verified():
+    """5.3: a flipped bit in a critical chunk must fail loudly (the
+    round-11 conformance fix), and a chunk whose declared length runs
+    past the payload is 'truncated', not an index error."""
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    data = bytearray(encode_png(img))
+    idat = data.find(b"IDAT")
+    data[idat + 5] ^= 0x01  # corrupt one IDAT payload byte, keep CRC
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(data))
+    good = encode_png(img)
+    with pytest.raises(ValueError, match="truncated"):
+        # cut mid-IDAT: the chunk header is readable but its declared
+        # data+crc run past the end of the payload
+        decode_png(good[: good.find(b"IDAT") + 6])
+    # ancillary chunks are skipped unread: a bad-CRC tEXt is harmless
+    def chunk(ctype, payload_, crc=None):
+        return struct.pack(">I", len(payload_)) + ctype + payload_ + struct.pack(
+            ">I", crc if crc is not None else zlib.crc32(ctype + payload_) & 0xFFFFFFFF
+        )
+
+    iend = good.find(b"IEND") - 4
+    spliced = good[:iend] + chunk(b"tEXt", b"k\x00v", crc=0xDEADBEEF) + good[iend:]
+    assert np.array_equal(decode_png(spliced), img)

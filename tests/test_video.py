@@ -56,3 +56,10 @@ def test_malformed_y4m_rejected():
         decode_y4m(b"YUV4MPEG2 W2 H2 C420\n" + b"JUNK!\n" + b"\x00" * 6)
     with pytest.raises(ValueError, match="colorspace"):
         decode_y4m(b"YUV4MPEG2 W2 H2 C422\nFRAME\n" + b"\x00" * 8)
+
+
+def test_y4m_truncated_frame_rejected():
+    """A final frame shorter than the colorspace's frame size is a
+    truncated stream and must fail loudly (round-11 conformance fix)."""
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C420\nFRAME\n" + b"\x00" * 5)  # needs 6
