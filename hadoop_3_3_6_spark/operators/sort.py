@@ -140,67 +140,186 @@ def secondary_sort_streaming(
 
 # --- KeyFieldBasedComparator DSL ----------------------------------------
 
-_KEYSPEC_RE = re.compile(r"^-k\s*(\d+)(?:\.(\d+))?(?:,(\d+)(?:\.(\d+))?)?\s*([nr]*)$")
-
 
 def parse_key_field_spec(spec: str) -> list[tuple[int, bool, bool]]:
     """Parse unix-sort-style specs like ``-k2,2nr -k1,1`` to
-    [(field_index_0based, numeric, reverse), ...] — the whole-field
-    form.  Use ``parse_key_field_spec_full`` for char offsets."""
-    return [(f, n, r) for f, _cs, _ce, n, r in parse_key_field_spec_full(spec)]
+    [(begin_field_0based, numeric, reverse), ...] — the simple
+    whole-field view.  Use ``parse_key_field_spec_full`` for the
+    complete KeyDescription (char offsets, field ranges)."""
+    return [(bf - 1, n, r) for bf, _bc, _ef, _ec, n, r in parse_key_field_spec_full(spec)]
 
 
-def parse_key_field_spec_full(spec: str) -> list[tuple[int, int | None, int | None, bool, bool]]:
-    """Full KeyFieldBasedComparator grammar ``-k pos1[.char1][,pos2[.char2]][nr]``
-    (KeyFieldBasedComparator.java:38-50, parser KeyFieldHelper.java:296).
+def _parse_one_key(keyargs: str) -> tuple[int, int, int, int, bool, bool]:
+    """KeyFieldHelper.parseKey reimplemented token-for-token
+    (KeyFieldHelper.java:197-285): tokenize on the delimiter set
+    'nr.,' (delimiters returned as tokens), walk
+    ``f1[.c1][flags][,f2[.c2][flags]]``.  Flags may sit after either
+    pos; a non-flag token where pos2's flags belong raises (the
+    reference's IllegalArgumentException); ``int()`` on a non-number
+    token raises ValueError like parseInt's NumberFormatException;
+    running out of tokens mid-spec (e.g. ``-k2.``) raises like
+    NoSuchElementException."""
+    st = re.findall(r"[^nr.,]+|[nr.,]", keyargs)
+    i = 0
 
-    Returns [(field_0based, char_start_0based|None, char_end_1based|None,
-    numeric, reverse)].  Only single-field keys are compiled (pos2 must
-    equal pos1 when given — the form every in-tree example and
-    streaming job uses); char offsets slice within that field."""
-    out: list[tuple[int, int | None, int | None, bool, bool]] = []
-    for piece in spec.split():
-        m = _KEYSPEC_RE.match(piece)
-        if not m:
-            raise ValueError(f"bad key-field spec {piece!r}")
-        f1, c1, f2, c2 = m.group(1), m.group(2), m.group(3), m.group(4)
-        if f2 is not None and f2 != f1:
-            raise ValueError(f"multi-field key ranges not supported: {piece!r}")
-        flags = m.group(5) or ""
-        out.append(
-            (
-                int(f1) - 1,  # unix sort is 1-based
-                int(c1) - 1 if c1 else None,
-                int(c2) if c2 else None,
-                "n" in flags,
-                "r" in flags,
-            )
+    def nxt() -> str:
+        nonlocal i
+        if i >= len(st):
+            raise ValueError(f"bad key-field spec -k{keyargs!r}: ran out of tokens")
+        tok = st[i]
+        i += 1
+        return tok
+
+    def has() -> bool:
+        return i < len(st)
+
+    bf, bc, ef, ec, num, rev = 1, 1, 0, 0, False, False
+    if has():
+        bf = int(nxt())
+    if has():
+        tok = nxt()
+        if tok == ".":
+            bc = int(nxt())
+            if has():
+                tok = nxt()
+            else:
+                return (bf, bc, ef, ec, num, rev)
+        while True:
+            if tok == "n":
+                num = True
+            elif tok == "r":
+                rev = True
+            else:
+                break
+            if has():
+                tok = nxt()
+            else:
+                return (bf, bc, ef, ec, num, rev)
+        if tok == ",":
+            ef = int(nxt())
+            if has():
+                tok = nxt()
+                if tok == ".":
+                    ec = int(nxt())
+                    if has():
+                        tok = nxt()
+                    else:
+                        return (bf, bc, ef, ec, num, rev)
+                while True:
+                    if tok == "n":
+                        num = True
+                    elif tok == "r":
+                        rev = True
+                    else:
+                        raise ValueError(
+                            f"Invalid -k argument {keyargs!r}: must be of the "
+                            "form -k pos1,[pos2], where pos is of the form f[.c]nr"
+                        )
+                    if has():
+                        tok = nxt()
+                    else:
+                        break
+            return (bf, bc, ef, ec, num, rev)
+        raise ValueError(
+            f"Invalid -k argument {keyargs!r}: must be of the form "
+            "-k pos1,[pos2], where pos is of the form f[.c]nr"
         )
-    return out
+    return (bf, bc, ef, ec, num, rev)
+
+
+def parse_key_field_spec_full(spec: str) -> list[tuple[int, int, int, int, bool, bool]]:
+    """Full KeyFieldBasedComparator option grammar, REFERENCE-EXACT
+    (KeyFieldBasedComparator.java:38-53, parser
+    KeyFieldHelper.java:158-285 parseOption/parseKey): whitespace
+    tokens are ``-n`` / ``-r`` / ``-nr`` global ordering options or
+    ``-k<spec>`` / ``-k <spec>`` key descriptions; anything else is
+    silently ignored (parseOption has no error arm).  Global flags
+    apply to every keyspec that carries NO flags of its own; with no
+    ``-k`` at all, the single global description (whole key, the
+    global flags) is returned.
+
+    Returns [(begin_field_1based, begin_char_1based,
+    end_field_1based, end_char_1based, numeric, reverse)] mirroring
+    KeyDescription — end_field 0 means 'to the end of the RECORD'
+    (the -k2 form compares field 2 through the last character, like
+    unix sort); end_char 0 means 'to the end of end_field'."""
+    toks = spec.split()
+    g_num = g_rev = False
+    keys: list[list] = []
+    i = 0
+    while i < len(toks):
+        arg = toks[i]
+        if arg == "-n":
+            g_num = True
+        elif arg == "-r":
+            g_rev = True
+        elif arg == "-nr":
+            g_num = True
+            g_rev = True
+        elif arg.startswith("-k"):
+            keyargs = arg[2:]
+            if not keyargs:
+                i += 1
+                if i >= len(toks):
+                    break  # parseKey returns null on a bare trailing -k
+                keyargs = toks[i]
+            keys.append(list(_parse_one_key(keyargs)))
+        i += 1
+    for k in keys:
+        if not (k[4] or k[5]):
+            k[4], k[5] = g_num, g_rev
+    if not keys:
+        keys = [[1, 1, 0, 0, g_num, g_rev]]
+    return [tuple(k) for k in keys]
 
 
 def key_field_sort(df: DataFrame, text_col: str, spec: str, sep: str = "\t") -> DataFrame:
-    """Sort separator-joined text records by a key-field spec
-    (optionally with ``f.c`` char offsets within the field).
+    """Sort separator-joined text records by a KeyFieldBasedComparator
+    option string, compiling the FULL KeyDescription semantics
+    (round-11 conformance review vs KeyFieldHelper.getStartOffset/
+    getEndOffset): a key spans from char ``bc`` of field ``bf``
+    through char ``ec`` of field ``ef``; ``ef = 0`` runs to the end
+    of the record, ``ec = 0`` to the end of field ``ef``; an
+    end-position past the record clamps to the record end (the
+    reference's ``return end - 1`` arm — substring truncation here).
+
+    Documented divergences (both deliberate): a record MISSING the
+    begin field compares as the empty string — the reference's
+    getStartOffset returns -1 and compareByteSequence then reports
+    the pair unequal even when BOTH sides are missing, an asymmetric
+    (unstable) comparator no total order can mirror; and ``n``
+    compares via cast('double') (unparsable -> NULL, first in asc)
+    instead of the reference's leading-digit parse — the oracle
+    mirrors cast semantics and every registered spec sorts
+    numeric-clean fields.
 
     ``F.split`` receives the pattern string as-is (no SQL-literal
     layer consumes backslashes), so a single ``re.escape`` is the
     correct escaping for regex-special separators like ``.`` or ``|``.
     """
     fields = F.split(F.col(text_col), re.escape(sep))
+    nf = F.size(fields)
     order: list[Column] = []
-    for idx, char_start, char_end, numeric, reverse in parse_key_field_spec_full(spec):
-        c = F.element_at(fields, idx + 1)
-        if char_start is not None or char_end is not None:
-            start = (char_start or 0) + 1  # substring is 1-based
-            length = (char_end - (char_start or 0)) if char_end is not None else 1_000_000
-            c = F.substring(c, start, length)
+    for bf, bc, ef, ec, numeric, reverse in parse_key_field_spec_full(spec):
+        if ef == 0:
+            joined = F.concat_ws(
+                sep, F.slice(fields, bf, F.greatest(nf - F.lit(bf) + 1, F.lit(0)))
+            )
+            endpos = F.length(joined)
+        else:
+            span = max(ef - bf + 1, 0)
+            joined = F.concat_ws(sep, F.slice(fields, bf, F.lit(max(span, 1))))
+            if span <= 0:
+                joined = F.lit("")
+            if ec == 0:
+                endpos = F.length(joined)
+            elif ef == bf:
+                endpos = F.lit(ec)
+            else:
+                prefix = F.concat_ws(sep, F.slice(fields, bf, F.lit(ef - bf)))
+                endpos = F.length(prefix) + len(sep) + ec
+        c = joined.substr(F.lit(bc), F.greatest(endpos - bc + 1, F.lit(0)))
         if numeric:
-            # cast('double'): unparsable fields sort as NULL (first in
-            # asc).  GNU sort -n would treat them as 0; the reference
-            # comparator parses leading digits.  Deliberate, documented
-            # divergence — the oracle mirrors cast semantics, and every
-            # registered spec sorts numeric-clean fields.
             c = c.cast("double")
         order.append(c.desc() if reverse else c.asc())
     return df.orderBy(*order)

@@ -10390,6 +10390,13 @@ _DRIVER_RECHECK = {
     "multimodal_wav_source": 11,
     "multimodal_phash_dedup": 11,
     "multimodal_phash_incremental": 11,
+    # round 11 (KeyFieldBasedComparator conformance review, registered
+    # spec's outputs identical): the DSL parser is now reference-exact
+    # (parseOption/parseKey token-for-token: global -n/-r/-nr, flags
+    # after either pos, -k2 = field 2 to END OF RECORD, multi-field
+    # ranges, .0 = end-of-field, unknown tokens ignored) and the sort
+    # compiles the full KeyDescription span semantics
+    "keyfield_topk_orders": 11,
     # round 11 (recipe completion, output rows CHANGE): the capstone
     # threads the classifier + score-conditioned sampling stages
     # between Gopher and tokenize (the published CCNet/LLaMA order);

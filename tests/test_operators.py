@@ -31,8 +31,44 @@ def test_parse_field_spec():
 
 def test_parse_key_field_spec():
     assert parse_key_field_spec("-k2,2nr -k1,1") == [(1, True, True), (0, False, False)]
+    # reference parseOption silently IGNORES unknown tokens and falls
+    # back to the single global (whole-key) description — it does NOT
+    # raise (KeyFieldHelper.java:158-175 has no error arm)
+    from hadoop_3_3_6_spark.operators.sort import parse_key_field_spec_full
+
+    assert parse_key_field_spec_full("oops") == [(1, 1, 0, 0, False, False)]
+    # a malformed -k argument DOES raise (parseKey's
+    # IllegalArgumentException / parseInt's NumberFormatException)
     with pytest.raises(ValueError):
-        parse_key_field_spec("oops")
+        parse_key_field_spec("-k2,2x")
+    with pytest.raises(ValueError):
+        parse_key_field_spec("-kzap")
+
+
+def test_parse_key_field_spec_reference_grammar():
+    """Round-11 conformance review vs KeyFieldHelper.parseOption/
+    parseKey: global -n/-r/-nr apply to flagless keyspecs only; flags
+    may sit after pos1; -k f (no pos2) = field f to END OF RECORD
+    (endField 0); .0 end char = end of that field; -k may be split
+    from its argument; field ranges parse."""
+    from hadoop_3_3_6_spark.operators.sort import parse_key_field_spec_full as full
+
+    # global flags fill in flagless keys, flagged keys keep their own
+    assert full("-nr -k1,1 -k2,2r") == [(1, 1, 1, 0, True, True), (2, 1, 2, 0, False, True)]
+    # flags after pos1 (the -k2n,2 form the old regex rejected)
+    assert full("-k2n,2") == [(2, 1, 2, 0, True, False)]
+    # no pos2: end field 0 = rest of the record
+    assert full("-k2") == [(2, 1, 0, 0, False, False)]
+    # char offsets on both ends; .0 = end of field
+    assert full("-k2.3,2.5n") == [(2, 3, 2, 5, True, False)]
+    assert full("-k2.3,4.0") == [(2, 3, 4, 0, False, False)]
+    # detached argument form "-k 2,2"
+    assert full("-k 2,2n") == [(2, 1, 2, 0, True, False)]
+    # multi-field range
+    assert full("-k1,3") == [(1, 1, 3, 0, False, False)]
+    # no -k at all: ONE global whole-key description with the flags
+    assert full("-r") == [(1, 1, 0, 0, False, True)]
+    assert full("") == [(1, 1, 0, 0, False, False)]
 
 
 def test_inverse_map(spark):
@@ -50,6 +86,36 @@ def test_key_field_sort(spark):
     # lexicographic on field 2 would give 1, 10, 2
     out2 = [r["line"] for r in key_field_sort(df, "line", "-k2,2").collect()]
     assert out2 == ["c\t1", "a\t10", "b\t2"]
+
+
+def test_key_field_sort_range_semantics(spark):
+    """Round-11 conformance: -k2 (no pos2) spans field 2 THROUGH THE
+    END OF THE RECORD (KeyFieldHelper.getEndOffset endFieldIdx==0 arm)
+    — unlike -k2,2 which stops at field 2; char offsets span fields;
+    .0 stops at its field's end."""
+    rows = [("x\tb\tz",), ("y\tb\ta",), ("w\tb\tm",)]
+    df = spark.createDataFrame(rows, "line string")
+    # field 2 is 'b' everywhere; -k2,2 ties -> input order is arbitrary,
+    # but -k2 extends into field 3 and must order by it: a, m, z
+    out = [r["line"] for r in key_field_sort(df, "line", "-k2").collect()]
+    assert out == ["y\tb\ta", "w\tb\tm", "x\tb\tz"]
+    # char range spanning fields: -k1.3,2.1 = chars 3.. of field 1,
+    # the separator, then char 1 of field 2
+    rows2 = [("ab9\t5x",), ("ab1\t7x",), ("ab1\t3x",)]
+    df2 = spark.createDataFrame(rows2, "line string")
+    out2 = [r["line"] for r in key_field_sort(df2, "line", "-k1.3,2.1").collect()]
+    # keys: '9\t5', '1\t7', '1\t3' -> sorted: 1\t3, 1\t7, 9\t5
+    assert out2 == ["ab1\t3x", "ab1\t7x", "ab9\t5x"]
+    # .0 end: -k1.2,1.0 = field 1 from char 2 to its end (not beyond)
+    rows3 = [("aZ\tz",), ("aA\ty",)]
+    df3 = spark.createDataFrame(rows3, "line string")
+    out3 = [r["line"] for r in key_field_sort(df3, "line", "-k1.2,1.0").collect()]
+    assert out3 == ["aA\ty", "aZ\tz"]
+    # global flags: '-nr -k2,2' sorts field 2 numeric reverse
+    rows4 = [("a\t2",), ("b\t10",)]
+    df4 = spark.createDataFrame(rows4, "line string")
+    out4 = [r["line"] for r in key_field_sort(df4, "line", "-nr -k2,2").collect()]
+    assert out4 == ["b\t10", "a\t2"]
 
 
 def test_corrupt_record_tolerant_scans(spark, tmp_path):
