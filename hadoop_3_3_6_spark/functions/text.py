@@ -263,6 +263,51 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return df.select(F.col(id_col), F.expr(expr).alias("fingerprint"))
 
 
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """Web-crawl URL canonicalization (RFC 3986 §6 normalization plus
+    the crawl-dedup conventions) — the URL-level dedup key the
+    published recipes compute BEFORE any content dedup (RefinedWeb's
+    URL deduplication stage; CCNet's per-shard URL dedup): two fetches
+    of the same resource under cosmetic URL variation must collapse to
+    one key.  Rules, in order:
+
+    1. drop the fragment (``#...`` — never sent to the server),
+    2. lowercase the scheme and authority (host names are
+       case-insensitive; paths are NOT touched),
+    3. drop an explicit default port (``:80`` http, ``:443`` https),
+    4. strip tracking query parameters (``utm_*``, ``fbclid``,
+       ``gclid``) and repair the leftover ``?``/``&`` seams,
+    5. give a bare authority the root path (``http://h`` → ``http://h/``).
+
+    Pure per-row JVM regex projection — shuffle-free, fuses into the
+    scan; all patterns are lookaround-free so a DuckDB oracle can
+    replay them (RE2-compatible, dialect-specific replacement syntax).
+    """
+    u = F.col(url_col)
+    # 1. fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 2. lowercase scheme://authority (the part before the first / or ?)
+    head = r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?]*)"
+    u = F.concat(
+        F.lower(F.regexp_extract(u, head, 1)), F.regexp_replace(u, head, "")
+    )
+    # 3. default ports (after lowercasing, schemes are lower)
+    u = F.regexp_replace(u, r"^(http://[^/?:]*):80([/?].*)?$", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?:]*):443([/?].*)?$", r"$1$2")
+    # 4. tracking params: non-first (&p=v), then promoted-first (?p=v&
+    #    -> ?), then lone (?p=v -> '')
+    trk = r"(utm_[A-Za-z0-9]+|fbclid|gclid)"
+    u = F.regexp_replace(u, rf"&{trk}=[^&]*", "")
+    u = F.regexp_replace(u, rf"\?{trk}=[^&]*&", "?")
+    u = F.regexp_replace(u, rf"\?{trk}=[^&]*$", "")
+    # 5. bare authority -> root path (also before a query string)
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.\-]*://[^/?]+)$", r"$1/")
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.\-]*://[^/?]+)\?", r"$1/?")
+    return df.withColumn(out_col, u)
+
+
 # PII patterns restricted to syntax valid in BOTH Java regex (Spark) and
 # RE2 (DuckDB oracle): no backreferences, no lookaround.  Order matters:
 # emails are redacted first (they contain dots/digits an IP or phone

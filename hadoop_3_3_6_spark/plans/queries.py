@@ -4020,6 +4020,106 @@ def q_text_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipeline_url_dedup",
+    """
+    WITH u AS (
+      SELECT doc_id, (doc_id // 5)::BIGINT AS gid, doc_id % 5 AS v
+      FROM documents),
+    raw AS (
+      SELECT doc_id,
+             CASE v
+               WHEN 1 THEN 'HTTP://SITE' || (gid % 13)::VARCHAR || '.Example.COM:80/a/' || gid::VARCHAR
+               WHEN 2 THEN 'http://site' || (gid % 13)::VARCHAR || '.example.com/a/' || gid::VARCHAR
+                           || '?utm_source=feed&utm_campaign=c' || gid::VARCHAR
+               WHEN 3 THEN 'http://site' || (gid % 13)::VARCHAR || '.example.com/a/' || gid::VARCHAR
+                           || '#frag' || doc_id::VARCHAR
+               WHEN 4 THEN 'http://site' || (gid % 13)::VARCHAR || '.example.com/a/' || gid::VARCHAR
+                           || '?id=9&utm_medium=email'
+               ELSE 'http://site' || (gid % 13)::VARCHAR || '.example.com/a/' || gid::VARCHAR
+             END AS url
+      FROM u),
+    canon AS (
+      SELECT doc_id, url,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      lower(regexp_extract(regexp_replace(url, '#.*$', ''), '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*)', 1))
+                        || regexp_replace(regexp_replace(url, '#.*$', ''), '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*)', ''),
+                      '^(http://[^/?:]*):80([/?].*)?$', '\\1\\2'),
+                    '^(https://[^/?:]*):443([/?].*)?$', '\\1\\2'),
+                  '&(utm_[A-Za-z0-9]+|fbclid|gclid)=[^&]*', '', 'g'),
+                '\\?(utm_[A-Za-z0-9]+|fbclid|gclid)=[^&]*&', '?'),
+              '\\?(utm_[A-Za-z0-9]+|fbclid|gclid)=[^&]*$', ''),
+            '^([a-z][a-z0-9+.\\-]*://[^/?]+)$', '\\1/'),
+          '^([a-z][a-z0-9+.\\-]*://[^/?]+)\\?', '\\1/?') AS canonical_url
+      FROM raw)
+    SELECT doc_id, canonical_url,
+           (doc_id = min(doc_id) OVER (PARTITION BY canonical_url)) AS kept,
+           count(*) OVER (PARTITION BY canonical_url)::BIGINT AS dup_count
+    FROM canon
+    """,
+)
+def q_pipeline_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the FIRST dedup stage of the published crawl
+    recipes (RefinedWeb runs URL dedup before any content pass;
+    CCNet dedups per-shard by URL): canonicalize each document's
+    fetch URL (functions/text.canonicalize_urls: fragment, case,
+    default port, tracking params, bare-authority rules) and keep the
+    lowest doc_id per canonical key.  The synthetic docs carry no
+    URLs, so deterministic ones are injected first (the PII/url-domain
+    fixture idiom): every 5 consecutive doc_ids share one resource
+    under cosmetic variation — mixed-case host + explicit :80,
+    utm-tracking params, a fragment — which must all collapse to ONE
+    canonical key, while the ?id=9 variant carries a REAL query param
+    and must stay distinct.  Scale shape: canonicalization is a
+    shuffle-free regex projection; the keep decision is one
+    canonical-keyed exchange carrying (id, url) rows only — at 100 TB
+    this is the cheap pass that runs before anything touches content
+    bytes."""
+    from hadoop_3_3_6_spark.functions.text import canonicalize_urls
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.expr("doc_id div 5").alias("gid"),
+        (F.col("doc_id") % 5).alias("v"),
+    )
+    base = F.concat(
+        F.lit("http://site"),
+        (F.col("gid") % 13).cast("string"),
+        F.lit(".example.com/a/"),
+        F.col("gid").cast("string"),
+    )
+    base_upper = F.concat(
+        F.lit("HTTP://SITE"),
+        (F.col("gid") % 13).cast("string"),
+        F.lit(".Example.COM:80/a/"),
+        F.col("gid").cast("string"),
+    )
+    raw = docs.select(
+        "doc_id",
+        F.when(F.col("v") == 1, base_upper)
+        .when(F.col("v") == 2, F.concat(base, F.lit("?utm_source=feed&utm_campaign=c"), F.col("gid").cast("string")))
+        .when(F.col("v") == 3, F.concat(base, F.lit("#frag"), F.col("doc_id").cast("string")))
+        .when(F.col("v") == 4, F.concat(base, F.lit("?id=9&utm_medium=email")))
+        .otherwise(base)
+        .alias("url"),
+    )
+    canon = canonicalize_urls(raw, "url")
+    w = Window.partitionBy("canonical_url")
+    return canon.select(
+        "doc_id",
+        "canonical_url",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("kept"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("dup_count"),
+    )
+
+
+@_register(
     "warc_source_scan",
     """
     SELECT doc_id, 'response' AS warc_type,
@@ -10499,6 +10599,7 @@ _DRIVER_HOLDBACK_R10 = [
 _DRIVER_HOLDBACK_R11 = [
     "seqfile_as_binary_scan",
     "nulloutput_noop",
+    "pipeline_url_dedup",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

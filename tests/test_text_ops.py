@@ -606,3 +606,33 @@ def test_quality_classifier_apply_rejects_output_collision(spark):
     df = spark.createDataFrame([(1, "a b", 0.5)], "doc_id long, text string, score double")
     with pytest.raises(ValueError, match=r"\['score'\].*keep_cols"):
         apply_quality_classifier(df, [0] * 65, keep_cols=("score",))
+
+
+def test_canonicalize_urls_rules(spark):
+    """Each canonicalization rule pinned: fragment, scheme/host case
+    (path case preserved), default ports (http:80 / https:443,
+    non-default kept), tracking params in every position, bare
+    authority, and lookalike params that must survive."""
+    from hadoop_3_3_6_spark.functions.text import canonicalize_urls
+
+    cases = [
+        ("http://h.com/A/B#frag", "http://h.com/A/B"),
+        ("HTTP://WWW.Ex.COM/KeepCase/P", "http://www.ex.com/KeepCase/P"),
+        ("http://h.com:80/p", "http://h.com/p"),
+        ("https://h.com:443/p", "https://h.com/p"),
+        ("http://h.com:8080/p", "http://h.com:8080/p"),  # non-default kept
+        ("https://h.com:80/p", "https://h.com:80/p"),    # :80 is NOT https default
+        ("http://h.com/p?utm_source=a&id=3", "http://h.com/p?id=3"),
+        ("http://h.com/p?id=3&utm_source=a", "http://h.com/p?id=3"),
+        ("http://h.com/p?utm_a=1&utm_b=2", "http://h.com/p"),
+        ("http://h.com/p?fbclid=x", "http://h.com/p"),
+        ("http://h.com/p?xutm_a=1", "http://h.com/p?xutm_a=1"),  # lookalike kept
+        ("http://h.com", "http://h.com/"),
+        ("HTTP://H.com:80", "http://h.com/"),
+        ("http://h.com?gclid=z", "http://h.com/"),
+        ("/relative/path", "/relative/path"),  # schemeless passthrough
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    got = {r.i: r.canonical_url for r in canonicalize_urls(df, "url").collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: got {got[i]!r}, want {want!r}"
