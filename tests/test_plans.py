@@ -414,6 +414,9 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         # round-11: raw Writable wire-byte reserialization (MapInPandas
         # — the BytesWritable surfacing IS the semantics)
         "seqfile_as_binary_scan",
+        # round-11: the stream-sink verdict reads its segments back
+        # through the batch WARC PythonDataSource
+        "warc_stream_sink_roundtrip",
     }
     python_nodes = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "PythonDataSource")
     offenders = {}
@@ -487,7 +490,9 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     # seqfile_roundtrip's rendered dir + sequenceFile
                     # toDF inference; the noop write action runs at
                     # construction
-                    "seqfile_as_binary_scan", "nulloutput_noop"}
+                    "seqfile_as_binary_scan", "nulloutput_noop",
+                    # two capped stream-sink phases run at construction
+                    "warc_stream_sink_roundtrip"}
     }
     lazy = [n for n in QUERIES if n not in eager_by_contract]
     # Warm pass: pays the one-time parquet schema-inference jobs that
