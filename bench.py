@@ -218,6 +218,15 @@ HEADLINE = [
     "keyfield_partitioner_colocation",
     "seqfile_as_text_scan",
     "rangestream_drain",
+    # round-11 newcomers: URL-level dedup (regex canonicalization +
+    # one canonical-keyed exchange), the raw-Writable-bytes scan, the
+    # noop-sink verdict (the scan is the cost; the write discards),
+    # and the stream-sink roundtrip (both stream phases are cached per
+    # process; the benched plan is the batch WARC read-back verdict)
+    "pipeline_url_dedup",
+    "seqfile_as_binary_scan",
+    "nulloutput_noop",
+    "warc_stream_sink_roundtrip",
 ]
 
 
