@@ -299,26 +299,41 @@ def key_field_sort(df: DataFrame, text_col: str, spec: str, sep: str = "\t") -> 
     """
     fields = F.split(F.col(text_col), re.escape(sep))
     nf = F.size(fields)
+    rec_len = F.length(F.col(text_col))
+    seplen = len(sep)
+
+    def prefix_len(f: int) -> Column:
+        """Chars before field ``f`` (fields 1..f-1 joined plus their
+        trailing separators) — the reference's position accumulator."""
+        if f == 1:
+            return F.lit(0)
+        return F.length(F.concat_ws(sep, F.slice(fields, 1, f - 1))) + seplen
+
     order: list[Column] = []
     for bf, bc, ef, ec, numeric, reverse in parse_key_field_spec_full(spec):
+        # the key is a BYTE RANGE of the record (getStartOffset /
+        # getEndOffset do raw offset arithmetic), so a char offset past
+        # its field legitimately runs INTO the following separator and
+        # fields — substring the ORIGINAL text, never a re-joined slice
+        start_pos = prefix_len(bf) + bc
         if ef == 0:
-            joined = F.concat_ws(
-                sep, F.slice(fields, bf, F.greatest(nf - F.lit(bf) + 1, F.lit(0)))
-            )
-            endpos = F.length(joined)
+            end_pos = rec_len
         else:
-            span = max(ef - bf + 1, 0)
-            joined = F.concat_ws(sep, F.slice(fields, bf, F.lit(max(span, 1))))
-            if span <= 0:
-                joined = F.lit("")
-            if ec == 0:
-                endpos = F.length(joined)
-            elif ef == bf:
-                endpos = F.lit(ec)
-            else:
-                prefix = F.concat_ws(sep, F.slice(fields, bf, F.lit(ef - bf)))
-                endpos = F.length(prefix) + len(sep) + ec
-        c = joined.substr(F.lit(bc), F.greatest(endpos - bc + 1, F.lit(0)))
+            p = (
+                prefix_len(ef)
+                + (F.length(F.element_at(fields, ef)) if ec == 0 else F.lit(0))
+                + ec
+            )
+            # record shorter than the end field, or end past the
+            # record: clamp to the record end (the `return end - 1`
+            # arms of getEndOffset)
+            end_pos = F.when(nf >= ef, F.least(p, rec_len)).otherwise(rec_len)
+        key = F.col(text_col).substr(
+            start_pos, F.greatest(end_pos - start_pos + 1, F.lit(0))
+        )
+        # missing begin field (or begin char past the record) -> the
+        # empty key: the documented stand-in for the reference's -1 arm
+        c = F.when(nf >= bf, key).otherwise(F.lit(""))
         if numeric:
             c = c.cast("double")
         order.append(c.desc() if reverse else c.asc())

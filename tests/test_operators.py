@@ -88,6 +88,76 @@ def test_key_field_sort(spark):
     assert out2 == ["c\t1", "a\t10", "b\t2"]
 
 
+def test_key_field_sort_differential_vs_reference_algebra(spark):
+    """DIFFERENTIAL conformance: for a random tab-record corpus (small
+    alphabet, 1-4 fields of 0-3 chars — maximizes ties, empty fields
+    and out-of-range offsets) and a battery of specs, every adjacent
+    pair of the Spark sort output must compare <= under a direct
+    python port of the reference's BYTE-OFFSET key algebra
+    (getStartOffset/getEndOffset: prefix-length accumulators, char
+    offsets that legitimately run past their field into the following
+    separator/fields, end clamped to the record end), with the two
+    documented divergences folded in (missing/out-of-range begin ->
+    empty key; numeric specs excluded — cast semantics are pinned
+    elsewhere)."""
+    import random
+
+    from hadoop_3_3_6_spark.operators.sort import parse_key_field_spec_full
+
+    rng = random.Random(11)
+
+    def rec() -> str:
+        nf = rng.randint(1, 4)
+        return "\t".join(
+            "".join(rng.choice("ab1") for _ in range(rng.randint(0, 3)))
+            for _ in range(nf)
+        )
+
+    rows = [(i, rec()) for i in range(150)]
+    df = spark.createDataFrame(rows, "i long, line string")
+
+    def ref_key(line: str, k) -> str:
+        bf, bc, ef, ec, _n, _r = k
+        parts = line.split("\t")
+        L = len(line)
+
+        def prefix(f: int) -> int:
+            return sum(len(parts[j]) + 1 for j in range(f - 1))
+
+        if len(parts) < bf:
+            return ""
+        start = prefix(bf) + bc - 1  # 0-based
+        if start >= L:
+            return ""  # the reference's -1 arm, documented as ''
+        if ef == 0 or len(parts) < ef:
+            end = L - 1
+        else:
+            pos = prefix(ef) + (len(parts[ef - 1]) if ec == 0 else 0) + ec
+            end = min(pos, L) - 1
+        if end < start:
+            return ""
+        return line[start : end + 1]
+
+    specs = [
+        "-k2", "-k2,2", "-k1.2,2.1", "-k2,3", "-k1,1r", "-k2.2",
+        "-k3.2,3.0", "-r -k2,2 -k1,1", "-k1.3,1.2", "-k2.3", "-k4,4",
+        "-k1.1,4.0", "-k2.2,2", "-k3", "-k1,2r -k3,3",
+    ]
+    for spec in specs:
+        keys = parse_key_field_spec_full(spec)
+        out = [r["line"] for r in key_field_sort(df, "line", spec).collect()]
+        assert sorted(out) == sorted(l for _i, l in rows), spec
+        for a, b in zip(out, out[1:]):
+            for k in keys:
+                ka, kb = ref_key(a, k), ref_key(b, k)
+                r = (ka > kb) - (ka < kb)
+                if k[5]:
+                    r = -r
+                if r:
+                    break
+            assert r <= 0, (spec, a, b, ka, kb)
+
+
 def test_key_field_sort_range_semantics(spark):
     """Round-11 conformance: -k2 (no pos2) spans field 2 THROUGH THE
     END OF THE RECORD (KeyFieldHelper.getEndOffset endFieldIdx==0 arm)

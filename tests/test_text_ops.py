@@ -636,3 +636,10 @@ def test_canonicalize_urls_rules(spark):
     got = {r.i: r.canonical_url for r in canonicalize_urls(df, "url").collect()}
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, f"{u!r}: got {got[i]!r}, want {want!r}"
+    # idempotence: canonical keys must be FIXED POINTS, or re-running
+    # the stage would silently re-key an already-deduped corpus
+    df2 = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(got.values())], "i long, url string"
+    )
+    got2 = {r.i: r.canonical_url for r in canonicalize_urls(df2, "url").collect()}
+    assert list(got2.values()) == list(got.values())
