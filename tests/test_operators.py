@@ -855,6 +855,91 @@ def test_field_selection_reference_exact_semantics(spark):
     assert kv2.key == "b" and kv2.value == "a\tb\tc"
 
 
+def test_field_selection_differential_vs_reference_port(spark):
+    """DIFFERENTIAL conformance for the field-selection DSL: random
+    records (0-5 fields, some empty) under a battery of random specs
+    must match a direct python port of the reference's
+    extractFields/selectFields pair — enumerated indices append
+    field-if-in-range plus separator (out-of-range keeps the empty
+    slot), the LAST open range is appended AFTER the enumerated list
+    regardless of where it appears in the spec, and the trailing
+    separator is stripped.  Key side of key:value specs drops the
+    open range (parseOutputKeyValueSpec discards extractFields'
+    return for the key list)."""
+    import random
+
+    from hadoop_3_3_6_spark.operators.mapops import (
+        field_selection,
+        field_selection_kv,
+    )
+
+    def extract_fields(pieces):
+        all_from, fl = -1, []
+        for p in pieces:
+            if not p:
+                continue
+            pos = p.find("-")
+            if pos < 0:
+                fl.append(int(p))
+            else:
+                start = p[:pos] or "0"
+                end = p[pos + 1 :]
+                if not end:
+                    all_from = int(start)
+                    continue
+                fl.extend(range(int(start), int(end) + 1))
+        return fl, all_from
+
+    def select_fields(fields, fl, all_from, sep="\t"):
+        sb = None
+        if fl:
+            sb = "".join(
+                (fields[i] if i < len(fields) else "") + sep for i in fl
+            )
+        if all_from >= 0:
+            sb = (sb or "") + "".join(f + sep for f in fields[all_from:])
+        if sb is None:
+            return ""
+        return sb[: -len(sep)] if sb else sb
+
+    rng = random.Random(7)
+
+    def piece():
+        r = rng.random()
+        a, b = rng.randint(0, 6), rng.randint(0, 6)
+        if r < 0.4:
+            return str(a)
+        if r < 0.6:
+            return f"{a}-{b}"
+        if r < 0.8:
+            return f"{a}-"
+        return f"-{b}"
+
+    records = [
+        "\t".join(
+            "".join(rng.choice("xy1") for _ in range(rng.randint(0, 2)))
+            for _ in range(rng.randint(1, 5))
+        )
+        for _ in range(25)
+    ]
+    df = spark.createDataFrame([(r,) for r in records], "line string")
+    for _trial in range(30):
+        spec = ",".join(piece() for _ in range(rng.randint(1, 3)))
+        got = [r.selected for r in field_selection(df, "line", spec).collect()]
+        fl, all_from = extract_fields(spec.split(","))
+        want = [select_fields(rec.split("\t"), fl, all_from) for rec in records]
+        assert got == want, (spec, got[:3], want[:3])
+        # key:value — the key side ignores the open range
+        vspec = ",".join(piece() for _ in range(rng.randint(1, 2)))
+        kv = field_selection_kv(df, "line", f"{spec}:{vspec}").collect()
+        kfl, _dropped = extract_fields(spec.split(","))
+        vfl, v_from = extract_fields(vspec.split(","))
+        for row, rec in zip(kv, records):
+            fields = rec.split("\t")
+            assert row.key == select_fields(fields, kfl, -1), (spec, rec)
+            assert row.value == select_fields(fields, vfl, v_from), (vspec, rec)
+
+
 def test_aggregate_descriptors_match_case_insensitively(spark):
     """ValueAggregatorBaseDescriptor.generateValueAggregator resolves
     descriptor types with compareToIgnoreCase — 'longvaluesum' is a
