@@ -3,6 +3,7 @@ from hadoop_3_3_6_spark.sources.readers import (
     read_text_lines,
     sample_filter_md5,
     sample_filter_percent,
+    sample_filter_percent_positional,
     sample_filter_regex,
 )
 from hadoop_3_3_6_spark.sources.writers import multiple_outputs, write_key_value_text
@@ -13,6 +14,7 @@ __all__ = [
     "read_text_lines",
     "sample_filter_md5",
     "sample_filter_percent",
+    "sample_filter_percent_positional",
     "sample_filter_regex",
     "multiple_outputs",
     "write_key_value_text",

@@ -55,14 +55,28 @@ def read_key_value_text(
 
 
 def sample_filter_regex(df: DataFrame, key_col: str, pattern: str) -> DataFrame:
-    """RegexFilter (:111): keep records whose key matches."""
-    return df.filter(F.col(key_col).rlike(pattern))
+    """RegexFilter (SequenceFileInputFilter.java:111): keep records
+    whose key matches — the reference's accept() calls
+    ``Matcher.matches()``, a FULL-string match, so the pattern is
+    anchored here (``rlike`` alone would be a find/substring match;
+    round-11 conformance review).  The non-capturing group keeps
+    top-level alternations inside the anchors."""
+    return df.filter(F.col(key_col).rlike(f"^(?:{pattern})$"))
 
 
 def sample_filter_percent(df: DataFrame, key_col: str, frequency: int) -> DataFrame:
-    """PercentFilter (:154): keep every record where
-    MD5(key) % frequency == 0 — deterministic hash sampling, pushed to
-    the scan as a cheap filter."""
+    """Deterministic 1/frequency sampling keyed on MD5(key) — the
+    engine's DEFAULT analogue of PercentFilter
+    (SequenceFileInputFilter.java:154).  DOCUMENTED DIVERGENCE: the
+    reference's PercentFilter is reader-POSITIONAL (a per-reader
+    counter accepts record# % frequency == 0), which makes membership
+    depend on split boundaries and in-split order — exactly the
+    layout-dependence a distributed engine with speculative execution
+    must not key decisions on (the rand()-vs-hash rule every sampler
+    in functions/sampling.py follows).  The md5-keyed form keeps the
+    same 1/frequency rate with stable, re-execution-safe membership;
+    :func:`sample_filter_percent_positional` is the faithful
+    positional form when layout parity itself is wanted."""
     digest_mod = F.pmod(
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast("long"),
         F.lit(frequency),
@@ -70,7 +84,38 @@ def sample_filter_percent(df: DataFrame, key_col: str, frequency: int) -> DataFr
     return df.filter(digest_mod == 0)
 
 
+def sample_filter_percent_positional(df: DataFrame, frequency: int) -> DataFrame:
+    """PercentFilter's FAITHFUL positional semantics
+    (SequenceFileInputFilter.java:154 accept(): a per-reader counter —
+    record 0 of every reader accepted, then every frequency-th): one
+    counter per PARTITION (the split/reader analogue), kept across
+    Arrow batches.  Membership depends on partitioning and in-
+    partition order by construction — the reference's own behavior —
+    so use the md5-keyed :func:`sample_filter_percent` wherever
+    stability matters."""
+
+    def positional(batches):
+        count = 0
+        for pdf in batches:
+            idx = [(count + i) % frequency == 0 for i in range(len(pdf))]
+            count += len(pdf)
+            yield pdf[idx]
+
+    return df.mapInPandas(positional, df.schema)
+
+
 def sample_filter_md5(df: DataFrame, key_col: str, frequency: int) -> DataFrame:
-    """MD5Filter (:203): same digest-mod sampling as PercentFilter in
-    the reference (both hash the key with MD5)."""
-    return sample_filter_percent(df, key_col, frequency)
+    """MD5Filter (SequenceFileInputFilter.java:203), REFERENCE-EXACT
+    as of the round-11 review: hashcode = the FIRST 8 BYTES of
+    MD5(utf8(key)) read as a big-endian SIGNED long (MD5Hashcode's
+    shift-or loop), accept iff ``hashcode / f * f == hashcode`` —
+    Java truncating-division divisibility, sign-independent, i.e.
+    hashcode % frequency == 0.  (Previously this reused the 60-bit
+    pmod form: same 1/f rate, different membership set than the
+    reference's.)"""
+    k = F.md5(F.col(key_col).cast("string"))
+    hi = F.conv(F.substring(k, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(k, 9, 8), 16, 10).cast("bigint")
+    signed_hi = F.when(hi >= F.lit(2**31), hi - F.lit(2**32)).otherwise(hi)
+    hashcode = signed_hi * F.lit(2**32) + lo
+    return df.filter(hashcode % frequency == 0)

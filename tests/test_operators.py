@@ -232,6 +232,56 @@ def test_sample_filters(spark):
     # determinism
     assert kept == sample_filter_percent(df, "key", 10).count()
     assert sample_filter_regex(df, "key", "^1.$").count() == 10
+    # RegexFilter is a FULL-string match (Matcher.matches, round-11
+    # review): '1.' accepts only the two-char 1x keys, never '312'
+    assert sample_filter_regex(df, "key", "1.").count() == 10
+    assert sample_filter_regex(df, "key", "1").count() == 1
+    # top-level alternation survives the anchoring group
+    assert sample_filter_regex(df, "key", "7|42").count() == 2
+
+
+def test_sample_filter_md5_matches_reference_arithmetic(spark):
+    """MD5Filter differential: accept iff the first 8 bytes of
+    MD5(utf8(key)), read as a big-endian SIGNED long, are divisible by
+    the frequency — python-ported per key and compared exactly."""
+    import hashlib
+    import struct
+
+    from hadoop_3_3_6_spark.sources.readers import sample_filter_md5
+
+    df = spark.range(500).select(F.col("id").cast("string").alias("key"))
+    for freq in (2, 7, 10):
+        kept = {r.key for r in sample_filter_md5(df, "key", freq).collect()}
+        expect = set()
+        for i in range(500):
+            (h,) = struct.unpack(
+                ">q", hashlib.md5(str(i).encode()).digest()[:8]
+            )
+            if h % freq == 0:
+                expect.add(str(i))
+        assert kept == expect, freq
+
+
+def test_sample_filter_percent_positional(spark):
+    """The faithful positional PercentFilter: per-partition counter,
+    record 0 of each partition accepted then every f-th — pinned on a
+    single partition where order is the data order."""
+    from hadoop_3_3_6_spark.sources.readers import (
+        sample_filter_percent_positional,
+    )
+
+    df = (
+        spark.range(20)
+        .select(F.col("id").cast("string").alias("key"))
+        .coalesce(1)
+    )
+    kept = [r.key for r in sample_filter_percent_positional(df, 5).collect()]
+    assert kept == ["0", "5", "10", "15"]
+    # two partitions: each reader restarts its counter (the per-split
+    # reference behavior — membership is layout-dependent by design)
+    df2 = spark.range(10).select(F.col("id").cast("string").alias("key")).repartitionByRange(2, "id")
+    kept2 = sample_filter_percent_positional(df2, 5).count()
+    assert kept2 == 2  # record 0 of each of the 2 readers
 
 
 def test_kv_text_sink_roundtrip(spark, tmp_path):
