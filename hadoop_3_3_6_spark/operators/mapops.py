@@ -27,25 +27,37 @@ def inverse_map(df: DataFrame, key: str = "key", value: str = "value") -> DataFr
     return df.select(F.col(value).alias(key), F.col(key).alias(value))
 
 
-def regex_map(df: DataFrame, text_col: str, pattern: str, out_col: str = "match") -> DataFrame:
+def regex_map(
+    df: DataFrame, text_col: str, pattern: str, out_col: str = "match", group: int = 0
+) -> DataFrame:
     """Emit one row per regex match in ``text_col`` (the Grep mapper).
 
-    Reference: RegexMapper.java:36 emits (match, 1) per match of group 0;
-    here the count lives downstream in a groupBy, so we emit matches only.
-    Runs entirely JVM-side (regexp_extract_all + explode) — no Python UDF.
-    The pattern travels as a Column literal, never interpolated into a
-    SQL string, so backslash escapes (``\\d+``) and quotes survive intact.
+    Reference: RegexMapper.java:36 emits (matcher.group(group), 1) per
+    find — ``group`` mirrors the mapper's configurable
+    ``mapreduce.mapper.regexmapper.group`` knob (default 0, the whole
+    match); here the count lives downstream in a groupBy, so we emit
+    matches only.  Runs entirely JVM-side (regexp_extract_all +
+    explode) — no Python UDF.  The pattern travels as a Column
+    literal, never interpolated into a SQL string, so backslash
+    escapes (``\\d+``) and quotes survive intact.
     """
     return df.select(
-        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))).alias(out_col)
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(group))
+        ).alias(out_col)
     )
 
 
-def token_counter(df: DataFrame, text_col: str, out_col: str = "word", sep: str = r"\s+") -> DataFrame:
+def token_counter(
+    df: DataFrame, text_col: str, out_col: str = "word", sep: str = r"[ \t\n\r\f]+"
+) -> DataFrame:
     """Tokenize on whitespace, one row per token, empties dropped.
 
-    Reference: TokenCounterMapper.java:35 (StringTokenizer semantics:
-    no empty tokens).
+    Reference: TokenCounterMapper.java:35 — StringTokenizer's DEFAULT
+    delimiter set is exactly " \\t\\n\\r\\f" (no empty tokens), which
+    the default ``sep`` mirrors verbatim (round-11 review: ``\\s+``
+    additionally split on vertical tab \\x0B, which StringTokenizer
+    treats as token content).
     """
     words = F.explode(F.split(F.col(text_col), sep)).alias(out_col)
     return df.select(words).filter(F.col(out_col) != "")

@@ -565,6 +565,23 @@ def test_regex_map_backslash_and_quote_patterns(spark):
     assert out == ["1", "22", "333"]
     out2 = [r["match"] for r in regex_map(df, "text", r"don't").collect()]
     assert out2 == ["don't"]
+    # the RegexMapper GROUP knob (mapreduce.mapper.regexmapper.group):
+    # emit a capture group instead of the whole match
+    out3 = sorted(
+        r["match"] for r in regex_map(df, "text", r"([a-z])(\d+)", group=2).collect()
+    )
+    assert out3 == ["1", "22", "333"]
+
+
+def test_token_counter_stringtokenizer_delimiters(spark):
+    """StringTokenizer's default delimiter set is exactly
+    ' \\t\\n\\r\\f' — vertical tab (\\x0B) is token CONTENT, not a
+    delimiter (round-11 review; \\s+ would split on it)."""
+    from hadoop_3_3_6_spark.operators.mapops import token_counter
+
+    df = spark.createDataFrame([("a b\tc\nd\re\ff g\x0bh",)], "text string")
+    toks = [r["word"] for r in token_counter(df, "text").collect()]
+    assert toks == ["a", "b", "c", "d", "e", "f", "g\x0bh"]
 
 
 def test_salted_join_rejects_outer_types(spark):
