@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -786,9 +787,7 @@ def main() -> None:
             # as the variance-honest companion to best-of-sessions
             "terasort_200m_attempts": terasort_200m_attempts,
             "terasort_200m_median_sec": (
-                sorted(a["sec"] for a in terasort_200m_attempts)[
-                    len(terasort_200m_attempts) // 2
-                ]
+                round(statistics.median(a["sec"] for a in terasort_200m_attempts), 3)
                 if terasort_200m_attempts
                 else None
             ),

@@ -417,6 +417,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             pos += 1
             continue
+        if pos + 1 >= len(data):
+            # stream ends on a lone 0xFF (reachable via a truncated
+            # fill-byte run): honor the decoder's ValueError contract
+            raise ValueError("truncated JPEG: stream ends inside a marker")
         marker = data[pos + 1]
         if marker == 0xFF:
             # optional fill byte before a marker (B.1.1.2: any number

@@ -277,21 +277,34 @@ def key_field_sort(df: DataFrame, text_col: str, spec: str, sep: str = "\t") -> 
     """Sort separator-joined text records by a KeyFieldBasedComparator
     option string, compiling the FULL KeyDescription semantics
     (round-11 conformance review vs KeyFieldHelper.getStartOffset/
-    getEndOffset): a key spans from char ``bc`` of field ``bf``
-    through char ``ec`` of field ``ef``; ``ef = 0`` runs to the end
-    of the record, ``ec = 0`` to the end of field ``ef``; an
+    getEndOffset): a key spans from position ``bc`` of field ``bf``
+    through position ``ec`` of field ``ef``; ``ef = 0`` runs to the
+    end of the record, ``ec = 0`` to the end of field ``ef``; an
     end-position past the record clamps to the record end (the
     reference's ``return end - 1`` arm — substring truncation here).
 
+    BYTE-EXACT as of round 12 (ADVICE item): the reference's offset
+    accumulators and comparator operate on the record's UTF-8 BYTES
+    (getStartOffset/getEndOffset raw offset arithmetic;
+    compareByteSequence unsigned byte order), so the ``.c`` positions
+    in a keyspec are byte positions and the sort order is unsigned-
+    byte lexicographic — this compiles every extent over
+    ``encode(text,'utf-8')`` and compares BINARY keys (Spark binary
+    ordering IS unsigned-byte lexicographic, like
+    WritableComparator.compareBytes).  The r11 form counted CHARACTERS
+    and compared strings — identical on ASCII, silently divergent on
+    multi-byte UTF-8.
+
     Documented divergences (both deliberate): a record MISSING the
-    begin field compares as the empty string — the reference's
+    begin field compares as the empty key — the reference's
     getStartOffset returns -1 and compareByteSequence then reports
     the pair unequal even when BOTH sides are missing, an asymmetric
     (unstable) comparator no total order can mirror; and ``n``
-    compares via cast('double') (unparsable -> NULL, first in asc)
-    instead of the reference's leading-digit parse — the oracle
-    mirrors cast semantics and every registered spec sorts
-    numeric-clean fields.
+    compares via cast('double') (unparsable -> NULL, first in asc;
+    a byte slice ending inside a multi-byte char can't parse as a
+    number either way) instead of the reference's leading-digit
+    parse — the oracle mirrors cast semantics and every registered
+    spec sorts numeric-clean ASCII fields.
 
     ``F.split`` receives the pattern string as-is (no SQL-literal
     layer consumes backslashes), so a single ``re.escape`` is the
@@ -299,42 +312,49 @@ def key_field_sort(df: DataFrame, text_col: str, spec: str, sep: str = "\t") -> 
     """
     fields = F.split(F.col(text_col), re.escape(sep))
     nf = F.size(fields)
-    rec_len = F.length(F.col(text_col))
-    seplen = len(sep)
+    rec = F.encode(F.col(text_col), "UTF-8")
+    rec_len = F.length(rec)  # bytes, not chars
+    seplen = len(sep.encode("utf-8"))
 
     def prefix_len(f: int) -> Column:
-        """Chars before field ``f`` (fields 1..f-1 joined plus their
+        """Bytes before field ``f`` (fields 1..f-1 joined plus their
         trailing separators) — the reference's position accumulator."""
         if f == 1:
             return F.lit(0)
-        return F.length(F.concat_ws(sep, F.slice(fields, 1, f - 1))) + seplen
+        return (
+            F.length(F.encode(F.concat_ws(sep, F.slice(fields, 1, f - 1)), "UTF-8"))
+            + seplen
+        )
 
     order: list[Column] = []
     for bf, bc, ef, ec, numeric, reverse in parse_key_field_spec_full(spec):
         # the key is a BYTE RANGE of the record (getStartOffset /
-        # getEndOffset do raw offset arithmetic), so a char offset past
+        # getEndOffset do raw offset arithmetic), so an offset past
         # its field legitimately runs INTO the following separator and
-        # fields — substring the ORIGINAL text, never a re-joined slice
+        # fields — slice the ORIGINAL record bytes, never a re-joined
+        # field list
         start_pos = prefix_len(bf) + bc
         if ef == 0:
             end_pos = rec_len
         else:
             p = (
                 prefix_len(ef)
-                + (F.length(F.element_at(fields, ef)) if ec == 0 else F.lit(0))
+                + (
+                    F.length(F.encode(F.element_at(fields, ef), "UTF-8"))
+                    if ec == 0
+                    else F.lit(0)
+                )
                 + ec
             )
             # record shorter than the end field, or end past the
             # record: clamp to the record end (the `return end - 1`
             # arms of getEndOffset)
             end_pos = F.when(nf >= ef, F.least(p, rec_len)).otherwise(rec_len)
-        key = F.col(text_col).substr(
-            start_pos, F.greatest(end_pos - start_pos + 1, F.lit(0))
-        )
-        # missing begin field (or begin char past the record) -> the
-        # empty key: the documented stand-in for the reference's -1 arm
-        c = F.when(nf >= bf, key).otherwise(F.lit(""))
+        key = rec.substr(start_pos, F.greatest(end_pos - start_pos + 1, F.lit(0)))
+        # missing begin field (or begin position past the record) ->
+        # the empty key: the documented stand-in for the -1 arm
+        c = F.when(nf >= bf, key).otherwise(F.lit(b""))
         if numeric:
-            c = c.cast("double")
+            c = F.decode(c, "UTF-8").cast("double")
         order.append(c.desc() if reverse else c.asc())
     return df.orderBy(*order)

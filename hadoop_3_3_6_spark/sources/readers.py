@@ -107,13 +107,26 @@ def sample_filter_percent_positional(df: DataFrame, frequency: int) -> DataFrame
 def sample_filter_md5(df: DataFrame, key_col: str, frequency: int) -> DataFrame:
     """MD5Filter (SequenceFileInputFilter.java:203), REFERENCE-EXACT
     as of the round-11 review: hashcode = the FIRST 8 BYTES of
-    MD5(utf8(key)) read as a big-endian SIGNED long (MD5Hashcode's
+    MD5(key bytes) read as a big-endian SIGNED long (MD5Hashcode's
     shift-or loop), accept iff ``hashcode / f * f == hashcode`` —
     Java truncating-division divisibility, sign-independent, i.e.
     hashcode % frequency == 0.  (Previously this reused the 60-bit
     pmod form: same 1/f rate, different membership set than the
-    reference's.)"""
-    k = F.md5(F.col(key_col).cast("string"))
+    reference's.)
+
+    Key bytes match the reference per key type: a BINARY column is
+    hashed RAW (the BytesWritable arm of MD5Filter.accept — the r11
+    form cast binary→string, which mangles non-UTF-8 bytes; round-12
+    ADVICE fix); anything else hashes the UTF-8 of its string form
+    (the Text/toString arm)."""
+    from pyspark.sql.types import BinaryType
+
+    kcol = F.col(key_col)
+    try:
+        is_binary = isinstance(df.schema[key_col].dataType, BinaryType)
+    except KeyError:  # computed/aliased expressions: string form
+        is_binary = False
+    k = F.md5(kcol if is_binary else kcol.cast("string"))
     hi = F.conv(F.substring(k, 1, 8), 16, 10).cast("bigint")
     lo = F.conv(F.substring(k, 9, 8), 16, 10).cast("bigint")
     signed_hi = F.when(hi >= F.lit(2**31), hi - F.lit(2**32)).otherwise(hi)

@@ -103,6 +103,11 @@ def test_jpeg_fill_bytes_before_markers():
     sof = data.find(b"\xff\xc0")
     padded = data[:sof] + b"\xff\xff\xff" + data[sof:]
     assert np.array_equal(decode_jpeg(padded), baseline)
+    # a stream truncated INSIDE a fill-byte run (ends on a lone 0xFF)
+    # must honor the ValueError contract, not die with IndexError
+    # (round-12 ADVICE fix)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:sof] + b"\xff\xff")
 
 
 def test_jpeg_rejects_12bit_precision():

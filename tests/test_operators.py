@@ -94,12 +94,16 @@ def test_key_field_sort_differential_vs_reference_algebra(spark):
     and out-of-range offsets) and a battery of specs, every adjacent
     pair of the Spark sort output must compare <= under a direct
     python port of the reference's BYTE-OFFSET key algebra
-    (getStartOffset/getEndOffset: prefix-length accumulators, char
+    (getStartOffset/getEndOffset: prefix-length accumulators, byte
     offsets that legitimately run past their field into the following
-    separator/fields, end clamped to the record end), with the two
-    documented divergences folded in (missing/out-of-range begin ->
-    empty key; numeric specs excluded — cast semantics are pinned
-    elsewhere)."""
+    separator/fields, end clamped to the record end; comparison is
+    UNSIGNED byte order like compareByteSequence — python ``bytes``
+    comparison), with the two documented divergences folded in
+    (missing/out-of-range begin -> empty key; numeric specs excluded —
+    cast semantics are pinned elsewhere).  The alphabet includes
+    2- and 3-byte UTF-8 chars so the round-12 byte-exactness fix
+    (offsets over encode(text,'utf-8'), binary compare) is exercised:
+    a char-counting port would disagree on these records."""
     import random
 
     from hadoop_3_3_6_spark.operators.sort import parse_key_field_spec_full
@@ -109,34 +113,35 @@ def test_key_field_sort_differential_vs_reference_algebra(spark):
     def rec() -> str:
         nf = rng.randint(1, 4)
         return "\t".join(
-            "".join(rng.choice("ab1") for _ in range(rng.randint(0, 3)))
+            "".join(rng.choice("ab1é→") for _ in range(rng.randint(0, 3)))
             for _ in range(nf)
         )
 
     rows = [(i, rec()) for i in range(150)]
     df = spark.createDataFrame(rows, "i long, line string")
 
-    def ref_key(line: str, k) -> str:
+    def ref_key(line: str, k) -> bytes:
         bf, bc, ef, ec, _n, _r = k
-        parts = line.split("\t")
-        L = len(line)
+        parts = [p.encode("utf-8") for p in line.split("\t")]
+        data = line.encode("utf-8")
+        L = len(data)
 
         def prefix(f: int) -> int:
             return sum(len(parts[j]) + 1 for j in range(f - 1))
 
         if len(parts) < bf:
-            return ""
+            return b""
         start = prefix(bf) + bc - 1  # 0-based
         if start >= L:
-            return ""  # the reference's -1 arm, documented as ''
+            return b""  # the reference's -1 arm, documented as ''
         if ef == 0 or len(parts) < ef:
             end = L - 1
         else:
             pos = prefix(ef) + (len(parts[ef - 1]) if ec == 0 else 0) + ec
             end = min(pos, L) - 1
         if end < start:
-            return ""
-        return line[start : end + 1]
+            return b""
+        return data[start : end + 1]
 
     specs = [
         "-k2", "-k2,2", "-k1.2,2.1", "-k2,3", "-k1,1r", "-k2.2",
@@ -259,6 +264,28 @@ def test_sample_filter_md5_matches_reference_arithmetic(spark):
             )
             if h % freq == 0:
                 expect.add(str(i))
+        assert kept == expect, freq
+
+
+def test_sample_filter_md5_binary_keys_hash_raw_bytes(spark):
+    """Round-12 ADVICE fix: a BINARY key column hashes its RAW bytes
+    (the BytesWritable arm of MD5Filter.accept) — pinned on keys with
+    non-UTF-8 bytes (0xFF, 0x80 continuation without lead) that the
+    r11 binary->string cast would have mangled."""
+    import hashlib
+    import struct
+
+    from hadoop_3_3_6_spark.sources.readers import sample_filter_md5
+
+    rows = [(bytes([i, 0xFF, 0x80, i ^ 0x5A]),) for i in range(200)]
+    df = spark.createDataFrame(rows, "key binary")
+    for freq in (3, 7):
+        kept = {bytes(r.key) for r in sample_filter_md5(df, "key", freq).collect()}
+        expect = {
+            k
+            for (k,) in rows
+            if struct.unpack(">q", hashlib.md5(k).digest()[:8])[0] % freq == 0
+        }
         assert kept == expect, freq
 
 
