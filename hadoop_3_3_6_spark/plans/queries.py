@@ -4583,7 +4583,16 @@ def _pretraining_full_oracle() -> str | None:
     as a literal array; the wordNgrams=2 scoring, the >=0.5 keep
     decision and the hash-acceptance sampling are then fully
     relational over the chain-derived text, so ONE green hash
-    certifies the composition end-to-end."""
+    certifies the composition end-to-end.
+
+    r12: URL dedup is stage 1 (VERDICT r11 task 3).  Its accounting
+    row is closed-form — incoming = originals + mirrors + refetches
+    (doc_id % 70), surviving = originals + mirrors, because every
+    refetch shares its canonical URL with an EARLIER-dated original
+    and the stage keeps the earliest fetch — and the downstream
+    `pages` CTE therefore stays originals + mirrors only: had the
+    stage NOT dropped the refetches (same URL, CHANGED body — invisible
+    to exact dedup), their extra bodies would shift every later row."""
     state = _qc_replica_state(train_even_only=False)
     if state is None:
         return None
@@ -4672,6 +4681,13 @@ def _pretraining_full_oracle() -> str | None:
                                         (acc, x) -> (acc * 31 + x) % 1000000007), 0)::BIGINT AS h
             FROM samp g LEFT JOIN ids i USING (doc_id))
     SELECT stage, docs, tokens FROM (
+      SELECT 'url_dedup' AS stage,
+             ((SELECT count(*) FROM main.documents)
+              + (SELECT count(*) FROM main.documents WHERE doc_id % 50 = 0))::BIGINT AS docs,
+             ((SELECT count(*) FROM main.documents)
+              + (SELECT count(*) FROM main.documents WHERE doc_id % 50 = 0)
+              + (SELECT count(*) FROM main.documents WHERE doc_id % 70 = 0))::BIGINT AS tokens
+      UNION ALL
       SELECT 'extract' AS stage, count(*)::BIGINT AS docs,
              coalesce(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))), 0)::BIGINT AS tokens
       FROM ext
@@ -4705,7 +4721,13 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships, as a JobControl DAG across MATERIALIZING parquet boundaries
     (the chained-MR-jobs idiom; reference JobControl.java:57,
     MRX/Grep.java:60-96): WARC segments (with mirror-URL duplicate
-    pages) → source scan → html_to_text extraction → corpus line dedup
+    pages AND later-dated refetches of every 70th page under cosmetic
+    URL variation with a changed body) → URL canonicalization + URL
+    dedup (stage 1, the published RefinedWeb §3.2 / CCNet order —
+    keep the earliest fetch per canonical key; the refetch pair is
+    the proof the stage does something exact dedup cannot: same
+    canonical URL, different content) → html_to_text extraction →
+    corpus line dedup
     (CCNet/RefinedWeb boilerplate stage, min_df=10) → EXACT dedup
     (keep-lowest per content digest — removes the mirrors) →
     apply_span_dedup (Lee et al. substring cut, n=10 runs) → Gopher
@@ -4731,9 +4753,16 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rule filter, the classifier, the sampler, tokenization, the
     shard binary layout and the accounting arithmetic end-to-end.
 
+    Output note (r12): the url_dedup accounting row's unit is FETCH
+    RECORDS (docs = surviving, tokens = incoming) — the stage runs
+    before extraction, so tokens don't exist yet.
+
     Scale shape: each stage materializes once and reads the PREVIOUS
     stage's parquet (linear chain, no recomputation); every stage
-    keeps its operator's own 100-TB contract (extraction: one Arrow
+    keeps its operator's own 100-TB contract (URL dedup: the keep
+    decision shuffles only the (uri, date) fetch-log projection, then
+    an id-sized winner semi-join pulls payloads through — content
+    bytes never ride the dedup exchange; extraction: one Arrow
     stage; line dedup: one line-keyed exchange; exact dedup:
     digest+id rows only; span cut: inverted index + id-sized
     join-back; Gopher: shuffle-free projection; classifier train:
@@ -4754,10 +4783,13 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_3_3_6_spark.functions.text import (
         apply_quality_classifier,
         build_vocab,
+        canonicalize_urls,
         gopher_quality_rules,
         html_to_text,
         train_quality_classifier,
     )
+    from pyspark.sql.window import Window
+
     from hadoop_3_3_6_spark.plans.jobcontrol import ControlledJob, JobControl
     from hadoop_3_3_6_spark.sources.tokenshards import (
         read_token_shards,
@@ -4772,12 +4804,38 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", _html_page_expr().alias("html")
         )
         # mirror pages: every 50th page is also served at a second URL
-        # with an UNCHANGED body — the duplication exact dedup exists for
-        pages = docs.select("doc_id", "html").unionByName(
-            docs.filter(F.col("doc_id") % 50 == 0).select(
-                (F.col("doc_id") + 10_000_000).alias("doc_id"), "html"
-            )
+        # with an UNCHANGED body — the duplication exact dedup exists
+        # for.  Refetch pages (every 70th, r12): the SAME resource
+        # fetched again a month later under cosmetic URL variation
+        # (upper-case authority, explicit :80, a utm tracking param)
+        # with a CHANGED body — same canonical URL, different content,
+        # so exact dedup can NOT catch it; only the URL-dedup stage
+        # (keep the earliest fetch per canonical key) removes it.
+        originals = docs.select(
+            F.concat(
+                F.lit("http://example.org/page/"), F.col("doc_id").cast("string")
+            ).alias("uri"),
+            F.lit("2024-01-01T00:00:00Z").alias("date"),
+            "html",
         )
+        mirrors = docs.filter(F.col("doc_id") % 50 == 0).select(
+            F.concat(
+                F.lit("http://example.org/page/"),
+                (F.col("doc_id") + 10_000_000).cast("string"),
+            ).alias("uri"),
+            F.lit("2024-01-01T00:00:00Z").alias("date"),
+            "html",
+        )
+        refetches = docs.filter(F.col("doc_id") % 70 == 0).select(
+            F.concat(
+                F.lit("HTTP://EXAMPLE.ORG:80/page/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?utm_source=refetch"),
+            ).alias("uri"),
+            F.lit("2024-02-01T00:00:00Z").alias("date"),
+            F.concat("html", F.lit("<p>Refetched copy.</p>")).alias("html"),
+        )
+        pages = originals.unionByName(mirrors).unionByName(refetches)
 
         def write_part(rows):
             from pyspark import TaskContext
@@ -4787,9 +4845,10 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             recs = [
                 {
                     "warc_type": "response",
-                    "target_uri": f"http://example.org/page/{int(r.doc_id)}",
+                    "target_uri": r.uri,
                     "content_type": "text/html",
                     "payload": r.html,
+                    "date": r.date,
                 }
                 for r in rows
             ]
@@ -4826,18 +4885,49 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _RENDER_CACHE:
         base = tempfile.mkdtemp(prefix="pretrain_full_")
 
-        def j_extract(deps) -> DataFrame:
-            pages = (
+        def j_urldedup(deps) -> DataFrame:
+            # stage 1 of the published recipes (RefinedWeb §3.2 runs
+            # URL dedup FIRST, before extraction and any content pass;
+            # CCNet dedups per-shard by URL): canonicalize the fetch
+            # URL and keep the EARLIEST fetch per canonical key
+            # (warc_date, then target_uri as the deterministic
+            # tiebreak).  The keep decision shuffles only the narrow
+            # fetch-log projection (uri, date) — payloads stay in
+            # place until the id-sized winner set joins back (the
+            # exact_dedup keep-id idiom), so at 100 TB this is the
+            # cheap pass that runs before anything touches content.
+            recs = (
                 spark.read.format("warc")
                 .option("record_types", "response")
                 .load(warc_dir)
                 .filter(F.col("content_type") == "text/html")
-                .select(
-                    F.regexp_extract("target_uri", r"(\d+)$", 1)
-                    .cast("bigint")
-                    .alias("doc_id"),
-                    F.decode(F.col("payload"), "UTF-8").alias("html"),
-                )
+                .select("target_uri", "warc_date", "payload")
+            )
+            canon = canonicalize_urls(
+                recs.select("target_uri", "warc_date"), "target_uri"
+            )
+            w = Window.partitionBy("canonical_url").orderBy(
+                "warc_date", "target_uri"
+            )
+            winners = (
+                canon.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("target_uri")
+            )
+            incoming = canon.count()  # fetch-log-sized scan, no payloads
+            out = recs.join(winners, "target_uri", "semi")
+            out.write.mode("overwrite").parquet(f"{base}/s0_urldedup")
+            spark.createDataFrame([(incoming,)], "incoming long").write.mode(
+                "overwrite"
+            ).parquet(f"{base}/s0_stats")
+            return spark.read.parquet(f"{base}/s0_urldedup")
+
+        def j_extract(deps) -> DataFrame:
+            pages = deps["url_dedup"].select(
+                F.regexp_extract("target_uri", r"page/(\d+)", 1)
+                .cast("bigint")
+                .alias("doc_id"),
+                F.decode(F.col("payload"), "UTF-8").alias("html"),
             )
             out = html_to_text(pages, "html").select("doc_id", "text")
             out.write.mode("overwrite").parquet(f"{base}/s1_extract")
@@ -4943,7 +5033,8 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             return read_token_shards(spark, f"{base}/shards")
 
         jc = JobControl()
-        jc.add_job(ControlledJob("extract", j_extract))
+        jc.add_job(ControlledJob("url_dedup", j_urldedup))
+        jc.add_job(ControlledJob("extract", j_extract, deps=["url_dedup"]))
         jc.add_job(ControlledJob("lines", j_lines, deps=["extract"]))
         jc.add_job(ControlledJob("exact", j_exact, deps=["lines"]))
         jc.add_job(ControlledJob("spans", j_spans, deps=["exact"]))
@@ -4968,6 +5059,7 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(tokens, F.lit(0)).cast("bigint").alias("tokens"),
         ).select(F.lit(name).alias("stage"), "docs", "tokens")
 
+    s0 = spark.read.parquet(f"{base}/s0_urldedup")
     s1 = spark.read.parquet(f"{base}/s1_extract")
     s2 = spark.read.parquet(f"{base}/s2_lines")
     s3 = spark.read.parquet(f"{base}/s3_exact")
@@ -5004,8 +5096,22 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("shards_verdict").alias("stage"), "docs", "tokens")
     )
+    # the url_dedup row is the one stage whose unit is FETCH RECORDS,
+    # not tokens (it runs before extraction): docs = surviving
+    # records, tokens = incoming records scanned (1-row × 1-row
+    # crossJoin — scalar broadcast, per the no-accidental-cartesian
+    # gate's pinned-site rule)
+    url_row = (
+        s0.agg(F.count(F.lit(1)).cast("bigint").alias("docs"))
+        .crossJoin(
+            spark.read.parquet(f"{base}/s0_stats").select(
+                F.col("incoming").cast("bigint").alias("tokens")
+            )
+        )
+        .select(F.lit("url_dedup").alias("stage"), "docs", "tokens")
+    )
     return (
-        stage_row("extract", s1)
+        url_row.unionByName(stage_row("extract", s1))
         .unionByName(stage_row("line_dedup", s2))
         .unionByName(stage_row("exact_dedup", s3))
         .unionByName(stage_row("span_dedup", s4, F.sum("kept_tokens")))
@@ -9652,6 +9758,72 @@ def q_seqfile_filter_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "seqfile_filter_percent_positional",
+    """
+    SELECT key, value FROM (
+      SELECT n_nationkey::BIGINT AS key, n_name AS value,
+             row_number() OVER (PARTITION BY n_nationkey % 3
+                                ORDER BY n_nationkey) - 1 AS pos
+      FROM nation
+    ) WHERE pos % 4 = 0
+    """,
+)
+def q_seqfile_filter_percent_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PercentFilter's FAITHFUL reader-positional semantics as a
+    driver row (MRC/mapreduce/lib/input/SequenceFileInputFilter.java:191-197:
+    accept() keeps a per-reader counter and admits record 0 of every
+    reader, then every frequency-th) — VERDICT r11 task 6; previously
+    the positional form was test-only and the driver row used the
+    documented md5-keyed divergence.  Membership depends on split
+    boundaries and in-split order BY CONSTRUCTION, so the layout is
+    fixed the way nline_split_scan fixes its splits: three rendered
+    single-split text files (reader k holds the nation keys ≡ k mod 3,
+    ascending — each far below maxPartitionBytes, so each read is
+    exactly one partition whose order is the file order), the
+    positional filter applied per reader, readers unioned.  The
+    oracle replays the counter closed-form: position within reader =
+    row_number over (key % 3 partitions ordered by key) - 1, accept
+    iff position % 4 == 0."""
+    from hadoop_3_3_6_spark.sources.readers import sample_filter_percent_positional
+
+    nation = load_table(spark, "nation", sf_dir)
+
+    def render(d: str) -> None:
+        import os
+
+        os.makedirs(f"{d}/data", exist_ok=True)
+        rows = sorted(
+            (r.n_nationkey, r.n_name)
+            for r in nation.select("n_nationkey", "n_name").collect()
+        )
+        for k in range(3):
+            with open(f"{d}/data/reader-{k}.txt", "w") as f:
+                for key, name in rows:
+                    if key % 3 == k:
+                        f.write(f"{key}|{name}\n")
+
+    out = _rendered_dir("pctpos_", sf_dir, render)
+    parts = []
+    for k in range(3):
+        lines = spark.read.text(f"{out}/data/reader-{k}.txt")
+        # the one-reader-per-file premise the oracle replays; if a
+        # future conf ever split these ~100-byte files the membership
+        # would silently change, so fail loudly instead
+        n_splits = lines.rdd.getNumPartitions()
+        if n_splits != 1:
+            raise AssertionError(f"reader-{k} planned as {n_splits} splits")
+        kv = lines.select(
+            F.split("value", r"\|").getItem(0).cast("long").alias("key"),
+            F.split("value", r"\|").getItem(1).alias("value"),
+        )
+        parts.append(sample_filter_percent_positional(kv, 4))
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+@_register(
     "mapfile_lookup_customers",
     "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey IN (1, 7, 13)",
 )
@@ -10538,7 +10710,9 @@ _DRIVER_RECHECK = {
     # identical
     "dedup_semantic": 6,
     "similarity_ivf_topk": 6,
-    "keyfield_topk_orders": 5, # oracle price cast decimal -> double
+    # ("keyfield_topk_orders" r5 oracle-cast + r11 DSL-conformance
+    # entries superseded by the round-12 byte-exactness entry below —
+    # python dict last-wins made the earlier pins dead weight)
     "xml_records_scan": 5,     # exact-tag open pattern in the reader
     "text_repetition_topgram": 5,  # O(G log G) run-length rewrite (same outputs)
     # round 6: explicit REPARTITION_BY_NUM spread of the CPU-bound pair
@@ -10601,19 +10775,31 @@ _DRIVER_RECHECK = {
     "multimodal_wav_source": 11,
     "multimodal_phash_dedup": 11,
     "multimodal_phash_incremental": 11,
-    # round 11 (KeyFieldBasedComparator conformance review, registered
-    # spec's outputs identical): the DSL parser is now reference-exact
-    # (parseOption/parseKey token-for-token: global -n/-r/-nr, flags
-    # after either pos, -k2 = field 2 to END OF RECORD, multi-field
-    # ranges, .0 = end-of-field, unknown tokens ignored) and the sort
-    # compiles the full KeyDescription span semantics
-    "keyfield_topk_orders": 11,
-    # round 11 (recipe completion, output rows CHANGE): the capstone
-    # threads the classifier + score-conditioned sampling stages
-    # between Gopher and tokenize (the published CCNet/LLaMA order);
-    # the accounting gains 'classifier' and 'quality_sample' rows and
-    # the tokenize/shard stages read the sampled corpus
-    "pipeline_pretraining_full": 11,
+    # (the r11 KeyFieldBasedComparator conformance entry for
+    # keyfield_topk_orders — DSL parser made reference-exact —
+    # superseded by the round-12 byte-exactness entry below)
+    # round 12 (VERDICT r11 task 3, output rows CHANGE — supersedes
+    # the r11 classifier/sampling entry): URL canonicalization + URL
+    # dedup threaded in as capstone stage 1 (the RefinedWeb §3.2 /
+    # CCNet order); the WARC fixture gains later-dated refetch records
+    # (same canonical URL, changed body) and the accounting gains the
+    # 'url_dedup' row
+    "pipeline_pretraining_full": 12,
+    # round 11 conformance changes whose consumers were NOT queued in
+    # r11 (VERDICT r11 "What's wrong" #2 — the rows are provably
+    # unaffected: seqfile_filter_percent uses the percent form, not
+    # the regex/md5 membership changes of 7821af6; wordcount/grep pass
+    # explicit sep=" " so 0f5d0e9's default-delimiter change can't
+    # reach them — but the rotation contract is mechanical, so they
+    # get fresh verdicts anyway)
+    "seqfile_filter_percent": 11,
+    "grep": 11,
+    "wordcount": 11,
+    # round 12 (key_field_sort made BYTE-exact per the r11 ADVICE
+    # medium item: offsets compiled over encode(text,'utf-8'), binary
+    # unsigned-byte comparison — identical outputs on the registered
+    # ASCII spec, plan changes)
+    "keyfield_topk_orders": 12,
 }
 
 # Freshness pulls — NOT changed queries: standing verdicts whose
@@ -10713,6 +10899,10 @@ _DRIVER_HOLDBACK_R11 = [
     "pipeline_url_dedup",
     "warc_stream_sink_roundtrip",
 ]
+_DRIVER_HOLDBACK_R12 = [
+    "seqfile_filter_percent_positional",
+    "pipeline_classifier_calibration",
+]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK
     + _DRIVER_HOLDBACK_R5
@@ -10722,6 +10912,7 @@ _DRIVER_HOLDBACK = (
     + _DRIVER_HOLDBACK_R9
     + _DRIVER_HOLDBACK_R10
     + _DRIVER_HOLDBACK_R11
+    + _DRIVER_HOLDBACK_R12
 )
 
 

@@ -929,6 +929,19 @@ def test_pretraining_full_stage_conservation(spark):
         .filter("doc_id % 50 = 0")
         .count()
     )
+    n_refetches = (
+        load_table(spark, "documents", "/root/testdata/sf0.001")
+        .filter("doc_id % 70 = 0")
+        .count()
+    )
+    # r12 stage 1: URL dedup sees every fetch record and drops exactly
+    # the refetches (same canonical URL as an earlier-dated original,
+    # CHANGED body — the pair exact dedup could never catch)
+    assert rows["url_dedup"] == (
+        n_docs + n_mirrors,                 # surviving fetch records
+        n_docs + n_mirrors + n_refetches,   # incoming fetch records
+    )
+    assert rows["extract"][0] == rows["url_dedup"][0]
     assert rows["extract"][0] == n_docs + n_mirrors
     assert rows["line_dedup"][0] == rows["extract"][0]   # rewrite, not drop
     assert rows["exact_dedup"][0] == n_docs              # mirrors removed exactly
