@@ -5486,6 +5486,109 @@ def q_pipeline_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_classifier_calibration_oracle() -> str | None:
+    """Exact oracle for the calibration row: the same even-half
+    replica weights as pipeline_classifier_eval, per-score-decile
+    aggregates over the odd-id held-out split rendered as VALUES
+    (integer micro/ppm units via truncating division — every operand
+    is non-negative, so python // and Spark's div agree)."""
+    try:
+        rows = _qc_replica_rows(train_even_only=True)
+        if rows is None:
+            return None
+        agg: dict[int, list[int]] = {}
+        for i, y, s, _p in rows:
+            if i % 2 == 0:
+                continue
+            d = min(s // 100_000, 9)
+            a = agg.setdefault(d, [0, 0, 0])
+            a[0] += 1
+            a[1] += s
+            a[2] += y
+        vals = ", ".join(
+            f"({d}::INT, {a[0]}::BIGINT, {a[1] // a[0]}::BIGINT, "
+            f"{a[2] * 1_000_000 // a[0]}::BIGINT, "
+            f"{a[1] // a[0] - a[2] * 1_000_000 // a[0]}::BIGINT)"
+            for d, a in sorted(agg.items())
+        )
+        return (
+            "SELECT * FROM (VALUES " + vals + ") t(decile, n_docs, "
+            "mean_score_micro, gold_ppm, calibration_gap_micro)"
+        )
+    except Exception as exc:
+        print(
+            f"# WARNING: pipeline_classifier_calibration oracle degraded to rows-only: {exc!r}",
+            file=__import__("sys").stderr,
+        )
+        return None
+
+
+@_register(
+    "pipeline_classifier_calibration", _quality_classifier_calibration_oracle()
+)
+def q_pipeline_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the quality classifier (VERDICT r11
+    task 7): published pipelines THRESHOLD on the classifier score
+    (CCNet keeps by score bucket; the GPT-3/LLaMA recipes sample with
+    p = score), so an eval row proving the scores are ORDERED
+    (separation, accuracy) is not enough — this row pins that they
+    are CALIBRATED: per score decile over the held-out odd-id split
+    (same even-half weights as pipeline_classifier_eval, cached),
+    the mean predicted score vs the actual gold fraction, plus their
+    gap.  All integer units (micro for scores, ppm for the fraction,
+    truncating division over non-negative operands), so the replica
+    oracle is bit-exact.  Deciles clamp at 9 (a 1.0 score lands in
+    the last bin); only populated deciles emit rows.
+
+    Scale shape: scoring is the shuffle-free HOF projection fused
+    into the scan; the diagram is ONE ≤10-group aggregate.
+    Reference-era analogue: the ValueHistogram descriptor's
+    report-per-bucket discipline (…/lib/aggregate/ValueHistogram.java:37).
+    Eager only for the cached training pass (shared with the eval
+    row per (process, sf_dir))."""
+    from hadoop_3_3_6_spark.functions.text import (
+        apply_quality_classifier,
+        train_quality_classifier,
+    )
+
+    labeled = _qc_labeled(spark, sf_dir)
+    key = ("qc_weights_even", sf_dir)
+    if key not in _RENDER_CACHE:
+        _RENDER_CACHE[key] = train_quality_classifier(
+            labeled.filter(F.col("doc_id") % 2 == 0),
+            buckets=_QC_BUCKETS,
+            iters=_QC_ITERS,
+            lr=_QC_LR,
+        )
+    test = labeled.filter(F.col("doc_id") % 2 == 1)
+    scored = apply_quality_classifier(test, _RENDER_CACHE[key], keep_cols=("label",))
+    binned = scored.select(
+        "label",
+        F.expr("cast(round(score * 1e6) as bigint)").alias("score_micro"),
+    ).select(
+        "label",
+        "score_micro",
+        F.least(F.expr("score_micro div 100000"), F.lit(9)).cast("int").alias("decile"),
+    )
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("score_micro").cast("bigint").alias("_s"),
+            F.sum("label").cast("bigint").alias("_g"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            F.expr("_s div n_docs").cast("bigint").alias("mean_score_micro"),
+            F.expr("_g * 1000000 div n_docs").cast("bigint").alias("gold_ppm"),
+            F.expr("_s div n_docs - (_g * 1000000 div n_docs)")
+            .cast("bigint")
+            .alias("calibration_gap_micro"),
+        )
+    )
+
+
 @_register(
     "bloommapfile_point_skip",
     """
