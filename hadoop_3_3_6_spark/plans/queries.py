@@ -10859,28 +10859,18 @@ _DRIVER_RECHECK = {
     # changes landed), so those verdicts certify the changed forms;
     # keeping them queued would crowd the ~50-slot budget and strand
     # the r5 vintage cohort this round is tasked to drain.)
-    # round 11 (bigram upgrade, outputs CHANGE): the quality
-    # classifier gains fastText wordNgrams=2 hashed bigram features
-    # (buckets 256 -> 2048, order-signal marker pair in the fixture;
-    # train/apply/replica all updated together), and the eval row
-    # gains the separation-audit columns
-    "pipeline_quality_classifier": 11,
-    "pipeline_classifier_eval": 11,
-    # round 11 (image/audio codec conformance review — VERDICT r10
-    # task 5; outputs identical on all valid fixtures): PNG critical-
-    # chunk CRCs verified + truncated chunks rejected; WAV accepts
-    # WAVE_FORMAT_EXTENSIBLE-wrapping-PCM; y4m truncated final frame
-    # rejected; JPEG fill bytes before markers skipped, 12-bit
-    # precision and non-interleaved multi-scan rejected loudly
-    "multimodal_decode": 11,
-    "multimodal_audio": 11,
-    "multimodal_video": 11,
-    "multimodal_wav_source": 11,
-    "multimodal_phash_dedup": 11,
-    "multimodal_phash_incremental": 11,
-    # (the r11 KeyFieldBasedComparator conformance entry for
-    # keyfield_topk_orders — DSL parser made reference-exact —
-    # superseded by the round-12 byte-exactness entry below)
+    # (round-12 pruning: the eight remaining round-11 recheck entries
+    # — the classifier pair and the six codec-exercising multimodal
+    # rows — GRADUATED manually.  The conservative same-round rule
+    # would re-queue them because their green rows carry round 11,
+    # but the r11 VERDICT explicitly confirms every materially-changed
+    # query "was force-rechecked via _DRIVER_RECHECK and is fresh
+    # green in r11" (recorded by the end-of-round driver run AFTER
+    # the changes landed), so those verdicts certify the changed
+    # forms; keeping them queued would waste 8 of the ~50 slots the
+    # r6 vintage cohort this round is tasked to drain needs.  The
+    # r11 KeyFieldBasedComparator entry for keyfield_topk_orders is
+    # superseded by the round-12 byte-exactness entry below.)
     # round 12 (VERDICT r11 task 3, output rows CHANGE — supersedes
     # the r11 classifier/sampling entry): URL canonicalization + URL
     # dedup threaded in as capstone stage 1 (the RefinedWeb §3.2 /

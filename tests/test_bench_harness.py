@@ -104,3 +104,92 @@ def test_vs_prev_carries_disk_probe_pair_and_drift(monkeypatch, tmp_path):
     assert out["prev_disk_probe_mb_s"] == prev_disk
     if prev_disk:
         assert out["disk_drift"] == (not (1 / 3 <= 400.0 / prev_disk <= 3))
+
+
+def test_session_health_rules(monkeypatch, tmp_path):
+    """The r12 sweep-health verdict (VERDICT r11 task 1): degraded when
+    a probe catches the resource (disk floor, in-session cpu drift,
+    wait-dominated wall-vs-cpu split), unattributed when the median
+    moved with flat probes, healthy otherwise."""
+    bench = _bench(monkeypatch, tmp_path)
+    ok = {"cpu_probe_sec": 0.25, "disk_probe_mb_s": 300.0}
+    out = bench._session_health(dict(ok), dict(ok), {"median_ratio": 1.02})
+    assert out["verdict"] == "healthy" and not out["reasons"]
+    out = bench._session_health(
+        {"cpu_probe_sec": 0.25, "disk_probe_mb_s": 20.0}, dict(ok), {"median_ratio": 1.0}
+    )
+    assert out["verdict"] == "degraded"
+    out = bench._session_health(
+        dict(ok), {"cpu_probe_sec": 0.35, "disk_probe_mb_s": 300.0}, {"median_ratio": 1.0}
+    )
+    assert out["verdict"] == "degraded"
+    # the r11 mystery class, now attributable: wall up, JVM cpu flat
+    out = bench._session_health(
+        dict(ok),
+        dict(ok),
+        {
+            "median_ratio": 1.4,
+            "cpu_split": {"wall_median_ratio": 1.4, "cpu_median_ratio": 1.02},
+        },
+    )
+    assert out["verdict"] == "degraded"
+    assert any("wait-dominated" in r for r in out["reasons"])
+    # same median with no split evidence and flat probes: unattributed
+    out = bench._session_health(dict(ok), dict(ok), {"median_ratio": 1.4})
+    assert out["verdict"] == "unattributed"
+    assert any("probe suite" in r for r in out["reasons"])
+    # a degraded verdict's reasons never claim health
+    out = bench._session_health(
+        dict(ok), {"cpu_probe_sec": 0.25, "disk_probe_mb_s": 100.0}, {"median_ratio": 0.99}
+    )
+    assert out["verdict"] == "degraded"  # 300 -> 100 MB/s across the sweep
+
+
+def test_vs_prev_cpu_split(monkeypatch, tmp_path):
+    """cpu_split appears only when BOTH sides carry per-query JVM-CPU
+    seconds, and reports raw wall/cpu median ratios over queries >=
+    0.3 s on both sides."""
+    import json
+
+    bench = _bench(monkeypatch, tmp_path)
+    snaps = os.path.join(os.path.dirname(os.path.abspath(bench.__file__)), "bench_baselines")
+    prev_name, prev = bench._load_prev_snapshot()
+    if prev is None or prev.get("action") != "noop_write":
+        import pytest
+
+        pytest.skip("no committed noop_write snapshot")
+    if not prev.get("query_cpu_sec"):
+        # pre-r12 snapshots carry no cpu map: the split must be empty
+        out = bench._vs_prev_normalized(
+            {"q1_pricing_summary": 1.0}, 0.2, query_cpu_sec={"q1_pricing_summary": 2.0}
+        )
+        assert out.get("cpu_split") == {}
+    else:
+        name, c_prev = next(
+            (n, c)
+            for n, c in prev["query_cpu_sec"].items()
+            if c and prev["queries"].get(n, 0) >= 0.3
+        )
+        t_prev = prev["queries"][name]
+        out = bench._vs_prev_normalized(
+            {name: t_prev * 1.4}, 0.2, query_cpu_sec={name: c_prev * 1.01}
+        )
+        split = out["cpu_split"]
+        assert split["n_compared"] == 1
+        assert split["wall_median_ratio"] == 1.4
+        assert split["cpu_median_ratio"] == 1.01
+
+
+def test_jvm_probes_live(monkeypatch, tmp_path, spark):
+    """_jvm_cpu_sec reads the gateway JVM's /proc utime+stime (local
+    mode: driver + executors in one process, so a query's compute is
+    bounded by the delta) and _jvm_gc_stats reads the GC MXBeans —
+    both must survive a live session and move in the right direction."""
+    bench = _bench(monkeypatch, tmp_path)
+    c0 = bench._jvm_cpu_sec(spark)
+    spark.range(5_000_000).selectExpr("sum(id * 3 % 7)").collect()
+    c1 = bench._jvm_cpu_sec(spark)
+    assert c0 is not None and c1 is not None and c1 > c0
+    gc, old = bench._jvm_gc_stats(spark)
+    assert gc is not None and gc >= 0
+    assert old is not None and old >= 0
