@@ -138,6 +138,33 @@ def ensure_session_confs(spark: SparkSession) -> None:
             pass
 
 
+def pin_active_session(spark: SparkSession) -> None:
+    """Re-assert ``spark`` as the JVM's thread-local active session.
+
+    Python DataSource LOOKUP (DataSource.lookupDataSource for a
+    ``.format("<name>")`` read/write) consults the ACTIVE JVM
+    session's DataSourceManager, while ``spark.dataSource.register``
+    registers on the session it was called on.  The active session is
+    an InheritableThreadLocal that long-lived sessions legitimately
+    lose: structured-streaming execution runs on a CLONED session
+    (IncrementalExecution), and a py4j callback thread spawned while
+    the clone was active inherits it — after which a freshly
+    registered source "does not exist" because the lookup reads the
+    clone's manager snapshot (round-12 finding: avro_roundtrip's
+    avrofile sink failed with DATA_SOURCE_NOT_FOUND only when
+    constructed AFTER ~200 other queries in one session, despite
+    registering immediately before the write).  Every register_*
+    helper calls this so registration and lookup always address the
+    same session.  Best-effort: the static setter is public API, but
+    never fail a query over pinning."""
+    try:
+        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(
+            spark._jsparkSession
+        )
+    except Exception:  # pragma: no cover
+        pass
+
+
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 

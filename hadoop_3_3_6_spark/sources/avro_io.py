@@ -514,7 +514,12 @@ class AvroFileDataSource(DataSource):
 
 
 def register_avro_sink(spark) -> None:
-    """Idempotently register the ``avrofile`` format on this session."""
+    """Idempotently register the ``avrofile`` format on this session
+    (and re-pin it as the JVM active session — lookup reads the ACTIVE
+    session's manager, see session.pin_active_session)."""
+    from hadoop_3_3_6_spark.session import pin_active_session
+
+    pin_active_session(spark)
     spark.dataSource.register(AvroFileDataSource)
 
 

@@ -116,5 +116,9 @@ class WavDataSource(DataSource):
 
 
 def register_wav_source(spark) -> None:
-    """Idempotently register the ``wavfiles`` format on this session."""
+    """Idempotently register the ``wavfiles`` format on this session
+    (re-pinning the JVM active session, see session.pin_active_session)."""
+    from hadoop_3_3_6_spark.session import pin_active_session
+
+    pin_active_session(spark)
     spark.dataSource.register(WavDataSource)

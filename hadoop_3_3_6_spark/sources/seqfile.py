@@ -199,5 +199,9 @@ class SeqFileDataSource(DataSource):
 
 
 def register_seqfile_sink(spark) -> None:
-    """Idempotently register the ``seqfile`` format on this session."""
+    """Idempotently register the ``seqfile`` format on this session
+    (re-pinning the JVM active session, see session.pin_active_session)."""
+    from hadoop_3_3_6_spark.session import pin_active_session
+
+    pin_active_session(spark)
     spark.dataSource.register(SeqFileDataSource)

@@ -72,5 +72,9 @@ class RangeStreamDataSource(DataSource):
 
 
 def register_range_stream(spark) -> None:
-    """Idempotently register the ``rangestream`` format."""
+    """Idempotently register the ``rangestream`` format (re-pinning the
+    JVM active session, see session.pin_active_session)."""
+    from hadoop_3_3_6_spark.session import pin_active_session
+
+    pin_active_session(spark)
     spark.dataSource.register(RangeStreamDataSource)

@@ -288,7 +288,11 @@ class WarcDataSource(DataSource):
 
 
 def register_warc_source(spark) -> None:
-    """Idempotently register the ``warc`` format on this session."""
+    """Idempotently register the ``warc`` format on this session
+    (re-pinning the JVM active session, see session.pin_active_session)."""
+    from hadoop_3_3_6_spark.session import pin_active_session
+
+    pin_active_session(spark)
     spark.dataSource.register(WarcDataSource)
 
 

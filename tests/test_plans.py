@@ -370,6 +370,10 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         # 1-row digest-set verdict aggregate — the same scalar-combine
         # cross as jobcontrol_word_pipeline
         "pipeline_web_streaming",
+        # round-12 capstone stage 1: the url_dedup accounting row is a
+        # 1-row survivors aggregate x 1-row incoming-count stats
+        # parquet — the jobcontrol_word_pipeline scalar-combine class
+        "pipeline_pretraining_full",
     }
     # Arrow-batched Python stages are allowed only where Python IS the
     # semantics (multimodal codecs, secondary-sort carry, pandas UDAF,
@@ -417,6 +421,11 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         # round-11: the stream-sink verdict reads its segments back
         # through the batch WARC PythonDataSource
         "warc_stream_sink_roundtrip",
+        # round-12: PercentFilter's faithful reader-positional accept
+        # is a PER-READER STATEFUL COUNTER across batches — no Column
+        # expression can express record-ordinal state, so the
+        # mapInPandas stage IS the semantics
+        "seqfile_filter_percent_positional",
     }
     python_nodes = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "PythonDataSource")
     offenders = {}
