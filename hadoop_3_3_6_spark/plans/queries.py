@@ -989,6 +989,85 @@ def q_terasort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([result])
 
 
+def _gensort_validate_oracle() -> str:
+    """Independent python replica of the gensort stream for the oracle:
+    state after n steps via the CLOSED-FORM modular geometric sum
+    (x_n = C·(Aⁿ-1)/(A-1) mod 2¹²⁸, division exact over the scaled
+    modulus) — deliberately a different formulation from the engine's
+    square-and-compose skip-ahead, so the row is a differential, not
+    a mirror.  Record layout re-derived here from GenSort.java:38-76;
+    conformance to the actual reference binary is pinned separately
+    in tests/test_tools.py::test_gensort_reference_vectors."""
+    import zlib
+
+    A = 0x2360ED051FC65DA44385DF649FCCF645
+    C = 0x4A696D47726179524950202020202001
+    M = 1 << 128
+    n = 2000
+
+    def rand_after(steps: int) -> int:
+        an = pow(A, steps, M * (A - 1))
+        return (C * (((an - 1) // (A - 1)) % M)) % M
+
+    cksum = 0
+    firsts = lasts = None
+    for rid in range(n):
+        r = rand_after(rid + 1)
+        rand_hex = "%032X" % r
+        key = r.to_bytes(16, "big")[:10]
+        value = (
+            b"\x00\x11"
+            + (b"%032X" % rid)
+            + b"\x88\x99\xaa\xbb"
+            + "".join(ch * 4 for ch in rand_hex[20:32]).encode("ascii")
+            + b"\xcc\xdd\xee\xff"
+        )
+        cksum += zlib.crc32(key + value)
+        if rid == 0:
+            firsts = (key.hex(), value.hex())
+        if rid == n - 1:
+            lasts = key.hex()
+    return (
+        f"SELECT {n}::BIGINT AS rows, {cksum}::BIGINT AS checksum_sum, "
+        f"'{firsts[0]}' AS key_first_hex, '{firsts[1]}' AS value_first_hex, "
+        f"'{lasts}' AS key_last_hex"
+    )
+
+
+@_register("teragen_gensort_validate", _gensort_validate_oracle())
+def q_teragen_gensort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENCE-EXACT TeraGen as a driver row (round 12, extending the
+    conformance ladder to the record source itself): 2000 gensort
+    records generated DISTRIBUTED (terasort.teragen_gensort — the
+    128-bit LCG of Random16.java:307-345 with SortGenMapper's
+    skip-once-then-step discipline, TeraGen.java:229-233; record
+    layout GenSort.java:38-76), verdict = (row count, CRC-32 checksum
+    sum — the reference's own -c accumulator, Spark's crc32 IS that
+    polynomial — first record's full bytes, last record's key).  The
+    oracle replays the stream through an independent closed-form
+    LCG formulation, and the byte-level ground truth against the
+    reference binary's actual output is pinned in
+    tests/test_tools.py::test_gensort_reference_vectors.  Scale shape:
+    generation is embarrassingly parallel (O(log n) skip per
+    partition, O(1) per record); the verdict is one aggregate."""
+    from hadoop_3_3_6_spark.sources.terasort import teragen_gensort
+
+    n = 2000
+    df = teragen_gensort(spark, n, partitions=4, with_id=True)
+    rec = F.concat("key", "value")
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows"),
+        F.sum(F.crc32(rec)).cast("bigint").alias("checksum_sum"),
+        F.max(F.when(F.col("id") == 0, F.lower(F.hex("key")))).alias("key_first_hex"),
+        F.max(F.when(F.col("id") == 0, F.lower(F.hex("value")))).alias(
+            "value_first_hex"
+        ),
+        F.max(F.when(F.col("id") == n - 1, F.lower(F.hex("key")))).alias(
+            "key_last_hex"
+        ),
+    )
+
+
 # === M5: window functions ===============================================
 
 
@@ -10995,6 +11074,7 @@ _DRIVER_HOLDBACK_R11 = [
 _DRIVER_HOLDBACK_R12 = [
     "seqfile_filter_percent_positional",
     "pipeline_classifier_calibration",
+    "teragen_gensort_validate",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

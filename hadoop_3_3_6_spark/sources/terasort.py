@@ -117,3 +117,102 @@ def teravalidate(sorted_df: DataFrame, input_checksum: int) -> Row:
         globally_sorted=globally_sorted,
         checksum_match=bool(out_checksum == input_checksum),
     )
+
+
+# --- reference-exact GenSort generator (round 12) --------------------------
+#
+# TeraGen's real record source is Chris Nyberg's gensort (GenSort.java:38-76
+# generateRecord; Random16.java:307-345 skipAhead over the precomputed
+# squared-map table; TeraGen.java:225-244 SortGenMapper: skipAhead(rowId)
+# once per split, ONE nextRand before every record).  The bench generator
+# above keeps its documented fast divergence (hash records); this one is
+# BYTE-EXACT: same 128-bit LCG, same record layout, conformance-pinned in
+# tests/test_tools.py against bytes captured from the reference generator.
+
+_GENSORT_A = 0x2360ED051FC65DA44385DF649FCCF645
+_GENSORT_C = 0x4A696D47726179524950202020202001
+_M128 = (1 << 128) - 1
+
+
+def gensort_skip_ahead(n: int) -> int:
+    """The 128-bit LCG state after ``n`` nextRand steps from seed 0
+    (Random16.skipAhead semantics), via square-and-compose of the
+    affine map f(x) = (A·x + C) mod 2**128 — python integers replace
+    the reference's precomputed 128-entry power table (the table IS
+    this loop's (a, c) sequence; powers of one map commute, so
+    per-bit application order is free)."""
+    a, c = _GENSORT_A, _GENSORT_C
+    result = 0
+    n &= _M128
+    while n:
+        if n & 1:
+            result = (a * result + c) & _M128
+        c = (a * c + c) & _M128  # f∘f: (a², a·c + c)
+        a = (a * a) & _M128
+        n >>= 1
+    return result
+
+
+def gensort_record(rand128: int, row_id: int) -> tuple[bytes, bytes]:
+    """One 100-byte gensort record as (10-byte key, 90-byte value) —
+    GenSort.generateRecord's exact layout: key = high 10 bytes of the
+    random state; value = 0x0011 break, 32 UPPERCASE ASCII hex digits
+    of the 128-bit row number, 0x8899AABB break, 48 filler bytes (the
+    ASCII hex digits 20..31 of the random state, each repeated 4×),
+    0xCCDDEEFF break."""
+    rand_hex = "%032X" % rand128
+    key = rand128.to_bytes(16, "big")[:10]
+    value = (
+        b"\x00\x11"
+        + (b"%032X" % row_id)
+        + b"\x88\x99\xaa\xbb"
+        + "".join(ch * 4 for ch in rand_hex[20:32]).encode("ascii")
+        + b"\xcc\xdd\xee\xff"
+    )
+    return key, value
+
+
+def teragen_gensort(
+    spark: SparkSession, num_rows: int, partitions: int | None = None,
+    with_id: bool = False,
+) -> DataFrame:
+    """Distributed REFERENCE-EXACT TeraGen: every partition skips the
+    LCG ahead to its first row id once, then steps once per record —
+    exactly SortGenMapper's discipline (TeraGen.java:229-233), so the
+    output bytes are identical to the reference for any partitioning
+    (spark.range hands each partition a contiguous id block; a
+    non-contiguous batch re-skips, keeping correctness over speed).
+    O(log n) skip + O(1) step per record — the 100-TB shape is the
+    reference's own.  Use :func:`teragen` for benchmarks (documented
+    fast divergence); use this when byte parity matters
+    (conformance rows, mixed-engine pipelines)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    rng = (
+        spark.range(0, num_rows, numPartitions=partitions)
+        if partitions
+        else spark.range(num_rows)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rand = None
+        expected = None
+        for pdf in batches:
+            ids, keys, vals = [], [], []
+            for rid in pdf["id"]:
+                rid = int(rid)
+                if rand is None or rid != expected:
+                    rand = gensort_skip_ahead(rid)
+                    expected = rid
+                rand = (_GENSORT_A * rand + _GENSORT_C) & _M128  # nextRand
+                expected += 1
+                k, v = gensort_record(rand, rid)
+                ids.append(rid)
+                keys.append(k)
+                vals.append(v)
+            yield pd.DataFrame({"id": ids, "key": keys, "value": vals})
+
+    out = rng.mapInPandas(gen, "id long, key binary, value binary")
+    return out if with_id else out.select("key", "value")

@@ -1202,3 +1202,101 @@ def test_teravalidate_detects_out_of_order_records(spark):
     bad = teravalidate(scrambled, cksum)
     assert not bad.globally_sorted          # record-level check catches it
     assert bad.checksum_match               # content untouched
+
+
+def test_gensort_reference_vectors():
+    """BYTE-EXACT conformance of the gensort generator against output
+    captured from the reference generator itself (GenSort.java compiled
+    and run once: `GenSort -c 10 out` and `GenSort -c -b5000 3 out`;
+    the expected strings below are that binary's bytes, not a port's):
+    record 0 in full (note the key spells the LCG constant's tribute),
+    the record-5000 key after a mid-stream skip-ahead, and the
+    CRC-32 checksum sum of the first 10 records."""
+    import zlib
+
+    from hadoop_3_3_6_spark.sources.terasort import (
+        _GENSORT_A,
+        _GENSORT_C,
+        _M128,
+        gensort_record,
+        gensort_skip_ahead,
+    )
+
+    def rand_after(n_steps):
+        return gensort_skip_ahead(n_steps)
+
+    # record 0: skipAhead(0) then one nextRand -> state f(0) = C
+    r = (_GENSORT_A * rand_after(0) + _GENSORT_C) & _M128
+    k, v = gensort_record(r, 0)
+    assert (k + v).hex() == (
+        "4a696d47726179524950"
+        "0011"
+        "3030303030303030303030303030303030303030303030303030303030303030"
+        "8899aabb"
+        "3232323230303030323232323030303032323232303030303232323230303030"
+        "32323232303030303030303031313131"
+        "ccddeeff"
+    )
+    # record 5000 (the -b5000 capture's first record)
+    r = (_GENSORT_A * rand_after(5000) + _GENSORT_C) & _M128
+    k, _v = gensort_record(r, 5000)
+    assert k.hex() == "a3acbb844a5169f61678"
+    # checksum of records 0..9 (GenSort -c prints the hex sum)
+    rand, s = 0, 0
+    for rid in range(10):
+        rand = (_GENSORT_A * rand + _GENSORT_C) & _M128
+        kk, vv = gensort_record(rand, rid)
+        s += zlib.crc32(kk + vv)
+    assert hex(s)[2:] == "5b2d1434d"
+
+
+def test_gensort_skip_ahead_closed_form_and_sequence():
+    """Differential: the engine's square-and-compose skip-ahead must
+    equal the independent closed-form modular-geometric-sum
+    formulation (x_n = C * (A^n - 1)/(A-1) mod 2^128, the division
+    done exactly over the scaled modulus), and skipping then stepping
+    must equal skipping further."""
+    from hadoop_3_3_6_spark.sources.terasort import (
+        _GENSORT_A,
+        _GENSORT_C,
+        _M128,
+        gensort_skip_ahead,
+    )
+
+    M = 1 << 128
+
+    def closed_form(n):
+        an = pow(_GENSORT_A, n, M * (_GENSORT_A - 1))
+        s = ((an - 1) // (_GENSORT_A - 1)) % M
+        return (_GENSORT_C * s) % M
+
+    for n in (0, 1, 2, 3, 7, 64, 5000, 2**31 + 17, 2**63 + 5):
+        assert gensort_skip_ahead(n) == closed_form(n), n
+    r = gensort_skip_ahead(41)
+    for k in range(5):
+        r = (_GENSORT_A * r + _GENSORT_C) & _M128
+    assert r == gensort_skip_ahead(46)
+
+
+def test_teragen_gensort_distributed_matches_serial(spark):
+    """The distributed generator (per-partition skip-ahead + step, the
+    SortGenMapper discipline) must produce exactly the serial
+    sequence regardless of partitioning."""
+    from hadoop_3_3_6_spark.sources.terasort import (
+        _GENSORT_A,
+        _GENSORT_C,
+        _M128,
+        gensort_record,
+        teragen_gensort,
+    )
+
+    n = 500
+    rows = {
+        r["id"]: (bytes(r["key"]), bytes(r["value"]))
+        for r in teragen_gensort(spark, n, partitions=7, with_id=True).collect()
+    }
+    assert len(rows) == n
+    rand = 0
+    for rid in range(n):
+        rand = (_GENSORT_A * rand + _GENSORT_C) & _M128
+        assert rows[rid] == gensort_record(rand, rid), rid
