@@ -56,10 +56,12 @@ def teravalidate(sorted_df: DataFrame, input_checksum: int) -> Row:
     TeraValidate.java:63-126 checks its output files — EVERY record in
     partition-iteration order (one Arrow-batched fold per partition
     carrying first/last/sorted across batch boundaries; pandas'
-    lexicographic string compare equals Spark's binary UTF8 ordering
-    on these ASCII hex keys), then a tiny driver-side scan over the
-    per-partition boundaries; (2) checksum equality (content
-    preservation).  Round-10 review fix: the previous form trusted
+    lexicographic compare equals Spark's ordering for both key kinds —
+    UTF8 order on ASCII string keys, unsigned-byte order on python
+    ``bytes`` for the r12 binary gensort records, whose boundary keys
+    cross back hex-encoded since hex is order-preserving), then a tiny
+    driver-side scan over the per-partition boundaries; (2) checksum
+    equality (content preservation).  Round-10 review fix: the previous form trusted
     within-partition order ("guaranteed by the sort") — true of
     Spark's sort operator, but the reference's validator checks the
     records, not the operator contract, and so does this one now."""
@@ -87,6 +89,11 @@ def teravalidate(sorted_df: DataFrame, input_checksum: int) -> Row:
             last = keys.iloc[-1]
             n += len(keys)
         if n:
+            if isinstance(first, (bytes, bytearray)):
+                # binary keys: the Arrow return column is string, and
+                # hex preserves unsigned-byte order for the driver's
+                # boundary compare
+                first, last = bytes(first).hex(), bytes(last).hex()
             yield pd.DataFrame(
                 {
                     "pid": [pid],

@@ -1300,3 +1300,22 @@ def test_teragen_gensort_distributed_matches_serial(spark):
     for rid in range(n):
         rand = (_GENSORT_A * rand + _GENSORT_C) & _M128
         assert rows[rid] == gensort_record(rand, rid), rid
+
+
+def test_terasort_on_gensort_binary_records(spark):
+    """The full reference pipeline shape on REAL gensort bytes: sort
+    5000 binary-key records (Spark binary ordering IS TeraSort's
+    unsigned-byte comparator) and validate record-level global order
+    + CRC checksum preservation — teravalidate's pandas compare works
+    on bytes (python bytes order = unsigned lexicographic)."""
+    from hadoop_3_3_6_spark.sources.terasort import (
+        teragen_gensort,
+        terachecksum,
+        terasort,
+        teravalidate,
+    )
+
+    gen = teragen_gensort(spark, 5000, partitions=4)
+    cksum = terachecksum(gen)
+    out = teravalidate(terasort(gen), cksum)
+    assert out.rows == 5000 and out.globally_sorted and out.checksum_match
