@@ -228,6 +228,15 @@ HEADLINE = [
     "seqfile_as_binary_scan",
     "nulloutput_noop",
     "warc_stream_sink_roundtrip",
+    # round-12 newcomers: the faithful positional percent filter
+    # (three single-split readers + per-reader counter), the
+    # classifier reliability diagram (training cached per process; the
+    # benched plan is the scoring projection + one <=10-group
+    # aggregate), and the byte-exact gensort generator's verdict row
+    # (distributed 128-bit LCG generation + one aggregate)
+    "seqfile_filter_percent_positional",
+    "pipeline_classifier_calibration",
+    "teragen_gensort_validate",
 ]
 
 
