@@ -426,6 +426,10 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         # expression can express record-ordinal state, so the
         # mapInPandas stage IS the semantics
         "seqfile_filter_percent_positional",
+        # round-12: the byte-exact gensort generator — the 128-bit LCG
+        # skip-ahead/step and GenSort record layout ARE the semantics
+        # (python integers are the 128-bit arithmetic)
+        "teragen_gensort_validate",
     }
     python_nodes = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "PythonDataSource")
     offenders = {}
