@@ -4980,21 +4980,25 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .option("record_types", "response")
                 .load(warc_dir)
                 .filter(F.col("content_type") == "text/html")
-                .select("target_uri", "warc_date", "payload")
+                .select("record_id", "target_uri", "warc_date", "payload")
             )
+            # the winner set keys on the WARC record_id (unique per
+            # record by the WARC spec) — keying on target_uri would
+            # silently keep BOTH copies of a refetch whose raw URI
+            # string is identical to the original's
             canon = canonicalize_urls(
-                recs.select("target_uri", "warc_date"), "target_uri"
+                recs.select("record_id", "target_uri", "warc_date"), "target_uri"
             )
             w = Window.partitionBy("canonical_url").orderBy(
-                "warc_date", "target_uri"
+                "warc_date", "target_uri", "record_id"
             )
             winners = (
                 canon.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
-                .select("target_uri")
+                .select("record_id")
             )
             incoming = canon.count()  # fetch-log-sized scan, no payloads
-            out = recs.join(winners, "target_uri", "semi")
+            out = recs.join(winners, "record_id", "semi").drop("record_id")
             out.write.mode("overwrite").parquet(f"{base}/s0_urldedup")
             spark.createDataFrame([(incoming,)], "incoming long").write.mode(
                 "overwrite"
