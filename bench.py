@@ -360,14 +360,17 @@ def _session_health(pre: dict, post: dict, vs_prev: dict) -> dict:
       query_cpu_sec) wall inflating >1.25x while JVM CPU stays flat —
       the wait-dominated regime the r11 probe suite could not see.
     - ``unattributed`` when no probe moved but the cpu-normalized
-      median vs the committed snapshot still exceeds 1.25: whatever
-      degraded the session is outside the probe suite; the sweep's
-      absolute numbers are not representative and vs_prev must not be
-      read as an engine regression (nor as proof there is none — the
-      per-query flags and flag_recheck reverts are the evidence tier
-      that still works, being median-relative).
-    - ``healthy`` otherwise: vs_prev is a like-for-like engine
-      comparison.
+      median vs the committed snapshot still exceeds 1.25 AND the
+      wall-vs-cpu split can't vouch for the session: whatever degraded
+      it is outside the probe suite; the sweep's absolute numbers are
+      not representative and vs_prev must not be read as an engine
+      regression (nor as proof there is none — the per-query flags
+      and flag_recheck reverts are the evidence tier that still
+      works, being median-relative).
+    - ``healthy`` otherwise — including the med>1.25 case where the
+      cpu median ratio TRACKS the wall ratio (>= 1.1): the session is
+      fine and the slowdown is positively engine-attributed, so
+      vs_prev is a like-for-like comparison showing a real delta.
     """
     reasons = []
     for tag, p in (("pre", pre), ("post", post)):
@@ -398,12 +401,26 @@ def _session_health(pre: dict, post: dict, vs_prev: dict) -> dict:
     if reasons:
         verdict = "degraded"
     elif med is not None and med > 1.25:
-        verdict = "unattributed"
-        reasons.append(
-            f"median_ratio {med} with flat pre/post probes: the degraded "
-            "resource is outside the probe suite; do not cite this sweep's "
-            "vs_prev as an engine delta in either direction"
-        )
+        if split.get("cpu_median_ratio") and split["cpu_median_ratio"] >= 1.1:
+            # cpu TRACKED wall: the session is fine and the slowdown is
+            # positively engine-attributed — the one med>1.25 case
+            # where vs_prev IS a like-for-like comparison (round-12
+            # review: the original rule labeled this 'unattributed',
+            # masking exactly the regression class the split exists to
+            # expose)
+            verdict = "healthy"
+            reasons.append(
+                f"median_ratio {med} with cpu tracking wall "
+                f"(cpu_median_ratio {split['cpu_median_ratio']}): session "
+                "healthy — read vs_prev as a REAL engine delta"
+            )
+        else:
+            verdict = "unattributed"
+            reasons.append(
+                f"median_ratio {med} with flat pre/post probes: the degraded "
+                "resource is outside the probe suite; do not cite this sweep's "
+                "vs_prev as an engine delta in either direction"
+            )
     else:
         verdict = "healthy"
     return {

@@ -4917,10 +4917,18 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         pages = originals.unionByName(mirrors).unionByName(refetches)
 
         def write_part(rows):
+            import uuid as _uuid
+
             from pyspark import TaskContext
 
             from hadoop_3_3_6_spark.sources.warc import encode_warc
 
+            # explicit per-record ids: encode_warc's default derives
+            # the id from (target_uri, type), which would COLLIDE for
+            # a refetch whose raw URI string equals the original's —
+            # exactly the case the url_dedup winner join keys on
+            # record_id to handle (round-12 review finding)
+            pid = TaskContext.get().partitionId()
             recs = [
                 {
                     "warc_type": "response",
@@ -4928,8 +4936,11 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "content_type": "text/html",
                     "payload": r.html,
                     "date": r.date,
+                    "record_id": "<urn:uuid:%s>" % _uuid.uuid5(
+                        _uuid.NAMESPACE_URL, f"pretrain:{pid}:{i}"
+                    ),
                 }
-                for r in rows
+                for i, r in enumerate(rows)
             ]
             if recs:
                 pid = TaskContext.get().partitionId()

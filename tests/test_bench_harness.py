@@ -138,6 +138,19 @@ def test_session_health_rules(monkeypatch, tmp_path):
     out = bench._session_health(dict(ok), dict(ok), {"median_ratio": 1.4})
     assert out["verdict"] == "unattributed"
     assert any("probe suite" in r for r in out["reasons"])
+    # cpu TRACKING wall is the opposite of wait-dominated: the session
+    # is healthy and the slowdown is a REAL engine delta (round-12
+    # review fix — this class must never be filed as 'unattributed')
+    out = bench._session_health(
+        dict(ok),
+        dict(ok),
+        {
+            "median_ratio": 1.4,
+            "cpu_split": {"wall_median_ratio": 1.4, "cpu_median_ratio": 1.38},
+        },
+    )
+    assert out["verdict"] == "healthy"
+    assert any("REAL engine delta" in r for r in out["reasons"])
     # a degraded verdict's reasons never claim health
     out = bench._session_health(
         dict(ok), {"cpu_probe_sec": 0.25, "disk_probe_mb_s": 100.0}, {"median_ratio": 0.99}
@@ -152,7 +165,6 @@ def test_vs_prev_cpu_split(monkeypatch, tmp_path):
     import json
 
     bench = _bench(monkeypatch, tmp_path)
-    snaps = os.path.join(os.path.dirname(os.path.abspath(bench.__file__)), "bench_baselines")
     prev_name, prev = bench._load_prev_snapshot()
     if prev is None or prev.get("action") != "noop_write":
         import pytest
