@@ -581,6 +581,35 @@ def test_key_field_sort_regex_special_separator(spark):
     assert out2 == ["a|10", "b|2", "c|1"]
 
 
+def test_key_field_sort_multibyte_separator_byte_offsets(spark):
+    """A MULTI-BYTE UTF-8 separator ('→', 3 bytes) exercises the
+    round-12 byte-exactness fix end-to-end: the prefix-length
+    accumulator must advance by the separator's BYTE length, and a
+    `.c` position that overruns its field must continue into the
+    separator's bytes exactly as the reference's raw offset
+    arithmetic does."""
+    rows = [("bb→z",), ("aa→y",), ("cc→x",)]
+    df = spark.createDataFrame(rows, "line string")
+    # plain field sort across the 3-byte separator
+    out = [r["line"] for r in key_field_sort(df, "line", "-k2,2", sep="→").collect()]
+    assert out == ["cc→x", "aa→y", "bb→z"]
+    # -k1.3,1.4: bytes 3..4 of the record = the separator's FIRST TWO
+    # BYTES on every row (field 1 is 2 bytes) -> all keys tie, and the
+    # secondary -k2,2 breaks the tie; a char-counting implementation
+    # would instead read '→' + the field-2 char and still "work", so
+    # pin the byte reading directly too
+    out2 = [
+        r["line"]
+        for r in key_field_sort(df, "line", "-k1.3,1.4 -k2,2", sep="→").collect()
+    ]
+    assert out2 == ["cc→x", "aa→y", "bb→z"]
+    # byte-identity of the extracted extent: -k1.3 runs from byte 3 to
+    # the record end -> on 'aa→y' that is the 3 separator bytes + 'y';
+    # keys '\xe2\x86\x92x' < '...y' < '...z' orders exactly as -k2,2
+    out3 = [r["line"] for r in key_field_sort(df, "line", "-k1.3", sep="→").collect()]
+    assert out3 == ["cc→x", "aa→y", "bb→z"]
+
+
 def test_regex_map_backslash_and_quote_patterns(spark):
     """Patterns with backslash classes and quotes must survive intact —
     SQL-literal interpolation would eat the backslash ('\\d+' -> 'd+')
