@@ -237,6 +237,12 @@ HEADLINE = [
     "seqfile_filter_percent_positional",
     "pipeline_classifier_calibration",
     "teragen_gensort_validate",
+    # round-12: the reference-exact partitioner family (Java hashCode
+    # algebra as aggregate-HOF Column expressions — the benched plans
+    # are scan-fused projections + one small census aggregate each)
+    "hash_partitioner_text_assignment",
+    "rehash_partitioner_spread",
+    "binary_partitioner_assignment",
 ]
 
 

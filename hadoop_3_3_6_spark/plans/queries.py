@@ -10317,6 +10317,145 @@ def q_keyfield_partitioner_colocation(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def _partitioner_oracles() -> tuple[str, str, str]:
+    """Render the closed-form DuckDB replays of the Java partitioner
+    arithmetic (same renderers the tests differential-check)."""
+    from hadoop_3_3_6_spark.operators.partitioners import (
+        duckdb_hash_bytes_sql,
+        duckdb_rehash_sql,
+    )
+
+    text_hash = duckdb_hash_bytes_sql("encode(tkey)")
+    hash_text = f"""
+    WITH k AS (
+      SELECT o_orderpriority || ' ' || CAST(o_orderkey AS VARCHAR) AS tkey,
+             o_orderkey
+      FROM orders),
+    h AS (
+      SELECT CAST((({text_hash}) & 2147483647) % 17 AS INTEGER) AS part_id,
+             o_orderkey
+      FROM k)
+    SELECT part_id, count(*)::BIGINT AS n_rows, sum(o_orderkey)::BIGINT AS key_sum
+    FROM h GROUP BY part_id
+    """
+
+    wrap32 = "((o_orderkey + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648"
+    rehash = f"""
+    WITH hc AS (SELECT {wrap32} AS h FROM orders),
+    tagged AS (
+      SELECT 'hash' AS scheme,
+             CAST((h & 2147483647) % 16 AS INTEGER) AS part_id FROM hc
+      UNION ALL
+      SELECT 'rehash' AS scheme, {duckdb_rehash_sql('h', 16)} AS part_id FROM hc)
+    SELECT scheme, part_id, count(*)::BIGINT AS n_rows
+    FROM tagged GROUP BY scheme, part_id
+    """
+
+    _L = "octet_length(encode(c_name))"
+    _start = f"((2 + {_L}) % {_L})"
+    _len = f"(((-3 + {_L}) % {_L}) - {_start} + 1)"
+    bin_hash = duckdb_hash_bytes_sql("encode(c_name)", _start, _len)
+    binary = f"""
+    WITH h AS (
+      SELECT CAST((({bin_hash}) & 2147483647) % 8 AS INTEGER) AS part_id,
+             c_custkey
+      FROM customer)
+    SELECT part_id, count(*)::BIGINT AS n_rows, min(c_custkey)::BIGINT AS min_custkey
+    FROM h GROUP BY part_id
+    """
+    return hash_text, rehash, binary
+
+
+_HASH_TEXT_ORACLE, _REHASH_ORACLE, _BINARY_PART_ORACLE = _partitioner_oracles()
+
+
+@_register("hash_partitioner_text_assignment", _HASH_TEXT_ORACLE)
+def q_hash_partitioner_text_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashPartitioner over Text keys, BYTE-EXACT (MRC/mapreduce/lib/
+    partition/HashPartitioner.java:36 ``(key.hashCode() &
+    Integer.MAX_VALUE) % numReduceTasks`` with Text.hashCode ==
+    WritableComparator.hashBytes over the UTF-8 bytes,
+    WritableComparator.java:242 — the 31-based SIGNED-byte rolling
+    hash with Java int wraparound, start value 1).  The assignment is
+    a pure Column expression (aggregate HOF over hex pairs — stays in
+    codegen, no UDF), conformance-pinned in tests against the live
+    JVM's identical ``java.util.Arrays.hashCode(byte[])``; the oracle
+    replays the same algebra closed-form (list_reduce).  Output: the
+    17-way partition census of orders keyed by the streaming-style
+    composed Text key ``priority + ' ' + orderkey`` — every record's
+    reference partition id, aggregated."""
+    from hadoop_3_3_6_spark.operators.partitioners import hash_partition, text_hash_code
+
+    orders = load_table(spark, "orders", sf_dir)
+    tkey = F.concat_ws(" ", F.col("o_orderpriority"), F.col("o_orderkey").cast("string"))
+    part = hash_partition(text_hash_code(tkey), 17)
+    return (
+        orders.select(part.alias("part_id"), "o_orderkey")
+        .groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+    )
+
+
+@_register("rehash_partitioner_spread", _REHASH_ORACLE)
+def q_rehash_partitioner_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RehashPartitioner vs HashPartitioner, BYTE-EXACT side by side
+    (MRC/mapreduce/lib/partition/RehashPartitioner.java:41-46: ``h =
+    SEED ^ hashCode; h ^= (h >>> 20) ^ (h >>> 12); h = h ^ (h >>> 7)
+    ^ (h >>> 4)`` — the avalanche that smooths simple integer key
+    patterns the plain ``hashCode % n`` collapses).  Keys are
+    IntWritable o_orderkey (hashCode == value, IntWritable.java:71,
+    with the Java ``(int)`` narrowing wrap); both 16-way censuses come
+    out under a scheme tag so the smoothing is visible in one frame.
+    The unsigned-shift algebra runs on the unsigned 32-bit image in
+    BIGINT (xor/``>>>`` are sign-blind), differential-tested against
+    a python port of the reference loop."""
+    from hadoop_3_3_6_spark.operators.partitioners import (
+        hash_partition,
+        int_writable_hash,
+        rehash_partition,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    h = int_writable_hash(F.col("o_orderkey"))
+    tagged = orders.select(
+        F.lit("hash").alias("scheme"), hash_partition(h, 16).alias("part_id")
+    ).unionAll(
+        orders.select(
+            F.lit("rehash").alias("scheme"), rehash_partition(h, 16).alias("part_id")
+        )
+    )
+    return tagged.groupBy("scheme", "part_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+
+
+@_register("binary_partitioner_assignment", _BINARY_PART_ORACLE)
+def q_binary_partitioner_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BinaryPartitioner over a configurable byte subarray, BYTE-EXACT
+    (MRC/mapreduce/lib/partition/BinaryPartitioner.java:133: python-
+    style offsets resolved PER ROW as ``(offset + length) % length``,
+    INCLUSIVE right end, hashBytes over the slice, then the
+    HashPartitioner mask).  Keys are the UTF-8 bytes of c_name with
+    left=2 / right=-3 — the reference's negative-offset arm — into 8
+    partitions; the oracle slices the hex image with the same per-row
+    offset algebra."""
+    from hadoop_3_3_6_spark.operators.partitioners import binary_partition
+
+    cust = load_table(spark, "customer", sf_dir)
+    part = binary_partition(F.encode(F.col("c_name").cast("string"), "UTF-8"), 8, 2, -3)
+    return (
+        cust.select(part.alias("part_id"), "c_custkey")
+        .groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("c_custkey").cast("bigint").alias("min_custkey"),
+        )
+    )
+
+
 @_register(
     "db_range_split_scan",
     f"""
