@@ -243,6 +243,7 @@ HEADLINE = [
     "hash_partitioner_text_assignment",
     "rehash_partitioner_spread",
     "binary_partitioner_assignment",
+    "keyfield_partitioner_assignment",
 ]
 
 

@@ -53,14 +53,23 @@ def _wrap32(x: Column) -> Column:
     return F.pmod(x + F.lit(1 << 31), F.lit(_U32)) - F.lit(1 << 31)
 
 
-def java_hash_bytes(bin_col: Column, start: Column | None = None, length: Column | None = None) -> Column:
+def java_hash_bytes(
+    bin_col: Column,
+    start: Column | None = None,
+    length: Column | None = None,
+    init: Column | int = 1,
+) -> Column:
     """``WritableComparator.hashBytes(bytes, offset, length)``
     (WritableComparator.java:242): ``h = 1; h = 31*h + (int) b[i]``
     with Java int wraparound, over SIGNED bytes.
 
     ``start`` is a 0-based byte offset (default 0), ``length`` the
-    byte count (default: to the end).  Empty input hashes to 1, like
-    the reference's empty loop.
+    byte count (default: to the end).  Empty input hashes to ``init``,
+    like the reference's empty loop.  ``init`` defaults to
+    WritableComparator's 1; pass 0 (or a prior hash Column) for the
+    KeyFieldBasedPartitioner family, whose ``hashCode(b, start, end,
+    currentHash)`` starts at 0 and CHAINS across key specs
+    (KeyFieldBasedPartitioner.java:106,122-127).
 
     Shape note: the bytes are materialized as an ARRAY of hex pairs
     (one split per row) and the fold's lambda touches only its own
@@ -82,12 +91,37 @@ def java_hash_bytes(bin_col: Column, start: Column | None = None, length: Column
     window = F.when(length > 0, F.slice(pairs, start + 1, length)).otherwise(
         F.array().cast("array<string>")
     )
+    init_col = F.lit(init) if isinstance(init, int) else init
     return F.aggregate(
         window,
-        F.lit(1).cast("long"),
+        init_col.cast("long"),
         lambda acc, p: _wrap32(
             acc * 31 + F.pmod(F.conv(p, 16, 10).cast("long") + 128, 256) - 128
         ),
+    )
+
+
+def java_string_hash_code(col: Column) -> Column:
+    """``java.lang.String.hashCode()`` — ``h = 31*h + c`` starting at
+    0 over UTF-16 CODE UNITS (not bytes, not code points: an astral
+    character contributes its two surrogate units separately).  Folds
+    over the UTF-16BE encoding's hex QUADS, so surrogate pairs fall
+    out exactly.  This is the hashCode behind the reference's
+    ``key.toString().hashCode()`` fallbacks (e.g.
+    KeyFieldBasedPartitioner.java:90 when no key spec is configured).
+    """
+    quads = F.split(
+        F.regexp_replace(F.hex(F.encode(col.cast("string"), "UTF-16BE")), "(....)", "$1\t"),
+        "\t",
+    )
+    n_units = F.length(F.encode(col.cast("string"), "UTF-16BE")) / 2
+    window = F.when(n_units > 0, F.slice(quads, 1, n_units.cast("int"))).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.aggregate(
+        window,
+        F.lit(0).cast("long"),
+        lambda acc, q: _wrap32(acc * 31 + F.conv(q, 16, 10).cast("long")),
     )
 
 
@@ -169,20 +203,25 @@ def partition_by_reference(
 
 
 def duckdb_hash_bytes_sql(
-    blob_expr: str, start_sql: str | None = None, len_sql: str | None = None
+    blob_expr: str,
+    start_sql: str | None = None,
+    len_sql: str | None = None,
+    init_sql: str = "1",
 ) -> str:
     """Closed-form DuckDB replay of ``java_hash_bytes`` over a BLOB
     expression: list_reduce over hex pairs, same signed-byte CASE and
     the same 32-bit pmod wrap.  ``start_sql`` (0-based byte offset)
     and ``len_sql`` slice the HEX image (DuckDB 1.0 has no BLOB
-    substr); both may reference ``octet_length({blob_expr})``."""
+    substr); both may reference ``octet_length({blob_expr})``.
+    ``init_sql`` is the fold seed (1 = WritableComparator; 0 or a
+    prior hash expression = the KeyFieldBasedPartitioner chain)."""
     hx = f"hex({blob_expr})"
     if start_sql is not None:
         ln = len_sql if len_sql is not None else f"octet_length({blob_expr}) - ({start_sql})"
         hx = f"substr({hx}, 2*({start_sql}) + 1, 2*greatest({ln}, 0))"
     byte = f"CAST(('0x' || substr({hx}, CAST(2*i-1 AS BIGINT), 2)) AS BIGINT)"
     return (
-        "list_reduce(list_prepend(1::BIGINT, "
+        f"list_reduce(list_prepend(({init_sql})::BIGINT, "
         f"list_transform(range(1, length({hx})//2 + 1), "
         f"i -> CASE WHEN {byte} > 127 THEN {byte} - 256 ELSE {byte} END)), "
         "(acc, x) -> ((31*acc + x + 2147483648) % 4294967296 + 4294967296) "

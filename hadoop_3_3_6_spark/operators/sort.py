@@ -310,6 +310,23 @@ def key_field_sort(df: DataFrame, text_col: str, spec: str, sep: str = "\t") -> 
     layer consumes backslashes), so a single ``re.escape`` is the
     correct escaping for regex-special separators like ``.`` or ``|``.
     """
+    order: list[Column] = []
+    for key, numeric, reverse in _key_field_slices(text_col, spec, sep):
+        c = key
+        if numeric:
+            c = F.decode(c, "UTF-8").cast("double")
+        order.append(c.desc() if reverse else c.asc())
+    return df.orderBy(*order)
+
+
+def _key_field_slices(
+    text_col: str, spec: str, sep: str
+) -> list[tuple[Column, bool, bool]]:
+    """Compile each KeyDescription of ``spec`` to its BYTE-RANGE slice
+    of the record (binary Column) plus the (numeric, reverse) flags —
+    the shared extent algebra of KeyFieldBasedComparator and
+    KeyFieldBasedPartitioner (both call the same
+    KeyFieldHelper.getStartOffset/getEndOffset accumulators)."""
     fields = F.split(F.col(text_col), re.escape(sep))
     nf = F.size(fields)
     rec = F.encode(F.col(text_col), "UTF-8")
@@ -326,7 +343,7 @@ def key_field_sort(df: DataFrame, text_col: str, spec: str, sep: str = "\t") -> 
             + seplen
         )
 
-    order: list[Column] = []
+    out: list[tuple[Column, bool, bool]] = []
     for bf, bc, ef, ec, numeric, reverse in parse_key_field_spec_full(spec):
         # the key is a BYTE RANGE of the record (getStartOffset /
         # getEndOffset do raw offset arithmetic), so an offset past
@@ -352,9 +369,42 @@ def key_field_sort(df: DataFrame, text_col: str, spec: str, sep: str = "\t") -> 
             end_pos = F.when(nf >= ef, F.least(p, rec_len)).otherwise(rec_len)
         key = rec.substr(start_pos, F.greatest(end_pos - start_pos + 1, F.lit(0)))
         # missing begin field (or begin position past the record) ->
-        # the empty key: the documented stand-in for the -1 arm
-        c = F.when(nf >= bf, key).otherwise(F.lit(b""))
-        if numeric:
-            c = F.decode(c, "UTF-8").cast("double")
-        order.append(c.desc() if reverse else c.asc())
-    return df.orderBy(*order)
+        # the empty key: the stand-in for the -1 arm (documented
+        # divergence for the comparator; EXACT for the partitioner,
+        # whose `continue` and an empty fold hash identically)
+        out.append((F.when(nf >= bf, key).otherwise(F.lit(b"")), numeric, reverse))
+    return out
+
+
+def key_field_partition(
+    text_col: str, spec: str | None, num_partitions: int, sep: str = "\t"
+) -> Column:
+    """KeyFieldBasedPartitioner.getPartition, BYTE-EXACT
+    (KeyFieldBasedPartitioner.java:85-131): each key spec's byte
+    extent — the SAME KeyFieldHelper offset algebra the comparator
+    compiles — is folded through ``hashCode(b, start, end,
+    currentHash) = 31*currentHash + b[i]`` starting at 0 and CHAINED
+    across specs, then ``(hash & Integer.MAX_VALUE) % n``.
+
+    Reference edge cases, all exact: a record missing a spec's begin
+    field skips that spec (``continue``, line 111 — an empty fold);
+    an EMPTY record returns partition 0 (line 101 — automatic here:
+    every fold stays at the 0 seed); NO key spec falls back to
+    ``key.toString().hashCode()`` — java.lang.String's UTF-16
+    hashCode, line 90 — pass ``spec=None`` for that arm.
+
+    The ``-n``/``-r`` flags affect only the comparator; the
+    partitioner hashes the raw bytes regardless, so they are accepted
+    and ignored here exactly as the reference does."""
+    from hadoop_3_3_6_spark.operators.partitioners import (
+        hash_partition,
+        java_hash_bytes,
+        java_string_hash_code,
+    )
+
+    if not spec:
+        return hash_partition(java_string_hash_code(F.col(text_col)), num_partitions)
+    current: Column | int = 0
+    for key, _numeric, _reverse in _key_field_slices(text_col, spec, sep):
+        current = java_hash_bytes(key, init=current)
+    return hash_partition(current if isinstance(current, Column) else F.lit(0), num_partitions)

@@ -10456,6 +10456,70 @@ def q_binary_partitioner_assignment(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _keyfield_partition_oracle() -> str:
+    """Closed-form replay of ``-k1.2,1.4 -k2,2`` over
+    ``custkey<TAB>priority`` lines: spec 1 is the record-relative byte
+    range [2, min(4, len)] — for custkeys under 4 digits it runs
+    across the separator into the priority field, exactly
+    KeyFieldHelper's offset arithmetic — and spec 2 is the whole
+    second field; the 31-based hash seeds at 0 and CHAINS across the
+    two extents (KeyFieldBasedPartitioner.java:106-119)."""
+    from hadoop_3_3_6_spark.operators.partitioners import duckdb_hash_bytes_sql
+
+    h1 = duckdb_hash_bytes_sql(
+        "encode(substr(line, 2, greatest(least(4, length(line)) - 1, 0)))",
+        init_sql="0",
+    )
+    h2 = duckdb_hash_bytes_sql("encode(split_part(line, chr(9), 2))", init_sql="h1")
+    return f"""
+    WITH l AS (
+      SELECT CAST(o_custkey AS VARCHAR) || chr(9) || o_orderpriority AS line,
+             o_custkey
+      FROM orders),
+    s1 AS (SELECT line, o_custkey, {h1} AS h1 FROM l),
+    s2 AS (SELECT o_custkey, CAST((({h2}) & 2147483647) % 16 AS INTEGER) AS part_id FROM s1)
+    SELECT part_id, count(*)::BIGINT AS n_rows, sum(o_custkey)::BIGINT AS key_sum
+    FROM s2 GROUP BY part_id
+    """
+
+
+@_register("keyfield_partitioner_assignment", _keyfield_partition_oracle())
+def q_keyfield_partitioner_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyFieldBasedPartitioner partition IDS, BYTE-EXACT — upgrades
+    the family beyond the co-location contract
+    (`keyfield_partitioner_colocation`) to the reference's actual
+    assignment arithmetic (KeyFieldBasedPartitioner.java:85-131:
+    KeyFieldHelper byte extents — the SAME accumulators the
+    round-12 byte-exact comparator compiles — folded through
+    ``31*currentHash + b[i]`` seeded 0 and chained across specs, then
+    ``(hash & Integer.MAX_VALUE) % n``).  The registered spec
+    ``-k1.2,1.4 -k2,2`` exercises the chain AND the offset-past-field
+    semantics: custkeys under 4 digits make spec 1's extent run
+    across the tab into the priority field, which the oracle replays
+    as a record-relative slice.  The tricky arms (missing fields,
+    UTF-8 multi-byte, empty records, the no-spec String.hashCode
+    fallback) are differential-pinned in
+    tests/test_partitioners.py::test_key_field_partition_differential."""
+    from hadoop_3_3_6_spark.operators.sort import key_field_partition
+
+    orders = load_table(spark, "orders", sf_dir)
+    lines = orders.select(
+        F.concat_ws("\t", F.col("o_custkey").cast("string"), "o_orderpriority").alias(
+            "line"
+        ),
+        "o_custkey",
+    )
+    part = key_field_partition("line", "-k1.2,1.4 -k2,2", 16)
+    return (
+        lines.select(part.alias("part_id"), "o_custkey")
+        .groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("o_custkey").cast("bigint").alias("key_sum"),
+        )
+    )
+
+
 @_register(
     "db_range_split_scan",
     f"""

@@ -229,3 +229,100 @@ def test_hash_partition_negative_hash_mask(spark):
     by_v = {r.v: r.p for r in rows}
     assert by_v[-2] == (0x7FFFFFFF - 1) % (1 << 20)  # not abs(-2)
     assert by_v[-(2**31)] == 0  # sign bit masked away
+
+
+def test_java_string_hash_code_vs_live_jvm(spark):
+    """java.lang.String.hashCode (the KeyFieldBasedPartitioner.java:90
+    no-spec fallback) over UTF-16 CODE UNITS — astral chars contribute
+    both surrogates; pinned against the live JVM's own String.hashCode
+    (py4j auto-converts python str to java.lang.String)."""
+    strings = [s for s in _STRINGS] + ["astral \U0001F600 pair", "\U00010000"]
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    from hadoop_3_3_6_spark.operators.partitioners import java_string_hash_code
+
+    rows = df.select("s", java_string_hash_code(F.col("s")).alias("h")).collect()
+    jvm = spark.sparkContext._jvm
+    for r in rows:
+        exp = jvm.java.util.Objects.hashCode(r.s)
+        assert r.h == exp, (repr(r.s), r.h, exp)
+
+
+def _ref_keyfield_partition(line: str, keys, n: int) -> int:
+    """Python port of KeyFieldBasedPartitioner.getPartition
+    (KeyFieldBasedPartitioner.java:85-131): byte extents per
+    KeyFieldHelper's accumulators, 31-based hash seeded 0, chained
+    across specs, missing-field continue, empty record -> 0."""
+    data = line.encode("utf-8")
+    if keys and len(data) == 0:
+        return 0
+    if not keys:
+        h = 0
+        enc = line.encode("utf-16-be")
+        for i in range(0, len(enc), 2):
+            h = _jwrap(31 * h + (enc[i] * 256 + enc[i + 1]))
+        return (h & 0x7FFFFFFF) % n
+    parts = [p.encode("utf-8") for p in line.split("\t")]
+    L = len(data)
+
+    def prefix(f: int) -> int:
+        return sum(len(parts[j]) + 1 for j in range(f - 1))
+
+    h = 0
+    for bf, bc, ef, ec, _n_, _r_ in keys:
+        if len(parts) < bf:
+            continue
+        start = prefix(bf) + bc - 1
+        if start >= L:
+            continue  # getStartOffset's -1 arm
+        if ef == 0 or len(parts) < ef:
+            end = L - 1
+        else:
+            pos = prefix(ef) + (len(parts[ef - 1]) if ec == 0 else 0) + ec
+            end = min(pos, L) - 1
+        for b in data[start : end + 1]:
+            h = _jwrap(31 * h + (b - 256 if b > 127 else b))
+    return (h & 0x7FFFFFFF) % n
+
+
+def test_key_field_partition_differential(spark):
+    """DIFFERENTIAL conformance for the byte-exact
+    KeyFieldBasedPartitioner: random tab records (small alphabet with
+    multi-byte UTF-8, 0-3 char fields — maximizes empty fields,
+    missing fields, offsets running across separators) x a spec
+    battery, every partition id must equal the python port of the
+    reference loop; plus the no-spec String.hashCode fallback and the
+    empty-record -> 0 rule."""
+    import random
+
+    from hadoop_3_3_6_spark.operators.sort import (
+        key_field_partition,
+        parse_key_field_spec_full,
+    )
+
+    rng = random.Random(23)
+
+    def rec() -> str:
+        return "\t".join(
+            "".join(rng.choice("ab1é→") for _ in range(rng.randint(0, 3)))
+            for _ in range(rng.randint(1, 4))
+        )
+
+    rows = [(i, rec()) for i in range(120)] + [(997, ""), (998, "\t\t"), (999, "xé")]
+    df = spark.createDataFrame(rows, "i long, line string")
+    specs = [
+        "-k2", "-k2,2", "-k1.2,2.1", "-k1,1", "-k3.2,3.0", "-k4,4",
+        "-k2,2 -k1,1", "-k1.3,1.2", "-k1.1,4.0", "-k2.2,2", "-k1,2 -k3,3",
+        None,
+    ]
+    for spec in specs:
+        keys = parse_key_field_spec_full(spec) if spec else []
+        got = {
+            r.i: r.p
+            for r in df.select(
+                "i", key_field_partition("line", spec, 13).alias("p")
+            ).collect()
+        }
+        by_i = dict(rows)
+        for i, line in rows:
+            exp = _ref_keyfield_partition(line, keys, 13)
+            assert got[i] == exp, (spec, repr(line), got[i], exp)
