@@ -244,6 +244,10 @@ HEADLINE = [
     "rehash_partitioner_spread",
     "binary_partitioner_assignment",
     "keyfield_partitioner_assignment",
+    # round-12: typed-bytes wire roundtrip (frame encode -> SEQ v6 of
+    # TypedBytesWritable -> raw never-deserialize read -> frame decode;
+    # the codec stages are the cost and the semantics)
+    "typedbytes_roundtrip",
 ]
 
 

@@ -8804,6 +8804,79 @@ def q_seqfile_as_binary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "typedbytes_roundtrip",
+    """
+    SELECT n_nationkey::BIGINT AS n_nationkey,
+           n_name,
+           n_regionkey::BIGINT AS n_regionkey,
+           lower('03' || lpad(to_hex(n_nationkey), 8, '0')) AS key_frame_hex,
+           lower('0800000002'
+                 || '07' || lpad(to_hex(octet_length(encode(n_name))), 2, '0') || hex(encode(n_name))
+                 || '03' || lpad(to_hex(n_regionkey), 8, '0')) AS value_frame_hex
+    FROM nation
+    """,
+)
+def q_typedbytes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-bytes protocol end to end, BYTE-EXACT (HT/hadoop-
+    streaming/.../typedbytes/TypedBytesOutput.java frames;
+    TypedBytesWritable.java:32): nation rows become typed-bytes
+    key/value frames (INT key; VECTOR[STRING, INT] value — the
+    DumpTypedBytes record shape), are written as a REAL SEQ v6
+    SequenceFile whose header classes are TypedBytesWritable (the
+    ``loadtb`` output shape), read back through the raw
+    never-deserialize reader (SequenceFileAsBinaryRecordReader
+    semantics — TypedBytesWritable is not on the runtime classpath,
+    exactly the case raw readers exist for), decoded, and projected
+    BOTH as typed columns and as frame hex — the oracle re-derives
+    every frame byte closed-form (code 03 + int32 BE key; code 08 +
+    count + STRING vint/utf8 + INT), so a green hash pins the wire
+    format itself, not just the values."""
+    from hadoop_3_3_6_spark.sources.typedbytes import (
+        decode_typed_bytes,
+        read_typed_bytes_seqfile,
+        typed_bytes_frames,
+        write_typed_bytes_seqfile,
+    )
+
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+    def render(d: str) -> None:
+        frames = typed_bytes_frames(nation, "n_nationkey", ["n_name", "n_regionkey"])
+        write_typed_bytes_seqfile(frames, d)
+
+    out = _rendered_dir("typedbytes_", sf_dir, render)
+    back = read_typed_bytes_seqfile(spark, out)
+
+    def dec(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for kf, vf in zip(pdf["key"], pdf["value"]):
+                k, _ = decode_typed_bytes(bytes(kf))
+                v, _ = decode_typed_bytes(bytes(vf))
+                rows.append((k, v[0], v[1], bytes(kf).hex(), bytes(vf).hex()))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "n_nationkey",
+                    "n_name",
+                    "n_regionkey",
+                    "key_frame_hex",
+                    "value_frame_hex",
+                ],
+            )
+
+    return back.mapInPandas(
+        dec,
+        "n_nationkey bigint, n_name string, n_regionkey bigint, "
+        "key_frame_hex string, value_frame_hex string",
+    )
+
+
+@_register(
     "multimodal_container_meta",
     """
     SELECT doc_id,
@@ -10387,10 +10460,18 @@ def q_hash_partitioner_text_assignment(spark: SparkSession, sf_dir: str) -> Data
     from hadoop_3_3_6_spark.operators.partitioners import hash_partition, text_hash_code
 
     orders = load_table(spark, "orders", sf_dir)
+    # REPARTITION_BY_NUM spread of the CPU-bound interpreted fold (the
+    # r6 fuzzy-join remedy): the fixture is one small parquet file ->
+    # one scan task would serialize the per-byte hash; the narrow
+    # 2-column exchange is cheap against it and AQE contracts not to
+    # coalesce an explicit number
+    par = spark.sparkContext.defaultParallelism
     tkey = F.concat_ws(" ", F.col("o_orderpriority"), F.col("o_orderkey").cast("string"))
     part = hash_partition(text_hash_code(tkey), 17)
     return (
-        orders.select(part.alias("part_id"), "o_orderkey")
+        orders.select("o_orderpriority", "o_orderkey")
+        .repartition(par)
+        .select(part.alias("part_id"), "o_orderkey")
         .groupBy("part_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -10503,12 +10584,15 @@ def q_keyfield_partitioner_assignment(spark: SparkSession, sf_dir: str) -> DataF
     from hadoop_3_3_6_spark.operators.sort import key_field_partition
 
     orders = load_table(spark, "orders", sf_dir)
+    # REPARTITION_BY_NUM spread of the CPU-bound interpreted fold (the
+    # r6 fuzzy-join remedy): one small fixture file -> one scan task
+    # would serialize the two per-byte extent hashes
     lines = orders.select(
         F.concat_ws("\t", F.col("o_custkey").cast("string"), "o_orderpriority").alias(
             "line"
         ),
         "o_custkey",
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     part = key_field_partition("line", "-k1.2,1.4 -k2,2", 16)
     return (
         lines.select(part.alias("part_id"), "o_custkey")

@@ -128,6 +128,13 @@ class SeqFileArrowWriter(DataSourceArrowWriter):
         self.val_type = fields[1].dataType.simpleString()
         self.key_cls, self.key_enc = _writable_for(self.key_type)
         self.val_cls, self.val_enc = _writable_for(self.val_type)
+        # optional header class-name overrides for Writable subclasses
+        # that keep the wire format (e.g. TypedBytesWritable IS a
+        # BytesWritable — TypedBytesWritable.java:32); the encoder
+        # stays the one for the Spark column type
+        opt = {k.lower(): v for k, v in options.items()}
+        self.key_cls = opt.get("keyclass", self.key_cls)
+        self.val_cls = opt.get("valueclass", self.val_cls)
         os.makedirs(self.path, exist_ok=True)
         if overwrite:
             for n in os.listdir(self.path):

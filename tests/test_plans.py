@@ -430,6 +430,11 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         # skip-ahead/step and GenSort record layout ARE the semantics
         # (python integers are the 128-bit arithmetic)
         "teragen_gensort_validate",
+        # round-12: typed-bytes frame encode + raw SEQ walk + frame
+        # decode — the wire format IS the semantics (codec tier), and
+        # the raw reader exists precisely because the JVM CANNOT
+        # deserialize TypedBytesWritable (not on the classpath)
+        "typedbytes_roundtrip",
     }
     python_nodes = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "PythonDataSource")
     offenders = {}
@@ -505,7 +510,11 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     # construction
                     "seqfile_as_binary_scan", "nulloutput_noop",
                     # two capped stream-sink phases run at construction
-                    "warc_stream_sink_roundtrip"}
+                    "warc_stream_sink_roundtrip",
+                    # round-12: renders its TypedBytesWritable
+                    # SequenceFile at construction (plus binaryFile
+                    # listing on the rendered dir)
+                    "typedbytes_roundtrip"}
     }
     lazy = [n for n in QUERIES if n not in eager_by_contract]
     # Warm pass: pays the one-time parquet schema-inference jobs that

@@ -1,0 +1,140 @@
+"""Typed-bytes wire protocol (sources/typedbytes.py).
+
+Byte-pins each frame against the wire layout of
+TypedBytesOutput.java (code + big-endian payloads, vint+UTF-8
+strings, int32-counted VECTOR/MAP, marker-terminated LIST), and the
+loadtb-shaped SequenceFile round trip through the raw (never-
+deserialize) reader.
+"""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+
+from hadoop_3_3_6_spark.sources.typedbytes import (
+    TYPED_BYTES_WRITABLE,
+    decode_typed_bytes,
+    encode_typed_bytes,
+    read_raw_sequence_file,
+    typed_bytes_frames,
+    write_typed_bytes_seqfile,
+)
+
+
+def test_frame_bytes_pinned():
+    """Exact wire bytes per TypedBytesOutput.java."""
+    assert encode_typed_bytes(b"\x01\x02") == b"\x00\x00\x00\x00\x02\x01\x02"
+    assert encode_typed_bytes(True) == b"\x02\x01"
+    assert encode_typed_bytes(False) == b"\x02\x00"
+    assert encode_typed_bytes(42) == b"\x03\x00\x00\x00\x2a"
+    assert encode_typed_bytes(-1) == b"\x03\xff\xff\xff\xff"
+    assert encode_typed_bytes(2**40) == b"\x04\x00\x00\x01\x00\x00\x00\x00\x00"
+    assert encode_typed_bytes(1.5) == b"\x06" + struct.pack(">d", 1.5)
+    # STRING: vint byte-length (single byte <= 127) + UTF-8
+    assert encode_typed_bytes("hé") == b"\x07\x03h\xc3\xa9"
+    # VECTOR: int32 count + element frames
+    assert (
+        encode_typed_bytes([1, "a"])
+        == b"\x08\x00\x00\x00\x02" + b"\x03\x00\x00\x00\x01" + b"\x07\x01a"
+    )
+    # LIST: frames + 0xFF marker
+    assert encode_typed_bytes((True,)) == b"\x09\x02\x01\xff"
+    # MAP: int32 count + key/value frames
+    assert (
+        encode_typed_bytes({"k": 7})
+        == b"\x0a\x00\x00\x00\x01" + b"\x07\x01k" + b"\x03\x00\x00\x00\x07"
+    )
+
+
+def test_frame_decode_arms():
+    """Decoder covers the read-only arms too (BYTE, FLOAT) and rejects
+    application codes like the reference's default case."""
+    v, pos = decode_typed_bytes(b"\x01\xf6")  # BYTE -10
+    assert (v, pos) == (-10, 2)
+    v, _ = decode_typed_bytes(b"\x05" + struct.pack(">f", 0.25))
+    assert v == 0.25
+    with pytest.raises(ValueError, match="type code 50"):
+        decode_typed_bytes(b"\x32\x00")
+
+
+def test_roundtrip_property():
+    """Random nested values survive encode->decode exactly (long
+    strings exercise multi-byte vints past 127)."""
+    rng = random.Random(3)
+
+    def value(depth: int):
+        kinds = ["int", "long", "str", "bool", "float", "bytes"]
+        if depth < 2:
+            kinds += ["vec", "list", "map"]
+        k = rng.choice(kinds)
+        if k == "int":
+            return rng.randint(-(2**31), 2**31 - 1)
+        if k == "long":
+            return rng.randint(2**31, 2**62)
+        if k == "str":
+            return "".join(rng.choice("abé日\t") for _ in range(rng.randint(0, 200)))
+        if k == "bool":
+            return rng.random() < 0.5
+        if k == "float":
+            return rng.random() * 1e9
+        if k == "bytes":
+            return bytes(rng.randint(0, 255) for _ in range(rng.randint(0, 40)))
+        if k == "vec":
+            return [value(depth + 1) for _ in range(rng.randint(0, 4))]
+        if k == "list":
+            return tuple(value(depth + 1) for _ in range(rng.randint(0, 4)))
+        return {str(i): value(depth + 1) for i in range(rng.randint(0, 3))}
+
+    for _ in range(300):
+        v = value(0)
+        enc = encode_typed_bytes(v)
+        got, pos = decode_typed_bytes(enc)
+        assert got == v and pos == len(enc), v
+
+
+def test_concatenated_stream_positions():
+    """Frames concatenate like the streaming wire (alternating
+    key/value); positions thread exactly."""
+    vals = [1, "x", [True, 2.5], {"a": (b"z",)}]
+    stream = b"".join(encode_typed_bytes(v) for v in vals)
+    pos, out = 0, []
+    while pos < len(stream):
+        v, pos = decode_typed_bytes(stream, pos)
+        out.append(v)
+    assert out == vals
+
+
+def test_typed_bytes_seqfile_roundtrip(spark, sf_dir):
+    """nation -> frames -> real SEQ v6 of TypedBytesWritable ->
+    raw-reader read-back -> decode: values identical, header classes
+    pinned, and the raw reader's BytesWritable unwrap verified against
+    the frame bytes."""
+    from hadoop_3_3_6_spark.session import load_table
+    import tempfile
+
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    frames = typed_bytes_frames(nation, "n_nationkey", ["n_name", "n_regionkey"])
+    out = tempfile.mkdtemp(prefix="tbseq_")
+    write_typed_bytes_seqfile(frames, out)
+    # header classes pinned on disk
+    import glob
+
+    with open(sorted(glob.glob(f"{out}/part-*.seq"))[0], "rb") as f:
+        head = f.read(200)
+    assert TYPED_BYTES_WRITABLE.encode() in head
+
+    back = read_raw_sequence_file(spark, out).collect()
+    exp = {r.n_nationkey: (r.n_name, r.n_regionkey) for r in nation.collect()}
+    assert len(back) == len(exp)
+    for r in back:
+        k, kpos = decode_typed_bytes(bytes(r.key))
+        v, _ = decode_typed_bytes(bytes(r.value))
+        assert kpos == len(r.key)
+        assert isinstance(v, list) and tuple(v) == exp[k]
+        # the raw payload IS the frame the encoder produced
+        assert bytes(r.key) == encode_typed_bytes(k)
