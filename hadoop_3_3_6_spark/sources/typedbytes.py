@@ -201,6 +201,53 @@ def write_typed_bytes_seqfile(df: DataFrame, path: str) -> None:
     )
 
 
+def walk_seq_records(data: bytes) -> Iterator[tuple[bytes, bytes]]:
+    """Walk one uncompressed SEQ v6 file's raw records (the pure
+    record framing: int32 record length / int32 key length / key bytes
+    / value bytes, with ``-1`` + 16-byte sync escapes between records
+    — SequenceFile.java's Writer.sync layout, the same framing the
+    sink emits).  Yields (key, value) raw payloads; BytesWritable-
+    framed payloads (incl. TypedBytesWritable) are unwrapped to the
+    payload like nextRawValue's ValueBytes."""
+    if data[:4] != b"SEQ\x06":
+        raise ValueError("not a SEQ v6 file")
+    pos = 4
+    kcls, pos = _read_vint(data, pos)
+    kcls_name = data[pos : pos + kcls].decode()
+    pos += kcls
+    vcls, pos = _read_vint(data, pos)
+    vcls_name = data[pos : pos + vcls].decode()
+    pos += vcls
+    if data[pos] or data[pos + 1]:
+        raise ValueError("compressed SequenceFiles unsupported here")
+    pos += 2
+    (nmeta,) = struct.unpack_from(">i", data, pos)
+    if nmeta:
+        raise ValueError("metadata TreeMap unsupported here")
+    pos += 4
+    sync = data[pos : pos + 16]
+    pos += 16
+    bytes_framed = kcls_name == vcls_name == TYPED_BYTES_WRITABLE or (
+        kcls_name.endswith("BytesWritable") and vcls_name.endswith("BytesWritable")
+    )
+    n = len(data)
+    while pos < n:
+        (rec_len,) = struct.unpack_from(">i", data, pos)
+        if rec_len == -1:  # sync escape
+            if data[pos + 4 : pos + 20] != sync:
+                raise ValueError("sync marker mismatch")
+            pos += 20
+            continue
+        (key_len,) = struct.unpack_from(">i", data, pos + 4)
+        pos += 8
+        kb = data[pos : pos + key_len]
+        vb = data[pos + key_len : pos + rec_len]
+        pos += rec_len
+        if bytes_framed:  # strip the BytesWritable int32 length
+            kb, vb = kb[4:], vb[4:]
+        yield bytes(kb), bytes(vb)
+
+
 def read_raw_sequence_file(spark: SparkSession, path: str) -> DataFrame:
     """SequenceFileAsBinaryInputFormat the way the reference actually
     does it (MRC/mapreduce/lib/input/SequenceFileAsBinaryRecordReader:
@@ -232,45 +279,9 @@ def read_raw_sequence_file(spark: SparkSession, path: str) -> DataFrame:
             keys: list[bytes] = []
             vals: list[bytes] = []
             for blob in pdf["content"]:
-                data = bytes(blob)
-                if data[:4] != b"SEQ\x06":
-                    raise ValueError("not a SEQ v6 file")
-                pos = 4
-                kcls, pos = _read_vint(data, pos)
-                kcls_name = data[pos : pos + kcls].decode()
-                pos += kcls
-                vcls, pos = _read_vint(data, pos)
-                vcls_name = data[pos : pos + vcls].decode()
-                pos += vcls
-                if data[pos] or data[pos + 1]:
-                    raise ValueError("compressed SequenceFiles unsupported here")
-                pos += 2
-                (nmeta,) = struct.unpack_from(">i", data, pos)
-                if nmeta:
-                    raise ValueError("metadata TreeMap unsupported here")
-                pos += 4
-                sync = data[pos : pos + 16]
-                pos += 16
-                bytes_framed = kcls_name == vcls_name == TYPED_BYTES_WRITABLE or (
-                    kcls_name.endswith("BytesWritable") and vcls_name.endswith("BytesWritable")
-                )
-                n = len(data)
-                while pos < n:
-                    (rec_len,) = struct.unpack_from(">i", data, pos)
-                    if rec_len == -1:  # sync escape
-                        if data[pos + 4 : pos + 20] != sync:
-                            raise ValueError("sync marker mismatch")
-                        pos += 20
-                        continue
-                    (key_len,) = struct.unpack_from(">i", data, pos + 4)
-                    pos += 8
-                    kb = data[pos : pos + key_len]
-                    vb = data[pos + key_len : pos + rec_len]
-                    pos += rec_len
-                    if bytes_framed:  # strip the BytesWritable int32 length
-                        kb, vb = kb[4:], vb[4:]
-                    keys.append(bytes(kb))
-                    vals.append(bytes(vb))
+                for kb, vb in walk_seq_records(bytes(blob)):
+                    keys.append(kb)
+                    vals.append(vb)
             yield pd.DataFrame({"key": keys, "value": vals})
 
     return files.select("content").mapInPandas(parse, "key binary, value binary")

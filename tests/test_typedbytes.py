@@ -138,3 +138,60 @@ def test_typed_bytes_seqfile_roundtrip(spark, sf_dir):
         assert isinstance(v, list) and tuple(v) == exp[k]
         # the raw payload IS the frame the encoder produced
         assert bytes(r.key) == encode_typed_bytes(k)
+
+
+def test_walk_seq_records_sync_escapes():
+    """The raw walker must skip `-1` + sync escapes exactly where the
+    sink emits them (every _SYNC_INTERVAL bytes) — pure-python round
+    trip of a hand-built file large enough to cross several sync
+    boundaries, both for BytesWritable framing (payload unwrapped) and
+    Text framing (raw wire bytes returned as-is)."""
+    import struct
+    import uuid
+
+    from hadoop_3_3_6_spark.sources.seqfile import (
+        _SYNC_INTERVAL,
+        _enc_bytes,
+        _enc_text,
+        encode_sequence_file_header,
+    )
+    from hadoop_3_3_6_spark.sources.typedbytes import (
+        TYPED_BYTES_WRITABLE,
+        encode_typed_bytes,
+        walk_seq_records,
+    )
+
+    sync = uuid.uuid4().bytes
+
+    def build(key_cls, val_cls, enc, pairs):
+        buf = bytearray(encode_sequence_file_header(key_cls, val_cls, sync))
+        since = 0
+        for k, v in pairs:
+            kb, vb = enc(k), enc(v)
+            if since >= _SYNC_INTERVAL:
+                buf += b"\xff\xff\xff\xff" + sync
+                since = 0
+            rec = struct.pack(">ii", len(kb) + len(vb), len(kb)) + kb + vb
+            buf += rec
+            since += len(rec)
+        return bytes(buf)
+
+    # typed-bytes framing: payloads unwrap to the frame
+    pairs = [(encode_typed_bytes(i), encode_typed_bytes(f"value-{i}" * 7)) for i in range(400)]
+    data = build(TYPED_BYTES_WRITABLE, TYPED_BYTES_WRITABLE, _enc_bytes, pairs)
+    assert data.count(b"\xff\xff\xff\xff" + sync) >= 3  # crossed boundaries
+    got = list(walk_seq_records(data))
+    assert got == pairs
+
+    # Text framing: raw wire bytes (vint+utf8) come back unstripped
+    tpairs = [(f"k{i}", f"v{i}" * 20) for i in range(300)]
+    data = build("org.apache.hadoop.io.Text", "org.apache.hadoop.io.Text", _enc_text, tpairs)
+    got = list(walk_seq_records(data))
+    assert got == [(_enc_text(k), _enc_text(v)) for k, v in tpairs]
+
+    # corrupted sync must fail loudly
+    bad = data.replace(sync, uuid.uuid4().bytes, 2)  # header sync stays, escape differs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sync marker mismatch"):
+        list(walk_seq_records(bad))
