@@ -248,6 +248,9 @@ HEADLINE = [
     # TypedBytesWritable -> raw never-deserialize read -> frame decode;
     # the codec stages are the cost and the semantics)
     "typedbytes_roundtrip",
+    # round-12: the -io typedbytes binary pipe (child process per
+    # partition; frame codec both directions + the reduce)
+    "pipe_typedbytes_wordcount",
 ]
 
 

@@ -6262,6 +6262,69 @@ def q_pipe_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipe_typedbytes_wordcount",
+    f"SELECT upper(word) AS word, count(*)::BIGINT AS cnt FROM ({_WORDS_SQL}) GROUP BY upper(word)",
+)
+def q_pipe_typedbytes_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hadoop-streaming pipe in BINARY mode — ``-io typedbytes``
+    (PipeMapRed child contract + TypedBytesInputWriter/OutputReader,
+    HT/hadoop-streaming/.../io/TypedBytesInputWriter.java): documents
+    become (INT doc_id, VECTOR[STRING text]) frames, a REAL python
+    child process per partition consumes them off stdin with the same
+    codec library a streaming-job author would use and emits
+    (STRING upper-word, INT 1) frames, and the engine reduces the
+    decoded pairs — the canonical streaming wordcount, with the text
+    protocol's lossy-separator problem gone (the reason typed bytes
+    exists).  The tokenization (single-space split, empties dropped)
+    matches pipe_wordcount's, so the oracle is the same closed form."""
+    import os as _os
+
+    import hadoop_3_3_6_spark as _pkg
+    from hadoop_3_3_6_spark.sources.typedbytes import (
+        pipe_typed_bytes,
+        typed_bytes_frames,
+    )
+
+    repo_root = _os.path.dirname(_os.path.dirname(_os.path.abspath(_pkg.__file__)))
+    child = (
+        "import sys\n"
+        f"sys.path.insert(0, {repo_root!r})\n"
+        "from hadoop_3_3_6_spark.sources.typedbytes import (\n"
+        "    decode_typed_bytes, encode_typed_bytes, read_typed_bytes_frame)\n"
+        "inp, out = sys.stdin.buffer, sys.stdout.buffer\n"
+        "while True:\n"
+        "    kf = read_typed_bytes_frame(inp)\n"
+        "    if kf is None:\n"
+        "        break\n"
+        "    vf = read_typed_bytes_frame(inp)\n"
+        "    text = decode_typed_bytes(vf)[0][0]\n"
+        "    for w in text.split(' '):\n"
+        "        if w:\n"
+        "            out.write(encode_typed_bytes(w.upper()))\n"
+        "            out.write(encode_typed_bytes(1))\n"
+        "out.flush()\n"
+    )
+    import sys as _sys
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    frames = typed_bytes_frames(docs, "doc_id", ["text"])
+    piped = pipe_typed_bytes(frames, [_sys.executable, "-c", child])
+
+    def dec(batches):
+        import pandas as pd
+
+        from hadoop_3_3_6_spark.sources.typedbytes import decode_typed_bytes
+
+        for pdf in batches:
+            words = [decode_typed_bytes(bytes(k))[0] for k in pdf["key"]]
+            ones = [decode_typed_bytes(bytes(v))[0] for v in pdf["value"]]
+            yield pd.DataFrame({"word": words, "one": ones})
+
+    pairs = piped.mapInPandas(dec, "word string, one long")
+    return pairs.groupBy("word").agg(F.sum("one").cast("bigint").alias("cnt"))
+
+
+@_register(
     "randomtextwriter",
     """
     SELECT id AS row_id,

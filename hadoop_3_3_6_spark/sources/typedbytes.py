@@ -201,6 +201,127 @@ def write_typed_bytes_seqfile(df: DataFrame, path: str) -> None:
     )
 
 
+def read_typed_bytes_frame(fp) -> bytes | None:
+    """Read ONE complete frame's raw bytes off a stream (the child-
+    process side of ``-io typedbytes``: TypedBytesInput over stdin).
+    Returns None on clean EOF at a frame boundary; a stream ending
+    MID-frame raises — the reference's DataInput would throw
+    EOFException there too."""
+    head = fp.read(1)
+    if not head:
+        return None
+    buf = bytearray(head)
+    _scan_frame_body(fp, head[0], buf)
+    return bytes(buf)
+
+
+def _need(fp, n: int, buf: bytearray) -> bytes:
+    b = fp.read(n)
+    if len(b) != n:
+        raise ValueError("truncated typed-bytes stream (EOF mid-frame)")
+    buf += b
+    return b
+
+
+def _scan_frame_body(fp, code: int, buf: bytearray) -> None:
+    if code == BYTES:
+        (n,) = struct.unpack(">i", _need(fp, 4, buf))
+        _need(fp, n, buf)
+    elif code in (BYTE, BOOL):
+        _need(fp, 1, buf)
+    elif code in (INT, FLOAT):
+        _need(fp, 4, buf)
+    elif code in (LONG, DOUBLE):
+        _need(fp, 8, buf)
+    elif code == STRING:
+        first = struct.unpack("b", _need(fp, 1, buf))[0]
+        if first >= -112:
+            n = first
+        else:
+            ln = -(first + 120) if first < -120 else -(first + 112)
+            v = 0
+            for byte in _need(fp, ln, buf):
+                v = (v << 8) | byte
+            n = ~v if first < -120 else v
+        _need(fp, n, buf)
+    elif code == VECTOR:
+        (n,) = struct.unpack(">i", _need(fp, 4, buf))
+        for _ in range(n):
+            sub = _need(fp, 1, buf)
+            _scan_frame_body(fp, sub[0], buf)
+    elif code == LIST:
+        while True:
+            sub = _need(fp, 1, buf)
+            if sub[0] == MARKER:
+                return
+            _scan_frame_body(fp, sub[0], buf)
+    elif code == MAP:
+        (n,) = struct.unpack(">i", _need(fp, 4, buf))
+        for _ in range(2 * n):
+            sub = _need(fp, 1, buf)
+            _scan_frame_body(fp, sub[0], buf)
+    else:
+        raise ValueError(f"unknown typed-bytes type code {code}")
+
+
+def pipe_typed_bytes(df: DataFrame, argv: list[str], batch_rows: int = 2048) -> DataFrame:
+    """The ``-io typedbytes`` PipeMapper (HT/hadoop-streaming/.../
+    PipeMapRed.java child-process contract with
+    TypedBytesInputWriter/TypedBytesOutputReader as the wire): per
+    PARTITION one child process of ``argv`` is spawned — the reference
+    spawns one per map task — fed alternating key/value frames on
+    stdin from a writer thread (so a child that streams output while
+    reading input never deadlocks on pipe buffers), while frames
+    coming back on stdout are re-paired and yielded in Arrow-sized
+    batches.  ``df`` must be (key binary, value binary) frames, e.g.
+    from :func:`typed_bytes_frames`; output is the same shape.  A
+    nonzero child exit or a value frame missing after a key frame
+    fails the task loudly (MRErrorThread semantics)."""
+
+    def run(batches) -> Iterator:
+        import subprocess
+        import threading
+
+        import pandas as pd
+
+        proc = subprocess.Popen(argv, stdin=subprocess.PIPE, stdout=subprocess.PIPE)
+
+        def feed() -> None:
+            try:
+                for pdf in batches:
+                    for k, v in zip(pdf["key"], pdf["value"]):
+                        proc.stdin.write(bytes(k))
+                        proc.stdin.write(bytes(v))
+                proc.stdin.close()
+            except BrokenPipeError:
+                pass  # child exited early; rc check below surfaces it
+
+        feeder = threading.Thread(target=feed, daemon=True)
+        feeder.start()
+        keys: list[bytes] = []
+        vals: list[bytes] = []
+        while True:
+            k = read_typed_bytes_frame(proc.stdout)
+            if k is None:
+                break
+            v = read_typed_bytes_frame(proc.stdout)
+            if v is None:
+                raise ValueError("typed-bytes pipe: key frame without a value frame")
+            keys.append(k)
+            vals.append(v)
+            if len(keys) >= batch_rows:
+                yield pd.DataFrame({"key": keys, "value": vals})
+                keys, vals = [], []
+        feeder.join()
+        rc = proc.wait()
+        if rc != 0:
+            raise RuntimeError(f"typed-bytes pipe child exited {rc}")
+        if keys:
+            yield pd.DataFrame({"key": keys, "value": vals})
+
+    return df.mapInPandas(run, "key binary, value binary")
+
+
 def walk_seq_records(data: bytes) -> Iterator[tuple[bytes, bytes]]:
     """Walk one uncompressed SEQ v6 file's raw records (the pure
     record framing: int32 record length / int32 key length / key bytes

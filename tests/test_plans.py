@@ -435,6 +435,9 @@ def test_no_accidental_cartesian_or_nlj_anywhere(spark, sf_dir):
         # the raw reader exists precisely because the JVM CANNOT
         # deserialize TypedBytesWritable (not on the classpath)
         "typedbytes_roundtrip",
+        # round-12: the binary -io typedbytes pipe — a REAL child
+        # process per partition IS the operator (PipeMapRed contract)
+        "pipe_typedbytes_wordcount",
     }
     python_nodes = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "PythonDataSource")
     offenders = {}

@@ -195,3 +195,79 @@ def test_walk_seq_records_sync_escapes():
 
     with _pytest.raises(ValueError, match="sync marker mismatch"):
         list(walk_seq_records(bad))
+
+
+def _child(script: str) -> list:
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prelude = (
+        "import sys\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "from hadoop_3_3_6_spark.sources.typedbytes import (\n"
+        "    decode_typed_bytes, encode_typed_bytes, read_typed_bytes_frame)\n"
+        "inp, out = sys.stdin.buffer, sys.stdout.buffer\n"
+    )
+    return [sys.executable, "-c", prelude + script]
+
+
+def test_pipe_typed_bytes_echo_large_stream(spark):
+    """A child that echoes every frame while the feed is still being
+    written — enough data to overflow both pipe buffers, so this
+    deadlocks unless input is fed from a separate thread; values
+    survive bit-exactly."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_3_6_spark.sources.typedbytes import (
+        decode_typed_bytes,
+        pipe_typed_bytes,
+        typed_bytes_frames,
+    )
+
+    df = spark.range(0, 20_000).select(
+        F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    )
+    frames = typed_bytes_frames(df, "id", ["pad"])
+    echo = _child(
+        "while True:\n"
+        "    kf = read_typed_bytes_frame(inp)\n"
+        "    if kf is None:\n"
+        "        break\n"
+        "    vf = read_typed_bytes_frame(inp)\n"
+        "    out.write(kf); out.write(vf)\n"
+        "out.flush()\n"
+    )
+    back = pipe_typed_bytes(frames, echo).collect()
+    assert len(back) == 20_000
+    seen = {}
+    for r in back:
+        k, _ = decode_typed_bytes(bytes(r.key))
+        v, _ = decode_typed_bytes(bytes(r.value))
+        seen[k] = v[0]
+    import hashlib
+
+    assert seen[7] == hashlib.sha256(b"7").hexdigest()
+    assert set(seen) == set(range(20_000))
+
+
+def test_pipe_typed_bytes_child_failure_is_loud(spark):
+    """Nonzero child exit fails the job (MRErrorThread semantics), and
+    a key frame without its value frame is a protocol error."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_3_3_6_spark.sources.typedbytes import (
+        pipe_typed_bytes,
+        typed_bytes_frames,
+    )
+
+    df = spark.range(0, 10).select(F.col("id"), F.col("id").cast("string").alias("s"))
+    frames = typed_bytes_frames(df, "id", ["s"])
+
+    with _pytest.raises(Exception, match="exited 3"):
+        pipe_typed_bytes(frames, _child("sys.exit(3)\n")).collect()
+
+    odd = _child("out.write(encode_typed_bytes('lonely-key'))\nout.flush()\n")
+    with _pytest.raises(Exception, match="without a value frame"):
+        pipe_typed_bytes(frames, odd).collect()
