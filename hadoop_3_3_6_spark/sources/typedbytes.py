@@ -264,19 +264,46 @@ def _scan_frame_body(fp, code: int, buf: bytearray) -> None:
         raise ValueError(f"unknown typed-bytes type code {code}")
 
 
-def pipe_typed_bytes(df: DataFrame, argv: list[str], batch_rows: int = 2048) -> DataFrame:
-    """The ``-io typedbytes`` PipeMapper (HT/hadoop-streaming/.../
-    PipeMapRed.java child-process contract with
-    TypedBytesInputWriter/TypedBytesOutputReader as the wire): per
-    PARTITION one child process of ``argv`` is spawned — the reference
-    spawns one per map task — fed alternating key/value frames on
-    stdin from a writer thread (so a child that streams output while
-    reading input never deadlocks on pipe buffers), while frames
-    coming back on stdout are re-paired and yielded in Arrow-sized
-    batches.  ``df`` must be (key binary, value binary) frames, e.g.
-    from :func:`typed_bytes_frames`; output is the same shape.  A
-    nonzero child exit or a value frame missing after a key frame
-    fails the task loudly (MRErrorThread semantics)."""
+def read_raw_bytes_frame(fp) -> bytes | None:
+    """One ``-io rawbytes`` frame off a stream: int32 length + raw
+    payload (RawBytesOutputReader.java:49-56 — EOF at a length
+    boundary means done; EOF mid-payload is an error).  Returns the
+    PAYLOAD (the length prefix is framing, not data)."""
+    head = fp.read(4)
+    if not head:
+        return None
+    if len(head) != 4:
+        raise ValueError("truncated rawbytes stream (EOF inside a length)")
+    (n,) = struct.unpack(">i", head)
+    body = fp.read(n)
+    if len(body) != n:
+        raise ValueError("truncated rawbytes stream (EOF mid-frame)")
+    return body
+
+
+def pipe_typed_bytes(
+    df: DataFrame, argv: list[str], batch_rows: int = 2048, io: str = "typedbytes"
+) -> DataFrame:
+    """The binary streaming pipe (HT/hadoop-streaming/.../
+    PipeMapRed.java child-process contract): per PARTITION one child
+    process of ``argv`` is spawned — the reference spawns one per map
+    task — fed alternating key/value frames on stdin from a writer
+    thread (so a child that streams output while reading input never
+    deadlocks on pipe buffers), while frames coming back on stdout are
+    re-paired and yielded in Arrow-sized batches.
+
+    ``io='typedbytes'`` (TypedBytesInputWriter/OutputReader): ``df``
+    must be (key binary, value binary) typed-bytes frames, e.g. from
+    :func:`typed_bytes_frames`, and output frames are self-describing.
+    ``io='rawbytes'`` (RawBytesInputWriter.java:57-63): each side is
+    int32 length + raw payload — ``df`` columns are the raw payloads
+    and the length framing is added/stripped here.  Output is the same
+    shape as input either way.  A nonzero child exit or a value frame
+    missing after a key frame fails the task loudly (MRErrorThread
+    semantics)."""
+    if io not in ("typedbytes", "rawbytes"):
+        raise ValueError(f"io must be 'typedbytes' or 'rawbytes', got {io!r}")
+    raw = io == "rawbytes"
 
     def run(batches) -> Iterator:
         import subprocess
@@ -290,21 +317,26 @@ def pipe_typed_bytes(df: DataFrame, argv: list[str], batch_rows: int = 2048) -> 
             try:
                 for pdf in batches:
                     for k, v in zip(pdf["key"], pdf["value"]):
-                        proc.stdin.write(bytes(k))
-                        proc.stdin.write(bytes(v))
+                        kb, vb = bytes(k), bytes(v)
+                        if raw:
+                            kb = struct.pack(">i", len(kb)) + kb
+                            vb = struct.pack(">i", len(vb)) + vb
+                        proc.stdin.write(kb)
+                        proc.stdin.write(vb)
                 proc.stdin.close()
             except BrokenPipeError:
                 pass  # child exited early; rc check below surfaces it
 
         feeder = threading.Thread(target=feed, daemon=True)
         feeder.start()
+        read_frame = read_raw_bytes_frame if raw else read_typed_bytes_frame
         keys: list[bytes] = []
         vals: list[bytes] = []
         while True:
-            k = read_typed_bytes_frame(proc.stdout)
+            k = read_frame(proc.stdout)
             if k is None:
                 break
-            v = read_typed_bytes_frame(proc.stdout)
+            v = read_frame(proc.stdout)
             if v is None:
                 raise ValueError("typed-bytes pipe: key frame without a value frame")
             keys.append(k)

@@ -271,3 +271,34 @@ def test_pipe_typed_bytes_child_failure_is_loud(spark):
     odd = _child("out.write(encode_typed_bytes('lonely-key'))\nout.flush()\n")
     with _pytest.raises(Exception, match="without a value frame"):
         pipe_typed_bytes(frames, odd).collect()
+
+
+def test_pipe_raw_bytes_mode(spark):
+    """-io rawbytes (RawBytesInputWriter.java:57-63): int32 length +
+    raw payload each way — the child sees the payloads with length
+    framing, emits the same, and the engine strips the framing back
+    off.  Binary-unsafe text pipes can't carry these payloads (they
+    contain newlines and NULs)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_3_3_6_spark.sources.typedbytes import pipe_typed_bytes
+
+    rows = [(bytes([i, 0, 10, 13, 255 - i]), bytes([i]) * (i + 1)) for i in range(50)]
+    df = spark.createDataFrame(rows, "key binary, value binary")
+    child = _child(
+        "import struct\n"
+        "def rd():\n"
+        "    h = inp.read(4)\n"
+        "    if not h: return None\n"
+        "    return inp.read(struct.unpack('>i', h)[0])\n"
+        "while True:\n"
+        "    k = rd()\n"
+        "    if k is None: break\n"
+        "    v = rd()\n"
+        "    for b in (k, v[::-1]):\n"  # reverse the value: prove the child saw payloads
+        "        out.write(struct.pack('>i', len(b)) + b)\n"
+        "out.flush()\n"
+    )
+    back = pipe_typed_bytes(df, child, io="rawbytes").collect()
+    got = {bytes(r.key): bytes(r.value) for r in back}
+    assert got == {k: v[::-1] for k, v in rows}
