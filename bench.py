@@ -351,11 +351,16 @@ def _jvm_gc_stats(spark) -> tuple[float | None, float | None]:
     try:
         mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
         gc_ms = sum(b.getCollectionTime() for b in mf.getGarbageCollectorMXBeans())
-        old_used = 0
+        # None (not 0.0) when no generational pool exists (e.g. ZGC's
+        # 'ZHeap') — a fabricated 0 would read as an empty old gen
+        old_used = None
         for p in mf.getMemoryPoolMXBeans():
             if "Old Gen" in p.getName() or "Tenured" in p.getName():
                 old_used = p.getUsage().getUsed()
-        return round(gc_ms / 1000.0, 2), round(old_used / 2**30, 2)
+        return (
+            round(gc_ms / 1000.0, 2),
+            None if old_used is None else round(old_used / 2**30, 2),
+        )
     except Exception:
         return None, None
 

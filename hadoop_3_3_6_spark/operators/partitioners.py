@@ -180,13 +180,16 @@ def binary_partition(
 
     Like the reference, offsets resolve PER ROW against each key's
     own length; a zero-length key divides by zero in Java and yields
-    NULL here (surfaced, not masked).
+    NULL here (surfaced, not masked — the explicit guard matters:
+    non-ANSI pmod-by-zero NULLs would otherwise fall into the
+    empty-fold branch and mint a plausible-looking id from the seed).
     """
     length = F.length(bin_col).cast("long")
     left = F.pmod(F.lit(left_offset) + length, length)
     right = F.pmod(F.lit(right_offset) + length, length)
     h = java_hash_bytes(bin_col, start=left, length=right - left + 1)
-    return F.pmod(h.bitwiseAND(F.lit(_INT_MAX)), F.lit(num_partitions)).cast("int")
+    part = F.pmod(h.bitwiseAND(F.lit(_INT_MAX)), F.lit(num_partitions)).cast("int")
+    return F.when(length > 0, part)
 
 
 def partition_by_reference(

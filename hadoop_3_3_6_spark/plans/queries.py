@@ -4943,7 +4943,6 @@ def q_pipeline_pretraining_full(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i, r in enumerate(rows)
             ]
             if recs:
-                pid = TaskContext.get().partitionId()
                 with open(f"{out}/seg{pid:05d}.warc.gz", "wb") as f:
                     f.write(encode_warc(recs, compress=True))
 

@@ -303,6 +303,10 @@ def pipe_typed_bytes(
     semantics)."""
     if io not in ("typedbytes", "rawbytes"):
         raise ValueError(f"io must be 'typedbytes' or 'rawbytes', got {io!r}")
+    if df.columns[:2] != ["key", "value"]:
+        raise ValueError(
+            f"pipe frames need (key, value) binary columns, got {df.columns}"
+        )
     raw = io == "rawbytes"
 
     def run(batches) -> Iterator:
@@ -313,7 +317,12 @@ def pipe_typed_bytes(
 
         proc = subprocess.Popen(argv, stdin=subprocess.PIPE, stdout=subprocess.PIPE)
 
+        feed_error: list[BaseException] = []
+
         def feed() -> None:
+            # stdin MUST close on every path: a feeder exception that
+            # left it open would hang the child on read and this task
+            # on the child's stdout — a silent stall, not a failure
             try:
                 for pdf in batches:
                     for k, v in zip(pdf["key"], pdf["value"]):
@@ -323,9 +332,15 @@ def pipe_typed_bytes(
                             vb = struct.pack(">i", len(vb)) + vb
                         proc.stdin.write(kb)
                         proc.stdin.write(vb)
-                proc.stdin.close()
             except BrokenPipeError:
                 pass  # child exited early; rc check below surfaces it
+            except BaseException as exc:  # re-raised consumer-side
+                feed_error.append(exc)
+            finally:
+                try:
+                    proc.stdin.close()
+                except BrokenPipeError:
+                    pass
 
         feeder = threading.Thread(target=feed, daemon=True)
         feeder.start()
@@ -345,6 +360,8 @@ def pipe_typed_bytes(
                 yield pd.DataFrame({"key": keys, "value": vals})
                 keys, vals = [], []
         feeder.join()
+        if feed_error:
+            raise RuntimeError("typed-bytes pipe feed failed") from feed_error[0]
         rc = proc.wait()
         if rc != 0:
             raise RuntimeError(f"typed-bytes pipe child exited {rc}")
@@ -380,8 +397,10 @@ def walk_seq_records(data: bytes) -> Iterator[tuple[bytes, bytes]]:
     pos += 4
     sync = data[pos : pos + 16]
     pos += 16
-    bytes_framed = kcls_name == vcls_name == TYPED_BYTES_WRITABLE or (
-        kcls_name.endswith("BytesWritable") and vcls_name.endswith("BytesWritable")
+    # TypedBytesWritable IS a BytesWritable, so one suffix test covers
+    # both framings
+    bytes_framed = kcls_name.endswith("BytesWritable") and vcls_name.endswith(
+        "BytesWritable"
     )
     n = len(data)
     while pos < n:

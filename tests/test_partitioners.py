@@ -326,3 +326,15 @@ def test_key_field_partition_differential(spark):
         for i, line in rows:
             exp = _ref_keyfield_partition(line, keys, 13)
             assert got[i] == exp, (spec, repr(line), got[i], exp)
+
+
+def test_binary_partition_empty_key_is_null(spark):
+    """A zero-length key divides by zero in the reference
+    (ArithmeticException); here the id must surface as NULL — never a
+    plausible-looking id minted from the empty-fold seed (round-12
+    review finding)."""
+    df = spark.createDataFrame([(b"",), (b"x",)], "b binary")
+    rows = {len(bytes(r.b)): r.p for r in df.select(
+        "b", binary_partition(F.col("b"), 8, 0, -1).alias("p")).collect()}
+    assert rows[0] is None
+    assert rows[1] == (_py_hash_bytes(b"x") & 0x7FFFFFFF) % 8

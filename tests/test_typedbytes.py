@@ -302,3 +302,16 @@ def test_pipe_raw_bytes_mode(spark):
     back = pipe_typed_bytes(df, child, io="rawbytes").collect()
     got = {bytes(r.key): bytes(r.value) for r in back}
     assert got == {k: v[::-1] for k, v in rows}
+
+
+def test_pipe_rejects_wrong_columns(spark):
+    """The pipe validates its (key, value) frame contract at plan time
+    — a mis-shaped frame would otherwise fail obscurely inside the
+    feeder thread."""
+    import pytest as _pytest
+
+    from hadoop_3_3_6_spark.sources.typedbytes import pipe_typed_bytes
+
+    df = spark.createDataFrame([(b"a", b"b")], "k binary, v binary")
+    with _pytest.raises(ValueError, match="key, value"):
+        pipe_typed_bytes(df, ["true"])
