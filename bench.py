@@ -251,6 +251,10 @@ HEADLINE = [
     # round-12: the -io typedbytes binary pipe (child process per
     # partition; frame codec both directions + the reduce)
     "pipe_typedbytes_wordcount",
+    # round-12: AutoInputFormat magic-byte dispatch over a mixed
+    # SEQ/text/empty/short-header directory (plan-time 3-byte sniff,
+    # then one bulk scan per detected format)
+    "auto_input_scan",
 ]
 
 

@@ -8939,6 +8939,55 @@ def q_typedbytes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "auto_input_scan",
+    """
+    SELECT 'seq' AS fmt, n_nationkey::VARCHAR AS key, n_name AS value
+    FROM nation
+    UNION ALL
+    SELECT 'text' AS fmt, NULL AS key,
+           n_name || '|' || n_regionkey::VARCHAR AS value
+    FROM nation
+    UNION ALL
+    SELECT 'text' AS fmt, NULL AS key, 'SE' AS value
+    """,
+)
+def q_auto_input_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AutoInputFormat as a driver row (HT/hadoop-streaming/.../
+    AutoInputFormat.java:40, the format behind `mapred streaming
+    -inputformat auto`): a mixed directory holding (a) real
+    (LongWritable, Text) SequenceFiles rendered from nation, (b) a
+    plain-text file of 'name|regionkey' lines, (c) an EMPTY file
+    (the reference's EOFException branch), and (d) a two-byte 'SE'
+    file (partial header — readFully hits EOF, text branch) is
+    scanned through sources/containers.read_auto, which sniffs each
+    file's leading 3 bytes exactly like the reference and plans one
+    bulk scan per detected format.  A green hash pins both dispatch
+    branches and both degenerate-header cases: the SEQ rows come back
+    in their AsText form, the text rows line-per-row with NULL key,
+    the empty file contributes nothing, and 'SE' is a text line."""
+    from hadoop_3_3_6_spark.sources.containers import read_auto, write_sequence_file
+
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+    def render(d: str) -> None:
+        write_sequence_file(
+            nation.select("n_nationkey", "n_name"), f"{d}/seqpart"
+        )
+        rows = nation.orderBy("n_nationkey").collect()  # 25 rows: fixture render
+        with open(f"{d}/lines.txt", "w", encoding="utf-8") as f:
+            for r in rows:
+                f.write(f"{r.n_name}|{r.n_regionkey}\n")
+        open(f"{d}/empty.dat", "w").close()
+        with open(f"{d}/short.dat", "wb") as f:
+            f.write(b"SE")
+
+    out = _rendered_dir("auto_input_", sf_dir, render)
+    return read_auto(spark, out)
+
+
+@_register(
     "multimodal_container_meta",
     """
     SELECT doc_id,
@@ -11439,6 +11488,7 @@ _DRIVER_HOLDBACK_R12 = [
     "seqfile_filter_percent_positional",
     "pipeline_classifier_calibration",
     "teragen_gensort_validate",
+    "auto_input_scan",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

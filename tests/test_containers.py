@@ -556,3 +556,44 @@ def test_mmididx_float_dtype_code_fails_actionably():
     payload[17] = 6  # float32 per the public registry
     with pytest.raises(ValueError, match="dtype code 6"):
         decode_idx(bytes(payload))
+
+
+def test_auto_input_format_magic_dispatch(spark, tmp_path):
+    """AutoInputFormat (HT/hadoop-streaming/.../AutoInputFormat.java:40):
+    per-file 3-byte sniff — 'SEQ' routes to the SequenceFile reader,
+    everything else (including empty and shorter-than-header files,
+    the reference's EOFException branch) to the text reader; output
+    is the stable (fmt, key, value) string surface."""
+    from hadoop_3_3_6_spark.sources.containers import read_auto
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "key long, value string"
+    )
+    base = tmp_path / "auto"
+    base.mkdir()
+    write_sequence_file(df, str(base / "seqpart"))
+    (base / "lines.txt").write_text("one\ntwo\nthree\n")
+    (base / "empty.dat").write_bytes(b"")
+    (base / "short.dat").write_bytes(b"SE")
+    out = read_auto(spark, str(base))
+    rows = {(r.fmt, r.key, r.value) for r in out.collect()}
+    assert rows == {
+        ("seq", "1", "alpha"),
+        ("seq", "2", "beta"),
+        ("text", None, "one"),
+        ("text", None, "two"),
+        ("text", None, "three"),
+        ("text", None, "SE"),
+    }
+
+
+def test_auto_input_format_single_file_and_empty_dir(spark, tmp_path):
+    from hadoop_3_3_6_spark.sources.containers import read_auto
+
+    one = tmp_path / "only.txt"
+    one.write_text("solo\n")
+    out = read_auto(spark, str(one))
+    assert [(r.fmt, r.key, r.value) for r in out.collect()] == [("text", None, "solo")]
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    assert read_auto(spark, str(empty)).count() == 0
