@@ -255,6 +255,10 @@ HEADLINE = [
     # SEQ/text/empty/short-header directory (plan-time 3-byte sniff,
     # then one bulk scan per detected format)
     "auto_input_scan",
+    # round-12: InputSampler -> writePartitionFile ->
+    # TotalOrderPartitioner end-to-end (global-counter interval
+    # sampler, float32 boundary selection, binarySearch+1 assignment)
+    "inputsampler_totalorder",
 ]
 
 

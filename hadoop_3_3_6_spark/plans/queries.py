@@ -10447,6 +10447,105 @@ def q_keyfield_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "inputsampler_totalorder",
+    """
+    -- IntervalSampler keep rule at freq=0.1: kept/records < freq
+    -- closes to "global record index == 1 (mod 10)" (exact-arithmetic
+    -- equivalence; the double-division boundary r = 10k lands exactly
+    -- ON freq where the strict < rejects in both forms — pinned by
+    -- tests/test_input_sampler.py::test_interval_closed_form...)
+    WITH ordered AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderkey::VARCHAR AS key,
+             row_number() OVER (ORDER BY o_orderkey % 4, o_orderkey) AS r
+      FROM orders
+    ),
+    sample AS (SELECT key FROM ordered WHERE (r - 1) % 10 = 0),
+    ranked AS (SELECT key, row_number() OVER (ORDER BY key) AS rk FROM sample),
+    n AS (SELECT count(*) AS cnt FROM sample),
+    idx AS (
+      SELECT t.i AS bucket,
+             CAST(floor(n.cnt / 8.0 * t.i + 0.5) AS BIGINT) + 1 AS rk
+      FROM generate_series(1, 7) AS t(i) CROSS JOIN n
+    ),
+    points AS (
+      SELECT idx.bucket, r2.key AS split_point
+      FROM idx JOIN ranked r2 ON r2.rk = idx.rk
+    ),
+    assigned AS (
+      SELECT o.r, count(p.bucket) AS bucket
+      FROM ordered o LEFT JOIN points p ON p.split_point <= o.key
+      GROUP BY o.r
+    ),
+    bybucket AS (SELECT bucket, count(*) AS cnt FROM assigned GROUP BY bucket)
+    SELECT CAST(g.i AS INTEGER) AS bucket,
+           (SELECT split_point FROM points WHERE points.bucket = g.i) AS split_point,
+           COALESCE(b.cnt, 0)::BIGINT AS cnt
+    FROM generate_series(0, 7) AS g(i) LEFT JOIN bybucket b ON b.bucket = g.i
+    ORDER BY bucket
+    """,
+)
+def q_inputsampler_totalorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InputSampler -> writePartitionFile -> TotalOrderPartitioner as
+    one driver row (MRC/mapreduce/lib/partition/InputSampler.java:249,
+    :305; TotalOrderPartitioner.java:186) — the reference's
+    sample-driven total-order planning workflow end to end.
+
+    Orders stand in for the input's splits (split = o_orderkey % 4,
+    reader order = o_orderkey; the record key is the ASCII string
+    date|orderkey, unique so the 7 selected boundaries are distinct
+    and the binary-search assignment is unambiguous).  The
+    IntervalSampler runs at freq=0.1 with its GLOBAL kept/records
+    counters (the keep pattern crosses split boundaries), the sampled
+    keys come to the driver — freq*N strings, exactly the state the
+    reference's client holds in writePartitionFile — the boundary
+    indexes are computed with the reference's FLOAT32 stepSize
+    arithmetic (Math.round(stepSize*i); P=8 is a power of two, so
+    float32 and the oracle's float64 agree exactly for any sample
+    count below 2^21 — the divergent cases like 31/14 are pinned in
+    tests), and every record is then assigned its partition with the
+    binarySearch+1 rule (boundary-equal keys go right) compiled to
+    scan-fused comparisons — no shuffle, no UDF on the assignment
+    path.  Output: one row per bucket with its left boundary (NULL
+    for bucket 0) and its row count; a green hash certifies the
+    sampler membership, the boundary selection, and the assignment
+    rule in one verdict."""
+    from hadoop_3_3_6_spark.operators.input_sampler import (
+        interval_sample,
+        total_order_assign,
+        total_order_split_points,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    keyed = orders.select(
+        (F.col("o_orderkey") % 4).alias("split"),
+        F.col("o_orderkey").alias("pos"),
+        F.concat(
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.lit("|"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("key"),
+    )
+    sample = [
+        r.key for r in interval_sample(keyed, "key", 0.1, "split", "pos").collect()
+    ]
+    points = total_order_split_points(sample, 8)
+    counts = (
+        keyed.select(total_order_assign(F.col("key"), points).alias("bucket"))
+        .groupBy("bucket")
+        .count()
+    )
+    bounds = spark.createDataFrame(
+        [(i, points[i - 1] if i >= 1 else None) for i in range(8)],
+        "bucket int, split_point string",
+    )
+    return bounds.join(counts, "bucket", "left").select(
+        "bucket",
+        "split_point",
+        F.coalesce(F.col("count"), F.lit(0)).cast("long").alias("cnt"),
+    )
+
+
+@_register(
     "keyfield_partitioner_colocation",
     """
     SELECT (SELECT count(DISTINCT o_custkey::VARCHAR || chr(9) || o_orderpriority)
@@ -11489,6 +11588,7 @@ _DRIVER_HOLDBACK_R12 = [
     "pipeline_classifier_calibration",
     "teragen_gensort_validate",
     "auto_input_scan",
+    "inputsampler_totalorder",
 ]
 _DRIVER_HOLDBACK = (
     _DRIVER_HOLDBACK

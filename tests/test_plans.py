@@ -517,7 +517,17 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
                     # round-12: renders its TypedBytesWritable
                     # SequenceFile at construction (plus binaryFile
                     # listing on the rendered dir)
-                    "typedbytes_roundtrip"}
+                    "typedbytes_roundtrip",
+                    # the AutoInputFormat sniff reads each file's
+                    # 3-byte head at plan time (the reference's own
+                    # per-split algorithm) and the SEQ branch pays the
+                    # toDF inference job on the rendered dir
+                    "auto_input_scan",
+                    # the partition-file workflow IS sample-then-plan:
+                    # the reference's InputSampler.writePartitionFile
+                    # runs client-side before the job, so the sampler
+                    # collect at construction is the contract
+                    "inputsampler_totalorder"}
     }
     lazy = [n for n in QUERIES if n not in eager_by_contract]
     # Warm pass: pays the one-time parquet schema-inference jobs that
