@@ -330,6 +330,39 @@ def total_order_split_points(samples: list[str], num_partitions: int) -> list[st
     return points
 
 
+def total_order_repartition(
+    df: DataFrame, key_col: str, split_points: list[str]
+) -> DataFrame:
+    """The Sort example's ``-totalOrder`` placement (MRE/examples'
+    Sort.java wires InputSampler.writePartitionFile into
+    TotalOrderPartitioner): bucket i's records land in OUTPUT
+    PARTITION i, so part files concatenate in name order into the
+    globally sorted output — the contract TeraSort's validator checks
+    file-to-file.
+
+    Spark's hash repartition cannot promise bucket->partition-index
+    identity and repartitionByRange would re-sample the boundaries the
+    partition file already fixed, so this is the one legitimate RDD
+    hop: an identity partitioner over the precomputed bucket id (the
+    per-record work — the binarySearch+1 comparison chain — already
+    happened column-side; the RDD layer only routes).  Rows within
+    each partition are then sorted by key, completing the reference's
+    shuffle-sort semantics."""
+    n = len(split_points) + 1
+    bucketed = df.withColumn("_p", total_order_assign(F.col(key_col), split_points))
+    spark = df.sparkSession
+    out = (
+        bucketed.rdd.map(lambda r: (r["_p"], r))
+        .partitionBy(n, lambda k: k)
+        .map(lambda kv: kv[1])
+    )
+    return (
+        spark.createDataFrame(out, bucketed.schema)
+        .sortWithinPartitions(key_col)
+        .drop("_p")
+    )
+
+
 def total_order_assign(key: Column, split_points: list[str]) -> Column:
     """TotalOrderPartitioner.BinarySearchNode.findPartition
     (TotalOrderPartitioner.java:186-189): partition = binarySearch+1

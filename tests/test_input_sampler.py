@@ -286,6 +286,32 @@ def test_total_order_assign_boundary_goes_right(spark):
     assert out == {"a": 0, "f": 1, "g": 1, "p": 2, "z": 2}
 
 
+def test_total_order_repartition_physical_contract(spark):
+    """-totalOrder placement: bucket i's rows land in OUTPUT PARTITION
+    i, each partition is sorted, and concatenating partitions in index
+    order is the global sort — the reference's part-file contract."""
+    from hadoop_3_3_6_spark.operators.input_sampler import total_order_repartition
+
+    rows = [(f"{(i * 131) % 211:03d}",) for i in range(211)]
+    df = spark.createDataFrame(rows, "k string").repartition(6)
+    points = total_order_split_points([r[0] for r in rows[::5]], 4)
+    out = total_order_repartition(df, "k", points)
+    parts = out.rdd.glom().collect()
+    assert len(parts) == 4
+    concat = []
+    for i, part in enumerate(parts):
+        keys = [r.k for r in part]
+        assert keys == sorted(keys), f"partition {i} not sorted"
+        lo = points[i - 1] if i > 0 else None
+        hi = points[i] if i < len(points) else None
+        for k in keys:
+            assert lo is None or k >= lo
+            assert hi is None or k < hi
+        concat.extend(keys)
+    assert concat == sorted(concat)
+    assert len(concat) == 211
+
+
 def test_end_to_end_partition_file_workflow(spark):
     """interval sample -> split points -> assignment: every record
     lands in a bucket, buckets respect the boundaries, and the bucket
