@@ -110,8 +110,13 @@ def _rank_topk(
 def _scored_pairs(
     emb: DataFrame, probes: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
+    from hadoop_3_3_6_spark.functions.text import spread_for_compute
+
     a = with_norm(probes, vec_col).alias("a")
-    b = with_norm(emb, vec_col).alias("b")
+    # corpus side of the |probes|-fanout score join: D-wide dot folds
+    # per (probe, row) pair are CPU-bound — rebalance an under-split
+    # scan to full width (plan no-op at real scale)
+    b = with_norm(spread_for_compute(emb, id_col), vec_col).alias("b")
     dot = _dot(f"a.{vec_col}", f"b.{vec_col}")
     score = F.expr(f"{dot} / (a._norm * b._norm)")
     return (
@@ -743,6 +748,13 @@ def pq_encode(
     array<int>) — ``extra_cols`` lets ivf_pq_topk carry the coarse
     cluster assignment through the encode projection without a
     join-back."""
+    from hadoop_3_3_6_spark.functions.text import spread_for_compute
+
+    # the encode argmin (m×codes×sub fused multiply-adds per row) is
+    # CPU-bound and narrow: rebalance an under-split scan to full width
+    # first (plan no-op at real scale, and a no-op for callers that
+    # already spread — needs_spread probes the input's partition count)
+    emb = spread_for_compute(emb, id_col)
     m, sub = len(books), len(books[0][0])
     bdf = F.broadcast(_books_df(emb.sparkSession, books))
     codes_expr = F.zip_with(
@@ -868,6 +880,12 @@ def adc_topk(
     ``probe_rows`` carry raw vectors; ``enc`` is (id, codes).
     ``probe_rows`` must be a BOUNDED batch (the caller's contract —
     pq_topk enforces it): the per-probe tables broadcast."""
+    # the ADC scan (m lookups + m adds per candidate × |probes| fanout)
+    # is CPU-bound; a persisted code table read back as one small file
+    # would otherwise scan single-task (plan no-op at real scale)
+    from hadoop_3_3_6_spark.functions.text import spread_for_compute
+
+    enc = spread_for_compute(enc, id_col)
     probe_tabs = _adc_tables(probe_rows, books, id_col, vec_col)
     cand = enc.crossJoin(F.broadcast(probe_tabs)).filter(
         F.col("probe_id") != F.col(id_col)
@@ -1037,7 +1055,14 @@ def opq_topk(
     space approximates the original-space neighbors with lower
     quantization error), then the standard PQ query path — encode,
     broadcast distance tables, two-phase rank."""
-    rot = rotate_vectors(emb, rmat, vec_col).select(
+    from hadoop_3_3_6_spark.functions.text import spread_for_compute
+
+    # spread BEFORE the rotation: R·x is D² multiplies per row and the
+    # single-file local fixture would run it (and everything above) on
+    # one task (plan no-op at real scale).  NO barrier here: pq_encode's
+    # crossJoin blocks CollapseProject, so the rotation already
+    # evaluates once per row — a barrier re-measured 1.24× SLOWER (r13).
+    rot = rotate_vectors(spread_for_compute(emb, id_col), rmat, vec_col).select(
         F.col(id_col), F.col("_rvec").alias(vec_col)
     )
     return pq_topk(rot, books, id_col, vec_col, k, probe_ids=probe_ids, probes=probes)
@@ -1768,7 +1793,13 @@ def lsh_bucketed_topk(
                 F.posexplode(table_buckets(F.col(vec_col))).alias("table", "bucket"),
             )
 
-    buckets = mk_buckets(emb)
+    # the corpus-side bucket projection (num_tables × bits dot-product
+    # folds per row) and the in-bucket scoring above it are CPU-bound
+    # and narrow: rebalance an under-split scan to full width first
+    # (plan no-op at real scale — the spread_for_compute contract)
+    from hadoop_3_3_6_spark.functions.text import spread_for_compute
+
+    buckets = mk_buckets(spread_for_compute(emb, id_col))
     bounded = probes is not None or probe_ids is not None
     if bounded:
         # bounded probe set: the bucket rows carry the vector (map-side

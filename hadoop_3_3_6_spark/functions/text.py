@@ -72,6 +72,27 @@ def spread_for_compute(df: DataFrame, key_col: str | None = None) -> DataFrame:
     return df
 
 
+def spread_for_python(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """``spread_for_compute`` variant for JVM↔Python (mapInPandas /
+    mapInArrow) stages: same under-split gate, HALF the session
+    parallelism as the target (floor 2).
+
+    Rationale: every Python operator in a task runs its own worker
+    process, so a chain of two mapInPandas stages at full width spawns
+    2×cores workers, each paying fork + numpy/pandas init before its
+    first batch — and the under-split gate only fires on corpora small
+    enough that per-worker startup rivals the per-row work.  Measured
+    on the 5000-doc sf0.1 fixture (chained render→dhash): 1.20 s at 1
+    task, 0.55 s at 8, 0.49 s at 16, 2.81 s at 32 — the spawn storm
+    dominates past half width.  At real scale the scan yields enough
+    splits, the gate is false, and this is a plan no-op (the
+    spread_for_compute contract)."""
+    if needs_spread(df):
+        target = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
+        return df.repartition(target, F.col(key_col or df.columns[0]))
+    return df
+
+
 def needs_spread(df: DataFrame) -> bool:
     """The memoized under-split probe behind spread_for_compute.
     True iff the frame's pre-AQE partition count is below the session

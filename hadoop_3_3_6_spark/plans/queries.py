@@ -2243,8 +2243,12 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_png,
         encode_ppm,
     )
+    from hadoop_3_3_6_spark.functions.text import spread_for_python
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    # codec encode/decode is pure-Python per-image work: rebalance an
+    # under-split scan (half-width — the chained-Python-stage rule,
+    # spread_for_python; plan no-op at real scale)
+    docs = spread_for_python(load_table(spark, "documents", sf_dir).select("doc_id"))
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2360,26 +2364,46 @@ def _phash_incremental_oracle() -> str | None:
         return None
 
 
-def _phash_render_blobs(docs):
-    """Render the deterministic image fixtures (PPM even / PNG odd,
-    real codec roundtrips) — ONE helper shared by the batch and
-    incremental phash queries so both rows always hash the same
-    corpus."""
+def _phash_hashes(docs):
+    """Deterministic image fixtures (PPM even / PNG odd, real codec
+    roundtrips) rendered + decoded + dHashed FUSED into one Arrow
+    stage — ONE helper shared by the batch and incremental phash
+    queries so both rows always hash the same corpus.  Identical
+    per-row computation to the previous chained
+    ``image_dhash(render(docs))`` pair (same encode_ppm/png →
+    decode_image → dhash64 calls per doc_id), but ONE Python operator
+    instead of two: payloads never cross the Arrow boundary and each
+    task runs one worker, not a piped pair (r13 measurement: the
+    chained pair cost 2.3× the fused form at full width purely in
+    worker spawn + payload transpose)."""
     from collections.abc import Iterator
 
     import pandas as pd
 
-    from hadoop_3_3_6_spark.functions.multimodal import encode_png, encode_ppm
+    from hadoop_3_3_6_spark.functions.multimodal import (
+        decode_image,
+        dhash64,
+        encode_png,
+        encode_ppm,
+    )
+    from hadoop_3_3_6_spark.functions.text import spread_for_python
 
-    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    docs = spread_for_python(docs)
+
+    def render_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
+            ids, hashes = [], []
             for i in pdf["doc_id"]:
-                arr = _phash_fixture_array(int(i))
-                payloads.append(encode_ppm(arr) if int(i) % 2 == 0 else encode_png(arr))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+                i = int(i)
+                arr = _phash_fixture_array(i)
+                payload = encode_ppm(arr) if i % 2 == 0 else encode_png(arr)
+                ids.append(i)
+                hashes.append(dhash64(decode_image(payload)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "dhash": pd.array(hashes, dtype="int64")}
+            )
 
-    return docs.mapInPandas(render, schema="doc_id bigint, payload binary")
+    return docs.mapInPandas(render_hash, schema="doc_id bigint, dhash bigint")
 
 
 def _phash_oracle() -> str | None:
@@ -2455,13 +2479,10 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's independent replica re-derives render + resample + hash +
     banding + verify, so a green hash certifies codecs, the Arrow hash
     stage and the banded join end-to-end."""
-    from hadoop_3_3_6_spark.functions.multimodal import (
-        image_dhash,
-        phash_near_duplicates,
-    )
+    from hadoop_3_3_6_spark.functions.multimodal import phash_near_duplicates
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
-    hashes = image_dhash(_phash_render_blobs(docs), "payload", "doc_id")
+    hashes = _phash_hashes(docs)
     return phash_near_duplicates(hashes, "doc_id", "dhash", max_hamming=4, bands=4)
 
 
@@ -2479,16 +2500,19 @@ def q_multimodal_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     replays banding candidates + Hamming verify independently."""
     from hadoop_3_3_6_spark.functions.multimodal import (
         _hash_bands,
-        image_dhash,
         phash_dedup_incremental,
     )
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
-    hashes = image_dhash(_phash_render_blobs(docs), "payload", "doc_id")
+    # r13: the even/odd role split sits BELOW the render+decode stage —
+    # mapInPandas is opaque to Catalyst, so a filter above it decodes
+    # the FULL corpus on both branches (2× the codec work); filtering
+    # doc_id first decodes each image exactly once.  dhash is per-row,
+    # so the results are bit-identical.
     index_bands = _hash_bands(
-        hashes.filter(F.col("doc_id") % 2 == 0), "doc_id", "dhash", 4
+        _phash_hashes(docs.filter(F.col("doc_id") % 2 == 0)), "doc_id", "dhash", 4
     )
-    batch = hashes.filter(F.col("doc_id") % 2 == 1)
+    batch = _phash_hashes(docs.filter(F.col("doc_id") % 2 == 1))
     return phash_dedup_incremental(
         batch, index_bands, "doc_id", "dhash", max_hamming=4, bands=4
     )
@@ -3352,8 +3376,12 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from hadoop_3_3_6_spark.functions.multimodal import audio_features, encode_wav
+    from hadoop_3_3_6_spark.functions.text import spread_for_python
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    # WAV encode/decode is pure-Python per-row work: rebalance an
+    # under-split scan (half-width — the chained-Python-stage rule,
+    # spread_for_python; plan no-op at real scale)
+    docs = spread_for_python(load_table(spark, "documents", sf_dir).select("doc_id"))
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3456,8 +3484,12 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
         y4m_frame_luma,
     )
+    from hadoop_3_3_6_spark.functions.text import spread_for_python
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    # y4m encode/frame-sample/decode are THREE chained Python stages:
+    # rebalance an under-split scan (half-width — the
+    # chained-Python-stage rule, spread_for_python; plan no-op at scale)
+    docs = spread_for_python(load_table(spark, "documents", sf_dir).select("doc_id"))
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -4454,12 +4486,23 @@ def q_pipeline_web_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction, boilerplate dropping and the filter in one number.
     Eager by contract (renders its WARC corpus once per (process,
     sf_dir) at construction)."""
-    from hadoop_3_3_6_spark.functions.text import gopher_quality_rules, html_to_text
+    from hadoop_3_3_6_spark.functions.text import (
+        gopher_quality_rules,
+        html_to_text,
+        spread_for_compute,
+    )
     from hadoop_3_3_6_spark.sources.warc import register_warc_source
 
     register_warc_source(spark)
-    docs = load_table(spark, "documents", sf_dir).select(
-        "doc_id", _html_page_expr().alias("html")
+    # spread the render: one segment file per partition, so the WARC
+    # scan (one read partition per segment) parallelizes the Python
+    # record streaming + extraction instead of serializing on a single
+    # segment (plan/layout no-op at real scale — crawls arrive as many
+    # segments)
+    docs = spread_for_compute(
+        load_table(spark, "documents", sf_dir).select(
+            "doc_id", _html_page_expr().alias("html")
+        )
     )
 
     def render(out: str) -> None:
@@ -9016,8 +9059,12 @@ def q_multimodal_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as _pd
 
     from hadoop_3_3_6_spark.functions.multimodal import media_metadata
+    from hadoop_3_3_6_spark.functions.text import spread_for_python
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    # container render + metadata walk are chained Python stages:
+    # rebalance an under-split scan (half-width — the
+    # chained-Python-stage rule, spread_for_python; plan no-op at scale)
+    docs = spread_for_python(load_table(spark, "documents", sf_dir).select("doc_id"))
 
     def render(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
         # MPEG-1 Layer III, 128 kbps, 44.1 kHz, no padding: 417-byte frames

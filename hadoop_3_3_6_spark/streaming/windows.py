@@ -59,10 +59,25 @@ def run_stream_to_batch(
     overhead dominates when partitions far exceed state volume —
     measured 2.7x on the outer-join drain at local scale.  Sequential
     use only (the conf is session-scoped while the query starts)."""
+    import tempfile
+
+    from hadoop_3_3_6_spark.session import spark_local_dir
+
     spark = stream_df.sparkSession
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     name = "s" + uuid.uuid4().hex[:12]
+    # the one-shot drain's checkpoint (offset log + state-store deltas,
+    # a few KB per state partition per micro-batch) is ephemeral by
+    # construction — the memory-sink table IS the result — so it goes
+    # on the same fast scratch tier as shuffle spill (spark.local.dir:
+    # tmpfs here, provisioned local SSD on a cluster) instead of the
+    # burst-throttled persistent disk.  A RESUMABLE deployment would
+    # pass its own durable checkpointLocation; none of these one-shot
+    # drains is resumed.
+    ckpt_base = spark_local_dir()
+    os.makedirs(ckpt_base, exist_ok=True)
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_", dir=ckpt_base)
     try:
         if state_partitions is not None:
             spark.conf.set(key, str(state_partitions))
@@ -70,12 +85,16 @@ def run_stream_to_batch(
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set(key, prev)
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.table(name)
 
 
