@@ -6272,7 +6272,11 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (1 h size, 30 min slide): every event
     lands in two overlapping windows."""
-    from hadoop_3_3_6_spark.streaming.windows import _event_stream, run_stream_to_batch
+    from hadoop_3_3_6_spark.streaming.windows import (
+        _event_stream,
+        run_stream_to_batch,
+        sized_state_partitions,
+    )
 
     stream = _event_stream(spark, sf_dir)
     agg = (
@@ -6280,7 +6284,9 @@ def q_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    out = run_stream_to_batch(agg, output_mode="complete")
+    out = run_stream_to_batch(
+        agg, output_mode="complete", state_partitions=sized_state_partitions(sf_dir)
+    )
     return out.select(F.col("w.start").alias("window_start"), "event_type", "n_events")
 
 
