@@ -355,6 +355,104 @@ def test_gopher_repetition_spammy_doc_adaptive_branch(spark):
     assert rows[1].dup_5gram_char_frac == 0.0 and rows[1].dup_10gram_char_frac == 0.0
 
 
+def test_gopher_r13_rewrites_differential(spark):
+    """r13 perf rewrites inside gopher_repetition_suite pinned against
+    the pre-r13 formulations, evaluated side by side on edge docs:
+
+    - INCREMENTAL gram build (level n = level n-1 + one word, zip_with
+      concat) vs the original array_join(slice(_w, i, n)) per gram;
+    - SLIDING ACTIVE-FLAG marked-span fold (O(1)/word) vs the original
+      per-word slice + array_max (O(n)/word).
+
+    Both must be value-identical for every n — the suite's oracle
+    certifies the end numbers, this differential pins the two internal
+    stages directly, on the edge shapes (empty doc, one word, exactly
+    n words, multi-space runs, spammy period above the adaptive cap)."""
+    from pyspark.sql import functions as F
+
+    docs = [
+        "",
+        "solo",
+        "a b",
+        "x " * 9 + "x",                              # exactly 10 equal words
+        "a  b   c    d  a  b   c    d",              # multi-space runs
+        " ".join(f"w{i % 40}" for i in range(400)),  # spammy (positional branch)
+        "one two three four five six one two three four five six tail",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id bigint, text string"
+    )
+    w = "filter(split(text, ' '), w -> w <> '')"
+    checks = []
+    for n in range(2, 11):
+        old_g = (
+            f"case when size({w}) >= {n} then transform(sequence(1, size({w}) - {n - 1}), "
+            f"i -> array_join(slice({w}, i, {n}), ' ')) else array() end"
+        )
+        prev = (
+            f"case when size({w}) >= {n - 1} then transform(sequence(1, size({w}) - {n - 2}), "
+            f"i -> array_join(slice({w}, i, {n - 1}), ' ')) else array() end"
+        ) if n > 2 else w
+        new_g = (
+            f"case when size({w}) >= {n} then "
+            f"zip_with(slice({prev}, 1, size({w}) - {n - 1}), "
+            f"slice({w}, {n}, size({w}) - {n - 1}), (g, x) -> concat(g, ' ', x)) "
+            f"else array() end"
+        )
+        checks.append((f"g{n}", old_g, new_g))
+    bad = df.select(
+        "doc_id",
+        *[
+            (F.expr(old) != F.expr(new)).alias(name)
+            for name, old, new in checks
+        ],
+    ).filter(" or ".join(name for name, _, _ in checks))
+    assert bad.count() == 0
+
+    # marked-span fold differential: synth flag arrays (every possible
+    # local shape around window entry/exit) against both formulations
+    for n in (5, 7, 10):
+        g = f"case when size({w}) >= {n} then transform(sequence(1, size({w}) - {n - 1}), i -> 'g') else array() end"
+        flags = (
+            f"transform(sequence(1, greatest(size({w}) - {n - 1}, 0)), "
+            f"i -> if(pmod(i * 2654435761, 7) < 3, 1, 0))"  # pseudo-random 0/1
+        )
+        lo = f"greatest(1, j - {n - 1})"
+        hi = f"least(j, size(_g))"
+        old_m = (
+            f"case when size(_g) >= 1 then "
+            f"aggregate(sequence(1, size(_w)), 0L, (acc, j) -> acc + "
+            f"if(array_max(slice(_df, {lo}, {hi} - {lo} + 1)) = 1, "
+            f"length(element_at(_w, j)), 0)) else 0L end"
+        )
+        enter = "if(j <= size(_g), element_at(_df, j), 0)"
+        leave = f"if(j - {n} >= 1, element_at(_df, j - {n}), 0)"
+        new_m = (
+            f"case when size(_g) >= 1 then "
+            f"aggregate(sequence(1, size(_w)), named_struct('s', 0L, 'c', 0), "
+            f"(acc, j) -> named_struct("
+            f"'s', acc.s + if(acc.c + {enter} - {leave} > 0, "
+            f"length(element_at(_w, j)), 0L), "
+            f"'c', acc.c + {enter} - {leave}), acc -> acc.s) else 0L end"
+        )
+        staged = df.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.expr(w).alias("_w"),
+                        F.expr(g).alias("_g"),
+                        F.expr(flags).alias("_df"),
+                    )
+                )
+            ).alias("_b"),
+        ).select("doc_id", "_b._w", "_b._g", "_b._df")
+        diff = staged.select(
+            (F.expr(old_m) != F.expr(new_m)).alias("bad")
+        ).filter("bad")
+        assert diff.count() == 0, f"marked-span divergence at n={n}"
+
+
 def test_sampling_null_edges(spark):
     """NULL-input contracts from the r8 review: a NULL source is a real
     stratum that temperature sampling must keep (null-safe join), and a
