@@ -220,6 +220,14 @@ def bloom_prefilter(
     clash = {"__bloom_mask", "__bloom_bh"} & set(probe.columns)
     if clash:
         raise ValueError(f"probe columns collide with bloom_prefilter internals: {sorted(clash)}")
+    from hadoop_3_3_6_spark.functions.text import spread_for_compute
+
+    # the per-row base hash (portable mode: an interpreted md5 ring) is
+    # CPU-bound and narrow — rebalance an under-split probe scan to
+    # full width (r13: 2.01 → 1.33 s on the sf0.1 lineitem probe).  At
+    # real scale the gate is false, preserving the operator's point:
+    # rows drop at the SCAN, before any exchange.
+    probe = spread_for_compute(probe, key_col)
     mask = bloom_build(build, build_key_col, num_bits, num_hashes, salt, portable).select(
         F.col("bloom").alias("__bloom_mask")
     )

@@ -300,7 +300,25 @@ def total_order_split_points(samples: list[str], num_partitions: int) -> list[st
     Math.round(stepSize * i) — floor(x + 0.5f) in float32 — with the
     equal-key skip that advances past the previous pick while the keys
     compare equal (only reachable when stepSize < 1).  Returns the
-    numPartitions-1 boundary keys in order."""
+    numPartitions-1 boundary keys in order.
+
+    Documented divergences (r12 ADVICE, kept deliberately):
+
+    - Math.round(float) is implemented as the CLASSIC floor(x + 0.5f)
+      in float32.  JDK 9+ (JDK-8010430) instead returns a different
+      index when stepSize*i has fractional part 0x1.fffffep-2f (the
+      largest float below 0.5) — a one-index boundary difference
+      reachable only at that exact bit pattern.  This port pins the
+      pre-9 semantics the reference's own test vectors were built on.
+    - Duplicate boundary KEYS (heavy-duplicate samples) are emitted
+      here and downstream ``total_order_assign`` treats the repeated
+      boundary as an empty middle bucket, while the reference's
+      TotalOrderPartitioner.setConf (TotalOrderPartitioner.java:96-97)
+      throws 'Split points are out of order' when it later READS such
+      a partition file — i.e. the reference fails the job end-to-end
+      where this framework degrades gracefully.  The assignment
+      semantics for every key are identical either way; only the
+      fail-vs-proceed behavior differs."""
     ordered = sorted(samples, key=lambda s: s.encode("utf-8"))
     step = np.float32(len(ordered)) / np.float32(num_partitions)
     points: list[str] = []

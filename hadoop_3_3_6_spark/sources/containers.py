@@ -154,13 +154,32 @@ def read_auto(spark: SparkSession, path: str) -> DataFrame:
     scheme = path.split("://", 1)[0] + "://" if "://" in path else ""
     info = fs.get_file_info(inner)
     if info.type == pafs.FileType.Directory:
+        # hidden-path filtering matches FileInputFormat: skip a file
+        # when ANY path component below the input dir is '_'/'.'-
+        # prefixed (r12 ADVICE: a leftover _temporary subtree from an
+        # interrupted write used to be sniffed and read as data)
+        base_depth = len(inner.rstrip("/").split("/"))
         listing = [
             f.path
             for f in fs.get_file_info(pafs.FileSelector(inner, recursive=True))
-            if f.is_file and not f.base_name.startswith(("_", "."))
+            if f.is_file
+            and not any(
+                part.startswith(("_", "."))
+                for part in f.path.split("/")[base_depth:]
+            )
         ]
     else:
         listing = [inner]
+    for p in listing:
+        if "," in p:
+            # the SEQ bulk read joins paths with ',' (Spark's multi-path
+            # grammar); a comma inside a name would split into bogus
+            # paths and fail far from the cause (r12 ADVICE) — refuse
+            # loudly here instead
+            raise ValueError(
+                f"read_auto: path contains ',' which the multi-path read "
+                f"grammar cannot escape: {p!r}"
+            )
     seq_files, text_files = [], []
     for p in sorted(listing):
         with fs.open_input_stream(p) as f:

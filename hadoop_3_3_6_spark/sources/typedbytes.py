@@ -359,7 +359,16 @@ def pipe_typed_bytes(
             if len(keys) >= batch_rows:
                 yield pd.DataFrame({"key": keys, "value": vals})
                 keys, vals = [], []
-        feeder.join()
+        # r12 ADVICE: a child that closed stdout (clean EOF above) but
+        # stopped DRAINING stdin without exiting leaves the feeder
+        # blocked on a full pipe buffer — an unbounded join() here
+        # would hang the task forever.  Bounded join; on expiry kill
+        # the child so the feeder's write fails (BrokenPipeError) and
+        # the nonzero-exit path below reports the stall loudly.
+        feeder.join(timeout=30.0)
+        if feeder.is_alive():
+            proc.kill()
+            feeder.join(timeout=30.0)
         if feed_error:
             raise RuntimeError("typed-bytes pipe feed failed") from feed_error[0]
         rc = proc.wait()
