@@ -3484,12 +3484,13 @@ def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
         y4m_frame_luma,
     )
-    from hadoop_3_3_6_spark.functions.text import spread_for_python
-
-    # y4m encode/frame-sample/decode are THREE chained Python stages:
-    # rebalance an under-split scan (half-width — the
-    # chained-Python-stage rule, spread_for_python; plan no-op at scale)
-    docs = spread_for_python(load_table(spark, "documents", sf_dir).select("doc_id"))
+    # r13 note: deliberately NOT spread — the THREE chained Python
+    # stages make this the corpus's deepest worker chain, and the
+    # spread variant measured no fresh-session win (0.62 → 0.65 s)
+    # while showing in-sweep fork-storm spikes (6.4 s in the final r13
+    # sweep, rechecking to 0.46 s); one task per stage is the stable
+    # shape at fixture size.
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
