@@ -425,6 +425,23 @@ def _session_health(pre: dict, post: dict, vs_prev: dict) -> dict:
             "wait, not compute"
         )
     med = vs_prev.get("median_ratio")
+    probe_drift_note = None
+    if vs_prev.get("cpu_probe_drift") and split.get("wall_median_ratio"):
+        # r13: when the machine-speed probe itself drifted >1.5×
+        # between snapshots, the normalized median measures the probe,
+        # not the engine (the r13 final sweep read 2.05 normalized vs
+        # 1.07 raw after the probe halved between rounds) — judge the
+        # session on the RAW wall median instead, and record the
+        # substitution as an informational note (NOT a degraded
+        # trigger: per-query flags are median-relative and unaffected).
+        probe_drift_note = (
+            f"cpu probe drifted {vs_prev.get('prev_cpu_probe_sec')} -> "
+            f"{vs_prev.get('cpu_probe_sec')} s ACROSS SNAPSHOTS: "
+            f"normalized median_ratio {med} is a normalization artifact; "
+            f"session judged on raw wall median "
+            f"{split['wall_median_ratio']} instead"
+        )
+        med = split["wall_median_ratio"]
     if reasons:
         verdict = "degraded"
     elif med is not None and med > 1.25:
@@ -450,6 +467,8 @@ def _session_health(pre: dict, post: dict, vs_prev: dict) -> dict:
             )
     else:
         verdict = "healthy"
+    if probe_drift_note:
+        reasons.append(probe_drift_note)
     return {
         "verdict": verdict,
         "reasons": reasons,
@@ -1173,6 +1192,18 @@ def _vs_prev_normalized(
                 "wall_median_ratio": round(statistics.median(wall_r), 2),
                 "cpu_median_ratio": round(statistics.median(cpu_r), 2),
             }
+    # r13: the normalization DENOMINATOR can itself drift — the sandbox's
+    # single-core sha256 probe halved between r12 and r13 (0.31 → 0.163 s)
+    # while Spark throughput was flat (raw wall median 1.07), which
+    # inflated every normalized ratio ~1.9× and made the health rule
+    # read a normalization artifact as a "real engine delta".  When the
+    # probes differ >1.5× in either direction, mark it: readers (and
+    # the health verdict below) must use the RAW cpu_split medians, not
+    # median_ratio.  Per-query FLAGS stay valid either way — they are
+    # median-relative, so a uniform probe term cancels out.
+    cpu_probe_drift = bool(
+        prev_probe and cpu_probe and not (1 / 1.5 <= cpu_probe / prev_probe <= 1.5)
+    )
     return {
         "baseline": base_name,
         "prev_cpu_probe_sec": prev_probe,
@@ -1180,6 +1211,7 @@ def _vs_prev_normalized(
         "prev_disk_probe_mb_s": prev_disk,
         "disk_probe_mb_s": disk_probe,
         "disk_drift": disk_drift,
+        "cpu_probe_drift": cpu_probe_drift,
         "n_compared": len(ratios),
         "median_ratio": med,
         "cpu_split": cpu_split,

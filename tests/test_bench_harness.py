@@ -156,6 +156,36 @@ def test_session_health_rules(monkeypatch, tmp_path):
         dict(ok), {"cpu_probe_sec": 0.25, "disk_probe_mb_s": 100.0}, {"median_ratio": 0.99}
     )
     assert out["verdict"] == "degraded"  # 300 -> 100 MB/s across the sweep
+    # r13: a CROSS-SNAPSHOT cpu-probe drift makes the normalized median
+    # a normalization artifact — the verdict must be judged on the raw
+    # wall median instead (here 1.07: healthy, noted), not on the
+    # inflated 2.05 (which would have claimed a "REAL engine delta")
+    out = bench._session_health(
+        dict(ok),
+        dict(ok),
+        {
+            "median_ratio": 2.05,
+            "cpu_probe_drift": True,
+            "prev_cpu_probe_sec": 0.31,
+            "cpu_probe_sec": 0.163,
+            "cpu_split": {"wall_median_ratio": 1.07, "cpu_median_ratio": 1.11},
+        },
+    )
+    assert out["verdict"] == "healthy"
+    assert any("normalization artifact" in r for r in out["reasons"])
+    # and with a REAL raw regression under probe drift, the cpu-tracking
+    # branch still fires — on the raw median
+    out = bench._session_health(
+        dict(ok),
+        dict(ok),
+        {
+            "median_ratio": 2.6,
+            "cpu_probe_drift": True,
+            "cpu_split": {"wall_median_ratio": 1.4, "cpu_median_ratio": 1.35},
+        },
+    )
+    assert out["verdict"] == "healthy"
+    assert any("REAL engine delta" in r for r in out["reasons"])
 
 
 def test_vs_prev_cpu_split(monkeypatch, tmp_path):
