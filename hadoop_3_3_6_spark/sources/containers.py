@@ -170,21 +170,24 @@ def read_auto(spark: SparkSession, path: str) -> DataFrame:
         ]
     else:
         listing = [inner]
-    for p in listing:
-        if "," in p:
-            # the SEQ bulk read joins paths with ',' (Spark's multi-path
-            # grammar); a comma inside a name would split into bogus
-            # paths and fail far from the cause (r12 ADVICE) — refuse
-            # loudly here instead
-            raise ValueError(
-                f"read_auto: path contains ',' which the multi-path read "
-                f"grammar cannot escape: {p!r}"
-            )
     seq_files, text_files = [], []
     for p in sorted(listing):
         with fs.open_input_stream(p) as f:
             head = f.read(3)
         (seq_files if head == b"SEQ" else text_files).append(p)
+    for p in seq_files:
+        if "," in p:
+            # ONLY the SEQ bulk read joins paths with ',' (Spark's
+            # multi-path grammar); text files go through the list-form
+            # spark.read.text, which handles commas fine, so the
+            # refusal is scoped to the files that would actually split
+            # into bogus paths (r14 ADVICE — the reference's
+            # FileInputFormat escapes commas rather than failing, and
+            # refusing text paths too was an over-broad divergence)
+            raise ValueError(
+                f"read_auto: SEQ path contains ',' which the multi-path "
+                f"read grammar cannot escape: {p!r}"
+            )
     parts = []
     if seq_files:
         seq = read_sequence_file_as_text(

@@ -310,6 +310,7 @@ def pipe_typed_bytes(
     raw = io == "rawbytes"
 
     def run(batches) -> Iterator:
+        import os
         import subprocess
         import threading
 
@@ -364,16 +365,30 @@ def pipe_typed_bytes(
         # blocked on a full pipe buffer — an unbounded join() here
         # would hang the task forever.  Bounded join; on expiry kill
         # the child so the feeder's write fails (BrokenPipeError) and
-        # the nonzero-exit path below reports the stall loudly.
-        feeder.join(timeout=30.0)
+        # the nonzero-exit path below reports the stall loudly.  The
+        # timeout is env-tunable (r14 ADVICE): a legitimate child that
+        # closes stdout early but drains a huge remaining stdin slower
+        # than the default would otherwise be killed and reported as a
+        # bare nonzero exit, masking the real cause.
+        stall_timeout = float(os.environ.get("SPARK_GRAFT_PIPE_STALL_TIMEOUT_S", "30"))
+        feeder_stalled = False
+        feeder.join(timeout=stall_timeout)
         if feeder.is_alive():
+            feeder_stalled = True
             proc.kill()
-            feeder.join(timeout=30.0)
+            feeder.join(timeout=stall_timeout)
         if feed_error:
             raise RuntimeError("typed-bytes pipe feed failed") from feed_error[0]
         rc = proc.wait()
         if rc != 0:
-            raise RuntimeError(f"typed-bytes pipe child exited {rc}")
+            stall_note = (
+                f" (feeder stalled >{stall_timeout:g}s after child closed "
+                "stdout — child killed; raise SPARK_GRAFT_PIPE_STALL_TIMEOUT_S "
+                "if the child legitimately drains stdin slowly)"
+                if feeder_stalled
+                else ""
+            )
+            raise RuntimeError(f"typed-bytes pipe child exited {rc}{stall_note}")
         if keys:
             yield pd.DataFrame({"key": keys, "value": vals})
 

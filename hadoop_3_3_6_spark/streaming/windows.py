@@ -68,8 +68,21 @@ def sized_state_partitions(
     env = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
     if env:
         return int(env)
+    path = os.path.join(sf_dir, source)
     try:
-        nbytes = os.path.getsize(os.path.join(sf_dir, source))
+        if os.path.isdir(path):
+            # multi-file parquet dataset (the realistic at-scale shape):
+            # getsize on the directory returns the inode size (~4 KB),
+            # which would silently pin the count to the floor — sum the
+            # data files instead (r14 ADVICE fix)
+            nbytes = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+                if not f.startswith((".", "_"))
+            )
+        else:
+            nbytes = os.path.getsize(path)
     except OSError:
         nbytes = 0
     return max(floor, math.ceil(nbytes / target_bytes))
@@ -301,8 +314,10 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
             timeMode="None",
         )
         out = run_stream_to_batch(
-        counted, output_mode="update", state_partitions=sized_state_partitions(sf_dir)
-    )
+            counted,
+            output_mode="update",
+            state_partitions=sized_state_partitions(sf_dir),
+        )
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_provider)
     return out.groupBy("user_id").agg(
