@@ -979,12 +979,22 @@ def q_secondarysort(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_terasort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TeraGen → TeraSort → TeraValidate (MRX/terasort/): generate
     deterministic 100-byte records, total-order sort, validate global
-    order + checksum preservation (TeraValidate.java:63-126)."""
-    from hadoop_3_3_6_spark.sources.terasort import terachecksum, teragen, terasort, teravalidate
+    order + checksum preservation (TeraValidate.java:63-126).  r14:
+    the sorted side runs the KEY-PROXY fused form (terasort_gen — the
+    shuffle carries (id, key) and the payload is derived after
+    placement; guide §8), so this oracle row validates exactly the
+    plan the bench anchors time; the checksum is still the generic
+    generator's, so record-byte drift would fail the row."""
+    from hadoop_3_3_6_spark.sources.terasort import (
+        terachecksum,
+        teragen,
+        terasort_gen,
+        teravalidate,
+    )
 
     gen = teragen(spark, 20000, partitions=8)
     in_sum = terachecksum(gen)
-    sorted_df = terasort(gen)
+    sorted_df = terasort_gen(spark, 20000, partitions=8)
     result = teravalidate(sorted_df, in_sum)
     return spark.createDataFrame([result])
 

@@ -18,8 +18,19 @@ checksum preservation (sum of crc32 over records is sort-invariant).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import Column, DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
+
+
+def _gen_key(id_col) -> Column:
+    """The 10-hex-char record key as a function of the row id."""
+    return F.substring(F.lpad(F.hex(F.xxhash64(id_col, F.lit(0))), 16, "0"), 1, 10)
+
+
+def _gen_value(id_col) -> Column:
+    """The 90-hex-char record value as a function of the row id."""
+    hexes = [F.lpad(F.hex(F.xxhash64(id_col, F.lit(i))), 16, "0") for i in range(1, 7)]
+    return F.substring(F.concat(*hexes), 1, 90)
 
 
 def teragen(spark: SparkSession, num_rows: int, partitions: int | None = None) -> DataFrame:
@@ -29,11 +40,7 @@ def teragen(spark: SparkSession, num_rows: int, partitions: int | None = None) -
     a cryptographic hash — the generator must not dominate the sort
     being benchmarked)."""
     rng = spark.range(0, num_rows, numPartitions=partitions) if partitions else spark.range(num_rows)
-    hexes = [F.lpad(F.hex(F.xxhash64(F.col("id"), F.lit(i))), 16, "0") for i in range(7)]
-    return rng.select(
-        F.substring(hexes[0], 1, 10).alias("key"),
-        F.substring(F.concat(*hexes[1:]), 1, 90).alias("value"),
-    )
+    return rng.select(_gen_key(F.col("id")).alias("key"), _gen_value(F.col("id")).alias("value"))
 
 
 def terasort(df: DataFrame) -> DataFrame:
@@ -42,6 +49,30 @@ def terasort(df: DataFrame) -> DataFrame:
     TeraInputFormat.writePartitionFile + the 2-level trie partitioner
     (TeraSort.java:64-239)."""
     return df.orderBy("key")
+
+
+def terasort_gen(spark: SparkSession, num_rows: int, partitions: int | None = None) -> DataFrame:
+    """TeraGen → TeraSort fused so the total-order shuffle moves a KEY
+    PROXY instead of the payload (optimization-guide §8: every shuffle
+    but the last should operate on lightweight metadata; here there is
+    only one shuffle, so it carries (id, key) ≈ 26 bytes/row instead of
+    the 100-byte record, and the 90-byte value is derived from the id
+    AFTER placement).  What the optimizer cannot know: both key and
+    value are pure functions of the row id, so (1) the RangePartitioner
+    sampling pass — which re-executes the exchange child and was
+    measured at 2.2 s of the 7.1 s 20M anchor — computes ONE xxhash64
+    per row instead of seven plus the string assembly, and (2) the
+    exchange writes/fetches ~4× fewer bytes.  Output is identical to
+    ``terasort(teragen(spark, n, partitions))``: same rows, same global
+    key order (ties — ~n²/2^41 rows — are unordered in both forms;
+    the projection above the sort preserves partitioning and order).
+    The r13 alternative (localCheckpoint to make sampling read
+    materialized rows) measured WORSE (10.8 vs 6.5 s at 20M) because it
+    serializes the full records; this form keeps the generator lazy on
+    both passes and makes both passes cheap."""
+    rng = spark.range(0, num_rows, numPartitions=partitions) if partitions else spark.range(num_rows)
+    placed = rng.select(F.col("id"), _gen_key(F.col("id")).alias("key")).orderBy("key")
+    return placed.select("key", _gen_value(F.col("id")).alias("value"))
 
 
 def terachecksum(df: DataFrame) -> int:

@@ -1219,6 +1219,36 @@ def test_teravalidate_detects_out_of_order_records(spark):
     assert bad.checksum_match               # content untouched
 
 
+def test_terasort_gen_matches_generic_path(spark):
+    """r14: terasort_gen (the key-proxy form — the total-order shuffle
+    carries (id, key) and derives the 90-byte value AFTER placement)
+    must produce exactly what terasort(teragen(...)) produces: same
+    records, same global key order, checksum preserved.  Differential-
+    pinned so the sampling/shuffle optimization can never drift the
+    record bytes."""
+    from hadoop_3_3_6_spark.sources.terasort import (
+        teragen,
+        terachecksum,
+        terasort,
+        terasort_gen,
+        teravalidate,
+    )
+
+    n = 4000
+    old = terasort(teragen(spark, n, partitions=4)).collect()
+    new = terasort_gen(spark, n, partitions=4).collect()
+    # identical multisets AND identical key sequence (ties may permute
+    # their values between the two forms; keys must agree positionally)
+    assert [r["key"] for r in old] == [r["key"] for r in new]
+    assert sorted(map(tuple, old)) == sorted(map(tuple, new))
+    # the fused form passes the reference validator against the
+    # generic generator's checksum
+    v = teravalidate(
+        terasort_gen(spark, n, partitions=4), terachecksum(teragen(spark, n, partitions=4))
+    )
+    assert v.globally_sorted and v.checksum_match and v.rows == n
+
+
 def test_gensort_reference_vectors():
     """BYTE-EXACT conformance of the gensort generator against output
     captured from the reference generator itself (GenSort.java compiled
