@@ -173,8 +173,12 @@ def test_session_health_rules(monkeypatch, tmp_path):
     )
     assert out["verdict"] == "healthy"
     assert any("normalization artifact" in r for r in out["reasons"])
-    # and with a REAL raw regression under probe drift, the cpu-tracking
-    # branch still fires — on the raw median
+    # r14 (ADVICE): a raw-median regression COINCIDING with cross-
+    # snapshot probe drift is ambiguous — a genuine machine-speed
+    # change would show exactly this signature (raw wall up, raw cpu
+    # tracking it, probe moved), so the verdict must NOT assert engine
+    # attribution; it downgrades to unattributed and points readers at
+    # the median-relative per-query flags.
     out = bench._session_health(
         dict(ok),
         dict(ok),
@@ -184,8 +188,82 @@ def test_session_health_rules(monkeypatch, tmp_path):
             "cpu_split": {"wall_median_ratio": 1.4, "cpu_median_ratio": 1.35},
         },
     )
-    assert out["verdict"] == "healthy"
-    assert any("REAL engine delta" in r for r in out["reasons"])
+    assert out["verdict"] == "unattributed"
+    assert any("machine-" in r for r in out["reasons"])
+
+
+def test_adjudicated_prev_queries_substitution(monkeypatch, tmp_path):
+    """r14 (VERDICT r13 task 1): a prev snapshot's in-sweep spike that
+    its own fresh-session recheck contradicted must not serve as the
+    comparison baseline — the recheck value substitutes, and the
+    first-class queries_adjudicated map (r14 snapshots) wins over the
+    legacy flag_recheck layout."""
+    bench = _bench(monkeypatch, tmp_path)
+    prev = {
+        "queries": {"a": 6.38, "b": 1.0, "c": 2.0},
+        "vs_prev_normalized": {
+            "flag_recheck": {
+                "a": {"recheck_sec": 0.46, "recheck_ratio": 1.1, "reverts": True},
+                "c": {"recheck_sec": 1.5, "recheck_ratio": 3.0, "reverts": False},
+            }
+        },
+        "queries_adjudicated": {"c": 1.4},
+    }
+    out, subst = bench._adjudicated_prev_queries(prev)
+    assert out == {"a": 0.46, "b": 1.0, "c": 1.4}
+    assert subst == {"a": 0.46, "c": 1.4}
+    # entries for queries absent from the map never invent a baseline
+    prev2 = {"queries": {"x": 1.0}, "queries_adjudicated": {"ghost": 9.9}}
+    out2, subst2 = bench._adjudicated_prev_queries(prev2)
+    assert out2 == {"x": 1.0} and subst2 == {}
+
+
+def test_cpu_probe_drift_needs_real_prev_probe(monkeypatch, tmp_path):
+    """r14 (ADVICE medium): when the committed snapshot lacks
+    anchors.cpu_probe_sec, the drift check must not compare the real
+    probe against the fabricated 1.0 normalization fallback."""
+    import json
+
+    bench = _bench(monkeypatch, tmp_path)
+    snapdir = tmp_path / "bench_baselines"
+    snapdir.mkdir()
+    snap = {
+        "action": "noop_write",
+        "sf": 0.1,
+        "queries": {"q": 1.0},
+        "anchors": {},  # no cpu_probe_sec — pre-probe-era snapshot
+    }
+    (snapdir / "BENCH_full_r99.json").write_text(json.dumps(snap))
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    out = bench._vs_prev_normalized({"q": 1.0}, 0.16, sf=0.1)
+    assert out["baseline"] == "BENCH_full_r99.json"
+    assert out["cpu_probe_drift"] is False  # 0.16 vs fabricated 1.0 must NOT flag
+
+
+def test_newest_healthy_snapshot(monkeypatch, tmp_path):
+    """The representative_snapshot pointer resolves to the newest
+    committed snapshot whose own session_health is healthy (or that
+    predates the field), skipping degraded sweeps."""
+    import json
+
+    bench = _bench(monkeypatch, tmp_path)
+    snapdir = tmp_path / "bench_baselines"
+    snapdir.mkdir()
+    (snapdir / "BENCH_full_r01.json").write_text(
+        json.dumps({"queries": {}})  # pre-verdict era: counts as healthy
+    )
+    (snapdir / "BENCH_full_r02.json").write_text(
+        json.dumps({"session_health": {"verdict": "healthy"}})
+    )
+    (snapdir / "BENCH_full_r03.json").write_text(
+        json.dumps({"session_health": {"verdict": "degraded"}})
+    )
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    assert bench._newest_healthy_snapshot() == "BENCH_full_r02.json"
 
 
 def test_vs_prev_cpu_split(monkeypatch, tmp_path):
